@@ -1,0 +1,52 @@
+"""Text column helpers shared by the dedup / text-analysis operators.
+
+All pure Spark SQL expressions (JVM-side, codegen-friendly) with exact DuckDB
+SQL equivalents so every operator built on them is oracle-checkable.
+Tokenization is defined as: lowercase, trim, split on single spaces — the
+documents testdata is single-space separated, and DuckDB's string_split
+matches this definition exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column | str) -> Column:
+    """lower → trim → split(' '). DuckDB: string_split(trim(lower(x)), ' ')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), " ")
+
+
+def word_shingles(tokens_col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles joined by spaces; empty array when the doc is
+    shorter than n words (Spark's sequence() descends when stop < start, so
+    the guard is mandatory).
+
+    DuckDB: list_distinct(list_transform(generate_series(1, len(t)-n+1),
+    i -> array_to_string(t[i:i+n-1], ' ')))  -- list_slice is inclusive.
+    """
+    return F.when(
+        F.size(tokens_col) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+                lambda i: F.array_join(F.slice(tokens_col, i, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duckdb_tokens(expr: str = "text") -> str:
+    return f"string_split(trim(lower({expr})), ' ')"
+
+
+def duckdb_word_shingles(tokens_expr: str, n: int = 3) -> str:
+    """DuckDB SQL matching word_shingles(); list_slice(t, i, j) is inclusive."""
+    return (
+        f"CASE WHEN len({tokens_expr}) >= {n} THEN "
+        f"list_distinct(list_transform(generate_series(1, len({tokens_expr}) - {n - 1}), "
+        f"i -> array_to_string(list_slice({tokens_expr}, i, i + {n - 1}), ' '))) "
+        f"ELSE [] END"
+    )

