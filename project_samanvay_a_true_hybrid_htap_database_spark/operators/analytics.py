@@ -103,12 +103,14 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def except_op(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: customers with no orders at all (also the anti-join shape)."""
-    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("c_custkey")
-    )
-    return customer.exceptAll(orders.distinct())
+    """EXCEPT: customers holding open ('O') orders but no finished ('F')
+    ones. (Every customer in the testdata has orders, so the naive
+    "customers without orders" shape returns 0 rows — a vacuous oracle
+    check; this variant is non-empty at every SF.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    done_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return open_c.exceptAll(done_c)
 
 
 def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:

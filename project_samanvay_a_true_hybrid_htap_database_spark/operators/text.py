@@ -31,10 +31,17 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax with fixed precedence en > de > es > fr, else 'und'."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = tokens("text")
+    # Count marker hits including repeats: size(filter(tokens, t in markers)).
+    # `Column.isin` is not usable on a HOF lambda variable, so express
+    # membership as array_contains(literal marker array, t) — stays JVM-side.
+    # NB: the lambda must be unary (PySpark passes the element index to a
+    # second parameter), so markers are bound via a closure factory.
+    def _is_marker(markers: list[str]):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return lambda t: F.array_contains(arr, t)
+
     scores = {
-        lang: F.size(
-            F.filter(toks, lambda t, m=markers: t.isin(*m))
-        )
+        lang: F.size(F.filter(toks, _is_marker(markers)))
         for lang, markers in LANG_MARKERS.items()
     }
     df = docs.select(

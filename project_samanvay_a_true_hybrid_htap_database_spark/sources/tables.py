@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region",
@@ -35,6 +36,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects unless read as a raw long. Set the conf defensively
+        # (the driver's harness may build its own session without it), read
+        # nanos, and surface both the raw value and a microsecond timestamp.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts_nanos", F.col("ts")).withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
