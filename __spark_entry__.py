@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship star-join on sf0.001;
+``queries()`` registers every implemented operator from SURVEY.md §2 plus the
+LLM-data-pipeline extensions; ``oracle_sql()`` holds the DuckDB-equivalent
+ANSI SQL for each (same column names, same rounding, matched output types),
+so the driver's side-by-side value-hash comparison is meaningful.
+
+Hash-bearing operators (dedup/text/similarity) are built exclusively from
+md5-derived integers (functions/hashing.py) precisely so these oracles can
+compute identical values in DuckDB.
 """
 
 from __future__ import annotations
@@ -13,26 +17,454 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from project_samanvay_a_true_hybrid_htap_database_spark.functions.hashing import (
+    MERSENNE31,
+    permutation_params,
+)
+from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+    analytics,
+    dedup,
+    relational,
+    similarity,
+    text,
+)
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB SQL fragments (must stay in lockstep with functions/textfns.py)
+# ---------------------------------------------------------------------------
+
+_TOKS = "string_split(trim(lower(text)), ' ')"
+# word_shingles(tokens, 3): distinct 3-word shingles, [] when < 3 tokens
+_SHINGLES = (
+    "CASE WHEN len(T) >= 3 THEN "
+    "list_distinct(list_transform(generate_series(1, len(T) - 2), "
+    "i -> array_to_string(list_slice(T, i, i + 2), ' '))) "
+    "ELSE [] END"
+)
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _minhash_sig_cte() -> str:
+    """CTE computing the 16 affine-permutation minhashes per doc — the same
+    (a, b) literals the Spark side derives from the fixed-seed LCG."""
+    params = permutation_params(16)
+    mins = ", ".join(
+        f"min((h * {a}::BIGINT + {b}::BIGINT) % {MERSENNE31}) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+shl AS (SELECT doc_id, {_SHINGLES} AS S FROM toks),
+sh AS (SELECT doc_id, unnest(S) AS s FROM shl WHERE len(S) > 0),
+hh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hh GROUP BY doc_id)
+"""
+
+
+def _simhash_fp_cte(bits: int = 60) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE 0 END) AS b{j}"
+        for j in range(bits)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN b{j} * 2 > n THEN (1::BIGINT << {j}) ELSE 0::BIGINT END)"
+        for j in range(bits)
+    )
+    return f"""
+toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+dt AS (SELECT doc_id, unnest(list_distinct(T)) AS tok FROM toks),
+hh AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM dt),
+v AS (SELECT doc_id, count(*) AS n, {votes} FROM hh GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash FROM v)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the star join revenue_by_nation on sf0.001."""
+    return analytics.revenue_by_nation(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- reference relational surface (SURVEY.md §2.1) ---
+        "point_lookup": relational.point_lookup,
+        "full_scan": relational.full_scan,
+        "range_scan": relational.range_scan,
+        "range_between": relational.range_between,
+        "projection": relational.projection,
+        "predicate_and_or": relational.predicate_and_or,
+        "predicate_neq": relational.predicate_neq,
+        "agg_count": relational.agg_count,
+        "agg_sum": relational.agg_sum,
+        "agg_avg": relational.agg_avg,
+        "agg_min_max": relational.agg_min_max,
+        "agg_multi": relational.agg_multi,
+        "agg_where": relational.agg_where,
+        "update_projection": relational.update_projection,
+        "delete_projection": relational.delete_projection,
+        "upsert_merge": relational.upsert_merge,
+        # --- full analytical SQL (SURVEY.md §2.4 gaps, driver extension) ---
+        "tpch_q1": analytics.tpch_q1_pricing_summary,
+        "revenue_by_nation": analytics.revenue_by_nation,
+        "top_orders": analytics.top_orders,
+        "group_having": analytics.group_having,
+        "distinct_values": analytics.distinct_values,
+        "set_ops": analytics.set_ops,
+        "except_op": analytics.except_op,
+        "window_topn_per_group": analytics.window_topn_per_group,
+        "window_running_sum": analytics.window_running_sum,
+        "semi_join": analytics.semi_join,
+        "scalar_subquery": analytics.scalar_subquery,
+        "case_bucketing": analytics.case_bucketing,
+        "date_functions": analytics.date_functions,
+        "string_functions": analytics.string_functions,
+        "json_extraction": analytics.json_extraction,
+        "events_hourly_rollup": analytics.events_hourly_rollup,
+        "join_agg_orders_lineitem": analytics.join_agg_orders_lineitem,
+        # --- dedup (LLM-data-pipeline extensions) ---
+        "exact_dedup": dedup.exact_dedup,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_signatures": dedup.minhash_signatures_str,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
+        "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        # --- similarity search ---
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "knn_join_blocked": similarity.knn_join_blocked,
+        # --- text analysis ---
+        "lang_id": text.lang_id,
+        "quality_score": text.quality_score,
+        "token_counts": text.token_counts,
+        "fingerprints": text.fingerprints,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    jac_pairs = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+shl AS (SELECT doc_id, {_SHINGLES} AS S FROM toks),
+p AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         len(list_intersect(a.S, b.S)) AS inter,
+         len(a.S) + len(b.S) - len(list_intersect(a.S, b.S)) AS uni
+  FROM shl a JOIN shl b ON a.doc_id < b.doc_id)
+SELECT d1, d2, round(inter / uni, 4) AS jaccard
+FROM p WHERE inter / uni >= 0.5
+"""
+    # LSH oracle replicates the banding: candidates share at least one
+    # 4-row band of equal minhashes, then exact-Jaccard >= 0.5 on candidates.
+    band_eq = " OR ".join(
+        "(" + " AND ".join(f"a.m{b * 4 + r} = b.m{b * 4 + r}" for r in range(4)) + ")"
+        for b in range(4)
+    )
+    lsh_pairs = f"""
+WITH {_minhash_sig_cte()},
+cand AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE {band_eq}),
+shl2 AS (SELECT doc_id, {_SHINGLES} AS S
+         FROM (SELECT doc_id, {_TOKS} AS T FROM documents)),
+j AS (
+  SELECT c.d1, c.d2,
+         len(list_intersect(x.S, y.S)) AS inter,
+         len(list_distinct(x.S || y.S)) AS uni
+  FROM cand c
+  JOIN shl2 x ON x.doc_id = c.d1
+  JOIN shl2 y ON y.doc_id = c.d2)
+SELECT d1, d2, round(inter / uni, 4) AS jaccard
+FROM j WHERE inter / uni >= 0.5
+"""
+    minhash_sig = f"""
+WITH {_minhash_sig_cte()}
+SELECT doc_id,
+       concat_ws(',', {", ".join(f"m{i}" for i in range(16))}) AS sig_csv
+FROM sig
+"""
+    simhash_fp = f"""
+WITH {_simhash_fp_cte()}
+SELECT doc_id, simhash FROM fp
+"""
+    simhash_pairs = f"""
+WITH {_simhash_fp_cte()}
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+"""
+    cos_ab = _COS.format(a="a.embedding::DOUBLE[]", b="b.embedding::DOUBLE[]")
+    emb_pairs = f"""
+SELECT a.vec_id AS v1, b.vec_id AS v2, round({cos_ab}, 4) AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({cos_ab}, 4) >= 0.40
+"""
+    cos_q = _COS.format(a="e.embedding::DOUBLE[]", b="q.qe")
+    ann_bf = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id, {cos_q} AS cos FROM embeddings e, q WHERE e.vec_id != 0)
+SELECT vec_id, round(cos, 4) AS cos_sim FROM s
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+    ann_ivf = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe, label AS ql FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id, {cos_q} AS cos
+      FROM embeddings e, q WHERE e.vec_id != 0 AND e.label = q.ql)
+SELECT vec_id, round(cos, 4) AS cos_sim FROM s
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+    knn = f"""
+WITH p AS (
+  SELECT a.vec_id AS src, b.vec_id AS nbr, {cos_ab} AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id != b.vec_id),
+r AS (SELECT src, nbr, cos,
+             CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, nbr ASC) AS INT) AS rk
+      FROM p)
+SELECT src, nbr, rk, round(cos, 4) AS cos_sim FROM r WHERE rk <= 3
+"""
+    lang_scores = ", ".join(
+        f"len(list_filter(T, t -> list_contains({markers!r}, t))) AS s_{lang}"
+        for lang, markers in text.LANG_MARKERS.items()
+    ).replace("'", "'")
+    lang_id_sql = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+s AS (SELECT doc_id, {lang_scores} FROM toks)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM s
+"""
+    quality = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS T FROM documents)
+SELECT doc_id,
+  CAST(len(T) AS INT) AS n_tokens,
+  round(len(list_distinct(T)) / len(T), 4) AS distinct_ratio,
+  round(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text), 4) AS alpha_ratio,
+  round(least(len(T) / 100.0, 1.0) * 0.4
+        + (len(list_distinct(T)) / len(T)) * 0.3
+        + (length(regexp_replace(lower(text), '[^a-z]', '', 'g')) / length(text)) * 0.3,
+        4) AS quality
+FROM t
+"""
+    token_counts_sql = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS T FROM documents)
+SELECT doc_id,
+  CAST(len(T) AS INT) AS ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9 ]')) AS INT) AS bpe_tokens,
+  CAST(length(text) AS INT) AS n_chars
+FROM t
+"""
+    fingerprints_sql = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS T FROM documents)
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(T)), ' ')) AS setfp,
+  list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform(T, tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT)),
+    (acc, h) -> (acc * 37 + h) % {MERSENNE31}) AS rollfp
+FROM t
+"""
+    return {
+        # --- relational ---
+        "point_lookup": """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey = 42
+""",
+        "full_scan": "SELECT * FROM region",
+        "range_scan": """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem WHERE l_quantity > 45
+""",
+        "range_between": """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey BETWEEN 100 AND 200
+""",
+        "projection": "SELECT c_name, c_acctbal FROM customer WHERE c_custkey = 7",
+        "predicate_and_or": """
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders
+WHERE (o_orderstatus = 'F' AND o_totalprice > 150000)
+   OR o_orderpriority = '1-URGENT'
+""",
+        "predicate_neq": """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderstatus != 'O' AND o_totalprice <= 50000
+""",
+        "agg_count": "SELECT count(*) AS cnt FROM lineitem WHERE l_quantity > 10",
+        "agg_sum": "SELECT round(sum(l_extendedprice), 2) AS sum_price FROM lineitem",
+        "agg_avg": "SELECT round(avg(l_quantity), 6) AS avg_qty FROM lineitem",
+        "agg_min_max": """
+SELECT round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+""",
+        "agg_multi": """
+SELECT count(*) AS cnt,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+""",
+        "agg_where": """
+SELECT count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price
+FROM orders WHERE o_orderstatus = 'O'
+""",
+        "update_projection": """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN '5-LOW' ELSE o_orderpriority END
+         AS o_orderpriority
+FROM orders
+""",
+        "delete_projection": """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer WHERE NOT (c_acctbal < 0)
+""",
+        "upsert_merge": """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer WHERE c_custkey NOT IN (1, 2, 900001)
+UNION ALL
+SELECT CAST(v.k AS BIGINT), v.n, CAST(v.b AS DOUBLE)
+FROM (VALUES (1, 'UPDATED CUSTOMER 1', 9999.99),
+             (2, 'UPDATED CUSTOMER 2', 8888.88),
+             (900001, 'NEW CUSTOMER', 0.0)) v(k, n, b)
+""",
+        # --- analytics ---
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "revenue_by_nation": """
+SELECT r_name, n_name, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+        "top_orders": """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+""",
+        "group_having": """
+SELECT o_custkey, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_spent
+FROM orders GROUP BY o_custkey HAVING count(*) >= 8
+""",
+        "distinct_values": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "set_ops": """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+        "except_op": """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+        "window_topn_per_group": """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+  FROM orders)
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM r WHERE rk <= 2
+""",
+        "window_running_sum": """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running_total
+FROM orders
+""",
+        "semi_join": """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity = 50)
+""",
+        "scalar_subquery": """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+""",
+        "case_bucketing": """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS bucket,
+       count(*) AS cnt
+FROM orders GROUP BY 1
+""",
+        "date_functions": """
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mon,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1, 2
+""",
+        "string_functions": """
+SELECT p_partkey, upper(p_brand) AS brand_u,
+       substr(p_type, 1, 5) AS type5,
+       CAST(length(p_name) AS INT) AS name_len
+FROM part
+""",
+        "json_extraction": """
+SELECT event_id, json_extract_string(props, '$.k')::INT AS k
+FROM events WHERE json_extract_string(props, '$.k')::INT > 90
+""",
+        "events_hourly_rollup": """
+SELECT CAST(epoch(date_trunc('hour', ts::TIMESTAMP)) AS BIGINT) AS hour_epoch,
+       event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+        "join_agg_orders_lineitem": """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+        # --- dedup ---
+        "exact_dedup": """
+SELECT md5(trim(lower(text))) AS fp, min(doc_id) AS doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+        "ngram_jaccard_pairs": jac_pairs,
+        "minhash_signatures": minhash_sig,
+        "minhash_lsh_pairs": lsh_pairs,
+        "simhash_fingerprints": simhash_fp,
+        "simhash_neardup_pairs": simhash_pairs,
+        "embedding_neardup_pairs": emb_pairs,
+        # --- similarity ---
+        "ann_bruteforce_topk": ann_bf,
+        "ann_ivf_topk": ann_ivf,
+        "knn_join_blocked": knn,
+        # --- text ---
+        "lang_id": lang_id_sql,
+        "quality_score": quality,
+        "token_counts": token_counts_sql,
+        "fingerprints": fingerprints_sql,
+    }

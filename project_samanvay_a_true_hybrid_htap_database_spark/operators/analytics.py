@@ -216,7 +216,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
             F.col("event_type"),
         )
         .agg(

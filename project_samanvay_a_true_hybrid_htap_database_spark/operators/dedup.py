@@ -118,6 +118,16 @@ def minhash_signatures(spark: SparkSession, sf_dir: str, k: int = MINHASH_K) -> 
     )
 
 
+def minhash_signatures_str(spark: SparkSession, sf_dir: str, k: int = MINHASH_K) -> DataFrame:
+    """Signature rendered as a comma-joined string — the oracle-comparable
+    form (a flat string column hashes identically across engines, an
+    array<long> may not)."""
+    sig = minhash_signatures(spark, sf_dir, k)
+    return sig.select(
+        "doc_id", F.concat_ws(",", F.col("sig").cast("array<string>")).alias("sig_csv")
+    )
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
