@@ -1,0 +1,94 @@
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_query_wall", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>, "rows": {...}}
+
+Comparison anchor (BASELINE.md): the reference's SQL-path shapes are the
+benchmark_htap.cpp queries — COUNT, SUM+AVG, filtered SUM, point lookup over
+1M rows — plus the mixed-HTAP ratios; bench_* entries here cover those same
+shapes (agg_multi, agg_where, point_lookup) on the sf parquet, alongside the
+heavier analytics/dedup/similarity operators the reference cannot run at all.
+
+Every query is fully materialized through the noop sink (no driver collect,
+no print cost); each runs once after a warm-up scan primes the file footer
+cache. Timings are wall-clock per query on local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from project_samanvay_a_true_hybrid_htap_database_spark import get_spark
+    from project_samanvay_a_true_hybrid_htap_database_spark.sources import load_table
+
+    spark = get_spark(app_name="samanvay-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    headline = [
+        # reference SQL-path shapes (benchmark_htap.cpp:136-152)
+        "point_lookup",
+        "agg_multi",
+        "agg_where",
+        "range_scan",
+        # analytics
+        "tpch_q1",
+        "revenue_by_nation",
+        "join_agg_orders_lineitem",
+        "window_topn_per_group",
+        "group_having",
+        "events_hourly_rollup",
+        "json_extraction",
+        # LLM-data-pipeline
+        "exact_dedup",
+        "minhash_lsh_pairs",
+        "simhash_neardup_pairs",
+        "lang_id",
+        "token_counts",
+        "fingerprints",
+        "ann_bruteforce_topk",
+        "knn_join_blocked",
+    ]
+
+    # Warm-up: prime parquet footers + JVM codegen off the timed path.
+    for t in ["orders", "lineitem", "customer", "documents", "embeddings", "events"]:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in headline:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
