@@ -24,6 +24,7 @@ from project_samanvay_a_true_hybrid_htap_database_spark.functions.hashing import
 from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
     analytics,
     dedup,
+    multimodal,
     relational,
     similarity,
     text,
@@ -129,6 +130,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extraction": analytics.json_extraction,
         "events_hourly_rollup": analytics.events_hourly_rollup,
         "join_agg_orders_lineitem": analytics.join_agg_orders_lineitem,
+        "sessionize": analytics.sessionize,
+        # --- multimodal (binary + metadata; mapInPandas plumbing) ---
+        "multimodal_summary": multimodal.multimodal_summary,
         # --- dedup (LLM-data-pipeline extensions) ---
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -445,6 +449,34 @@ SELECT o_orderpriority, count(*) AS n_items,
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE o_orderstatus = 'F'
 GROUP BY o_orderpriority
+""",
+        "sessionize": """
+WITH e AS (
+  -- epoch() yields fractional seconds and CAST would round; floor-divide
+  -- epoch_us to match Spark's unix_timestamp truncation
+  SELECT user_id, (epoch_us(ts::TIMESTAMP) // 1000000) AS epoch_s,
+         event_id, value
+  FROM events),
+g AS (
+  SELECT *, CASE WHEN epoch_s - lag(epoch_s) OVER
+                   (PARTITION BY user_id ORDER BY epoch_s, event_id) > 1800
+                 THEN 1 ELSE 0 END AS new_session
+  FROM e),
+s AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY epoch_s, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g)
+SELECT user_id, min(epoch_s) AS session_start, max(epoch_s) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id, session_no
+""",
+        "multimodal_summary": """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+       md5(text) AS content_md5,
+       round((('0x' || substr(md5(text), 1, 8))::BIGINT) / 4294967295.0, 6) AS feat0
+FROM documents
 """,
         # --- dedup ---
         "exact_dedup": """

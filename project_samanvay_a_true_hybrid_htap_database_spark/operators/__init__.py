@@ -1,3 +1,3 @@
-from . import analytics, dedup, relational, similarity, text
+from . import analytics, dedup, multimodal, relational, similarity, text
 
-__all__ = ["analytics", "relational", "dedup", "similarity", "text"]
+__all__ = ["analytics", "relational", "dedup", "multimodal", "similarity", "text"]

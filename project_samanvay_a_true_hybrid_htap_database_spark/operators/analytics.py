@@ -226,6 +226,54 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sessionize(spark: SparkSession, sf_dir: str, gap_min: int = 30) -> DataFrame:
+    """Batch sessionization: per-user sessions closed by a >gap_min
+    inactivity gap. lag → gap flag → running session counter → grouped
+    rollup: two window passes over one user-partitioned shuffle, then a
+    partial-agg groupBy — the classic scalable shape (the streaming twin
+    with true incremental state lives in streaming/events.py)."""
+    events = load_table(spark, sf_dir, "events")
+    gapped = events.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        "event_id",
+        "value",
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("epoch_s") - F.lag("epoch_s").over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("epoch_s").asc(), F.col("event_id").asc()
+                )
+            )
+            > gap_min * 60,
+            1,
+        ).otherwise(0),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("epoch_s").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = gapped.withColumn("session_no", F.sum("new_session").over(w2))
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.min("epoch_s").alias("session_start"),
+            F.max("epoch_s").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def join_agg_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-fact join (orders ⨝ lineitem on orderkey) + grouped agg: the
     canonical co-partitioned shuffle join. At 100 TB both sides bucket on

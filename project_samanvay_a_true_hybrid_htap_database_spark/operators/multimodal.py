@@ -1,0 +1,92 @@
+"""Multimodal column operators: opaque binary payloads + typed metadata,
+processed with Arrow-batched ``mapInPandas`` (driver-mandated extension;
+the reference's BYTES storage type is unreachable via its own SQL,
+SURVEY.md §1.2).
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic fake (documented below); everything around it — binary
+column, metadata struct schema, mapInPandas signature, Arrow batch shape,
+partition behavior — is the real 100 TB plumbing. Swapping
+``_fake_decode_features`` for a real `PIL`/`torchaudio` call changes no
+plan shape: the binary bytes already arrive inside the Arrow batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources import load_table
+
+
+def attach_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → multimodal rows: the utf-8 text bytes stand in for an
+    opaque media payload, with a typed metadata struct alongside
+    (mime/n_bytes/source). At 100 TB the blob column lives in its own
+    parquet column chunk and is only read by stages that need it —
+    metadata-only queries never touch the bytes (column pruning)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.octet_length(F.col("text")).alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("feat", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _fake_decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB DECODER: a real implementation would decode the media here
+    (e.g. PIL.Image.open(BytesIO(b)) → resize → embed). This deterministic
+    fake derives a 4-dim feature from the md5 of the payload so tests and
+    oracles can verify the plumbing end-to-end."""
+    for pdf in batches:
+        out = {"doc_id": [], "n_bytes": [], "content_md5": [], "feat": []}
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            b = bytes(content)
+            digest = hashlib.md5(b).hexdigest()
+            out["doc_id"].append(int(doc_id))
+            out["n_bytes"].append(len(b))
+            out["content_md5"].append(digest)
+            out["feat"].append(
+                [int(digest[i * 8 : i * 8 + 8], 16) / float(0xFFFFFFFF) for i in range(4)]
+            )
+        yield pd.DataFrame(out)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary decode + feature extraction over mapInPandas. Arrow moves the
+    binary batches to Python whole-partition at a time; no per-row UDF
+    overhead, no driver involvement, scales with partition count."""
+    blobs = attach_blob(spark, sf_dir).select("doc_id", "content")
+    return blobs.mapInPandas(_fake_decode_features, schema=_FEATURE_SCHEMA)
+
+
+def multimodal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-friendly projection of the multimodal pipeline: byte length +
+    payload md5 + first feature dim (flat columns hash cleanly)."""
+    feats = multimodal_features(spark, sf_dir)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "content_md5",
+        F.round(F.element_at("feat", 1), 6).alias("feat0"),
+    )

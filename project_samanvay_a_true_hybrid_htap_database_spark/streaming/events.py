@@ -1,0 +1,165 @@
+"""Structured Streaming over the events table (driver-mandated extension —
+the reference has no stream abstraction, SURVEY.md §1.1/§2.4).
+
+Two layers:
+
+- ``stream_events(spark, src_dir)``: file-source stream of events parquet
+  (same schema as sources.load_table('events'), nanos already long via the
+  session conf) — the streaming twin of the batch table.
+- ``hourly_rollup_stream``: tumbling 1-hour window + 2-hour watermark
+  grouped rollup, the streaming twin of
+  operators.analytics.events_hourly_rollup. At scale this runs per
+  micro-batch with partial aggregation and state-store-backed windows; the
+  watermark bounds state for late data.
+- ``sessionize_stream``: stateful sessionization via
+  applyInPandasWithState — groups per-user event streams into sessions
+  closed by a 30-minute inactivity gap (the canonical custom stateful
+  operator the built-in windows can't express).
+
+The batch twin ``operators.analytics.sessionize`` is oracle-checked; the
+streaming variants are covered by tests/test_streaming.py through the
+memory sink (non-SQL-expressible → rows-only check per the contract).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_MIN = 30
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream of events parquet files dropped into ``src_dir``.
+    One file per micro-batch keeps tests deterministic."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_rollup_stream(events: DataFrame) -> DataFrame:
+    """Tumbling-hour rollup with a 2-hour watermark: counts and value sums
+    per (hour window, event_type). Late events beyond the watermark are
+    dropped; everything else updates its window's state."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.LongType()),  # epoch seconds
+        T.StructField("session_end", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_s", T.LongType()),
+        T.StructField("last_s", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _sessionize_fn(
+    key: tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+):
+    """Per-user session accumulator. Emits a session row whenever a gap
+    > SESSION_GAP_MIN separates consecutive events (or on state timeout)."""
+    gap = SESSION_GAP_MIN * 60
+    (user_id,) = key
+    if state.hasTimedOut:
+        if state.exists:
+            start_s, last_s, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[user_id, start_s, last_s, n, float(total)]],
+                columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+            )
+        return
+
+    times: list[int] = []
+    values: list[float] = []
+    for pdf in pdfs:
+        times.extend(int(t) for t in pdf["epoch_s"])
+        values.extend(float(v) for v in pdf["value"])
+    order = sorted(range(len(times)), key=lambda i: times[i])
+
+    sessions = []
+    if state.exists:
+        start_s, last_s, n, total = state.get
+    else:
+        start_s = last_s = None
+        n, total = 0, 0.0
+    for i in order:
+        t, v = times[i], values[i]
+        if start_s is None:
+            start_s, last_s, n, total = t, t, 1, v
+        elif t - last_s > gap:
+            sessions.append([user_id, start_s, last_s, n, float(total)])
+            start_s, last_s, n, total = t, t, 1, v
+        else:
+            last_s, n, total = t, n + 1, total + v
+    state.update((start_s, last_s, n, total))
+    state.setTimeoutDuration(gap * 1000)
+    if sessions:
+        yield pd.DataFrame(
+            sessions,
+            columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+        )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user sessionization with a 30-minute
+    inactivity gap via applyInPandasWithState (Arrow-batched, state-store
+    backed — the Spark-native replacement for a hand-rolled stateful
+    stream processor)."""
+    prepared = events.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        "value",
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -1,0 +1,117 @@
+"""Structured Streaming twins: tumbling-window rollup and stateful
+sessionization, driven through a file-source → memory-sink round trip
+(rows-only checks; these are the non-SQL-expressible operators per the
+driver contract).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from project_samanvay_a_true_hybrid_htap_database_spark.sources import load_table
+from project_samanvay_a_true_hybrid_htap_database_spark.streaming.events import (
+    hourly_rollup_stream,
+    sessionize_stream,
+    stream_events,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_src(spark):
+    """Events parquet re-written as 3 stream-source files (ts as raw nanos,
+    the same physical schema the testdata uses)."""
+    tmp = tempfile.mkdtemp(prefix="events_src_")
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", F.col("ts_nanos").alias("ts"), "user_id", "event_type", "value", "props"
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(tmp)
+    yield tmp
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _run_stream(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_hourly_rollup_stream_matches_batch(spark, events_src):
+    stream = stream_events(spark, events_src)
+    # complete mode for an aggregation snapshot
+    q = (
+        hourly_rollup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("rollup")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["hour_epoch"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM rollup").collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    want = {
+        (r["hour_epoch"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_sessionize_stream_emits_closed_sessions(spark, tmp_path):
+    """Two users with known gaps: sessions closed by a >30min gap emit;
+    each user's final (still-open) session stays in state."""
+    rows = [
+        # user 1: two sessions — events at t0, t0+10min | gap 2h | t0+130min
+        (1, 1_700_000_000_000_000_000, 1, "click", 1.0, "{}"),
+        (2, 1_700_000_600_000_000_000, 1, "view", 2.0, "{}"),
+        (3, 1_700_007_800_000_000_000, 1, "click", 4.0, "{}"),
+        # user 2: one session only (never closed by a gap)
+        (4, 1_700_000_000_000_000_000, 2, "view", 8.0, "{}"),
+    ]
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = stream_events(spark, src)
+    q = _run_stream(sessionize_stream(stream), "sessions")
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    # only user 1's first session is closed by the 2h gap
+    assert got == {1: (2, 3.0)}
+
+
+def test_batch_sessionize_agrees_with_stream_semantics(spark):
+    """Batch twin over sf0.001: session bounds are consistent (start <= end,
+    positive counts) and splitting respects the 30-minute gap."""
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators.analytics import sessionize
+
+    s = sessionize(spark, SF_DIR)
+    bad = s.filter(
+        (F.col("session_start") > F.col("session_end")) | (F.col("n_events") <= 0)
+    ).count()
+    assert bad == 0
+    assert s.count() > 0
