@@ -13,6 +13,6 @@ replaces the skiplist memtable (reference: StorageEngine/include/memtable.hpp).
 __version__ = "0.1.0"
 
 from .session import get_spark
-from .engine import SamanvayEngine
+from .engine import SamanvayEngine, ResultSet
 
-__all__ = ["get_spark", "SamanvayEngine", "__version__"]
+__all__ = ["get_spark", "SamanvayEngine", "ResultSet", "__version__"]

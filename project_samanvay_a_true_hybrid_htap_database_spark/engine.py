@@ -272,6 +272,14 @@ class SamanvayEngine:
         self.quirk_compat = quirk_compat
         self.tables: dict[str, TableState] = {}
         self._seq = 0
+        # Operation counters surfaced by status() (reference:
+        # StorageEngineStats, api/json_helpers.hpp:72-104)
+        self.stats: dict[str, int] = {
+            "total_writes": 0,
+            "total_reads": 0,
+            "total_range_queries": 0,
+            "total_flushes": 0,
+        }
 
     # -- public API ---------------------------------------------------------
 
@@ -305,7 +313,42 @@ class SamanvayEngine:
         if n:
             state.base = self._merged_df(state).localCheckpoint(eager=True)
             state.memtable.clear()
+            self.stats["total_flushes"] += 1
         return n
+
+    def status(self) -> dict:
+        """Engine statistics in the reference's stats shape (reference:
+        api/json_helpers.hpp:72-104 statsToJson; memtable/SSTable sections
+        become the hot-overlay/parquet-base split)."""
+        tables = []
+        hot_total = 0
+        for name in sorted(self.tables):
+            state = self.tables[name]
+            hot = len(state.memtable)
+            tomb = sum(1 for _, row in state.memtable.values() if row is None)
+            hot_total += hot
+            tables.append(
+                {
+                    "table": name,
+                    "primaryKey": state.pk,
+                    "columns": len(state.schema.fields),
+                    "hotEntries": hot,
+                    "tombstones": tomb,
+                    "hasBase": state.base is not None,
+                }
+            )
+        return {
+            "memory": {
+                "hotTables": sum(1 for t in tables if t["hotEntries"]),
+                "hotEntries": hot_total,
+            },
+            "tables": tables,
+            "operations": dict(self.stats),
+            "engine": {
+                "spark_version": self.spark.version,
+                "currentSequence": self._seq,
+            },
+        }
 
     def compact(self, name: str) -> None:
         """Re-materialize the base keeping live latest versions only
@@ -323,6 +366,10 @@ class SamanvayEngine:
         if head is None or head[0] != "word":
             raise SqlError(f"Parse error near {stripped[:20]!r}")
         kw = head[1].upper()
+        if kw in {"INSERT", "UPDATE"}:
+            self.stats["total_writes"] += 1
+        elif kw == "SELECT":
+            self.stats["total_reads"] += 1
         if kw == "CREATE":
             return self._create_table(ts)
         if kw == "DROP":
@@ -644,6 +691,8 @@ class SamanvayEngine:
     def _select(self, ts: _Tokens) -> ResultSet:
         items, table, pred = self._parse_select(ts)
         state = self._state(table)
+        if pred is not None and _point_lookup_pk(pred, state.pk) is None:
+            self.stats["total_range_queries"] += 1
         cols = [f.name for f in state.schema.fields]
         df = self._merged_df(state)
         if pred is not None:

@@ -1,0 +1,278 @@
+"""Service-surface tests: formatter (K20), shell REPL, REST API, bulk loader.
+
+Mirrors the reference's observable service behavior: result_formatter.hpp
+table/DML/error rendering, sql_shell.cpp REPL flow (multi-line accumulation,
+meta commands), api_server.hpp endpoints + JSON envelope, bulk_loader.cpp
+transactions table shape.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import urllib.request
+
+import pytest
+
+from project_samanvay_a_true_hybrid_htap_database_spark.engine import ResultSet
+from project_samanvay_a_true_hybrid_htap_database_spark.formatter import (
+    format_cell,
+    format_result,
+    format_table,
+)
+from project_samanvay_a_true_hybrid_htap_database_spark.shell import run_shell
+from project_samanvay_a_true_hybrid_htap_database_spark.api import make_server
+from project_samanvay_a_true_hybrid_htap_database_spark.bulk_loader import (
+    CATEGORIES,
+    REGIONS,
+    STATUSES,
+    load_transactions_distributed,
+    load_transactions_sql,
+    transactions_df,
+)
+
+
+# ---------------------------------------------------------------------------
+# formatter (result_formatter.hpp:46-237)
+# ---------------------------------------------------------------------------
+
+
+class TestFormatter:
+    def test_cells(self):
+        assert format_cell(None) == "NULL"
+        assert format_cell(True) == "true"
+        assert format_cell(False) == "false"
+        assert format_cell(601.25) == "601.25"
+        assert format_cell(100.0) == "100"  # C++ default trims trailing zeros
+        assert format_cell(3) == "3"
+        assert format_cell("x") == "x"
+
+    def test_table_layout(self):
+        out = format_table(["id", "name"], [(1, "alice"), (2, "bo")])
+        assert out.splitlines() == [
+            "+----+-------+",
+            "| id | name  |",
+            "+----+-------+",
+            "| 1  | alice |",
+            "| 2  | bo    |",
+            "+----+-------+",
+        ]
+
+    def test_select_result(self):
+        rs = ResultSet(headers=["n"], rows=[(1,)], execution_time_ms=1.5)
+        text = format_result(rs)
+        assert "1 row(s) in set (1.50 ms)" in text
+        assert "| n |" in text
+
+    def test_dml_result(self):
+        rs = ResultSet(rows_affected=3, execution_time_ms=2.0)
+        assert format_result(rs) == "Query OK, 3 row(s) affected (2.00 ms)"
+
+    def test_error_result(self):
+        rs = ResultSet(error_message="Table does not exist: nope")
+        assert format_result(rs) == "ERROR: Table does not exist: nope"
+
+    def test_ddl_message(self):
+        rs = ResultSet(message="Table created: t", execution_time_ms=0.5)
+        assert format_result(rs) == "Table created: t"
+
+
+# ---------------------------------------------------------------------------
+# shell (sql_shell.cpp:30-152)
+# ---------------------------------------------------------------------------
+
+
+def _shell(engine, script: str) -> str:
+    out = io.StringIO()
+    run_shell(engine, io.StringIO(script), out, interactive=False)
+    return out.getvalue()
+
+
+class TestShell:
+    def test_multiline_sql_and_table_output(self, engine):
+        out = _shell(
+            engine,
+            "CREATE TABLE users (id INT PRIMARY KEY,\n"
+            "name VARCHAR(50));\n"
+            "INSERT INTO users VALUES (1, 'alice');\n"
+            "SELECT id, name\n"
+            "FROM users;\n",
+        )
+        assert "Table created: users" in out
+        assert "Query OK, 1 row(s) affected" in out
+        assert "| alice |" in out
+        assert "1 row(s) in set" in out
+
+    def test_meta_commands(self, engine):
+        engine.execute("CREATE TABLE t (id INT PRIMARY KEY, v DOUBLE)")
+        engine.execute("INSERT INTO t VALUES (1, 2.5)")
+        out = _shell(engine, "\\h\n\\s\n\\d t\nbogus_meta\n\\q\n")
+        assert "\\d <table>  - describe table" in out  # help
+        assert "Hot overlay: 1 entry across 1 table(s)" in out  # status
+        assert "| id " in out and "| PRI |" in out  # describe
+        assert "Bye!" in out  # \q
+
+    def test_error_reporting(self, engine):
+        out = _shell(engine, "SELECT * FROM missing;\n")
+        assert "ERROR: Table does not exist: missing" in out
+
+    def test_eof_without_semicolon_is_safe(self, engine):
+        out = _shell(engine, "SELECT * FROM\n")
+        assert "ERROR" not in out  # incomplete statement never executed
+
+
+# ---------------------------------------------------------------------------
+# REST API (api_server.hpp:98-333)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def api(engine):
+    server = make_server(engine, port=0)
+    server.start_background()
+    yield server
+    server.shutdown()
+
+
+def _req(api, method: str, path: str, payload: dict | None = None):
+    url = f"http://127.0.0.1:{api.port}{path}"
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    req.add_header("Content-Type", "application/json")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as exc:
+        return exc.code, json.loads(exc.read())
+
+
+class TestRestAPI:
+    def test_query_roundtrip_and_envelope(self, api):
+        status, body = _req(
+            api,
+            "POST",
+            "/api/query",
+            {"sql": "CREATE TABLE kv (k INT PRIMARY KEY, v VARCHAR(20));"},
+        )
+        assert status == 200
+        assert body["success"] is True and body["error"] is None
+        _req(api, "POST", "/api/query", {"sql": "INSERT INTO kv VALUES (1, 'one')"})
+        status, body = _req(api, "POST", "/api/query", {"sql": "SELECT k, v FROM kv"})
+        assert status == 200
+        assert body["data"]["headers"] == ["k", "v"]
+        assert body["data"]["rows"] == [[1, "one"]]
+        assert body["data"]["executionTimeMs"] > 0
+
+    def test_query_error_envelope(self, api):
+        status, body = _req(api, "POST", "/api/query", {"sql": "SELECT * FROM nope"})
+        assert status == 400
+        assert body["success"] is False
+        assert body["error"]["type"] == "QUERY_ERROR"
+        assert "nope" in body["error"]["message"]
+
+    def test_query_validation(self, api):
+        status, body = _req(api, "POST", "/api/query", {})
+        assert status == 400 and body["error"]["type"] == "INVALID_REQUEST"
+
+    def test_explain(self, api):
+        _req(api, "POST", "/api/query", {"sql": "CREATE TABLE e (id INT PRIMARY KEY)"})
+        status, body = _req(
+            api, "POST", "/api/explain", {"sql": "SELECT id FROM e WHERE id = 1"}
+        )
+        assert status == 200
+        assert "POINT_LOOKUP" in body["data"]["plan"]
+
+    def test_tables_and_describe(self, api):
+        _req(
+            api,
+            "POST",
+            "/api/query",
+            {"sql": "CREATE TABLE widgets (id INT PRIMARY KEY, w DOUBLE)"},
+        )
+        status, body = _req(api, "GET", "/api/tables")
+        assert status == 200 and "widgets" in body["data"]["tables"]
+
+        status, body = _req(api, "GET", "/api/tables/widgets")
+        assert status == 200
+        assert body["data"]["primaryKey"] == "id"
+        assert body["data"]["columnCount"] == 2
+        names = [c["name"] for c in body["data"]["columns"]]
+        assert names == ["id", "w"]
+
+        status, body = _req(api, "GET", "/api/tables/widgets/describe")
+        assert status == 200 and "| id " in body["data"]["description"]
+
+        status, body = _req(api, "GET", "/api/tables/ghost")
+        assert status == 404 and body["error"]["type"] == "NOT_FOUND"
+
+    def test_status_flush_health_info(self, api):
+        _req(api, "POST", "/api/query", {"sql": "CREATE TABLE s (id INT PRIMARY KEY)"})
+        _req(api, "POST", "/api/query", {"sql": "INSERT INTO s VALUES (7)"})
+        status, body = _req(api, "GET", "/api/status")
+        assert status == 200
+        assert body["data"]["memory"]["hotEntries"] == 1
+
+        status, body = _req(api, "POST", "/api/admin/flush", {})
+        assert status == 200 and body["data"]["flushedEntries"]["s"] == 1
+
+        status, body = _req(api, "GET", "/api/status")
+        assert body["data"]["memory"]["hotEntries"] == 0
+
+        status, body = _req(api, "GET", "/api/health")
+        assert status == 200 and body["data"]["status"] == "ok"
+
+        status, body = _req(api, "GET", "/api/info")
+        assert status == 200
+        assert "SELECT" in body["data"]["supportedStatements"]
+        assert body["data"]["supportedAggregations"] == [
+            "COUNT",
+            "SUM",
+            "AVG",
+            "MIN",
+            "MAX",
+        ]
+
+    def test_unknown_endpoint_404(self, api):
+        status, body = _req(api, "GET", "/api/nope")
+        assert status == 404 and body["error"]["type"] == "NOT_FOUND"
+
+
+# ---------------------------------------------------------------------------
+# bulk loader (bulk_loader.cpp:25-132)
+# ---------------------------------------------------------------------------
+
+
+class TestBulkLoader:
+    def test_distributed_generator_deterministic(self, spark):
+        a = transactions_df(spark, 200, seed=42).collect()
+        b = transactions_df(spark, 200, seed=42).collect()
+        assert a == b
+        c = transactions_df(spark, 200, seed=7).collect()
+        assert a != c
+
+    def test_distributed_values_in_domain(self, spark):
+        rows = transactions_df(spark, 500, seed=42).collect()
+        assert len(rows) == 500
+        assert {r.region for r in rows} <= set(REGIONS)
+        assert {r.category for r in rows} <= set(CATEGORIES)
+        assert {r.status for r in rows} <= set(STATUSES)
+        assert all(5.0 <= r.amount <= 9999.99 for r in rows)
+        assert all(1 <= r.units <= 500 for r in rows)
+        assert len({r.id for r in rows}) == 500  # pk unique
+
+    def test_distributed_load_queryable(self, engine):
+        load_transactions_distributed(engine, n=300, seed=42)
+        rs = engine.execute("SELECT COUNT(id) FROM transactions")
+        assert rs.rows == [(300,)]
+        # hot overlay upsert over the generated base still works
+        engine.execute(
+            "INSERT INTO transactions VALUES (1, 'North', 'Food', 1.0, 1, 'pending')"
+        )
+        rs = engine.execute("SELECT amount FROM transactions WHERE id = 1")
+        assert rs.rows == [(1.0,)]
+
+    def test_sql_loader(self, engine):
+        stats = load_transactions_sql(engine, n=25, seed=42)
+        assert stats["inserted"] == 25 and stats["failed"] == 0
+        rs = engine.execute("SELECT COUNT(id) FROM transactions")
+        assert rs.rows == [(25,)]
