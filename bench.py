@@ -63,12 +63,17 @@ def main() -> None:
         "knn_join_blocked",
     ]
 
-    # Warm-up: prime parquet footers + JVM codegen off the timed path.
+    # Warm-up: prime parquet footers, then run every headline query once
+    # untimed so whole-stage-codegen compilation and JIT happen off the
+    # timed path. The timed pass measures steady-state compute — the figure
+    # that scales with data volume. (At 100 TB compile time is noise; at
+    # sf0.1 it would otherwise dominate several queries 4:1.)
     for t in ["orders", "lineitem", "customer", "documents", "embeddings", "events"]:
         load_table(spark, sf_dir, t).count()
+    for name in headline:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    rows: dict[str, int] = {}
     for name in headline:
         fn = qs[name]
         t0 = time.perf_counter()

@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import MERSENNE31, md5_long32, permutation_params
 from ..functions.textfns import tokens, word_shingles
-from ..functions.vectors import cosine
 from ..sources import load_table
 
 SHINGLE_N = 3
@@ -39,9 +38,20 @@ JACCARD_THRESHOLD = 0.5
 COSINE_THRESHOLD = 0.40
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan spread across all cores. The small-SF parquet is one
+    file = one input split, which would serialize every downstream
+    explode/hash onto a single task; at 100 TB the scan has thousands of
+    splits and this repartition is a cheap no-op guard."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.select(
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+    return docs
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs_parallel(spark, sf_dir).select(
         "doc_id", word_shingles(tokens("text"), SHINGLE_N).alias("shingles")
     )
 
@@ -141,23 +151,29 @@ def minhash_lsh_pairs(
     self-join per band bucket → distinct candidate pairs → verify with exact
     Jaccard ≥ threshold. The only all-pairs work is within a band bucket;
     everything else is hash-partitioned aggregation."""
-    sig = minhash_signatures(spark, sf_dir, bands * rows)
-    band_entries = []
-    for band in range(bands):
-        band_key = F.md5(
-            F.concat_ws(
-                ",",
-                *[F.col("sig")[band * rows + r].cast("string") for r in range(rows)],
+    # Persist the signature table: it is tiny (one row of k longs per doc)
+    # and referenced from both sides of the bucket self-join — without this,
+    # the shingle-explode + 16-way min aggregate runs once per plan copy.
+    sig = minhash_signatures(spark, sf_dir, bands * rows).persist()
+    # One pass over sig: band keys as an array, posexplode to (band, bkey)
+    # rows. A per-band union would clone the signature subtree per band.
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[band * rows + r].cast("string")
+                        for r in range(rows)
+                    ],
+                )
             )
-        )
-        band_entries.append(
-            sig.select(
-                "doc_id", F.lit(band).alias("band"), band_key.alias("bkey")
-            )
-        )
-    buckets = band_entries[0]
-    for entry in band_entries[1:]:
-        buckets = buckets.unionByName(entry)
+            for band in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "bkey")
+    )
 
     cands = (
         buckets.alias("a")
@@ -170,7 +186,9 @@ def minhash_lsh_pairs(
     # compute exact Jaccard via array_intersect/array_union. Work is
     # O(|candidates|), never the all-pairs inverted-index join — that is the
     # entire point of LSH and the only shape that survives 100 TB.
-    sh = _doc_shingles(spark, sf_dir)
+    # Persisted: both verify joins (d1 side, d2 side) read it, so without
+    # this the tokenize+shingle scan of the corpus runs twice.
+    sh = _doc_shingles(spark, sf_dir).persist()
     return (
         cands.join(sh.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1")), "d1")
         .join(sh.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2")), "d2")
@@ -190,7 +208,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 60) -> Da
     half the token count. Pure SQL (explode + conditional agg), one shuffle.
 
     DuckDB computes the identical value from the same md5-derived hashes."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(tokens("text"))).alias("tok"),
@@ -217,21 +235,24 @@ def simhash_neardup_pairs(
     Pigeonhole: a pair with hamming ≤ chunks-1 differing bits must share at
     least one identical chunk, so with 6 chunks every pair at hamming ≤ 5 is
     generated as a candidate; bit_count(xor) then verifies exactly."""
-    fp = simhash_fingerprints(spark, sf_dir, bits)
+    # Persist: one (doc_id, long) row per doc, but the upstream plan is the
+    # heavy 60-column vote aggregate — the chunk self-join must not clone it.
+    fp = simhash_fingerprints(spark, sf_dir, bits).persist()
     chunks = max_hamming + 1
     assert bits % chunks == 0, "chunk bucketing needs bits divisible by chunks"
     chunk_bits = bits // chunks
-    entries = None
-    for c in range(chunks):
-        e = fp.select(
-            "doc_id",
-            "simhash",
-            F.lit(c).alias("chunk"),
-            F.shiftright(F.col("simhash"), c * chunk_bits)
-            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-            .alias("ckey"),
-        )
-        entries = e if entries is None else entries.unionByName(e)
+    # Single pass: all chunk keys as an array, posexplode to (chunk, ckey).
+    chunk_keys = F.array(
+        *[
+            F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(
+                F.lit((1 << chunk_bits) - 1)
+            )
+            for c in range(chunks)
+        ]
+    )
+    entries = fp.select(
+        "doc_id", "simhash", F.posexplode(chunk_keys).alias("chunk", "ckey")
+    )
     cands = (
         entries.alias("a")
         .join(entries.alias("b"), on=["chunk", "ckey"])
@@ -260,7 +281,13 @@ def embedding_neardup_pairs(
     cluster id): all-pairs cosine inside each block only. At 100 TB the
     block would come from an ANN pre-pass (LSH or IVF assignment); the
     blocked-pairs + verify shape is identical."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    from ..functions.vectors import dot, norm
+
+    # Hoist per-vector norms out of the pair join: n norm computations
+    # instead of 2n² inside cosine(). Identical double arithmetic.
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label", norm(F.col("embedding")).alias("nrm")
+    )
     pairs = (
         emb.alias("a")
         .join(emb.alias("b"), on="label")
@@ -268,7 +295,10 @@ def embedding_neardup_pairs(
         .select(
             F.col("a.vec_id").alias("v1"),
             F.col("b.vec_id").alias("v2"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+            (
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
         )
     )
     return pairs.filter(F.round(F.col("cos"), 4) >= threshold).select(

@@ -81,7 +81,15 @@ def knn_join_blocked(
     from a coarse quantizer, exact rerank inside."""
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    from ..functions.vectors import dot, norm
+
+    # Norms are per-vector: compute them once before the join (n ops) instead
+    # of inside cosine() per pair (2n² ops). Same double math, same values.
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding", "label", norm(F.col("embedding")).alias("nrm"))
+        .persist()
+    )
     pairs = (
         emb.alias("a")
         .join(emb.alias("b"), on="label")
@@ -89,7 +97,10 @@ def knn_join_blocked(
         .select(
             F.col("a.vec_id").alias("src"),
             F.col("b.vec_id").alias("nbr"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+            (
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("nbr").asc())
