@@ -131,6 +131,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": analytics.events_hourly_rollup,
         "join_agg_orders_lineitem": analytics.join_agg_orders_lineitem,
         "sessionize": analytics.sessionize,
+        "tpch_q3": analytics.tpch_q3_shipping_priority,
+        "tpch_q5": analytics.tpch_q5_supplier_volume,
+        "tpch_q6": analytics.tpch_q6_forecast_revenue,
+        "anti_join": analytics.anti_join,
+        "rollup_agg": analytics.rollup_agg,
+        "pivot_status_by_priority": analytics.pivot_status_by_priority,
+        "percentile_prices": analytics.percentile_prices,
+        "asof_join_events_orders": analytics.asof_join_events_orders,
+        "corr_stats": analytics.corr_stats,
         # --- multimodal (binary + metadata; mapInPandas plumbing) ---
         "multimodal_summary": multimodal.multimodal_summary,
         # --- dedup (LLM-data-pipeline extensions) ---
@@ -150,6 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": text.quality_score,
         "token_counts": text.token_counts,
         "fingerprints": text.fingerprints,
+        "lang_distribution": text.lang_distribution,
+        "ngram_freq_topk": text.ngram_freq_topk,
     }
 
 
@@ -281,6 +292,27 @@ SELECT doc_id,
       list_transform(T, tok -> ('0x' || substr(md5(tok), 1, 8))::BIGINT)),
     (acc, h) -> (acc * 37 + h) % {MERSENNE31}) AS rollfp
 FROM t
+"""
+    lang_dist_sql = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+s AS (SELECT doc_id, CAST(len(T) AS INT) AS n_tokens, {lang_scores} FROM toks),
+l AS (SELECT doc_id, n_tokens,
+  CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS pred_lang
+  FROM s)
+SELECT pred_lang, count(*) AS n_docs, round(avg(n_tokens), 4) AS avg_tokens
+FROM l GROUP BY pred_lang
+"""
+    ngram_topk_sql = f"""
+WITH toks AS (SELECT {_TOKS} AS T FROM documents),
+b AS (SELECT unnest(list_transform(generate_series(1, len(T) - 1),
+                    i -> T[i] || ' ' || T[i + 1])) AS bigram
+      FROM toks WHERE len(T) >= 2)
+SELECT bigram, count(*) AS freq FROM b GROUP BY bigram
+ORDER BY freq DESC, bigram ASC LIMIT 20
 """
     return {
         # --- relational ---
@@ -478,6 +510,91 @@ SELECT doc_id,
        round((('0x' || substr(md5(text), 1, 8))::BIGINT) / 4294967295.0, 6) AS feat0
 FROM documents
 """,
+        "tpch_q3": """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2000-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+        "tpch_q5": """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+  AND r_name = 'ASIA'
+GROUP BY n_name
+""",
+        "tpch_q6": """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+        "anti_join": """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+""",
+        "rollup_agg": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+        "pivot_status_by_priority": """
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY o_orderpriority
+""",
+        "percentile_prices": """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+        "asof_join_events_orders": """
+WITH j AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+SELECT event_id, user_id, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice
+FROM j WHERE rn = 1
+""",
+        "corr_stats": """
+SELECT l_linestatus,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS n
+FROM lineitem GROUP BY l_linestatus
+""",
         # --- dedup ---
         "exact_dedup": """
 SELECT md5(trim(lower(text))) AS fp, min(doc_id) AS doc_id,
@@ -499,4 +616,6 @@ FROM documents GROUP BY 1
         "quality_score": quality,
         "token_counts": token_counts_sql,
         "fingerprints": fingerprints_sql,
+        "lang_distribution": lang_dist_sql,
+        "ngram_freq_topk": ngram_topk_sql,
     }

@@ -291,3 +291,191 @@ def join_agg_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer (broadcast) ⨝ orders ⨝
+    lineitem, revenue per order, top 10. Filters sit on each scan so parquet
+    prunes; the final top-k is TakeOrderedAndProject (no global sort)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+def tpch_q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way star join (lineitem ⨝ orders ⨝ supplier ⨝
+    nation ⨝ region) with all dims broadcast. Revenue per nation within one
+    region and date window."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + single aggregate over the fact scan.
+    Every predicate pushes to parquet (`PushedFilters` on date, discount,
+    quantity); zero shuffle beyond the final 1-row reduce."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no URGENT order — left_anti (the NOT EXISTS shape).
+    The orders side filters on the scan and reduces to its join key before
+    the anti-join. (Unfiltered "no orders at all" is vacuous in the
+    testdata — every key has coverage.)"""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority) with explicit grouping level — the
+    multi-granularity aggregate (reference has no GROUP BY at all; this is
+    the driver-mandated analytical extension). Partial agg applies per
+    grouping set; key cardinality stays tiny."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot via conditional aggregation (count per status as columns).
+    Expressed with when/count rather than DataFrame.pivot so the plan is a
+    single pass with no pivot-value discovery job — at 100 TB that
+    discovery pass is a full extra scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    cnt = lambda s: F.count(F.when(F.col("o_orderstatus") == s, 1)).alias(  # noqa: E731
+        f"n_{s.lower()}"
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        cnt("O"), cnt("F"), cnt("P"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark `percentile`,
+    not the approximate sketch — matches DuckDB quantile_cont bit-for-bit on
+    doubles). At 100 TB you would swap in percentile_approx and accept the
+    sketch error; the query shape is identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the customer's most recent order at event
+    time (o_orderdate <= ts; latest o_orderdate, tie-break highest
+    o_orderkey). Implemented as equi-join on the entity key + windowed
+    rank — the shape that survives scale when both sides bucket on the key.
+    A range-partition-aware merge (Spark has no native ASOF) would avoid
+    the per-event candidate fan-out; the window keeps it deterministic."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    j = ev.join(orders, ev.user_id == orders.o_custkey).filter(
+        F.col("o_orderdate") <= F.col("ts")
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+        )
+    )
+
+
+def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/corr) per group — single-pass
+    moment computation, partial-agg friendly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("n"),
+    )

@@ -113,3 +113,44 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: (acc * 37 + h) % F.lit(MERSENNE31),
     )
     return docs.select("doc_id", setfp.alias("setfp"), rollfp.alias("rollfp"))
+
+
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language histogram: lang_id rolled up to per-language doc
+    counts + average whitespace-token length. One extra shuffle over the
+    per-doc pass (tiny key space — at most 5 languages)."""
+    per_doc = lang_id(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_tok = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
+    return (
+        per_doc.join(n_tok, "doc_id")
+        .groupBy("pred_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+def ngram_freq_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k word bigrams: explode per-doc bigrams (with
+    repeats — corpus frequency, not document frequency), hash-shuffle count,
+    deterministic top-k (count desc, bigram asc). The groupBy is
+    partial-agg friendly; top-k runs as TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.col("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+        ),
+    )
+    return (
+        docs.select(tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("bigram").asc())
+        .limit(k)
+    )
