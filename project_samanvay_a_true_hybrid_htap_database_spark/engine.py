@@ -357,8 +357,30 @@ class SamanvayEngine:
 
     # -- dispatch -----------------------------------------------------------
 
+    @staticmethod
+    def _first_statement(sql: str) -> str:
+        """Multi-statement input executes statement 0 only (reference quirk:
+        query_executor.cpp:29 — only `getStatement(0)` of the parsed batch is
+        dispatched). Split on the first ';' outside a quoted string."""
+        i = 0
+        in_str = False
+        while i < len(sql):
+            c = sql[i]
+            if in_str:
+                if c == "'":
+                    if i + 1 < len(sql) and sql[i + 1] == "'":  # '' escape
+                        i += 1
+                    else:
+                        in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == ";":
+                return sql[:i]
+            i += 1
+        return sql
+
     def _dispatch(self, sql: str) -> ResultSet:
-        stripped = sql.strip().rstrip(";").strip()
+        stripped = self._first_statement(sql.strip()).strip()
         if not stripped:
             raise SqlError("Empty statement")
         ts = _Tokens(_tokenize(stripped))

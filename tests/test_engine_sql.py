@@ -273,3 +273,20 @@ def test_parquet_base_with_overlay(engine, spark):
     assert engine.execute("SELECT COUNT(*) FROM big").rows == [(100,)]
     res = engine.execute("SELECT v FROM big WHERE id = 100")
     assert res.rows == [(1.5,)]
+
+
+def test_multi_statement_executes_first_only(engine):
+    """S20 quirk parity: only statement 0 of a multi-statement input runs
+    (reference: query_executor.cpp:29)."""
+    engine.execute("CREATE TABLE ms (id INT PRIMARY KEY, v VARCHAR(20))")
+    rs = engine.execute(
+        "INSERT INTO ms VALUES (1, 'a; b'); INSERT INTO ms VALUES (2, 'x')"
+    )
+    assert rs.ok and rs.rows_affected == 1
+    # only the first INSERT ran; the ';' inside the quoted string is data
+    assert engine.execute("SELECT COUNT(*) FROM ms").rows == [(1,)]
+    assert engine.execute("SELECT v FROM ms WHERE id = 1").rows == [("a; b",)]
+    # SELECT followed by junk: the junk after ';' is ignored, not a parse error
+    rs = engine.execute("SELECT id FROM ms; DROP TABLE ms")
+    assert rs.ok and rs.rows == [(1,)]
+    assert "ms" in engine.tables
