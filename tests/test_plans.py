@@ -1,0 +1,154 @@
+"""Physical-plan audits: assert the Catalyst plan shapes the 100 TB design
+depends on — parquet filter pushdown, column pruning, broadcast joins for
+dims, TakeOrderedAndProject for top-k, whole-stage codegen, and no Python
+eval in JVM-only operators. A regression here (a filter that stops pushing,
+a broadcast that silently becomes a shuffle join) changes nothing at test SF
+but is the difference between hours and minutes at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+    analytics,
+    dedup,
+    relational,
+    similarity,
+    text,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    """One plan string per audited query (compiled once, no execution)."""
+    qs = entrymod.queries()
+    names = [
+        "tpch_q1",
+        "tpch_q6",
+        "revenue_by_nation",
+        "top_orders",
+        "point_lookup",
+        "token_counts",
+        "exact_dedup",
+        "minhash_lsh_pairs",
+        "simhash_neardup_pairs",
+        "knn_join_blocked",
+        "lang_id",
+        "asof_join_events_orders",
+        "tpch_q3",
+    ]
+    return {n: plan(qs[n](spark, SF_DIR)) for n in names}
+
+
+class TestFilterPushdown:
+    def test_tpch_q1_date_filter_reaches_scan(self, plans):
+        p = plans["tpch_q1"]
+        assert "PushedFilters" in p
+        assert "l_shipdate" in p.split("PushedFilters")[1][:200]
+
+    def test_tpch_q6_all_predicates_push(self, plans):
+        pushed = plans["tpch_q6"].split("PushedFilters")[1][:400]
+        for col in ("l_shipdate", "l_discount", "l_quantity"):
+            assert col in pushed, f"{col} not pushed to parquet scan"
+
+    def test_point_lookup_pushes_equality(self, plans):
+        pushed = plans["point_lookup"].split("PushedFilters")[1][:200]
+        assert "IsNotNull" in pushed or "EqualTo" in pushed
+
+
+class TestColumnPruning:
+    def test_token_counts_reads_two_columns(self, plans):
+        # ReadSchema on the documents scan must not include unused columns
+        p = plans["token_counts"]
+        read = p.split("ReadSchema")[1][:250]
+        assert "doc_id" in read and "text" in read
+        assert "source" not in read and "lang" not in read
+
+    def test_tpch_q6_prunes_to_needed_columns(self, plans):
+        read = plans["tpch_q6"].split("ReadSchema")[1][:400]
+        assert "l_extendedprice" in read
+        assert "l_returnflag" not in read and "l_orderkey" not in read
+
+
+class TestJoinStrategy:
+    def test_revenue_by_nation_broadcasts_all_dims(self, plans):
+        # formatted mode lists each operator in tree + detail section; count
+        # the detail entries "(N) BroadcastHashJoin"
+        import re
+
+        n = len(re.findall(r"\(\d+\) BroadcastHashJoin", plans["revenue_by_nation"]))
+        assert n == 3
+        assert "SortMergeJoin" not in plans["revenue_by_nation"]
+
+    def test_tpch_q3_broadcasts_filtered_customer(self, plans):
+        assert "BroadcastHashJoin" in plans["tpch_q3"]
+
+    def test_asof_join_is_shuffle_join_plus_window(self, plans):
+        # fact-fact key join (either merge or hash per AQE) + windowed rank
+        p = plans["asof_join_events_orders"]
+        assert "Join" in p and "Window" in p
+
+
+class TestTopK:
+    def test_top_orders_avoids_global_sort(self, plans):
+        assert "TakeOrderedAndProject" in plans["top_orders"]
+
+    def test_tpch_q3_topk(self, plans):
+        assert "TakeOrderedAndProject" in plans["tpch_q3"]
+
+
+class TestCodegenAndNoPython:
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "tpch_q1",
+            "revenue_by_nation",
+            "exact_dedup",
+            "minhash_lsh_pairs",
+            "simhash_neardup_pairs",
+            "knn_join_blocked",
+            "lang_id",
+            "token_counts",
+        ],
+    )
+    def test_no_python_eval_in_jvm_operators(self, plans, name):
+        p = plans[name]
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, (
+            f"{name} fell back to Python row evaluation"
+        )
+
+    def test_whole_stage_codegen_spans_exist(self, spark):
+        # AQE hides codegen markers until the final plan; plan once with AQE
+        # off to assert the stages fuse (`*(N)` prefix in simple mode).
+        qs = entrymod.queries()
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            for name in ("tpch_q1", "tpch_q6", "revenue_by_nation"):
+                df = qs[name](spark, SF_DIR)
+                p = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                    df._jdf.queryExecution(), "simple"
+                )
+                assert "*(" in p, f"{name} has no whole-stage codegen span"
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+class TestNoCartesian:
+    @pytest.mark.parametrize(
+        "name",
+        ["minhash_lsh_pairs", "simhash_neardup_pairs", "knn_join_blocked"],
+    )
+    def test_pair_generators_never_cartesian(self, plans, name):
+        assert "CartesianProduct" not in plans[name], (
+            f"{name} degenerated into a cartesian product"
+        )
