@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_stats": analytics.corr_stats,
         # --- multimodal (binary + metadata; mapInPandas plumbing) ---
         "multimodal_summary": multimodal.multimodal_summary,
+        "multimodal_frames": multimodal.frame_sample,
         # --- dedup (LLM-data-pipeline extensions) ---
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -509,6 +510,17 @@ SELECT doc_id,
        md5(text) AS content_md5,
        round((('0x' || substr(md5(text), 1, 8))::BIGINT) / 4294967295.0, 6) AS feat0
 FROM documents
+""",
+        "multimodal_frames": """
+WITH f AS (
+  SELECT doc_id, unnest(generate_series(0, 3)) AS frame_idx,
+         text, (length(text) - 32) // 3 AS step
+  FROM documents)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       md5(substring(text, 1 + frame_idx * step, 32)) AS frame_md5,
+       CAST(length(substring(text, 1 + frame_idx * step, 32)) AS INT)
+         AS frame_bytes
+FROM f
 """,
         "tpch_q3": """
 SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -90,3 +90,46 @@ def multimodal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_md5",
         F.round(F.element_at("feat", 1), 6).alias("feat0"),
     )
+
+
+_FRAME_WIDTH = 32
+_N_FRAMES = 4
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_md5", T.StringType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+    ]
+)
+
+
+def _fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB FRAME SAMPLER: a real implementation would demux the container
+    and decode k evenly-spaced frames (e.g. pyav / ffmpeg seek). The
+    deterministic fake samples _N_FRAMES evenly-spaced _FRAME_WIDTH-byte
+    windows of the payload, one output row per frame — the same rows-out
+    explosion, batch shape, and schema a real sampler produces."""
+    for pdf in batches:
+        out = {"doc_id": [], "frame_idx": [], "frame_md5": [], "frame_bytes": []}
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            b = bytes(content)
+            step = (len(b) - _FRAME_WIDTH) // (_N_FRAMES - 1)
+            for i in range(_N_FRAMES):
+                frame = b[i * step : i * step + _FRAME_WIDTH]
+                out["doc_id"].append(int(doc_id))
+                out["frame_idx"].append(i)
+                out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+                out["frame_bytes"].append(len(frame))
+        yield pd.DataFrame(out)
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads via mapInPandas: k evenly-spaced
+    fixed-width windows per document, one row per frame. Row-explosion
+    happens executor-side inside the Arrow batch (no shuffle — output
+    partitioning follows input); payloads shorter than one frame would be
+    skipped by a real decoder and are absent from the testdata (min 48 B)."""
+    blobs = attach_blob(spark, sf_dir).select("doc_id", "content")
+    return blobs.mapInPandas(_fake_frame_sample, schema=_FRAME_SCHEMA)
