@@ -46,11 +46,18 @@ def main() -> None:
         "range_scan",
         # analytics
         "tpch_q1",
+        "tpch_q3",
+        "tpch_q5",
+        "tpch_q6",
         "revenue_by_nation",
         "join_agg_orders_lineitem",
         "window_topn_per_group",
         "group_having",
+        "rollup_agg",
+        "percentile_prices",
+        "asof_join_events_orders",
         "events_hourly_rollup",
+        "sessionize",
         "json_extraction",
         # LLM-data-pipeline
         "exact_dedup",
@@ -59,8 +66,10 @@ def main() -> None:
         "lang_id",
         "token_counts",
         "fingerprints",
+        "ngram_freq_topk",
         "ann_bruteforce_topk",
         "knn_join_blocked",
+        "multimodal_frames",
     ]
 
     # Warm-up: prime parquet footers, then run every headline query once

@@ -431,11 +431,22 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles). At 100 TB you would swap in percentile_approx and accept the
     sketch error; the query shape is identical."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
-        F.count("*").alias("n"),
+    # One percentile(col, array(...)) aggregate, not three: each separate
+    # percentile buffers every group value independently — the array form
+    # sorts the group once and reads all three quantiles from it.
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("ps"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("ps")[0], 4).alias("p50"),
+            F.round(F.col("ps")[1], 4).alias("p90"),
+            F.round(F.col("ps")[2], 4).alias("p99"),
+            "n",
+        )
     )
 
 

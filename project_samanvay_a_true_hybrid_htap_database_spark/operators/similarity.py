@@ -85,10 +85,10 @@ def knn_join_blocked(
 
     # Norms are per-vector: compute them once before the join (n ops) instead
     # of inside cosine() per pair (2n² ops). Same double math, same values.
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding", "label", norm(F.col("embedding")).alias("nrm"))
-        .persist()
+    # No persist: the norm projection is O(n·d) — cheaper to recompute per
+    # join side than to materialize.
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label", norm(F.col("embedding")).alias("nrm")
     )
     pairs = (
         emb.alias("a")

@@ -163,3 +163,19 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact-dedup: drop events whose (event_type, value, props)
+    payload was already seen within the watermark horizon — the streaming
+    twin of operators.dedup.exact_dedup. State is keyed by a content md5
+    (one small state row per distinct payload, GC'd past the watermark)
+    instead of the payload itself, so state size is bounded and independent
+    of payload width."""
+    keyed = events.withColumn(
+        "content_fp",
+        F.md5(F.concat_ws("|", "event_type", F.col("value").cast("string"), "props")),
+    )
+    return keyed.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["content_fp"]
+    )

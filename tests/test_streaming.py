@@ -115,3 +115,29 @@ def test_batch_sessionize_agrees_with_stream_semantics(spark):
     ).count()
     assert bad == 0
     assert s.count() > 0
+
+
+def test_dedup_stream_drops_repeated_payloads(spark, tmp_path):
+    from project_samanvay_a_true_hybrid_htap_database_spark.streaming.events import (
+        dedup_stream,
+    )
+
+    base = 1_700_000_000_000_000_000
+    rows = [
+        (1, base, 1, "click", 1.0, "{}"),
+        (2, base + 60_000_000_000, 2, "click", 1.0, "{}"),  # dup payload
+        (3, base + 120_000_000_000, 1, "view", 2.0, "{}"),  # distinct
+        (4, base + 180_000_000_000, 3, "click", 1.0, "{}"),  # dup payload
+    ]
+    src = str(tmp_path / "dedup_src")
+    spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = stream_events(spark, src)
+    q = _run_stream(dedup_stream(stream), "deduped")
+    got = sorted(
+        (r["event_type"], r["value"])
+        for r in spark.sql("SELECT * FROM deduped").collect()
+    )
+    assert got == [("click", 1.0), ("view", 2.0)]
