@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
         "knn_join_blocked": similarity.knn_join_blocked,
         # --- text analysis ---
         "lang_id": text.lang_id,
@@ -237,6 +238,32 @@ WITH q AS (SELECT embedding::DOUBLE[] AS qe, label AS ql FROM embeddings WHERE v
 s AS (SELECT e.vec_id, {cos_q} AS cos
       FROM embeddings e, q WHERE e.vec_id != 0 AND e.label = q.ql)
 SELECT vec_id, round(cos, 4) AS cos_sim FROM s
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+    from project_samanvay_a_true_hybrid_htap_database_spark.functions.hashing import (
+        hyperplanes,
+    )
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators.similarity import (
+        LSH_PLANES,
+    )
+
+    planes = hyperplanes(LSH_PLANES, 64)
+
+    def bucket_expr(vec: str) -> str:
+        terms = [
+            f"(CASE WHEN list_dot_product({vec}, "
+            f"[{', '.join(repr(x) for x in plane)}]) >= 0 THEN {1 << i} ELSE 0 END)"
+            for i, plane in enumerate(planes)
+        ]
+        return " + ".join(terms)
+
+    ann_lsh = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {bucket_expr("qe")} AS b FROM q),
+s AS (SELECT e.vec_id, {cos_q} AS cos,
+             {bucket_expr("e.embedding::DOUBLE[]")} AS eb
+      FROM embeddings e, q WHERE e.vec_id != 0)
+SELECT vec_id, round(cos, 4) AS cos_sim FROM s, qb WHERE s.eb = qb.b
 ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
     knn = f"""
@@ -622,6 +649,7 @@ FROM documents GROUP BY 1
         # --- similarity ---
         "ann_bruteforce_topk": ann_bf,
         "ann_ivf_topk": ann_ivf,
+        "ann_lsh_topk": ann_lsh,
         "knn_join_blocked": knn,
         # --- text ---
         "lang_id": lang_id_sql,

@@ -60,3 +60,19 @@ def md5_long60(col: Column | str) -> Column:
 def minhash_expr(hash_col: str, a: int, b: int) -> Column:
     """One affine permutation of a 32-bit hash: (a*h + b) mod p."""
     return (F.col(hash_col) * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)
+
+
+def hyperplanes(k: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """k pseudo-random hyperplanes in `dim` dims for sign-LSH, derived from
+    the fixed-seed LCG and rounded to 6 decimals — both engines parse the
+    same decimal literals to identical doubles, so the sign of the same
+    sequential dot product agrees bit-for-bit."""
+    planes = []
+    state = seed
+    for _ in range(k):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (2**63)
+            row.append(round((state / float(2**63)) * 2.0 - 1.0, 6))
+        planes.append(row)
+    return planes

@@ -109,3 +109,52 @@ def knn_join_blocked(
         .filter(F.col("rk") <= k)
         .select("src", "nbr", "rk", F.round("cos", 4).alias("cos_sim"))
     )
+
+
+LSH_PLANES = 4  # 16 buckets — sized so test-SF buckets stay populated
+
+
+def _sign_bucket(vec_col, planes: list[list[float]]):
+    """Sign-LSH bucket id: bit i = (dot(v, plane_i) >= 0). The planes are
+    literal constants folded into the plan — no broadcast, no shuffle; the
+    bucket computation is a single projection over the scan."""
+    from ..functions.vectors import dot as vdot
+
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(
+            vdot(vec_col, p) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_lsh_topk(
+    spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID, k: int = TOP_K
+) -> DataFrame:
+    """Sign-LSH pruned top-k: search only vectors whose hyperplane-sign
+    bucket equals the query's. The data-independent complement to
+    ann_ivf_topk (no clustering pre-pass needed): at 100 TB the table is
+    written partitioned by bucket, so this scan is partition-pruned to
+    ~1/2^planes of the data. Recall is probabilistic — the exact
+    brute-force twin (ann_bruteforce_topk) is the verifier."""
+    from ..functions.hashing import hyperplanes
+
+    planes = hyperplanes(LSH_PLANES, 64)
+    qvec, _ = _query_vector(spark, sf_dir, vec_id)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if sum(float(a) * b for a, b in zip(qvec, plane)) >= 0:
+            qbucket |= 1 << i
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = (
+        emb.filter(F.col("vec_id") != vec_id)
+        .filter(_sign_bucket(F.col("embedding"), planes) == qbucket)
+        .select("vec_id", cosine(F.col("embedding"), q).alias("cos"))
+    )
+    return (
+        scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 4).alias("cos_sim"))
+    )
