@@ -453,29 +453,39 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each event, the customer's most recent order at event
     time (o_orderdate <= ts; latest o_orderdate, tie-break highest
-    o_orderkey). Implemented as equi-join on the entity key + windowed
-    rank — the shape that survives scale when both sides bucket on the key.
-    A range-partition-aware merge (Spark has no native ASOF) would avoid
-    the per-event candidate fan-out; the window keeps it deterministic."""
+    o_orderkey).
+
+    Spark has no native ASOF, so instead of the naive equi-join fan-out
+    (every event × every candidate order, then a per-event window rank —
+    rows = events × orders_per_key), orders collapse to ONE row per customer
+    holding a struct array; the join is then 1:1 and the as-of lookup is a
+    per-row `array_max(filter(...))` — struct ordering compares
+    (o_orderdate, o_orderkey) lexicographically, which is exactly the
+    deterministic tie-break. At 100 TB this is the state-table pattern:
+    the per-key history array must fit a row (fine for orders-per-customer;
+    for unbounded histories fall back to the join + window shape)."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
     )
-    j = ev.join(orders, ev.user_id == orders.o_custkey).filter(
-        F.col("o_orderdate") <= F.col("ts")
+    by_cust = orders.groupBy("o_custkey").agg(
+        F.collect_list(
+            F.struct("o_orderdate", "o_orderkey", "o_totalprice")
+        ).alias("hist")
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    best = F.array_max(
+        F.filter("hist", lambda o: o["o_orderdate"] <= F.col("ts"))
     )
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        ev.join(by_cust, ev.user_id == by_cust.o_custkey)
+        .withColumn("best", best)
+        .filter(F.col("best").isNotNull())
         .select(
             "event_id",
             "user_id",
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-            "o_totalprice",
+            F.col("best.o_orderkey").alias("o_orderkey"),
+            F.date_format("best.o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.col("best.o_totalprice").alias("o_totalprice"),
         )
     )
 

@@ -93,10 +93,12 @@ class TestJoinStrategy:
     def test_tpch_q3_broadcasts_filtered_customer(self, plans):
         assert "BroadcastHashJoin" in plans["tpch_q3"]
 
-    def test_asof_join_is_shuffle_join_plus_window(self, plans):
-        # fact-fact key join (either merge or hash per AQE) + windowed rank
+    def test_asof_join_collapses_history_before_join(self, plans):
+        # state-table shape: orders aggregate to one row per customer
+        # (collect_list) BEFORE the join — no per-event fan-out, no window
         p = plans["asof_join_events_orders"]
-        assert "Join" in p and "Window" in p
+        assert "collect_list" in p and "Join" in p
+        assert "Window" not in p
 
 
 class TestTopK:
