@@ -276,3 +276,52 @@ class TestBulkLoader:
         assert stats["inserted"] == 25 and stats["failed"] == 0
         rs = engine.execute("SELECT COUNT(id) FROM transactions")
         assert rs.rows == [(25,)]
+
+
+class TestRestConcurrency:
+    def test_concurrent_mixed_workload(self, api):
+        """HTAP claim under the threading server: concurrent writers +
+        readers against one engine/SparkSession, no errors, reads see a
+        consistent (monotonic) row count."""
+        import threading
+
+        _req(
+            api,
+            "POST",
+            "/api/query",
+            {"sql": "CREATE TABLE cc (id INT PRIMARY KEY, v DOUBLE)"},
+        )
+        errors: list = []
+
+        def writer(base: int):
+            for i in range(5):
+                s, b = _req(
+                    api,
+                    "POST",
+                    "/api/query",
+                    {"sql": f"INSERT INTO cc VALUES ({base + i}, {float(i)})"},
+                )
+                if s != 200:
+                    errors.append(b)
+
+        def reader():
+            last = -1
+            for _ in range(5):
+                s, b = _req(api, "POST", "/api/query", {"sql": "SELECT COUNT(*) FROM cc"})
+                if s != 200:
+                    errors.append(b)
+                    continue
+                n = b["data"]["rows"][0][0]
+                if n < last:
+                    errors.append(f"count regressed: {last} -> {n}")
+                last = n
+
+        threads = [threading.Thread(target=writer, args=(k * 100,)) for k in range(3)]
+        threads += [threading.Thread(target=reader) for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors[:3]
+        s, b = _req(api, "POST", "/api/query", {"sql": "SELECT COUNT(*) FROM cc"})
+        assert b["data"]["rows"] == [[15]]
