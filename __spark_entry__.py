@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "knn_join_blocked": similarity.knn_join_blocked,
+        "knn_join_vectorized": similarity.knn_join_vectorized,
         # --- text analysis ---
         "lang_id": text.lang_id,
         "quality_score": text.quality_score,
@@ -651,6 +652,8 @@ FROM documents GROUP BY 1
         "ann_ivf_topk": ann_ivf,
         "ann_lsh_topk": ann_lsh,
         "knn_join_blocked": knn,
+        # same oracle: the vectorized path must produce identical rows
+        "knn_join_vectorized": knn,
         # --- text ---
         "lang_id": lang_id_sql,
         "quality_score": quality,

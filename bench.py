@@ -69,6 +69,7 @@ def main() -> None:
         "ngram_freq_topk",
         "ann_bruteforce_topk",
         "knn_join_blocked",
+        "knn_join_vectorized",
         "multimodal_frames",
     ]
 
