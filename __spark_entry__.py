@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": dedup.minhash_signatures_str,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "simhash_fingerprints": dedup.simhash_fingerprints,
+        "simhash_fingerprints_vectorized": dedup.simhash_fingerprints_vectorized,
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
         # --- similarity search ---
@@ -645,6 +646,8 @@ FROM documents GROUP BY 1
         "minhash_signatures": minhash_sig,
         "minhash_lsh_pairs": lsh_pairs,
         "simhash_fingerprints": simhash_fp,
+        # same oracle: the mapInPandas path is integer-exact vs the SQL path
+        "simhash_fingerprints_vectorized": simhash_fp,
         "simhash_neardup_pairs": simhash_pairs,
         "embedding_neardup_pairs": emb_pairs,
         # --- similarity ---
