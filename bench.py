@@ -68,7 +68,9 @@ def main() -> None:
         "fingerprints",
         "ngram_freq_topk",
         "ann_bruteforce_topk",
-        "knn_join_blocked",
+        # knn_join_blocked (the pure-SQL HOF twin) produces identical rows
+        # ~10x slower; it stays oracle-checked but the bench measures the
+        # production path.
         "knn_join_vectorized",
         "multimodal_frames",
     ]
