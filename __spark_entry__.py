@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_prices": analytics.percentile_prices,
         "asof_join_events_orders": analytics.asof_join_events_orders,
         "corr_stats": analytics.corr_stats,
+        "window_lag_delta": analytics.window_lag_delta,
+        "ntile_quartiles": analytics.ntile_quartiles,
+        "distinct_count_agg": analytics.distinct_count_agg,
         # --- multimodal (binary + metadata; mapInPandas plumbing) ---
         "multimodal_summary": multimodal.multimodal_summary,
         "multimodal_frames": multimodal.frame_sample,
@@ -635,6 +638,35 @@ SELECT l_linestatus,
        round(avg(l_discount), 4) AS avg_disc,
        count(*) AS n
 FROM lineitem GROUP BY l_linestatus
+""",
+        "window_lag_delta": """
+WITH w AS (
+  SELECT event_id, user_id, value,
+         lag(value) OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts::TIMESTAMP) // 1000000 ASC,
+                                   event_id ASC) AS prev_value
+  FROM events)
+SELECT event_id, user_id, round(value, 2) AS value,
+       round(value - prev_value, 4) AS delta
+FROM w WHERE prev_value IS NOT NULL
+""",
+        "ntile_quartiles": """
+WITH q AS (
+  SELECT c_mktsegment, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal ASC, c_custkey ASC) AS q
+  FROM customer)
+SELECT c_mktsegment, CAST(q AS INT) AS q, count(*) AS n_customers,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal
+FROM q GROUP BY c_mktsegment, q
+""",
+        "distinct_count_agg": """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
 """,
         # --- dedup ---
         "exact_dedup": """

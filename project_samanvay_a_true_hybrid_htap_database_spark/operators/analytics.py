@@ -500,3 +500,54 @@ def corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("l_discount"), 4).alias("avg_disc"),
         F.count("*").alias("n"),
     )
+
+
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag shape: per-user value delta between consecutive events
+    (ordered by ts, event_id tie-break). One shuffle on user_id; at scale
+    the events table is bucketed by user so the sort is within-partition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_timestamp("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("prev_value", F.lag("value").over(w))
+        .filter(F.col("prev_value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.round(F.col("value") - F.col("prev_value"), 4).alias("delta"),
+        )
+    )
+
+
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile shape: customers bucketed into acctbal quartiles per market
+    segment, then per-(segment, quartile) stats."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.withColumn("q", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "q")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+def distinct_count_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group — the two-phase distinct-aggregate
+    shuffle (expand on (group, value), dedup, re-aggregate). At 100 TB with
+    relaxed exactness, approx_count_distinct's HLL sketch cuts this to one
+    pass; the exact form is the oracle-checkable twin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
