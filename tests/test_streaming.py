@@ -141,3 +141,17 @@ def test_dedup_stream_drops_repeated_payloads(spark, tmp_path):
         for r in spark.sql("SELECT * FROM deduped").collect()
     )
     assert got == [("click", 1.0), ("view", 2.0)]
+
+
+def test_enrich_stream_joins_customer_dim(spark, events_src):
+    from project_samanvay_a_true_hybrid_htap_database_spark.streaming.events import (
+        enrich_stream,
+    )
+
+    stream = stream_events(spark, events_src)
+    q = _run_stream(enrich_stream(stream, spark, SF_DIR), "enriched")
+    rows = spark.sql("SELECT * FROM enriched").collect()
+    assert len(rows) == load_table(spark, SF_DIR, "events").count()
+    segs = {r["segment"] for r in rows}
+    # every event user exists in customer at this SF -> no UNKNOWN
+    assert "UNKNOWN" not in segs and len(segs) >= 3
