@@ -88,6 +88,7 @@ class TableState:
     base: DataFrame | None = None  # parquet-backed / flushed rows
     memtable: dict[Any, tuple[int, dict | None]] = field(default_factory=dict)
     # memtable maps pk -> (seq, row-dict or None for tombstone)
+    base_rows: int | None = None  # cached count; None = not yet computed
 
 
 class SqlError(Exception):
@@ -313,6 +314,7 @@ class SamanvayEngine:
         if n:
             state.base = self._merged_df(state).localCheckpoint(eager=True)
             state.memtable.clear()
+            state.base_rows = None  # invalidate cached EXPLAIN estimate
             self.stats["total_flushes"] += 1
         return n
 
@@ -829,7 +831,16 @@ class SamanvayEngine:
         else:
             qtype = "FULL_SCAN"
 
-        base_rows = state.base.count() if state.base is not None else 0
+        # Cached per table state: EXPLAIN must stay metadata-cheap — a count
+        # job per EXPLAIN would scan the base (reference estimates come from
+        # level metadata, hybrid_query_router.hpp:159-218).
+        if state.base is None:
+            base_rows = 0
+        elif state.base_rows is not None:
+            base_rows = state.base_rows
+        else:
+            base_rows = state.base.count()
+            state.base_rows = base_rows
         mem_rows = len(state.memtable)
         est = 1 if point else base_rows + mem_rows
         if pred is not None and not point:
