@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag_delta": analytics.window_lag_delta,
         "ntile_quartiles": analytics.ntile_quartiles,
         "distinct_count_agg": analytics.distinct_count_agg,
+        "salted_agg": analytics.salted_agg,
         # --- multimodal (binary + metadata; mapInPandas plumbing) ---
         "multimodal_summary": multimodal.multimodal_summary,
         "multimodal_frames": multimodal.frame_sample,
@@ -665,6 +666,12 @@ FROM q GROUP BY c_mktsegment, q
 SELECT l_returnflag,
        count(DISTINCT l_partkey) AS n_parts,
        count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+        # the salted two-phase plan must equal the plain aggregation exactly
+        "salted_agg": """
+SELECT l_returnflag, round(sum(l_extendedprice), 2) AS total_price,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag
 """,

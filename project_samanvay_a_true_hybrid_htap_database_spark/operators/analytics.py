@@ -551,3 +551,27 @@ def distinct_count_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count("*").alias("n_rows"),
     )
+
+
+def salted_agg(spark: SparkSession, sf_dir: str, salts: int = 8) -> DataFrame:
+    """Skew-resistant two-phase aggregation: salt the group key into
+    `salts` subkeys, partial-aggregate per (key, salt), then combine per
+    key. For algebraic aggregates (sum/count) the result is exactly the
+    plain groupBy — registered against that plain-SQL oracle to prove it.
+    The shape matters when one key holds a disproportionate share of rows
+    (AQE skew-join handles joins; skewed AGGREGATION keys need salting):
+    phase 1 spreads the hot key over `salts` reducers, phase 2 combines
+    `salts` tiny rows. l_returnflag (3 values over 600k rows at sf0.1) is
+    exactly such a low-cardinality hot-key aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(salts))
+    )
+    partial = salted.groupBy("l_returnflag", "salt").agg(
+        F.sum("l_extendedprice").alias("s"),
+        F.count("*").alias("c"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.round(F.sum("s"), 2).alias("total_price"),
+        F.sum("c").alias("n_rows"),
+    )

@@ -203,3 +203,34 @@ def enrich_stream(events: DataFrame, spark: SparkSession, sf_dir: str) -> DataFr
             F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
         )
     )
+
+
+def stream_into_engine(
+    events: DataFrame, engine, table: str = "events_live"
+) -> "object":
+    """HTAP ingestion loop: each micro-batch lands in the engine's base for
+    `table` (newest batch unioned in), so SQL through
+    ``SamanvayEngine.execute`` sees streamed rows as they arrive — the
+    Structured-Streaming replacement for the reference's WAL→memtable→flush
+    write path (memtable.hpp:140-236). foreachBatch gives exactly-once
+    per-batch appends against the checkpoint; at scale the sink would be a
+    parquet/Delta append that the engine's base DataFrame reads back.
+
+    Returns the StreamingQuery (caller stops/awaits it)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        rows = batch_df.select(
+            "event_id", "user_id", "event_type", "value"
+        ).localCheckpoint(eager=True)
+        state = engine.tables.get(table)
+        if state is None:
+            engine.register_base(table, rows, pk="event_id")
+        else:
+            state.base = state.base.unionByName(rows).localCheckpoint(eager=True)
+            state.base_rows = None
+    return (
+        events.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -155,3 +155,25 @@ def test_enrich_stream_joins_customer_dim(spark, events_src):
     segs = {r["segment"] for r in rows}
     # every event user exists in customer at this SF -> no UNKNOWN
     assert "UNKNOWN" not in segs and len(segs) >= 3
+
+
+def test_stream_into_engine_htap_loop(spark, events_src, engine):
+    """Streamed micro-batches become SQL-visible through the engine: the
+    full HTAP ingestion path (stream -> base, reads see it, DML overlays
+    it)."""
+    from project_samanvay_a_true_hybrid_htap_database_spark.streaming.events import (
+        stream_into_engine,
+    )
+
+    stream = stream_events(spark, events_src)
+    q = stream_into_engine(stream, engine, table="events_live")
+    q.awaitTermination(120)
+    total = load_table(spark, SF_DIR, "events").count()
+    rs = engine.execute("SELECT COUNT(*) FROM events_live")
+    assert rs.rows == [(total,)]
+    # hot overlay on top of streamed base: read-your-writes still holds
+    engine.execute("INSERT INTO events_live VALUES (999999, 1, 'click', 5.0)")
+    rs = engine.execute("SELECT COUNT(*) FROM events_live")
+    assert rs.rows == [(total + 1,)]
+    rs = engine.execute("SELECT value FROM events_live WHERE event_id = 999999")
+    assert rs.rows == [(5.0,)]
