@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_lsh_multiprobe_topk": similarity.ann_lsh_multiprobe_topk,
         "knn_join_blocked": similarity.knn_join_blocked,
         "knn_join_vectorized": similarity.knn_join_vectorized,
         # --- text analysis ---
@@ -270,6 +271,20 @@ s AS (SELECT e.vec_id, {cos_q} AS cos,
              {bucket_expr("e.embedding::DOUBLE[]")} AS eb
       FROM embeddings e, q WHERE e.vec_id != 0)
 SELECT vec_id, round(cos, 4) AS cos_sim FROM s, qb WHERE s.eb = qb.b
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+    probe_xors = ", ".join(
+        str(x) for x in [0] + [1 << i for i in range(LSH_PLANES)]
+    )
+    ann_lsh_mp = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {bucket_expr("qe")} AS b FROM q),
+pr AS (SELECT xor(qb.b, x.x) AS pb FROM qb, (SELECT unnest([{probe_xors}]) AS x) x),
+s AS (SELECT e.vec_id, {cos_q} AS cos,
+             {bucket_expr("e.embedding::DOUBLE[]")} AS eb
+      FROM embeddings e, q WHERE e.vec_id != 0)
+SELECT vec_id, round(cos, 4) AS cos_sim
+FROM s WHERE s.eb IN (SELECT pb FROM pr)
 ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
     knn = f"""
@@ -693,6 +708,7 @@ FROM documents GROUP BY 1
         "ann_bruteforce_topk": ann_bf,
         "ann_ivf_topk": ann_ivf,
         "ann_lsh_topk": ann_lsh,
+        "ann_lsh_multiprobe_topk": ann_lsh_mp,
         "knn_join_blocked": knn,
         # same oracle: the vectorized path must produce identical rows
         "knn_join_vectorized": knn,

@@ -204,3 +204,34 @@ def knn_join_vectorized(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFra
         per_block, schema="src long, nbr long, rk int, cos double"
     )
     return out.select("src", "nbr", "rk", F.round("cos", 4).alias("cos_sim"))
+
+
+def ann_lsh_multiprobe_topk(
+    spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID, k: int = TOP_K
+) -> DataFrame:
+    """Multi-probe sign-LSH top-k: probe the query's bucket plus every
+    bucket at Hamming distance 1 in signature space (flip one hyperplane
+    sign). Recall rises sharply — a near neighbor only escapes when ≥ 2 of
+    the 4 plane signs disagree — while the scan still prunes to
+    (planes+1)/2^planes of the data (5/16 here) instead of all of it."""
+    from ..functions.hashing import hyperplanes
+
+    planes = hyperplanes(LSH_PLANES, 64)
+    qvec, _ = _query_vector(spark, sf_dir, vec_id)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if sum(float(a) * b for a, b in zip(qvec, plane)) >= 0:
+            qbucket |= 1 << i
+    probes = [qbucket] + [qbucket ^ (1 << i) for i in range(LSH_PLANES)]
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = (
+        emb.filter(F.col("vec_id") != vec_id)
+        .filter(_sign_bucket(F.col("embedding"), planes).isin(probes))
+        .select("vec_id", cosine(F.col("embedding"), q).alias("cos"))
+    )
+    return (
+        scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 4).alias("cos_sim"))
+    )
