@@ -612,6 +612,13 @@ class SamanvayEngine:
         return ResultSet(rows_affected=1, message="Query OK, 1 row(s) affected")
 
     def _matching_rows(self, state: TableState, pred) -> list[dict]:
+        """Materialize the rows a DML statement touches. Driver-side by
+        design: the reference's UPDATE/DELETE are row-at-a-time
+        read-modify-write over the matched set (query_executor.cpp:505-568),
+        and the HTAP contract keeps mutations in the hot overlay — a dict of
+        recent rows. For analytical-scale mutation (millions of matches),
+        the right tool is a set-based rewrite of the BASE
+        (df.withColumn(when(pred, ...)) / Delta MERGE), not this path."""
         cols = [f.name for f in state.schema.fields]
         df = self._merged_df(state)
         if pred is not None:
