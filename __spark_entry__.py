@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": analytics.tpch_q3_shipping_priority,
         "tpch_q5": analytics.tpch_q5_supplier_volume,
         "tpch_q6": analytics.tpch_q6_forecast_revenue,
+        "tpch_q10": analytics.tpch_q10_returned_items,
+        "tpch_q14": analytics.tpch_q14_promo_revenue,
         "anti_join": analytics.anti_join,
         "rollup_agg": analytics.rollup_agg,
         "pivot_status_by_priority": analytics.pivot_status_by_priority,
@@ -605,6 +607,30 @@ FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""",
+        "tpch_q10": """
+SELECT c_custkey, c_name, c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue_lost
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY revenue_lost DESC, c_custkey ASC
+LIMIT 20
+""",
+        "tpch_q14": """
+SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END) * 100.0
+             / sum(l_extendedprice * (1 - l_discount)), 4)
+         AS promo_revenue_pct,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1997-07-01'
 """,
         "anti_join": """
 SELECT c_custkey, c_name, c_mktsegment
