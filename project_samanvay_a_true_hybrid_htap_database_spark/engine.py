@@ -29,7 +29,10 @@ all-row count, MIN/MAX on an empty selection return 0.
 
 from __future__ import annotations
 
+import json
+import os
 import re
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Any
@@ -216,15 +219,18 @@ def _parse_operand(ts: _Tokens):
     raise SqlError(f"Bad operand {t[1]!r}")
 
 
-def _pred_to_column(pred) -> F.Column:
-    kind = pred[0]
-    if kind == "and":
-        return _pred_to_column(pred[1]) & _pred_to_column(pred[2])
-    if kind == "or":
-        return _pred_to_column(pred[1]) | _pred_to_column(pred[2])
-    _, op, lhs, rhs = pred
-    l = F.col(lhs[1]) if lhs[0] == "col" else F.lit(lhs[1])
-    r = F.col(rhs[1]) if rhs[0] == "col" else F.lit(rhs[1])
+def _parse_value(ts: _Tokens) -> Any:
+    """Operand in *value* position (INSERT VALUES / UPDATE SET): literals
+    only. A bare identifier is a parse error, not a stringly value — the
+    reference rejects unquoted words in value lists (query_executor.cpp:
+    386-391 expects literal tokens)."""
+    operand = _parse_operand(ts)
+    if operand[0] != "lit":
+        raise SqlError(f"Expected a literal value, got identifier {operand[1]!r}")
+    return operand[1]
+
+
+def _apply_cmp(op: str, l: F.Column, r: F.Column) -> F.Column:
     if op == "=":
         return l == r
     if op == "!=":
@@ -268,11 +274,31 @@ def _point_lookup_pk(pred, pk: str):
 
 
 class SamanvayEngine:
-    def __init__(self, spark: SparkSession, quirk_compat: bool = True):
+    """``data_dir`` turns on durability: schemas persist to a JSON sidecar
+    (the ``schema_registry.hpp:248-344`` analog), every memtable put is
+    journaled to a JSON-lines WAL (``wal.hpp:254-368``), and ``flush()``
+    writes the base to an on-disk parquet directory. A new
+    ``SamanvayEngine(spark, data_dir=...)`` recovers schemas, bases, and the
+    unflushed overlay (WAL replay, ``memtable.hpp:481-526``) and serves the
+    same rows. Without ``data_dir`` the engine is process-local (flush =
+    localCheckpoint), matching rounds 1–2 behavior.
+
+    A single reentrant lock guards all state-mutating/iterating entry points
+    — the engine is served by ThreadingHTTPServer and the reference guards
+    the shared engine with per-component mutexes."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        quirk_compat: bool = True,
+        data_dir: str | None = None,
+    ):
         self.spark = spark
         self.quirk_compat = quirk_compat
         self.tables: dict[str, TableState] = {}
         self._seq = 0
+        self._lock = threading.RLock()
+        self.data_dir = data_dir
         # Operation counters surfaced by status() (reference:
         # StorageEngineStats, api/json_helpers.hpp:72-104)
         self.stats: dict[str, int] = {
@@ -281,13 +307,105 @@ class SamanvayEngine:
             "total_range_queries": 0,
             "total_flushes": 0,
         }
+        if data_dir is not None:
+            os.makedirs(data_dir, exist_ok=True)
+            self._recover()
+
+    # -- durability (schema sidecar + WAL + parquet base) --------------------
+
+    @property
+    def _schemas_path(self) -> str:
+        return os.path.join(self.data_dir, "_schemas.json")
+
+    @property
+    def _wal_path(self) -> str:
+        return os.path.join(self.data_dir, "wal.jsonl")
+
+    def _table_data_path(self, name: str) -> str:
+        return os.path.join(self.data_dir, f"table_{name}")
+
+    def _persist_schemas(self) -> None:
+        """Atomic rewrite of the schema sidecar (reference persists the
+        registry as a text sidecar on every DDL, schema_registry.hpp:248-344)."""
+        if self.data_dir is None:
+            return
+        doc = {
+            name: {
+                "schema": state.schema.jsonValue(),
+                "pk": state.pk,
+                "not_null": sorted(state.not_null),
+                "has_base": os.path.isdir(self._table_data_path(name)),
+            }
+            for name, state in self.tables.items()
+        }
+        tmp = self._schemas_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.replace(tmp, self._schemas_path)
+
+    def _wal_append(self, table: str, pk: Any, seq: int, row: dict | None) -> None:
+        """Journal one memtable put (insert/update/tombstone). The reference
+        WAL is a CRC-framed binary log (wal.hpp:120-180); JSON-lines gives the
+        same replay contract for the driver-side overlay, whose size is bounded
+        by the hot-row budget — the analytical base never flows through here."""
+        if self.data_dir is None:
+            return
+        rec = {"t": table, "k": pk, "s": seq, "r": row}
+        with open(self._wal_path, "a") as fh:
+            fh.write(json.dumps(rec) + "\n")
+
+    def _rewrite_wal(self) -> None:
+        """Rebuild the WAL from the live memtables (the reference truncates
+        the WAL after a successful flush, memtable.hpp:226-236)."""
+        if self.data_dir is None:
+            return
+        tmp = self._wal_path + ".tmp"
+        with open(tmp, "w") as fh:
+            for name, state in self.tables.items():
+                for pk, (seq, row) in state.memtable.items():
+                    fh.write(json.dumps({"t": name, "k": pk, "s": seq, "r": row}) + "\n")
+        os.replace(tmp, self._wal_path)
+
+    def _recover(self) -> None:
+        """Restart recovery: schema sidecar → parquet bases → WAL replay
+        (reference boot order: registry load, SSTable manifest, WAL replay
+        into a fresh memtable, memtable.hpp:481-526)."""
+        if not os.path.exists(self._schemas_path):
+            return
+        with open(self._schemas_path) as fh:
+            doc = json.load(fh)
+        for name, meta in doc.items():
+            schema = T.StructType.fromJson(meta["schema"])
+            base = None
+            if meta.get("has_base") and os.path.isdir(self._table_data_path(name)):
+                base = self.spark.read.parquet(self._table_data_path(name))
+            self.tables[name] = TableState(
+                name=name,
+                schema=schema,
+                pk=meta["pk"],
+                not_null=set(meta["not_null"]),
+                base=base,
+            )
+        if os.path.exists(self._wal_path):
+            with open(self._wal_path) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    state = self.tables.get(rec["t"])
+                    if state is None:
+                        continue  # table dropped after the WAL entry
+                    state.memtable[rec["k"]] = (rec["s"], rec["r"])
+                    self._seq = max(self._seq, rec["s"])
 
     # -- public API ---------------------------------------------------------
 
     def execute(self, sql: str) -> ResultSet:
         start = time.perf_counter()
         try:
-            result = self._dispatch(sql)
+            with self._lock:
+                result = self._dispatch(sql)
         except SqlError as exc:
             result = ResultSet(error_message=str(exc))
         result.execution_time_ms = (time.perf_counter() - start) * 1000.0
@@ -296,32 +414,53 @@ class SamanvayEngine:
     def register_base(self, name: str, df: DataFrame, pk: str) -> None:
         """Register a parquet-backed table as the analytic base (the LSM
         levels); subsequent DML overlays it through the memtable."""
-        name = name.lower()
-        self.tables[name] = TableState(
-            name=name, schema=df.schema, pk=pk.lower(), not_null=set(), base=df
-        )
+        with self._lock:
+            name = name.lower()
+            self.tables[name] = TableState(
+                name=name, schema=df.schema, pk=pk.lower(), not_null=set(), base=df
+            )
+            self._persist_schemas()
 
     def table_df(self, name: str) -> DataFrame:
         """Current merged view of a table (base ∪ memtable overlay)."""
-        state = self._state(name)
-        return self._merged_df(state)
+        with self._lock:
+            state = self._state(name)
+            return self._merged_df(state)
 
     def flush(self, name: str) -> int:
         """Fold the memtable into the base (reference freeze→flush,
-        memtable.hpp:140-236). Returns flushed entry count."""
-        state = self._state(name)
-        n = len(state.memtable)
-        if n:
-            state.base = self._merged_df(state).localCheckpoint(eager=True)
-            state.memtable.clear()
-            state.base_rows = None  # invalidate cached EXPLAIN estimate
-            self.stats["total_flushes"] += 1
-        return n
+        memtable.hpp:140-236). With ``data_dir`` the base lands in an
+        on-disk parquet directory and the WAL drops the flushed entries;
+        without it, an in-memory localCheckpoint. Returns flushed count."""
+        with self._lock:
+            state = self._state(name)
+            n = len(state.memtable)
+            if n:
+                # localCheckpoint first: breaks lineage off the parquet dir we
+                # are about to overwrite (Spark rejects overwriting a path the
+                # plan still reads) and materializes exactly once.
+                merged = self._merged_df(state).localCheckpoint(eager=True)
+                if self.data_dir is not None:
+                    path = self._table_data_path(state.name)
+                    merged.write.mode("overwrite").parquet(path)
+                    state.base = self.spark.read.parquet(path)
+                else:
+                    state.base = merged
+                state.memtable.clear()
+                state.base_rows = None  # invalidate cached EXPLAIN estimate
+                self.stats["total_flushes"] += 1
+                self._rewrite_wal()
+                self._persist_schemas()
+            return n
 
     def status(self) -> dict:
         """Engine statistics in the reference's stats shape (reference:
         api/json_helpers.hpp:72-104 statsToJson; memtable/SSTable sections
         become the hot-overlay/parquet-base split)."""
+        with self._lock:
+            return self._status_locked()
+
+    def _status_locked(self) -> dict:
         tables = []
         hot_total = 0
         for name in sorted(self.tables):
@@ -545,6 +684,7 @@ class SamanvayEngine:
         self.tables[name] = TableState(
             name=name, schema=T.StructType(fields), pk=pk, not_null=not_null
         )
+        self._persist_schemas()
         return ResultSet(message=f"Table created: {name}")
 
     def _drop_table(self, ts: _Tokens) -> ResultSet:
@@ -554,6 +694,8 @@ class SamanvayEngine:
         name = str(name_t[1]).lower()
         self._state(name)  # raises if missing
         del self.tables[name]
+        self._persist_schemas()
+        self._rewrite_wal()  # drop journaled overlay rows for the dead table
         return ResultSet(message=f"Table dropped: {name}")
 
     # -- DML ----------------------------------------------------------------
@@ -584,7 +726,7 @@ class SamanvayEngine:
         ts.expect_op("(")
         values = []
         while True:
-            values.append(_parse_operand(ts)[1])
+            values.append(_parse_value(ts))
             sep = ts.next()
             if sep[0] == "op" and sep[1] == ")":
                 break
@@ -608,25 +750,90 @@ class SamanvayEngine:
         if pk_val is None:
             raise SqlError("Primary key value required")
         # Blind put == upsert (reference: query_executor.cpp:418-421)
-        state.memtable[pk_val] = (self._next_seq(), row)
+        seq = self._next_seq()
+        state.memtable[pk_val] = (seq, row)
+        self._wal_append(state.name, pk_val, seq, row)
         return ResultSet(rows_affected=1, message="Query OK, 1 row(s) affected")
 
-    def _matching_rows(self, state: TableState, pred) -> list[dict]:
-        """Materialize the rows a DML statement touches. Driver-side by
-        design: the reference's UPDATE/DELETE are row-at-a-time
-        read-modify-write over the matched set (query_executor.cpp:505-568),
-        and the HTAP contract keeps mutations in the hot overlay — a dict of
-        recent rows. For analytical-scale mutation (millions of matches),
-        the right tool is a set-based rewrite of the BASE
-        (df.withColumn(when(pred, ...)) / Delta MERGE), not this path."""
+    # DML mutations touching at most this many rows go through the hot
+    # overlay (row-at-a-time, reference semantics); above it the base is
+    # rewritten set-based so the matched set never lands on the driver.
+    OVERLAY_BUDGET = 10_000
+
+    def _pred_to_column(self, state: TableState, pred) -> F.Column:
+        """Predicate AST → Spark Column. Under ``quirk_compat``, comparisons
+        touching a string-typed column replicate the reference's
+        numeric-else-string semantics (query_executor.cpp:716-744): ``stod``
+        is tried on *both* operands — if both parse, compare numerically,
+        else compare lexicographically. So a VARCHAR column holding numerics
+        yields ``'10' > '9'`` (reference behavior), where a typed Spark
+        string compare would say ``'10' < '9'``."""
+        kind = pred[0]
+        if kind == "and":
+            return self._pred_to_column(state, pred[1]) & self._pred_to_column(
+                state, pred[2]
+            )
+        if kind == "or":
+            return self._pred_to_column(state, pred[1]) | self._pred_to_column(
+                state, pred[2]
+            )
+        _, op, lhs, rhs = pred
+        l = F.col(lhs[1]) if lhs[0] == "col" else F.lit(lhs[1])
+        r = F.col(rhs[1]) if rhs[0] == "col" else F.lit(rhs[1])
+        stringly = self.quirk_compat and any(
+            o[0] == "col"
+            and isinstance(state.schema[o[1]].dataType, T.StringType)
+            for o in (lhs, rhs)
+        )
+        if stringly:
+            # try_cast: non-numeric → NULL (ANSI-safe), matching the
+            # reference's "stod succeeded on both?" probe
+            ln, rn = l.try_cast("double"), r.try_cast("double")
+            ls, rs = l.cast("string"), r.cast("string")
+            return F.when(
+                ln.isNotNull() & rn.isNotNull(), _apply_cmp(op, ln, rn)
+            ).otherwise(_apply_cmp(op, ls, rs))
+        return _apply_cmp(op, l, r)
+
+    def _filtered_view(self, state: TableState, pred) -> DataFrame:
         cols = [f.name for f in state.schema.fields]
         df = self._merged_df(state)
         if pred is not None:
             for c in _pred_columns(pred):
                 if c not in cols:
                     raise SqlError(f"Unknown column: {c}")
-            df = df.filter(_pred_to_column(pred))
-        return [row.asDict() for row in df.collect()]
+            df = df.filter(self._pred_to_column(state, pred))
+        return df
+
+    def _matching_rows(self, state: TableState, pred) -> list[dict] | None:
+        """Matched rows if they fit the overlay budget, else None.
+
+        The reference's UPDATE/DELETE are row-at-a-time read-modify-write
+        over the matched set (query_executor.cpp:505-568) — fine for the hot
+        overlay's contract (recent rows). ``limit(budget+1)`` caps what ever
+        reaches the driver: if the limit comes back full, the statement is
+        analytical-scale and the caller rewrites the base set-based instead
+        (the ``withColumn(when(pred,...))`` / anti-join path a Delta MERGE
+        would take), so a 50M-row UPDATE never collects 50M rows."""
+        capped = self._filtered_view(state, pred).limit(self.OVERLAY_BUDGET + 1).collect()
+        if len(capped) > self.OVERLAY_BUDGET:
+            return None
+        return [row.asDict() for row in capped]
+
+    def _set_base(self, state: TableState, df: DataFrame) -> None:
+        """Replace a table's base with ``df`` (memtable folded in by the
+        caller): checkpoint to break lineage, persist when durable."""
+        merged = df.localCheckpoint(eager=True)
+        if self.data_dir is not None:
+            path = self._table_data_path(state.name)
+            merged.write.mode("overwrite").parquet(path)
+            state.base = self.spark.read.parquet(path)
+        else:
+            state.base = merged
+        state.memtable.clear()
+        state.base_rows = None
+        self._rewrite_wal()
+        self._persist_schemas()
 
     def _update(self, ts: _Tokens) -> ResultSet:
         ts.expect_word("UPDATE")
@@ -643,7 +850,7 @@ class SamanvayEngine:
             if col not in cols:
                 raise SqlError(f"Unknown column in SET: {col}")
             ts.expect_op("=")
-            assignments.append((col, _parse_operand(ts)[1]))
+            assignments.append((col, _parse_value(ts)))
             t = ts.peek()
             if t and t[0] == "op" and t[1] == ",":
                 ts.next()
@@ -653,14 +860,54 @@ class SamanvayEngine:
         if not ts.accept_word("WHERE"):
             raise SqlError("UPDATE requires a WHERE clause")
         pred = _parse_pred(ts)
+        coerced = [(col, self._coerce(state, col, v)) for col, v in assignments]
+        for col, v in coerced:
+            if v is None and col in state.not_null:
+                raise SqlError(f"NULL not allowed for column: {col}")
+
+        pk_assigned = any(col == state.pk for col, _ in coerced)
         matches = self._matching_rows(state, pred)
+        if matches is None and not pk_assigned:
+            # Set-based rewrite: fold overlay + conditional assignment into a
+            # new base; nothing but the count crosses the driver.
+            view = self._filtered_view(state, None)
+            cond = self._pred_to_column(state, pred)
+            n = view.filter(cond).count()
+            out = view
+            for col, v in coerced:
+                dtype = state.schema[col].dataType
+                out = out.withColumn(
+                    col, F.when(cond, F.lit(v).cast(dtype)).otherwise(F.col(col))
+                )
+            self._set_base(state, out)
+            return ResultSet(rows_affected=n, message=f"Query OK, {n} row(s) affected")
+
+        if matches is None:
+            # PK reassignment stays row-at-a-time (each old key must be
+            # tombstoned individually); cap it at the overlay budget.
+            raise SqlError(
+                f"UPDATE assigning the primary key matches more than "
+                f"{self.OVERLAY_BUDGET} rows"
+            )
         for row in matches:
-            for col, v in assignments:
-                row[col] = self._coerce(state, col, v)
+            old_pk = row[state.pk]
+            for col, v in coerced:
+                row[col] = v
             for c in state.not_null:
                 if row[c] is None:
                     raise SqlError(f"NULL not allowed for column: {c}")
-            state.memtable[row[state.pk]] = (self._next_seq(), row)
+            new_pk = row[state.pk]
+            if new_pk != old_pk:
+                # The reference writes the updated blob back under the
+                # original storage key (query_executor.cpp:562), leaving a
+                # stale key visible — a reference bug, not a semantic we
+                # replicate: tombstone the old key so PK uniqueness holds.
+                seq = self._next_seq()
+                state.memtable[old_pk] = (seq, None)
+                self._wal_append(state.name, old_pk, seq, None)
+            seq = self._next_seq()
+            state.memtable[new_pk] = (seq, row)
+            self._wal_append(state.name, new_pk, seq, row)
         n = len(matches)
         return ResultSet(rows_affected=n, message=f"Query OK, {n} row(s) affected")
 
@@ -674,9 +921,19 @@ class SamanvayEngine:
             raise SqlError("DELETE requires a WHERE clause")
         pred = _parse_pred(ts)
         matches = self._matching_rows(state, pred)
+        if matches is None:
+            # Set-based rewrite: keep only non-matching rows (NULL predicate
+            # means "not matched", hence the coalesce before negation).
+            view = self._filtered_view(state, None)
+            cond = F.coalesce(self._pred_to_column(state, pred), F.lit(False))
+            n = view.filter(cond).count()
+            self._set_base(state, view.filter(~cond))
+            return ResultSet(rows_affected=n, message=f"Query OK, {n} row(s) affected")
         for row in matches:
             # Tombstone shadows older versions (memtable.hpp:343-362)
-            state.memtable[row[state.pk]] = (self._next_seq(), None)
+            seq = self._next_seq()
+            state.memtable[row[state.pk]] = (seq, None)
+            self._wal_append(state.name, row[state.pk], seq, None)
         n = len(matches)
         return ResultSet(rows_affected=n, message=f"Query OK, {n} row(s) affected")
 
@@ -725,12 +982,7 @@ class SamanvayEngine:
         if pred is not None and _point_lookup_pk(pred, state.pk) is None:
             self.stats["total_range_queries"] += 1
         cols = [f.name for f in state.schema.fields]
-        df = self._merged_df(state)
-        if pred is not None:
-            for c in _pred_columns(pred):
-                if c not in cols:
-                    raise SqlError(f"Unknown column: {c}")
-            df = df.filter(_pred_to_column(pred))
+        df = self._filtered_view(state, pred)
 
         aggs = [payload for kind, payload in items if kind == "agg"]
         if aggs:
@@ -761,9 +1013,14 @@ class SamanvayEngine:
             fn, arg = spec.split("(", 1)
             arg = arg[:-1]
             if fn == "COUNT":
-                # Quirk: COUNT(col) counts all post-WHERE rows, like COUNT(*)
-                # (reference: query_executor.cpp:228)
-                exprs.append(F.count(F.lit(1)).alias(spec))
+                if self.quirk_compat or arg == "*":
+                    # Quirk: COUNT(col) counts all post-WHERE rows, like
+                    # COUNT(*) (reference: query_executor.cpp:228)
+                    exprs.append(F.count(F.lit(1)).alias(spec))
+                elif arg not in [f.name for f in state.schema.fields]:
+                    raise SqlError(f"Unknown column: {arg}")
+                else:
+                    exprs.append(F.count(arg).alias(spec))
             elif arg == "*":
                 raise SqlError(f"{fn}(*) is not supported")
             elif arg not in [f.name for f in state.schema.fields]:
@@ -867,12 +1124,7 @@ class SamanvayEngine:
             f"Filter: {'yes' if pred is not None else 'none'}",
             f"Projection: {', '.join(aggs) if aggs else ', '.join(proj)}",
         ]
-        df = self._merged_df(state)
-        if pred is not None:
-            for c in _pred_columns(pred):
-                if c not in cols:
-                    raise SqlError(f"Unknown column: {c}")
-            df = df.filter(_pred_to_column(pred))
+        df = self._filtered_view(state, pred)
         lines.append("--- Spark Physical Plan ---")
         lines.extend(
             df._jdf.queryExecution().simpleString().splitlines()  # noqa: SLF001
