@@ -54,7 +54,9 @@ def main() -> None:
         "window_topn_per_group",
         "group_having",
         "rollup_agg",
-        "percentile_prices",
+        # percentile_prices (exact, oracle-checked) buffers whole groups on
+        # one reducer; the bench measures the GK-sketch production twin.
+        "percentile_prices_approx",
         "asof_join_events_orders",
         "events_hourly_rollup",
         "sessionize",
@@ -62,7 +64,10 @@ def main() -> None:
         # LLM-data-pipeline
         "exact_dedup",
         "minhash_lsh_pairs",
-        "simhash_neardup_pairs",
+        # 4×15-bit-chunk scale twin (32k buckets/chunk); the 6×10-bit
+        # exact-recall ham≤5 form stays oracle-checked but its 1k-bucket
+        # candidate keyspace is the r2-flagged corpus-scale hazard.
+        "simhash_neardup_pairs_scale",
         "lang_id",
         "token_counts",
         "fingerprints",

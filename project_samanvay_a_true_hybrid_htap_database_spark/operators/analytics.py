@@ -450,6 +450,39 @@ def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def percentile_prices_approx(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10_000
+) -> DataFrame:
+    """Production twin of percentile_prices: `percentile_approx` (GK sketch,
+    bounded memory per group) instead of exact `percentile` (which buffers
+    every group value on one reducer — the r2-flagged scale-killer: with 3
+    group keys at 100 TB that is billions of doubles per task). The sketch
+    is mergeable, so partial aggregation applies map-side and each reducer
+    holds O(accuracy) values regardless of group size; rank error is
+    bounded by 1/accuracy. Same query shape, same output schema.
+
+    Oracle: rows-only (a sketch picks an actual element, exact interpolates
+    between two) — tests/test_operators_oracle.py bounds the value error
+    against the exact twin instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                f"percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), {accuracy})"
+            ).alias("ps"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("ps")[0], 4).alias("p50"),
+            F.round(F.col("ps")[1], 4).alias("p90"),
+            F.round(F.col("ps")[2], 4).alias("p99"),
+            "n",
+        )
+    )
+
+
 def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each event, the customer's most recent order at event
     time (o_orderdate <= ts; latest o_orderdate, tie-break highest

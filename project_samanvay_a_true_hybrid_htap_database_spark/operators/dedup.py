@@ -276,6 +276,19 @@ def simhash_neardup_pairs(
     )
 
 
+def simhash_neardup_pairs_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale twin of simhash_neardup_pairs (r2-flagged keyspace fix):
+    hamming ≤ 3 over the same 60-bit fingerprints buckets by 4 chunks of 15
+    bits — 32,768 buckets per chunk instead of 1,024, so expected candidate
+    volume drops from ~6N²/1024 to ~4N²/32768 (a 48× reduction) while the
+    pigeonhole guarantee (≤ chunks-1 differing bits ⇒ one identical chunk)
+    stays EXACT. Same plan shape, same oracle family; only the
+    (max_hamming, chunk) split changes. 15-bit chunks also keep the whole
+    fingerprint inside md5's 60 usable bits — a 4×16-bit split would need
+    bit 63 and overflow the signed long."""
+    return simhash_neardup_pairs(spark, sf_dir, max_hamming=3, bits=60)
+
+
 def embedding_neardup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = COSINE_THRESHOLD
 ) -> DataFrame:
