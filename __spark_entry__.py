@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_lsh_indexed_topk": similarity.ann_lsh_indexed_topk,
         "ann_lsh_multiprobe_topk": similarity.ann_lsh_multiprobe_topk,
         "knn_join_blocked": similarity.knn_join_blocked,
         "knn_join_vectorized": similarity.knn_join_vectorized,
@@ -752,6 +753,7 @@ FROM documents GROUP BY 1
         "ann_bruteforce_topk": ann_bf,
         "ann_ivf_topk": ann_ivf,
         "ann_lsh_topk": ann_lsh,
+        "ann_lsh_indexed_topk": ann_lsh,
         "ann_lsh_multiprobe_topk": ann_lsh_mp,
         "knn_join_blocked": knn,
         # same oracle: the vectorized path must produce identical rows

@@ -73,6 +73,10 @@ def main() -> None:
         "fingerprints",
         "ngram_freq_topk",
         "ann_bruteforce_topk",
+        # partition-pruned scan over the materialized bucket layout; the
+        # index build happens in warm-up (idempotent), so the timed pass
+        # measures the pruned query alone — the steady-state serving cost.
+        "ann_lsh_indexed_topk",
         # knn_join_blocked (the pure-SQL HOF twin) produces identical rows
         # ~10x slower; it stays oracle-checked but the bench measures the
         # production path.
@@ -99,6 +103,8 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
 
+    htap = bench_htap_mixed(spark, sf_dir)
+
     print(
         json.dumps(
             {
@@ -107,9 +113,78 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "htap_mixed": htap,
             }
         )
     )
+
+
+def bench_htap_mixed(spark, sf_dir: str) -> dict:
+    """Mixed-HTAP latency ratios mirroring the reference's §7.4 benchmark
+    (mt_benchmark_htap.cpp:155-166): measure per-INSERT and per-analytical-
+    query latency through SamanvayEngine idle, then again with a concurrent
+    writer thread streaming INSERTs, and report the degradation percentages
+    (reference targets: writes <10%, queries <15% under mixed load)."""
+    import statistics
+    import threading
+
+    from project_samanvay_a_true_hybrid_htap_database_spark import SamanvayEngine
+    from project_samanvay_a_true_hybrid_htap_database_spark.sources import load_table
+
+    engine = SamanvayEngine(spark)
+    engine.register_base(
+        "orders", load_table(spark, sf_dir, "orders"), pk="o_orderkey"
+    )
+    query = "SELECT SUM(o_totalprice), AVG(o_totalprice) FROM orders WHERE o_totalprice > 1000"
+    ins = "INSERT INTO orders VALUES ({k}, {c}, 'O', {amt}, '1998-01-01 00:00:00', '1-URGENT')"
+    next_key = 10_000_000
+
+    def write_once(k: int) -> float:
+        t0 = time.perf_counter()
+        engine.execute(ins.format(k=k, c=k % 1000, amt=100.0 + k % 500))
+        return (time.perf_counter() - t0) * 1000
+
+    def query_once() -> float:
+        t0 = time.perf_counter()
+        rs = engine.execute(query)
+        assert rs.error_message is None, rs.error_message
+        return (time.perf_counter() - t0) * 1000
+
+    # warm-up both paths
+    write_once(next_key - 1)
+    query_once()
+
+    n_w, n_q = 200, 15
+    write_idle = statistics.median(write_once(next_key + i) for i in range(n_w))
+    query_idle = statistics.median(query_once() for _ in range(n_q))
+
+    stop = threading.Event()
+    mixed_writes: list[float] = []
+
+    def writer():
+        k = next_key + n_w
+        while not stop.is_set():
+            mixed_writes.append(write_once(k))
+            k += 1
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        query_mixed = statistics.median(query_once() for _ in range(n_q))
+    finally:
+        stop.set()
+        t.join()
+    write_mixed = statistics.median(mixed_writes) if mixed_writes else write_idle
+
+    return {
+        "write_ms_idle": round(write_idle, 3),
+        "write_ms_mixed": round(write_mixed, 3),
+        "query_ms_idle": round(query_idle, 2),
+        "query_ms_mixed": round(query_mixed, 2),
+        "write_degradation_pct": round(100 * (write_mixed / write_idle - 1), 1),
+        "query_degradation_pct": round(100 * (query_mixed / query_idle - 1), 1),
+        "mixed_writes_completed": len(mixed_writes),
+    }
 
 
 if __name__ == "__main__":

@@ -92,6 +92,7 @@ class TableState:
     memtable: dict[Any, tuple[int, dict | None]] = field(default_factory=dict)
     # memtable maps pk -> (seq, row-dict or None for tombstone)
     base_rows: int | None = None  # cached count; None = not yet computed
+    base_io: tuple[int, int] | None = None  # cached (files, bytes) of the base
 
 
 class SqlError(Exception):
@@ -352,7 +353,9 @@ class SamanvayEngine:
             return
         rec = {"t": table, "k": pk, "s": seq, "r": row}
         with open(self._wal_path, "a") as fh:
-            fh.write(json.dumps(rec) + "\n")
+            # default=str covers temporal values; replay restores the typed
+            # objects from the schema (_decode_wal_row)
+            fh.write(json.dumps(rec, default=str) + "\n")
 
     def _rewrite_wal(self) -> None:
         """Rebuild the WAL from the live memtables (the reference truncates
@@ -363,7 +366,12 @@ class SamanvayEngine:
         with open(tmp, "w") as fh:
             for name, state in self.tables.items():
                 for pk, (seq, row) in state.memtable.items():
-                    fh.write(json.dumps({"t": name, "k": pk, "s": seq, "r": row}) + "\n")
+                    fh.write(
+                        json.dumps(
+                            {"t": name, "k": pk, "s": seq, "r": row}, default=str
+                        )
+                        + "\n"
+                    )
         os.replace(tmp, self._wal_path)
 
     def _recover(self) -> None:
@@ -396,8 +404,27 @@ class SamanvayEngine:
                     state = self.tables.get(rec["t"])
                     if state is None:
                         continue  # table dropped after the WAL entry
-                    state.memtable[rec["k"]] = (rec["s"], rec["r"])
+                    row = self._decode_wal_row(state, rec["r"])
+                    state.memtable[rec["k"]] = (rec["s"], row)
                     self._seq = max(self._seq, rec["s"])
+
+    @staticmethod
+    def _decode_wal_row(state: TableState, row: dict | None) -> dict | None:
+        """Restore typed values JSON stringified on the way out (temporal
+        columns — everything else round-trips natively)."""
+        if row is None:
+            return None
+        import datetime as _dt
+
+        for f in state.schema.fields:
+            v = row.get(f.name)
+            if not isinstance(v, str):
+                continue
+            if isinstance(f.dataType, (T.TimestampNTZType, T.TimestampType)):
+                row[f.name] = _dt.datetime.fromisoformat(v)
+            elif isinstance(f.dataType, T.DateType):
+                row[f.name] = _dt.date.fromisoformat(v)
+        return row
 
     # -- public API ---------------------------------------------------------
 
@@ -447,7 +474,8 @@ class SamanvayEngine:
                 else:
                     state.base = merged
                 state.memtable.clear()
-                state.base_rows = None  # invalidate cached EXPLAIN estimate
+                state.base_rows = None  # invalidate cached EXPLAIN estimates
+                state.base_io = None
                 self.stats["total_flushes"] += 1
                 self._rewrite_wal()
                 self._persist_schemas()
@@ -610,6 +638,22 @@ class SamanvayEngine:
                 if isinstance(value, int) and value in (0, 1):
                     return bool(value)
                 raise ValueError(value)
+            # Temporal types reach the engine only via register_base'd
+            # parquet tables (CREATE TABLE can't declare them, matching the
+            # reference's unreachable TIMESTAMP row_codec type); accept ISO
+            # strings so DML over such tables works.
+            if isinstance(dtype, (T.TimestampNTZType, T.TimestampType)):
+                import datetime as _dt
+
+                if isinstance(value, _dt.datetime):
+                    return value
+                return _dt.datetime.fromisoformat(str(value))
+            if isinstance(dtype, T.DateType):
+                import datetime as _dt
+
+                if isinstance(value, _dt.date):
+                    return value
+                return _dt.date.fromisoformat(str(value))
             return str(value)
         except (TypeError, ValueError):
             raise SqlError(f"Type mismatch for column {col}: {value!r}") from None
@@ -832,6 +876,7 @@ class SamanvayEngine:
             state.base = merged
         state.memtable.clear()
         state.base_rows = None
+        state.base_io = None
         self._rewrite_wal()
         self._persist_schemas()
 
@@ -1110,6 +1155,36 @@ class SamanvayEngine:
         if pred is not None and not point:
             est = max(1, int(est * 0.33))
 
+        # Estimated I/O cost in parquet-file-read units — the analog of the
+        # reference's SSTable-read cost line (hybrid_query_router.hpp:255,
+        # 274-275,293-294: point lookup ~1 probe, scans read every level).
+        # File list/sizes come from the file index (metadata-only, no scan),
+        # cached like the row estimate.
+        if state.base is None:
+            n_files, n_bytes = 0, 0
+        elif state.base_io is not None:
+            n_files, n_bytes = state.base_io
+        else:
+            files = state.base.inputFiles()
+            n_files = len(files)
+            n_bytes = 0
+            for f in files:
+                if f.startswith("file:"):
+                    p = f[len("file:"):]
+                    while p.startswith("//"):
+                        p = p[1:]
+                    try:
+                        n_bytes += os.path.getsize(p)
+                    except OSError:
+                        pass
+            state.base_io = (n_files, n_bytes)
+        io_files = min(1, n_files) if point else n_files
+        io_cost = (
+            f"{io_files} file probe(s)"
+            if point
+            else f"{n_files} file(s), {n_bytes} bytes"
+        )
+
         proj = [p for kind, p in items if kind == "col"] or ["*"]
         # Plan text mirrors the reference renderer's sections
         # (hybrid_query_router.hpp:331-393), then appends Spark's plan.
@@ -1118,6 +1193,7 @@ class SamanvayEngine:
             f"Query Type: {qtype}",
             f"Table: {state.name}",
             f"Estimated Rows: {est}",
+            f"Estimated I/O Cost: {io_cost}",
             "Storage Paths:",
             f"  - Memtable Overlay ({mem_rows} hot entries)",
             f"  - Parquet Base ({base_rows} rows)",

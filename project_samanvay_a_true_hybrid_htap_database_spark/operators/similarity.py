@@ -160,6 +160,74 @@ def ann_lsh_topk(
     )
 
 
+def build_lsh_index(spark: SparkSession, sf_dir: str, out_dir: str | None = None) -> str:
+    """One-time materialization of the sign-LSH bucket layout: embeddings
+    written to parquet PARTITIONED BY (bucket), bucket = hyperplane sign
+    bits. This is what makes the "prunes to 1/2^planes of the data" claim
+    physically real: a query filtering on bucket touches only that bucket's
+    files via Catalyst partition pruning — the unindexed ann_lsh_topk
+    recomputes the bucket per row over a full scan, which filters rows but
+    still reads every byte. At 100 TB this is the difference between a 6 TB
+    scan and a 100 TB scan per query. Idempotent: returns the existing
+    layout if already built (keyed by the sf dir name)."""
+    import os
+    import tempfile
+
+    from ..functions.hashing import hyperplanes
+
+    if out_dir is None:
+        base = os.path.basename(sf_dir.rstrip("/"))
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"samanvay_lsh_index_{base}_p{LSH_PLANES}"
+        )
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir
+    planes = hyperplanes(LSH_PLANES, 64)
+    emb = load_table(spark, sf_dir, "embeddings")
+    (
+        emb.withColumn("bucket", _sign_bucket(F.col("embedding"), planes))
+        # one file per bucket partition at test SF; at scale the shuffle-free
+        # write produces per-task files inside each bucket dir, which is fine
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def ann_lsh_indexed_topk(
+    spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID, k: int = TOP_K
+) -> DataFrame:
+    """ann_lsh_topk over the materialized bucket layout (build_lsh_index):
+    the bucket predicate becomes a partition filter, so the scan reads ~
+    1/2^planes of the files instead of computing 2n² multiply-adds of
+    bucket projection over the full table. Same rows as ann_lsh_topk (same
+    planes, same bucket function) — shares its oracle. tests/test_plans.py
+    asserts the PartitionFilters actually appear in the scan."""
+    from ..functions.hashing import hyperplanes
+
+    index_dir = build_lsh_index(spark, sf_dir)
+    planes = hyperplanes(LSH_PLANES, 64)
+    qvec, _ = _query_vector(spark, sf_dir, vec_id)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if sum(float(a) * b for a, b in zip(qvec, plane)) >= 0:
+            qbucket |= 1 << i
+    emb = spark.read.parquet(index_dir)
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = (
+        emb.filter(F.col("bucket") == qbucket)  # partition-pruned
+        .filter(F.col("vec_id") != vec_id)
+        .select("vec_id", cosine(F.col("embedding"), q).alias("cos"))
+    )
+    return (
+        scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
 def knn_join_vectorized(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Vectorized twin of knn_join_blocked: one Arrow batch per label block
     into applyInPandas, cosine via a single BLAS matmul (M @ M.T), top-k by

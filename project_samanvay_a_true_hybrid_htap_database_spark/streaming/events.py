@@ -212,14 +212,23 @@ def stream_into_engine(
     `table` (newest batch unioned in), so SQL through
     ``SamanvayEngine.execute`` sees streamed rows as they arrive — the
     Structured-Streaming replacement for the reference's WAL→memtable→flush
-    write path (memtable.hpp:140-236). foreachBatch gives exactly-once
-    per-batch appends against the checkpoint; at scale the sink would be a
-    parquet/Delta append that the engine's base DataFrame reads back.
+    write path (memtable.hpp:140-236).
+
+    Delivery contract: **at-least-once, deduplicated per batch_id within
+    this engine process**. foreachBatch may re-invoke a batch after a task
+    retry, so the sink tracks the applied batch_ids and skips re-deliveries
+    (idempotent append). Across a process restart the in-memory engine
+    state is gone while the stream checkpoint advances — true exactly-once
+    end-to-end needs a durable idempotent sink (parquet/Delta append keyed
+    by batch_id) that the engine's base reads back; that is the 100 TB
+    deployment shape.
 
     Returns the StreamingQuery (caller stops/awaits it)."""
-    from pyspark.sql import functions as F  # noqa: F811
+    applied: set[int] = set()
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in applied:
+            return  # re-delivered batch (retry): already unioned in
         rows = batch_df.select(
             "event_id", "user_id", "event_type", "value"
         ).localCheckpoint(eager=True)
@@ -229,6 +238,8 @@ def stream_into_engine(
         else:
             state.base = state.base.unionByName(rows).localCheckpoint(eager=True)
             state.base_rows = None
+            state.base_io = None
+        applied.add(batch_id)
     return (
         events.writeStream.foreachBatch(sink)
         .trigger(availableNow=True)

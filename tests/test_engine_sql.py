@@ -245,6 +245,20 @@ def test_explain_aggregation(engine):
     assert "AGGREGATION" in text
 
 
+def test_explain_io_cost_line(engine, spark):
+    """EXPLAIN carries an Estimated I/O Cost section in parquet-file units —
+    the analog of the reference's SSTable-read cost line
+    (hybrid_query_router.hpp:255,274-275,331-393)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    engine.register_base("ord", df, "o_orderkey")
+    res = engine.execute("EXPLAIN SELECT COUNT(o_orderkey) FROM ord")
+    text = "\n".join(r[0] for r in res.rows)
+    assert "Estimated I/O Cost: 1 file(s)," in text and "bytes" in text
+    res = engine.execute("EXPLAIN SELECT * FROM ord WHERE o_orderkey = 1")
+    text = "\n".join(r[0] for r in res.rows)
+    assert "Estimated I/O Cost: 1 file probe(s)" in text
+
+
 # --- HTAP mixed workload (Unit_Test2.cpp:799-854) ---
 
 

@@ -154,3 +154,25 @@ class TestNoCartesian:
         assert "CartesianProduct" not in plans[name], (
             f"{name} degenerated into a cartesian product"
         )
+
+
+class TestLshIndexPruning:
+    def test_indexed_lsh_scan_is_partition_pruned(self, spark):
+        """The materialized bucket layout must turn the bucket predicate
+        into a PartitionFilter (file-level pruning), not a row filter over
+        a full scan — the physical basis of the 1/2^planes scan claim."""
+        import os
+
+        df = similarity.ann_lsh_indexed_topk(spark, SF_DIR)
+        p = plan(df)
+        pf = p.split("PartitionFilters")[1][:200] if "PartitionFilters" in p else ""
+        assert "bucket" in pf, f"bucket not in PartitionFilters: {pf!r}"
+        # The layout itself: one directory per populated bucket, <= 2^planes
+        index_dir = similarity.build_lsh_index(spark, SF_DIR)
+        buckets = [d for d in os.listdir(index_dir) if d.startswith("bucket=")]
+        assert 1 < len(buckets) <= 2**similarity.LSH_PLANES
+
+    def test_indexed_matches_unindexed(self, spark):
+        a = similarity.ann_lsh_topk(spark, SF_DIR).collect()
+        b = similarity.ann_lsh_indexed_topk(spark, SF_DIR).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b] and len(a) > 0
