@@ -25,6 +25,7 @@ reference, api_server.hpp + per-component mutexes).
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -91,6 +92,13 @@ def result_to_json(rs: ResultSet) -> dict:
     if rs.message:
         data["message"] = rs.message
     return success(data)
+
+
+def _console_html() -> bytes:
+    """The static SQL console page shipped inside the package."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "console.html")
+    with open(path, "rb") as fh:
+        return fh.read()
 
 
 class SamanvayAPIServer:
@@ -249,6 +257,17 @@ class SamanvayAPIServer:
                 self.end_headers()
 
             def do_GET(self):
+                # The reference ships a JS console consuming this API
+                # (sql-console/src/api.js); ours is a single static page
+                # served from the package — no build toolchain needed.
+                if self.path in ("/", "/console", "/index.html"):
+                    page = _console_html()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(page)))
+                    self.end_headers()
+                    self.wfile.write(page)
+                    return
                 try:
                     status, payload = server._handle_get(self.path)
                 except Exception as exc:  # noqa: BLE001

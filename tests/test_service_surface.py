@@ -232,6 +232,20 @@ class TestRestAPI:
             "MAX",
         ]
 
+    def test_console_served_at_root(self, api):
+        """GET / serves the SQL console page (the reference ships a JS
+        console over the same API, sql-console/src/api.js)."""
+        import urllib.request as ur
+
+        for path in ("/", "/console"):
+            with ur.urlopen(f"http://127.0.0.1:{api.port}{path}") as resp:
+                body = resp.read().decode()
+                assert resp.status == 200
+                assert "text/html" in resp.headers["Content-Type"]
+                assert "Samanvay SQL Console" in body
+                # the page drives the same envelope endpoints
+                assert "/api/query" in body and "/api/explain" in body
+
     def test_unknown_endpoint_404(self, api):
         status, body = _req(api, "GET", "/api/nope")
         assert status == 404 and body["error"]["type"] == "NOT_FOUND"
