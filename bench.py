@@ -49,6 +49,10 @@ def main() -> None:
         "tpch_q3",
         "tpch_q5",
         "tpch_q6",
+        "tpch_q8",
+        "tpch_q9",
+        "tpch_q13",
+        "tpch_q18",
         "revenue_by_nation",
         "join_agg_orders_lineitem",
         "window_topn_per_group",
