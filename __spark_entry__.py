@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "simhash_neardup_pairs_scale": dedup.simhash_neardup_pairs_scale,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        "decontaminate_ngram_overlap": dedup.decontaminate_ngram_overlap,
         # --- similarity search ---
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -162,6 +163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_functions": analytics.string_functions,
         "json_extraction": analytics.json_extraction,
         "events_hourly_rollup": analytics.events_hourly_rollup,
+        "funnel_conversion": analytics.funnel_conversion,
+        "retention_cohorts": analytics.retention_cohorts,
         "join_agg_orders_lineitem": analytics.join_agg_orders_lineitem,
         "sessionize": analytics.sessionize,
         "tpch_q3": analytics.tpch_q3_shipping_priority,
@@ -554,6 +557,28 @@ SELECT CAST(epoch(date_trunc('hour', ts::TIMESTAMP)) AS BIGINT) AS hour_epoch,
        event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2
 """,
+        "funnel_conversion": """
+WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events),
+s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+SELECT (SELECT count(*) FROM s1) AS users_view,
+       (SELECT count(*) FROM s2) AS users_click,
+       (SELECT count(*) FROM s3) AS users_purchase
+""",
+        "retention_cohorts": """
+WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events),
+first_seen AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
+               FROM e GROUP BY 1),
+active AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM e)
+SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort,
+       CAST(date_diff('week', cohort_wk, wk) AS INT) AS week_no,
+       count(*) AS active_users
+FROM active JOIN first_seen USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "join_agg_orders_lineitem": """
 SELECT o_orderpriority, count(*) AS n_items,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -870,6 +895,15 @@ FROM documents GROUP BY 1
         "simhash_neardup_pairs": simhash_pairs,
         "simhash_neardup_pairs_scale": simhash_pairs_scale,
         "embedding_neardup_pairs": emb_pairs,
+        "decontaminate_ngram_overlap": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+shl AS (SELECT doc_id, {_SHINGLES} AS S FROM toks),
+bench AS (SELECT DISTINCT unnest(S) AS s FROM shl WHERE doc_id < 50),
+corpus AS (SELECT doc_id, unnest(S) AS s FROM shl WHERE doc_id >= 50)
+SELECT doc_id, count(*) AS n_shared
+FROM corpus JOIN bench USING (s)
+GROUP BY doc_id ORDER BY doc_id
+""",
         # --- similarity ---
         "ann_bruteforce_topk": ann_bf,
         "ann_ivf_topk": ann_ivf,

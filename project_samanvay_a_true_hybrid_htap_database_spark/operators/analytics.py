@@ -952,3 +952,65 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("cntry")
     )
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-ordered event funnel (view → click → purchase) per user: a
+    user converts at step N only with an event strictly after their step
+    N-1 time. Each step is a per-user MIN aggregate joined to the previous
+    step (broadcast — per-user step tables are tiny relative to events),
+    so the fact table is scanned once per step with the event-type filter
+    pushed down; no window, no self-join fan-out. Single-row output of the
+    three funnel counts."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("users_view"))
+        .crossJoin(s2.agg(F.count("*").alias("users_click")))
+        .crossJoin(s3.agg(F.count("*").alias("users_purchase")))
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, counted
+    per activity-week offset. Two aggregations over one events scan — the
+    distinct (user, week) pass and the first-seen pass — joined on user_id
+    (first-seen broadcast: one row per user). Week truncation is Monday-
+    anchored on both engines, so the offset is an exact (days/7)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    return (
+        active.join(F.broadcast(first_seen), "user_id")
+        .select(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort"),
+            (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)
+            .cast("int")
+            .alias("week_no"),
+        )
+        .groupBy("cohort", "week_no")
+        .agg(F.count("*").alias("active_users"))
+        .orderBy("cohort", "week_no")
+    )

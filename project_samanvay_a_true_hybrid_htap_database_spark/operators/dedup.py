@@ -361,3 +361,34 @@ def simhash_fingerprints_vectorized(
 
     docs = _docs_parallel(spark, sf_dir)
     return docs.mapInPandas(per_batch, schema="doc_id long, simhash long")
+
+
+def decontaminate_ngram_overlap(
+    spark: SparkSession, sf_dir: str, bench_max_id: int = 50
+) -> DataFrame:
+    """Training-set decontamination: flag corpus documents sharing at least
+    one 3-word shingle with a benchmark/eval set (here: doc_id <
+    ``bench_max_id`` stands in for the eval split). The benchmark shingle
+    set is small by construction, so it broadcasts; the corpus side
+    explodes shingles once and the equi-join prunes everything without a
+    hit — work scales with corpus shingle volume, never corpus × benchmark.
+    At 100 TB the benchmark side stays a broadcast (eval sets are MBs);
+    high-df stop-shingles would be capped as in ngram_jaccard_pairs.
+    Output: contaminated doc_id + distinct shared-shingle count."""
+    # Persist: both the benchmark and corpus branches read this — without
+    # it the tokenize+shingle subtree computes once per branch.
+    sh = _doc_shingles(spark, sf_dir).persist()
+    bench = (
+        sh.filter(F.col("doc_id") < bench_max_id)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= bench_max_id).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy("doc_id")
+    )
