@@ -205,6 +205,49 @@ def enrich_stream(events: DataFrame, spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def view_purchase_join_stream(
+    views: DataFrame, purchases: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase matched to the
+    same user's view events in the preceding ``within`` interval. Both
+    sides carry watermarks and the join condition carries the time bound,
+    so state for either side is evictable once the watermark passes — the
+    only way a stream-stream join stays bounded-memory at 100 TB (an
+    unbounded-condition join would buffer both streams forever)."""
+    v = (
+        views.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        F.unix_timestamp("v_ts").alias("view_s"),
+        F.unix_timestamp("p_ts").alias("purchase_s"),
+        "value",
+    )
+
+
 def stream_into_engine(
     events: DataFrame, engine, table: str = "events_live"
 ) -> "object":

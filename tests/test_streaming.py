@@ -177,3 +177,50 @@ def test_stream_into_engine_htap_loop(spark, events_src, engine):
     assert rs.rows == [(total + 1,)]
     rs = engine.execute("SELECT value FROM events_live WHERE event_id = 999999")
     assert rs.rows == [(5.0,)]
+
+
+def test_view_purchase_join_stream_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join result must equal the equivalent
+    batch join (1-hour view→purchase attribution window).
+
+    Single-file source: the testdata files are not time-ordered, so a
+    multi-file source would advance the watermark past genuinely unordered
+    events between micro-batches and (correctly) drop them as late — the
+    equality check needs every event inside the watermark."""
+    from project_samanvay_a_true_hybrid_htap_database_spark.streaming.events import (
+        view_purchase_join_stream,
+    )
+
+    src = str(tmp_path / "vp_src")
+    load_table(spark, SF_DIR, "events").select(
+        "event_id", F.col("ts_nanos").alias("ts"), "user_id", "event_type",
+        "value", "props",
+    ).repartition(1).write.mode("overwrite").parquet(src)
+    stream = stream_events(spark, src)
+    q = _run_stream(view_purchase_join_stream(stream, stream), "vp_join")
+    got = {
+        (r["view_id"], r["purchase_id"]) for r in spark.sql("SELECT * FROM vp_join").collect()
+    }
+
+    ev = load_table(spark, SF_DIR, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = {
+        (r["view_id"], r["purchase_id"])
+        for r in v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert len(want) > 0
+    # The stream emits exactly the batch pairs (watermark only evicts state;
+    # with availableNow over a bounded source nothing is late-dropped here).
+    assert got == want
