@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_pairs_scale": dedup.simhash_neardup_pairs_scale,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
         "decontaminate_ngram_overlap": dedup.decontaminate_ngram_overlap,
+        "dedup_groups": dedup.dedup_groups,
         # --- similarity search ---
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -119,6 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe_topk": similarity.ann_lsh_multiprobe_topk,
         "knn_join_blocked": similarity.knn_join_blocked,
         "knn_join_vectorized": similarity.knn_join_vectorized,
+        "embedding_centroids": similarity.embedding_centroids,
+        "kmeans_assign": similarity.kmeans_assign,
         # --- text analysis ---
         "lang_id": text.lang_id,
         "quality_score": text.quality_score,
@@ -903,6 +906,57 @@ corpus AS (SELECT doc_id, unnest(S) AS s FROM shl WHERE doc_id >= 50)
 SELECT doc_id, count(*) AS n_shared
 FROM corpus JOIN bench USING (s)
 GROUP BY doc_id ORDER BY doc_id
+""",
+        # The Spark side is an iterative min-label-propagation fixpoint;
+        # the same fixpoint in SQL is a recursive CTE over the edge set.
+        "dedup_groups": f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+shl AS (SELECT doc_id, {_SHINGLES} AS S FROM toks),
+p AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         len(list_intersect(a.S, b.S)) AS inter,
+         len(a.S) + len(b.S) - len(list_intersect(a.S, b.S)) AS uni
+  FROM shl a JOIN shl b ON a.doc_id < b.doc_id),
+pr AS (SELECT d1, d2 FROM p WHERE inter / uni >= 0.5),
+edges AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n ORDER BY n
+""",
+        "embedding_centroids": """
+WITH c AS (
+  SELECT label, i, avg(embedding[i]::DOUBLE) AS c
+  -- dim fixed at 64 (all testdata embeddings; lateral len() is not a
+  -- valid generate_series parameter in DuckDB)
+  FROM embeddings, generate_series(1, 64) t(i)
+  GROUP BY label, i)
+SELECT label,
+       string_agg(printf('%.4f', c), ',' ORDER BY i) AS centroid_csv,
+       count(*) AS n_dims
+FROM c GROUP BY label ORDER BY label
+""",
+        "kmeans_assign": """
+WITH c AS (
+  SELECT label AS c_label, i, avg(embedding[i]::DOUBLE) AS c
+  FROM embeddings, generate_series(1, 64) t(i)
+  GROUP BY c_label, i),
+d AS (
+  SELECT e.vec_id, e.label, c.c_label,
+         round(sum((e.embedding[c.i]::DOUBLE - c.c)
+                   * (e.embedding[c.i]::DOUBLE - c.c)), 6) AS dist_sq
+  FROM embeddings e, c
+  GROUP BY e.vec_id, e.label, c.c_label),
+best AS (
+  SELECT vec_id, label AS old_label, c_label AS new_label, dist_sq,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist_sq, c_label) AS rn
+  FROM d)
+SELECT vec_id, old_label, new_label, dist_sq
+FROM best WHERE rn = 1 ORDER BY vec_id
 """,
         # --- similarity ---
         "ann_bruteforce_topk": ann_bf,

@@ -392,3 +392,63 @@ def decontaminate_ngram_overlap(
         .agg(F.count("*").alias("n_shared"))
         .orderBy("doc_id")
     )
+
+
+def dedup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
+    """Near-duplicate clustering: connected components over the verified
+    n-gram-Jaccard pair graph, each doc labeled with its component's min
+    doc_id (the canonical survivor — everything else in a group is the
+    droppable duplicate set).
+
+    Iterative min-label propagation: every node starts as its own label;
+    each round takes the min of its own and its neighbors' labels;
+    converged when nothing changes. Rounds needed = graph diameter (near-dup
+    components are shallow — pairs share most shingles, so diameters are
+    tiny). Each round is one shuffle on the edge key; lineage is cut per
+    round with localCheckpoint so the plan doesn't snowball. The driver only
+    ever sees the one converged counter, never the data. At 100 TB the same
+    loop runs with the large-star/small-star optimization (alternating
+    conditional joins) — identical output, fewer skewed shuffles.
+
+    Iterative fixpoint = genuinely non-SQL control flow on the Spark side;
+    the DuckDB oracle expresses the same fixpoint as a recursive CTE."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    edges = (
+        pairs.union(pairs.select(F.col("d2"), F.col("d1")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("n"))
+        .distinct()
+        .withColumn("lbl", F.col("n"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.n)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.n == nbr_min.src, "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+                (F.col("nbr_lbl") < F.col("lbl")).alias("moved"),
+            )
+            # lazy checkpoint: the convergence count below materializes it,
+            # so each round costs ONE job, not checkpoint + count
+            .localCheckpoint(eager=False)
+        )
+        changed = new_labels.filter(F.col("moved")).count()
+        new_labels = new_labels.drop("moved")
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("n").alias("doc_id"), F.col("lbl").alias("group_id")
+    ).orderBy("doc_id")

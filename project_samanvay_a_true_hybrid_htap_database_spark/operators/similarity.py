@@ -303,3 +303,80 @@ def ann_lsh_multiprobe_topk(
         .limit(k)
         .select("vec_id", F.round("cos", 4).alias("cos_sim"))
     )
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the IVF/k-means build
+    step. posexplode → groupBy (label, dim) avg → re-assemble ordered by
+    dim. Two shuffles, both partial-agg friendly; no vector ever collects
+    to the driver. The centroid is emitted as a rounded CSV string so the
+    DuckDB oracle (unnest WITH ORDINALITY) hashes identically — array
+    float layouts do not compare across engines, strings do."""
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("c"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                    lambda s: F.format_number(s["c"], 4),
+                ),
+            ).alias("centroid_csv"),
+            F.count("*").alias("n_dims"),
+        )
+        .orderBy("label")
+    )
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd assignment step: each vector moves to its nearest per-label
+    centroid (squared L2). Centroids are tiny (clusters × dim) and
+    broadcast; distances are a JVM higher-order fold over the zipped
+    arrays; argmin = min-distance struct per vector (array_min over
+    (dist, label) structs — no window, one pass). Ties break to the lower
+    label via struct ordering. This is the iterate of IVF list building:
+    at 100 TB each pass is one broadcast join over the embedding table."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("c"))
+    )
+    centroids = per_dim.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "label",
+            F.struct(
+                F.round(dist, 6).alias("d"), F.col("c_label").alias("l")
+            ).alias("dl"),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.min("dl").alias("best"))
+    )
+    return scored.select(
+        "vec_id",
+        F.col("label").alias("old_label"),
+        F.col("best.l").alias("new_label"),
+        F.col("best.d").alias("dist_sq"),
+    ).orderBy("vec_id")
