@@ -185,6 +185,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": analytics.tpch_q18_large_volume_customer,
         "tpch_q19": analytics.tpch_q19_discounted_revenue,
         "tpch_q22": analytics.tpch_q22_global_sales_opportunity,
+        "tpch_q2": analytics.tpch_q2_min_cost_supplier,
+        "tpch_q11": analytics.tpch_q11_important_stock,
+        "tpch_q12": analytics.tpch_q12_shipping_priority_class,
+        "tpch_q16": analytics.tpch_q16_parts_supplier_count,
+        "tpch_q20": analytics.tpch_q20_part_promotion,
+        "tpch_q21": analytics.tpch_q21_suppliers_kept_waiting,
         "anti_join": analytics.anti_join,
         "rollup_agg": analytics.rollup_agg,
         "pivot_status_by_priority": analytics.pivot_status_by_priority,
@@ -798,6 +804,101 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '1999-01-01')
 GROUP BY cntry ORDER BY cntry
+""",
+        "tpch_q2": """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         round(min(l_extendedprice / l_quantity), 4) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name AS nation
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+es AS (
+  SELECT * FROM supply
+  JOIN eu ON l_suppkey = s_suppkey
+  JOIN (SELECT p_partkey FROM part
+        WHERE p_type = 'STANDARD' AND p_size = 15) p
+    ON l_partkey = p_partkey)
+SELECT s_acctbal, s_name, nation, l_partkey AS p_key, cost
+FROM es
+WHERE cost = (SELECT min(cost) FROM es e2 WHERE e2.l_partkey = es.l_partkey)
+ORDER BY s_acctbal DESC, nation, s_name, p_key
+LIMIT 100
+""",
+        "tpch_q11": """
+WITH per_part AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS value_raw
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA')
+  GROUP BY l_partkey)
+SELECT l_partkey AS p_key, round(value_raw, 2) AS part_value
+FROM per_part
+WHERE value_raw > (SELECT sum(value_raw) * 0.001 FROM per_part)
+ORDER BY part_value DESC, p_key
+""",
+        "tpch_q12": """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE year(l_shipdate) = 1998
+  AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        "tpch_q16": """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#1' AND p_type != 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 15, 23, 45, 50)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+        "tpch_q20": """
+WITH per_sp AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+  FROM lineitem
+  WHERE year(l_shipdate) = 1998
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY l_partkey, l_suppkey)
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM per_sp
+  WHERE sq > (SELECT sum(sq) * 0.5 FROM per_sp p2
+              WHERE p2.l_partkey = per_sp.l_partkey))
+ORDER BY s_name
+""",
+        "tpch_q21": """
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate >= o_orderdate + INTERVAL 90 DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'),
+per_order AS (
+  SELECT l_orderkey AS po_key,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+  FROM lines GROUP BY po_key)
+SELECT s_name, count(*) AS numwait
+FROM lines
+JOIN per_order ON l_orderkey = po_key AND n_supp >= 2 AND n_late_supp = 1
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE late
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
 """,
         "anti_join": """
 SELECT c_custkey, c_name, c_mktsegment

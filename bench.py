@@ -53,6 +53,12 @@ def main() -> None:
         "tpch_q9",
         "tpch_q13",
         "tpch_q18",
+        # round-3 completions: the full 22-query TPC-H surface; these three
+        # are the heavy shapes (per-pair supply agg, distinct-count cube,
+        # exists/not-exists late-supplier rewrite)
+        "tpch_q2",
+        "tpch_q16",
+        "tpch_q21",
         "revenue_by_nation",
         "join_agg_orders_lineitem",
         "window_topn_per_group",

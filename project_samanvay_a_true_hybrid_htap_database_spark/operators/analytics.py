@@ -1014,3 +1014,228 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("active_users"))
         .orderBy("cohort", "week_no")
     )
+
+
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier), adapted: no partsupp table,
+    so the supply relation is the distinct (part, supplier) pairs observed
+    in lineitem with unit cost = min(l_extendedprice / l_quantity). The
+    correlated MIN subquery becomes a per-part aggregate joined back —
+    the decorrelation Catalyst would do anyway, made explicit so the
+    supply table is scanned once. EUROPE suppliers only, STANDARD parts
+    of size 15; top 100 by account balance."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
+            "cost"
+        )
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") == 15)
+    ).select("p_partkey")
+    eu_supply = supply.join(F.broadcast(supp), supply.l_suppkey == supp.s_suppkey).join(
+        F.broadcast(part), supply.l_partkey == part.p_partkey
+    )
+    min_cost = eu_supply.groupBy(F.col("l_partkey").alias("mc_key")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        eu_supply.join(
+            F.broadcast(min_cost),
+            (F.col("l_partkey") == F.col("mc_key"))
+            & (F.col("cost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "nation", F.col("l_partkey").alias("p_key"), "cost")
+        .orderBy(F.col("s_acctbal").desc(), "nation", "s_name", "p_key")
+        .limit(100)
+    )
+
+
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification), adapted: stock
+    value per part is the lineitem net revenue supplied by ASIA suppliers
+    (no partsupp availqty/supplycost). The HAVING-over-scalar-subquery
+    becomes a 1-row broadcast cross join — the total is computed from the
+    already-aggregated per-part table, not a second fact scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "value_raw"
+            )
+        )
+    )
+    threshold = per_part.agg(
+        (F.sum("value_raw") * F.lit(0.001)).alias("cut")
+    )
+    return (
+        per_part.join(F.broadcast(threshold), F.col("value_raw") > F.col("cut"))
+        .select(F.col("l_partkey").alias("p_key"), F.round("value_raw", 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "p_key")
+    )
+
+
+def tpch_q12_shipping_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes & order priority), adapted: no
+    l_shipmode/l_receiptdate, so the class column is l_returnflag and
+    "late" is shipped 60+ days after the order date. One shuffle-free
+    pre-aggregated CASE count per class; the date predicate compares two
+    scan columns post-join (not pushable, but evaluated in codegen)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    ).filter(F.year("l_shipdate") == 1998)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def tpch_q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship), adapted: supplier-part
+    pairs come from lineitem (no partsupp); "complaint" suppliers are those
+    with negative account balance, removed by anti-join before the distinct
+    count. countDistinct over (brand, type, size) is the one expensive
+    shuffle — it expands to a two-phase distinct-then-count, both stages
+    partial-agg friendly."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 50)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion), adapted: a supplier
+    qualifies if, for some 'small%' part, their 1998 shipped quantity
+    exceeds half the total shipped for that part — the availqty>half-sum
+    shape re-based on lineitem. The nested IN chain becomes two semi-join
+    reductions (part names → qualifying pairs → suppliers); quantities are
+    integral doubles so the half-sum comparison is exact. ASIA suppliers,
+    ordered by name."""
+    parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.year("l_shipdate") == 1998)
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    per_sp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("sq")
+    )
+    per_p = per_sp.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        (F.sum("sq") * F.lit(0.5)).alias("half")
+    )
+    qual = (
+        per_sp.join(
+            F.broadcast(per_p),
+            (F.col("l_partkey") == F.col("pp_key")) & (F.col("sq") > F.col("half")),
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(qual), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted: "late"
+    is shipped 90+ days after the order date (no receipt/commit dates).
+    The EXISTS/NOT-EXISTS pair over sibling lineitems becomes one per-order
+    aggregate — distinct suppliers and distinct *late* suppliers per
+    finished order — joined back to the late lines: a qualifying line is
+    late on a multi-supplier order where its supplier is the only late
+    one. Two shuffles on l_orderkey instead of two correlated self-joins;
+    at 100 TB the per-order aggregate is partial-agg friendly and the
+    join back is key-aligned (same l_orderkey partitioning reused)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "late",
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+    )
+    per_order = lines.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lines.filter(F.col("late"))
+        .join(
+            per_order,
+            (F.col("l_orderkey") == F.col("po_key"))
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
