@@ -26,6 +26,7 @@ from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
     dedup,
     multimodal,
     relational,
+    sampling,
     similarity,
     text,
 )
@@ -129,6 +130,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": text.fingerprints,
         "lang_distribution": text.lang_distribution,
         "ngram_freq_topk": text.ngram_freq_topk,
+        # --- deterministic sampling & splits ---
+        "hash_sample": sampling.hash_sample,
+        "stratified_sample": sampling.stratified_sample,
+        "fixed_k_per_stratum": sampling.fixed_k_per_stratum,
+        "train_test_split": sampling.train_test_split,
+        "pipeline_funnel": sampling.pipeline_funnel,
         # --- multimodal (binary + metadata; mapInPandas plumbing) ---
         "multimodal_summary": multimodal.multimodal_summary,
         "multimodal_frames": multimodal.frame_sample,
@@ -1075,4 +1082,66 @@ FROM best WHERE rn = 1 ORDER BY vec_id
         "fingerprints": fingerprints_sql,
         "lang_distribution": lang_dist_sql,
         "ngram_freq_topk": ngram_topk_sql,
+        # --- deterministic sampling & splits (md5-bucket membership) ---
+        "hash_sample": """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ('0x' || substr(md5('smp|' || doc_id::VARCHAR), 1, 8))::BIGINT
+      % 10000 < 1000
+ORDER BY doc_id
+""",
+        "stratified_sample": """
+SELECT lang, count(*) AS n_total,
+  CAST(sum(CASE WHEN
+    ('0x' || substr(md5('strat|' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+    < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 8000 WHEN 'es' THEN 8000
+                WHEN 'fr' THEN 8000 WHEN 'und' THEN 2500 ELSE 0 END
+  THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM documents GROUP BY lang ORDER BY lang
+""",
+        "fixed_k_per_stratum": """
+WITH r AS (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('resv|' || doc_id::VARCHAR), 1, 8))::BIGINT
+                    % 10000 ASC,
+                    doc_id ASC) AS INT) AS rk
+  FROM documents)
+SELECT doc_id, lang, rk FROM r WHERE rk <= 20 ORDER BY lang, rk
+""",
+        "train_test_split": """
+WITH b AS (
+  SELECT n_chars,
+         ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))::BIGINT
+         % 10000 AS bk
+  FROM documents)
+SELECT CASE WHEN bk < 8000 THEN 'train'
+            WHEN bk < 9000 THEN 'valid' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY split ORDER BY split
+""",
+        "pipeline_funnel": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS T FROM documents),
+f AS (
+  SELECT doc_id,
+    greatest({", ".join(f"len(list_filter(T, t -> list_contains({m!r}, t)))" for m in text.LANG_MARKERS.values())}) > 0 AS lang_ok,
+    (least(len(T) / 100.0, 1.0) * 0.4
+     + (len(list_distinct(T)) / len(T)) * 0.3
+     + (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+        / length(text)) * 0.3) > 0.45 AS q_ok,
+    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+  FROM t),
+agg AS (
+  SELECT count(*) AS c0,
+         CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN lang_ok AND q_ok THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN lang_ok AND q_ok AND canon THEN 1 ELSE 0 END) AS BIGINT) AS c3
+  FROM f)
+SELECT '0_total' AS stage, c0 AS n_docs FROM agg
+UNION ALL SELECT '1_lang_id', c1 FROM agg
+UNION ALL SELECT '2_quality', c2 FROM agg
+UNION ALL SELECT '3_dedup', c3 FROM agg
+ORDER BY stage
+""",
     }

@@ -1,0 +1,179 @@
+"""Deterministic sampling & split operators for training-data pipelines.
+
+Every operator keys off md5 of a salted document id — NOT ``rand()`` — so
+(a) the sample is reproducible run-to-run and engine-to-engine (the DuckDB
+oracle computes the identical membership), (b) membership is a pure
+per-row filter evaluated inside the parquet scan stage: no shuffle, no
+driver coordination, no seed-plumbed RNG state. At 100 TB a hash-gated
+sample is embarrassingly parallel and composes with predicate pushdown;
+``df.sample()``'s per-partition RNG is neither portable nor stable under
+repartitioning.
+
+Reference scope note: the reference engine has no sampling surface at all
+(SURVEY.md §2.4); these are the pipeline extensions the build brief asks
+for alongside dedup/similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long32
+from ..sources import load_table
+
+# Per-language downsampling rates in basis points (of 10,000) for the
+# stratified sample: keep all low-resource text, thin the dominant bucket.
+# Literal constants so the oracle SQL embeds the same values.
+STRATA_BP = {"en": 5000, "de": 8000, "es": 8000, "fr": 8000, "und": 2500}
+
+
+def _bucket(salt: str, col: str = "doc_id") -> F.Column:
+    """Deterministic bucket in [0, 10000): md5 of the salted id."""
+    return md5_long32(F.concat(F.lit(salt + "|"), F.col(col).cast("string"))) % 10000
+
+
+def hash_sample(spark: SparkSession, sf_dir: str, rate_bp: int = 1000) -> DataFrame:
+    """Bernoulli-style deterministic sample: keep a doc iff its salted hash
+    bucket falls below ``rate_bp`` (default 10%). Pure scan-stage filter —
+    the sample of a 100 TB corpus costs one pass and prunes columns like
+    any other scan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return (
+        docs.filter(_bucket("smp") < rate_bp)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified downsampling (the corpus-rebalancing step): each
+    language keeps its own hash-rate. Output is the per-language audit —
+    total vs sampled counts — computed with conditional aggregation in the
+    same single scan that evaluates membership; no join, no second pass."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(bp))
+            for lang, bp in STRATA_BP.items()
+        ],
+        F.lit(0),
+    )
+    kept = _bucket("strat") < rate
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+def fixed_k_per_stratum(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Uniform fixed-size sample per language: rank docs inside each
+    language by their salted hash (a deterministic random order) and keep
+    the first ``k``. The reservoir-sampling shape without reservoir state:
+    one window shuffle on the stratum key. At 100 TB with a skewed stratum,
+    swap the window for a per-partition top-k (mapPartitions heap) feeding
+    a final merge — same output, bounded memory."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        _bucket("resv").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "lang", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment by hash bucket,
+    reported as per-split counts + character volume. Assignment is a pure
+    row expression: the same doc lands in the same split on every engine,
+    every run, every repartitioning — the property that matters when the
+    split must stay stable across pipeline re-runs on growing data."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    b = _bucket("split")
+    split = (
+        F.when(b < 8000, "train").when(b < 9000, "valid").otherwise("test")
+    )
+    return (
+        docs.groupBy(split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end data-cleaning funnel: total → language-identified →
+    quality-passing → exact-dedup canonical. Composes the text operators'
+    expressions over ONE scan of documents: per-doc flags are plain column
+    expressions (plus one window for the canonical-duplicate flag), and the
+    four stage counts are conditional aggregates of those flags. Emitted as
+    one row per stage via posexplode of a 4-element literal array — NOT a
+    4-way union, which would clone the aggregate per branch."""
+    from .text import LANG_MARKERS
+    from ..functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens("text")
+
+    def _is_marker(markers: list[str]):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return lambda t: F.array_contains(arr, t)
+
+    scores = [
+        F.size(F.filter(toks, _is_marker(m))) for m in LANG_MARKERS.values()
+    ]
+    lang_ok = F.greatest(*scores) > 0
+
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    alpha_ratio = F.length(
+        F.regexp_replace(F.lower("text"), "[^a-z]", "")
+    ) / F.length("text")
+    quality = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + distinct_ratio * 0.3
+        + alpha_ratio * 0.3
+    )
+    quality_ok = quality > 0.45
+
+    canonical = F.col("doc_id") == F.min("doc_id").over(
+        Window.partitionBy(F.md5("text"))
+    )
+
+    flagged = docs.select(
+        lang_ok.alias("lang_ok"),
+        quality_ok.alias("q_ok"),
+        canonical.alias("canon"),
+    )
+    agg = flagged.agg(
+        F.count("*").alias("c0"),
+        F.sum(F.when(F.col("lang_ok"), 1).otherwise(0)).alias("c1"),
+        F.sum(
+            F.when(F.col("lang_ok") & F.col("q_ok"), 1).otherwise(0)
+        ).alias("c2"),
+        F.sum(
+            F.when(
+                F.col("lang_ok") & F.col("q_ok") & F.col("canon"), 1
+            ).otherwise(0)
+        ).alias("c3"),
+    )
+    stages = F.array(
+        F.struct(F.lit("0_total").alias("stage"), F.col("c0").alias("n_docs")),
+        F.struct(F.lit("1_lang_id").alias("stage"), F.col("c1").alias("n_docs")),
+        F.struct(F.lit("2_quality").alias("stage"), F.col("c2").alias("n_docs")),
+        F.struct(F.lit("3_dedup").alias("stage"), F.col("c3").alias("n_docs")),
+    )
+    return (
+        agg.select(F.explode(stages).alias("s"))
+        .select(F.col("s.stage").alias("stage"), F.col("s.n_docs").alias("n_docs"))
+        .orderBy("stage")
+    )

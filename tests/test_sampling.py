@@ -1,0 +1,60 @@
+"""Deterministic-sampling invariants: reproducibility (hash membership, not
+RNG), split disjointness/coverage, per-stratum size caps, and funnel
+monotonicity. These are the properties a pipeline re-run on grown data
+relies on; ``df.sample()`` satisfies none of them."""
+
+from __future__ import annotations
+
+import pytest
+
+from project_samanvay_a_true_hybrid_htap_database_spark.operators import sampling
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_hash_sample_reproducible(spark):
+    a = sorted(r.doc_id for r in sampling.hash_sample(spark, SF_DIR).collect())
+    b = sorted(r.doc_id for r in sampling.hash_sample(spark, SF_DIR).collect())
+    assert a == b and len(a) > 0
+
+
+def test_hash_sample_rate_monotone(spark):
+    small = {r.doc_id for r in sampling.hash_sample(spark, SF_DIR, 500).collect()}
+    large = {r.doc_id for r in sampling.hash_sample(spark, SF_DIR, 2000).collect()}
+    # A lower rate's sample is a subset of a higher rate's (same salt):
+    # raising the rate only adds documents, never reshuffles membership.
+    assert small <= large
+    assert len(small) < len(large)
+
+
+def test_train_test_split_partitions_corpus(spark):
+    from project_samanvay_a_true_hybrid_htap_database_spark.sources import load_table
+
+    rows = {r.split: r for r in sampling.train_test_split(spark, SF_DIR).collect()}
+    total = load_table(spark, SF_DIR, "documents").count()
+    assert set(rows) <= {"train", "valid", "test"}
+    assert sum(r.n_docs for r in rows.values()) == total
+    assert rows["train"].n_docs > rows["test"].n_docs
+
+
+def test_fixed_k_per_stratum_caps(spark):
+    out = sampling.fixed_k_per_stratum(spark, SF_DIR, k=5).collect()
+    per_lang: dict[str, int] = {}
+    for r in out:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + 1
+        assert 1 <= r.rk <= 5
+    assert all(n <= 5 for n in per_lang.values())
+
+
+def test_pipeline_funnel_monotone(spark):
+    stages = sampling.pipeline_funnel(spark, SF_DIR).collect()
+    counts = [r.n_docs for r in sorted(stages, key=lambda r: r.stage)]
+    assert len(counts) == 4
+    # Each stage can only drop documents.
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[0] > 0 and counts[-1] > 0
+
+
+def test_stratified_sample_bounds(spark):
+    for r in sampling.stratified_sample(spark, SF_DIR).collect():
+        assert 0 <= r.n_sampled <= r.n_total
