@@ -815,7 +815,7 @@ GROUP BY cntry ORDER BY cntry
         "tpch_q2": """
 WITH supply AS (
   SELECT l_partkey, l_suppkey,
-         round(min(l_extendedprice / l_quantity), 4) AS cost
+         floor(min(l_extendedprice / l_quantity) * 10000) / 10000 AS cost
   FROM lineitem GROUP BY l_partkey, l_suppkey),
 eu AS (
   SELECT s_suppkey, s_name, s_acctbal, n_name AS nation

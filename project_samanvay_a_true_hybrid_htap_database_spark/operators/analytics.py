@@ -1027,10 +1027,13 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
+    # Truncate (floor), don't round: both engines hold the identical IEEE
+    # double, and floor(x*1e4)/1e4 is an exact function of it — round() is
+    # not (Spark's BigDecimal half-up vs DuckDB's multiply round disagree on
+    # near-midpoint doubles).
+    unit = F.min(F.col("l_extendedprice") / F.col("l_quantity"))
     supply = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
-            "cost"
-        )
+        (F.floor(unit * 10000) / 10000).alias("cost")
     )
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
