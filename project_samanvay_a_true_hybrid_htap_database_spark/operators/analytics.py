@@ -1027,14 +1027,6 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
-    # Truncate (floor), don't round: both engines hold the identical IEEE
-    # double, and floor(x*1e4)/1e4 is an exact function of it — round() is
-    # not (Spark's BigDecimal half-up vs DuckDB's multiply round disagree on
-    # near-midpoint doubles).
-    unit = F.min(F.col("l_extendedprice") / F.col("l_quantity"))
-    supply = li.groupBy("l_partkey", "l_suppkey").agg(
-        (F.floor(unit * 10000) / 10000).alias("cost")
-    )
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     supp = (
@@ -1048,9 +1040,27 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "STANDARD") & (F.col("p_size") == 15)
     ).select("p_partkey")
-    eu_supply = supply.join(F.broadcast(supp), supply.l_suppkey == supp.s_suppkey).join(
-        F.broadcast(part), supply.l_partkey == part.p_partkey
+    # Broadcast-semi-filter the fact BEFORE the per-pair aggregate: the
+    # part/region predicates are on the group keys, so filtering first is
+    # exactly equivalent — and the wide (partkey, suppkey) shuffle sees only
+    # the qualifying sliver of lineitem, not all of it. At 100 TB this is
+    # the difference between shuffling ~0.1% and 100% of the fact table.
+    li_f = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi"
+    ).join(
+        F.broadcast(supp.select("s_suppkey")),
+        li.l_suppkey == supp.s_suppkey,
+        "left_semi",
     )
+    # Truncate (floor), don't round: both engines hold the identical IEEE
+    # double, and floor(x*1e4)/1e4 is an exact function of it — round() is
+    # not (Spark's BigDecimal half-up vs DuckDB's multiply round disagree on
+    # near-midpoint doubles).
+    unit = F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+    supply = li_f.groupBy("l_partkey", "l_suppkey").agg(
+        (F.floor(unit * 10000) / 10000).alias("cost")
+    )
+    eu_supply = supply.join(F.broadcast(supp), supply.l_suppkey == supp.s_suppkey)
     min_cost = eu_supply.groupBy(F.col("l_partkey").alias("mc_key")).agg(
         F.min("cost").alias("min_cost")
     )
@@ -1136,11 +1146,6 @@ def tpch_q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame
     count. countDistinct over (brand, type, size) is the one expensive
     shuffle — it expands to a two-phase distinct-then-count, both stages
     partial-agg friendly."""
-    pairs = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
     bad = load_table(spark, sf_dir, "supplier").filter(
         F.col("s_acctbal") < 0
     ).select("s_suppkey")
@@ -1149,9 +1154,22 @@ def tpch_q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 50)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
+    # Semi/anti-filter BEFORE the distinct: both predicates are on the
+    # distinct keys, so the surviving pair set is identical — but the
+    # distinct's shuffle now carries only qualifying-part rows (~1/6 of
+    # lineitem here, far less with real TPC-H selectivities at 100 TB).
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    pairs = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .distinct()
+    )
     return (
-        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -1221,15 +1239,23 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
         "late",
         F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
     )
-    per_order = lines.groupBy(F.col("l_orderkey").alias("po_key")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+    # Pre-aggregate to one row per (order, supplier) FIRST: the raw lines
+    # never feed a countDistinct expand or a join-back. n_supp is then a
+    # plain count, n_late_supp a conditional sum, and the late-line count
+    # rides along — all map-side-combinable; the qualifying join runs on
+    # the two already-reduced tables.
+    per_os = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("late_lines")
+    )
+    per_order = per_os.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.when(F.col("late_lines") > 0, 1).otherwise(0)).alias(
             "n_late_supp"
         ),
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        lines.filter(F.col("late"))
+        per_os.filter(F.col("late_lines") > 0)
         .join(
             per_order,
             (F.col("l_orderkey") == F.col("po_key"))
@@ -1238,7 +1264,7 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("late_lines").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
