@@ -30,6 +30,9 @@ from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
     similarity,
     text,
 )
+from project_samanvay_a_true_hybrid_htap_database_spark.sources.bucketing import (
+    bucketed_join_agg,
+)
 
 # ---------------------------------------------------------------------------
 # Shared DuckDB SQL fragments (must stay in lockstep with functions/textfns.py)
@@ -176,6 +179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": analytics.funnel_conversion,
         "retention_cohorts": analytics.retention_cohorts,
         "join_agg_orders_lineitem": analytics.join_agg_orders_lineitem,
+        "bucketed_join_agg": bucketed_join_agg,
         "sessionize": analytics.sessionize,
         "tpch_q3": analytics.tpch_q3_shipping_priority,
         "tpch_q5": analytics.tpch_q5_supplier_volume,
@@ -596,6 +600,15 @@ FROM active JOIN first_seen USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "join_agg_orders_lineitem": """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+        # Same oracle as join_agg_orders_lineitem: the bucketed layout must
+        # change the plan (no join-side Exchange), never the rows.
+        "bucketed_join_agg": """
 SELECT o_orderpriority, count(*) AS n_items,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey

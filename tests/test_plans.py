@@ -176,3 +176,34 @@ class TestLshIndexPruning:
         a = similarity.ann_lsh_topk(spark, SF_DIR).collect()
         b = similarity.ann_lsh_indexed_topk(spark, SF_DIR).collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b] and len(a) > 0
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_join_side_exchange(self, spark):
+        """Both fact scans read bucket-aligned files, so the SortMergeJoin
+        takes neither side through an Exchange; the only shuffle left is
+        the tiny post-partial-agg re-key on o_orderpriority."""
+        import re
+
+        from project_samanvay_a_true_hybrid_htap_database_spark.sources.bucketing import (
+            bucketed_join_agg,
+        )
+
+        p = plan(bucketed_join_agg(spark, SF_DIR))
+        assert "SortMergeJoin" in p
+        assert p.count("Bucketed: true") == 2
+        exchanges = re.findall(r"\(\d+\) Exchange", p)
+        assert len(exchanges) == 1, f"expected only the agg exchange: {exchanges}"
+
+    def test_bucketed_matches_plain(self, spark):
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import analytics
+        from project_samanvay_a_true_hybrid_htap_database_spark.sources.bucketing import (
+            bucketed_join_agg,
+        )
+
+        a = sorted(
+            tuple(r)
+            for r in analytics.join_agg_orders_lineitem(spark, SF_DIR).collect()
+        )
+        b = sorted(tuple(r) for r in bucketed_join_agg(spark, SF_DIR).collect())
+        assert a == b and len(a) > 0
