@@ -41,7 +41,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reader rejects unless read as a raw long. Set the conf defensively
         # (the driver's harness may build its own session without it), read
         # nanos, and surface both the raw value and a microsecond timestamp.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Only touch session state when it's actually missing.
+        if (
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+            != "true"
+        ):
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         return df.withColumn("ts_nanos", F.col("ts")).withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)")
