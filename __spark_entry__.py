@@ -180,6 +180,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": analytics.retention_cohorts,
         "join_agg_orders_lineitem": analytics.join_agg_orders_lineitem,
         "bucketed_join_agg": bucketed_join_agg,
+        "skew_join_salted": analytics.skew_join_salted,
+        # HLL sketch twin: no SQL oracle (approximate by construction);
+        # the driver records the rows-only check, and the pytest suite
+        # bounds its error against the exact twin.
+        "distinct_count_approx": analytics.distinct_count_approx,
         "sessionize": analytics.sessionize,
         "tpch_q3": analytics.tpch_q3_shipping_priority,
         "tpch_q5": analytics.tpch_q5_supplier_volume,
@@ -600,6 +605,15 @@ FROM active JOIN first_seen USING (user_id)
 GROUP BY 1, 2 ORDER BY 1, 2
 """,
         "join_agg_orders_lineitem": """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+        # Same oracle as join_agg_orders_lineitem: the salted join must
+        # change the shuffle distribution, never the rows.
+        "skew_join_salted": """
 SELECT o_orderpriority, count(*) AS n_items,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey

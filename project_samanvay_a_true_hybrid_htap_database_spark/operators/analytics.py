@@ -1268,3 +1268,58 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+def distinct_count_approx(spark: SparkSession, sf_dir: str, rsd: float = 0.01) -> DataFrame:
+    """HLL production twin of distinct_count_agg: approx_count_distinct
+    replaces the expand+dedup double shuffle with a mergeable sketch — one
+    pass, map-side partials, fixed memory per group regardless of
+    cardinality. At 100 TB the exact form's (group, value) dedup shuffle
+    moves the whole key universe; the sketch moves kilobytes per group.
+    No SQL oracle (approximate by construction — the driver records the
+    rows-only check); test_sampling-style bounds vs the exact twin are
+    asserted in tests/test_operators_oracle.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd).alias("n_parts"),
+        F.approx_count_distinct("l_suppkey", rsd).alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def skew_join_salted(spark: SparkSession, sf_dir: str, salts: int = 8) -> DataFrame:
+    """Skew-resistant salted join: the fact side (lineitem) gets a random
+    salt in [0, salts); the other side (orders) is replicated once per salt
+    value via explode, and the join key becomes (orderkey, salt) — a hot
+    orderkey's rows spread over `salts` reducers instead of one straggler.
+    Result is row-identical to the plain join (each fact row still matches
+    exactly one replica), registered against the plain-join oracle to
+    prove it. This is the manual form of what AQE skew-join does at
+    runtime; it matters when skew is known ahead of time or the engine's
+    split thresholds don't trigger (many moderately-hot keys)."""
+    salt_vals = F.array(*[F.lit(i) for i in range(salts)])
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn("salt", F.explode(salt_vals))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    ).withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(salts)).cast("int"),
+    )
+    return (
+        li.join(
+            orders,
+            (li.l_orderkey == orders.o_orderkey) & (li.salt == orders.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

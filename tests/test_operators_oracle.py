@@ -111,3 +111,19 @@ def test_simhash_scale_twin_subset_of_exact(spark):
     }
     expected = {k: h for k, h in wide.items() if h <= 3}
     assert scale == expected and len(scale) > 0
+
+
+def test_distinct_count_approx_bounded_by_exact(spark):
+    """HLL twin tracks the exact distinct counts within ~5x rsd and keeps
+    the exact row count column untouched."""
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators import analytics
+
+    exact = {r.l_returnflag: r for r in analytics.distinct_count_agg(spark, SF_DIR).collect()}
+    approx = {r.l_returnflag: r for r in analytics.distinct_count_approx(spark, SF_DIR).collect()}
+    assert set(exact) == set(approx)
+    for flag, er in exact.items():
+        ar = approx[flag]
+        assert ar.n_rows == er.n_rows
+        for col in ("n_parts", "n_supps"):
+            rel = abs(ar[col] - er[col]) / max(er[col], 1)
+            assert rel < 0.05, f"{flag}.{col}: approx {ar[col]} vs exact {er[col]}"
