@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_k_per_stratum": sampling.fixed_k_per_stratum,
         "train_test_split": sampling.train_test_split,
         "pipeline_funnel": sampling.pipeline_funnel,
+        "pack_sequences": sampling.pack_sequences,
+        "embedding_quantize": similarity.embedding_quantize,
         # --- multimodal (binary + metadata; mapInPandas plumbing) ---
         "multimodal_summary": multimodal.multimodal_summary,
         "multimodal_frames": multimodal.frame_sample,
@@ -1170,5 +1172,30 @@ UNION ALL SELECT '1_lang_id', c1 FROM agg
 UNION ALL SELECT '2_quality', c2 FROM agg
 UNION ALL SELECT '3_dedup', c3 FROM agg
 ORDER BY stage
+""",
+        "pack_sequences": f"""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard, len({_TOKS}) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM c GROUP BY shard, bin ORDER BY shard, bin
+""",
+        "embedding_quantize": """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS sc
+  FROM embeddings)
+SELECT vec_id,
+       floor(sc * 1e6) / 1e6 AS scale_1e6,
+       array_to_string(
+         list_transform(embedding,
+                        x -> CAST(floor(x::DOUBLE / sc) AS INT)), ',') AS codes_csv
+FROM s ORDER BY vec_id
 """,
     }

@@ -177,3 +177,44 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s.stage").alias("stage"), F.col("s.n_docs").alias("n_docs"))
         .orderBy("stage")
     )
+
+
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, budget: int = 512, shards: int = 8
+) -> DataFrame:
+    """Training-sequence packing (the concat-then-chunk step of LLM
+    pretraining): documents are concatenated in a deterministic order and
+    chunked into fixed-token-budget bins; a doc belongs to the bin its
+    start offset falls in. Packing is per-shard (doc_id mod ``shards``) so
+    the cumulative-sum window parallelizes — a single global ordering would
+    serialize the corpus through one task at 100 TB, while per-shard
+    packing runs one window partition per shard and loses nothing (shards
+    are independent training streams). Output is the per-bin audit
+    (docs + token mass per bin), which is also what a capacity planner
+    needs."""
+    from ..functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_tokens = F.size(tokens("text"))
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % shards).alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = sized.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget),
+    )
+    return (
+        binned.groupBy("shard", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        )
+        .orderBy("shard", "bin")
+    )

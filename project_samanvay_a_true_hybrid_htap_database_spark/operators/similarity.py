@@ -380,3 +380,26 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best.l").alias("new_label"),
         F.col("best.d").alias("dist_sq"),
     ).orderBy("vec_id")
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the storage/
+    serving compression step of a vector pipeline (4x smaller, SIMD-
+    friendly). Per-vector scale = max|x| / 127; q_i = floor(x_i / scale)
+    (floor, not round — an exact function of the shared IEEE double, so
+    the DuckDB oracle computes identical codes). All JVM higher-order
+    functions over the array — one scan, no shuffle, no Python. Codes are
+    emitted as a CSV string: int arrays hash differently across engines,
+    strings do not."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    x = F.col("embedding").cast("array<double>")
+    max_abs = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    scale = max_abs / F.lit(127.0)
+    codes = F.transform(x, lambda v: F.floor(v / scale).cast("int"))
+    return emb.select(
+        "vec_id",
+        (F.floor(scale * 1e6) / 1e6).alias("scale_1e6"),
+        F.concat_ws(",", F.transform(codes, lambda c: c.cast("string"))).alias(
+            "codes_csv"
+        ),
+    ).orderBy("vec_id")
