@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_functions": analytics.string_functions,
         "json_extraction": analytics.json_extraction,
         "events_hourly_rollup": analytics.events_hourly_rollup,
+        "events_trending_topk": analytics.events_trending_topk,
         "funnel_conversion": analytics.funnel_conversion,
         "retention_cohorts": analytics.retention_cohorts,
         "join_agg_orders_lineitem": analytics.join_agg_orders_lineitem,
@@ -583,6 +584,19 @@ FROM events WHERE json_extract_string(props, '$.k')::INT > 90
 SELECT CAST(epoch(date_trunc('hour', ts::TIMESTAMP)) AS BIGINT) AS hour_epoch,
        event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2
+""",
+        "events_trending_topk": """
+WITH a AS (
+  SELECT CAST(epoch(date_trunc('hour', ts::TIMESTAMP)) AS BIGINT) AS hour_epoch,
+         event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT hour_epoch, event_type, n_events,
+         CAST(row_number() OVER (PARTITION BY hour_epoch
+                                 ORDER BY n_events DESC, event_type ASC) AS INT) AS rk
+  FROM a)
+SELECT hour_epoch, event_type, n_events, rk FROM r WHERE rk <= 3
+ORDER BY hour_epoch, rk
 """,
         "funnel_conversion": """
 WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events),

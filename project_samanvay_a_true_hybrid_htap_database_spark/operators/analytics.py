@@ -1323,3 +1323,24 @@ def skew_join_salted(spark: SparkSession, sf_dir: str, salts: int = 8) -> DataFr
             ).alias("revenue"),
         )
     )
+
+
+def events_trending_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Batch twin of streaming.trending_topk_stream: top-k event types per
+    tumbling hour. The rank runs over the (hour, type) aggregate — KBs —
+    never over raw events; same split the streaming form makes."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    rk = F.row_number().over(
+        Window.partitionBy("hour_epoch").orderBy(
+            F.col("n_events").desc(), F.col("event_type").asc()
+        )
+    )
+    return (
+        agg.withColumn("rk", rk)
+        .filter(F.col("rk") <= k)
+        .orderBy("hour_epoch", "rk")
+    )

@@ -288,3 +288,43 @@ def stream_into_engine(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def trending_topk_stream(
+    events: DataFrame, k: int = 3
+) -> tuple[DataFrame, "callable"]:
+    """Windowed trending top-k: tumbling-hour counts per event_type, ranked
+    to the top ``k`` types per window. Structured Streaming cannot rank
+    inside an append-mode aggregation, so this returns the streaming
+    aggregate plus a ``finalize`` callable that applies the rank — the
+    standard split: the heavy, stateful, watermark-bounded count runs
+    incrementally in the stream; the tiny per-window rank runs over the
+    aggregate snapshot (in foreachBatch, or over the memory-sink table).
+    At 100 TB/day the aggregate state is (windows x event types), KBs —
+    the rank never touches raw events."""
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+    def finalize(snapshot: DataFrame) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        rk = F.row_number().over(
+            W.partitionBy("hour_epoch").orderBy(
+                F.col("n_events").desc(), F.col("event_type").asc()
+            )
+        )
+        return (
+            snapshot.withColumn("rk", rk)
+            .filter(F.col("rk") <= k)
+            .orderBy("hour_epoch", "rk")
+        )
+
+    return agg, finalize

@@ -224,3 +224,45 @@ def test_view_purchase_join_stream_matches_batch(spark, tmp_path):
     # The stream emits exactly the batch pairs (watermark only evicts state;
     # with availableNow over a bounded source nothing is late-dropped here).
     assert got == want
+
+
+def test_trending_topk_stream_matches_batch(spark, events_src):
+    from project_samanvay_a_true_hybrid_htap_database_spark.streaming.events import (
+        stream_events,
+        trending_topk_stream,
+    )
+
+    agg, finalize = trending_topk_stream(stream_events(spark, events_src))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("trending")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        tuple(r)
+        for r in finalize(spark.sql("SELECT * FROM trending")).collect()
+    ]
+
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+        "event_type",
+    ).agg(F.count("*").alias("n_events"))
+    rk = F.row_number().over(
+        W.partitionBy("hour_epoch").orderBy(
+            F.col("n_events").desc(), F.col("event_type").asc()
+        )
+    )
+    want = [
+        tuple(r)
+        for r in batch.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .orderBy("hour_epoch", "rk")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
