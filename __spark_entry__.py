@@ -133,6 +133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": text.fingerprints,
         "lang_distribution": text.lang_distribution,
         "ngram_freq_topk": text.ngram_freq_topk,
+        "chunk_documents": text.chunk_documents,
+        "source_quality_report": text.source_quality_report,
         # --- deterministic sampling & splits ---
         "hash_sample": sampling.hash_sample,
         "stratified_sample": sampling.stratified_sample,
@@ -1125,6 +1127,31 @@ FROM best WHERE rn = 1 ORDER BY vec_id
         "fingerprints": fingerprints_sql,
         "lang_distribution": lang_dist_sql,
         "ngram_freq_topk": ngram_topk_sql,
+        "chunk_documents": f"""
+WITH t AS (SELECT doc_id, len({_TOKS}) AS n FROM documents),
+e AS (SELECT doc_id, n,
+             unnest(generate_series(0, greatest(n - 1, 0), 32)) AS start_tok
+      FROM t)
+SELECT doc_id,
+       CAST(start_tok // 32 AS INT) AS chunk_idx,
+       CAST(start_tok AS INT) AS start_tok,
+       CAST(least(start_tok + 64, n) AS INT) AS end_tok,
+       CAST(least(start_tok + 64, n) - start_tok AS INT) AS chunk_tokens
+FROM e WHERE least(start_tok + 64, n) - start_tok > 0
+ORDER BY doc_id, chunk_idx
+""",
+        "source_quality_report": f"""
+WITH t AS (SELECT doc_id, text, source, n_chars, {_TOKS} AS T FROM documents)
+SELECT source, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(sum(CASE WHEN greatest({", ".join(f"len(list_filter(T, t -> list_contains({m!r}, t)))" for m in text.LANG_MARKERS.values())}) > 0
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_id,
+  round(avg(least(len(T) / 100.0, 1.0) * 0.4
+            + (len(list_distinct(T)) / len(T)) * 0.3
+            + (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+               / length(text)) * 0.3), 4) AS avg_quality
+FROM t GROUP BY source ORDER BY source
+""",
         # --- deterministic sampling & splits (md5-bucket membership) ---
         "hash_sample": """
 SELECT doc_id, lang, n_chars FROM documents

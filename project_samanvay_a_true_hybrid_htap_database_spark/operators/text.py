@@ -154,3 +154,82 @@ def ngram_freq_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
         .orderBy(F.col("freq").desc(), F.col("bigram").asc())
         .limit(k)
     )
+
+
+def chunk_documents(
+    spark: SparkSession, sf_dir: str, size: int = 64, stride: int = 32
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG / context-window prep
+    step): each document yields chunks of ``size`` tokens starting every
+    ``stride`` tokens (stride < size ⇒ overlap). Chunk boundaries come
+    from one sequence-expression + posexplode — row explosion happens
+    executor-side in the same stage as the scan, never on the driver, and
+    the output carries offsets + per-chunk token counts (the chunk text
+    itself is a trivial slice the consumer takes when needed). Short docs
+    (< size tokens) yield their single truncated chunk."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens("text")
+    n = F.size(toks)
+    # Chunk start offsets: 0, stride, 2*stride, ... while start < n.
+    # greatest(n-1, 0) keeps the sequence non-empty for empty docs.
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return (
+        docs.select("doc_id", n.alias("n_tokens"), F.posexplode(starts))
+        .select(
+            "doc_id",
+            F.col("pos").alias("chunk_idx"),
+            F.col("col").alias("start_tok"),
+            F.least(F.col("col") + size, F.col("n_tokens")).alias("end_tok"),
+            (
+                F.least(F.col("col") + size, F.col("n_tokens")) - F.col("col")
+            ).alias("chunk_tokens"),
+        )
+        .filter(F.col("chunk_tokens") > 0)
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-audit report — the first table a corpus owner asks
+    for: document count, total characters, language-identified share, and
+    mean quality score, per ``source``. Composes the lang-ID and quality
+    expressions over ONE scan with conditional aggregation; the report is
+    as wide as the source cardinality, so it broadcasts anywhere."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    toks = tokens("text")
+
+    def _is_marker(markers: list[str]):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return lambda t: F.array_contains(arr, t)
+
+    lang_ok = (
+        F.greatest(
+            *[
+                F.size(F.filter(toks, _is_marker(m)))
+                for m in LANG_MARKERS.values()
+            ]
+        )
+        > 0
+    )
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    alpha_ratio = F.length(
+        F.regexp_replace(F.lower("text"), "[^a-z]", "")
+    ) / F.length("text")
+    quality = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + distinct_ratio * 0.3
+        + alpha_ratio * 0.3
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.when(lang_ok, 1).otherwise(0)).alias("n_lang_id"),
+            F.round(F.avg(quality), 4).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
