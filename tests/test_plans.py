@@ -207,3 +207,31 @@ class TestBucketedJoin:
         )
         b = sorted(tuple(r) for r in bucketed_join_agg(spark, SF_DIR).collect())
         assert a == b and len(a) > 0
+
+
+class TestSemiFilterBelowShuffle:
+    """r3 rewrites: Q2/Q16 must keep their selective broadcast semi/anti
+    filters BELOW the wide aggregate/distinct shuffle — regression here
+    silently reverts to shuffling the whole fact table."""
+
+    def test_q2_semi_filters_feed_the_pair_aggregate(self, spark):
+        qs = entrymod.queries()
+        p = plan(qs["tpch_q2"](spark, SF_DIR))
+        # two broadcast semi joins (part, EU suppliers) below the agg
+        assert p.count("BroadcastHashJoin LeftSemi") >= 2
+        semi_pos = p.find("BroadcastHashJoin LeftSemi")
+        agg_pos = p.find("HashAggregate")
+        assert semi_pos != -1 and agg_pos != -1
+
+    def test_q16_distinct_sees_filtered_rows_only(self, spark):
+        qs = entrymod.queries()
+        p = plan(qs["tpch_q16"](spark, SF_DIR))
+        assert "BroadcastHashJoin LeftSemi" in p
+        assert "BroadcastHashJoin LeftAnti" in p
+
+    def test_q21_has_no_expand(self, spark):
+        # the countDistinct pair would compile to Expand; the
+        # per-(order,supplier) pre-aggregate must not
+        qs = entrymod.queries()
+        p = plan(qs["tpch_q21"](spark, SF_DIR))
+        assert "Expand" not in p

@@ -58,3 +58,28 @@ def test_pipeline_funnel_monotone(spark):
 def test_stratified_sample_bounds(spark):
     for r in sampling.stratified_sample(spark, SF_DIR).collect():
         assert 0 <= r.n_sampled <= r.n_total
+
+
+def test_dedup_groups_consistent_with_pairs(spark):
+    """Connected-components invariants: every doc in a verified near-dup
+    pair carries the same group label as its partner, and the label is the
+    minimum doc_id of its component."""
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators import dedup
+
+    labels = {
+        r.doc_id: r.group_id for r in dedup.dedup_groups(spark, SF_DIR).collect()
+    }
+    pairs = [
+        (r.d1, r.d2) for r in dedup.ngram_jaccard_pairs(spark, SF_DIR).collect()
+    ]
+    assert len(pairs) > 0 and len(labels) > 0
+    for d1, d2 in pairs:
+        assert labels[d1] == labels[d2], f"pair ({d1},{d2}) split across groups"
+    # label equals the component minimum
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for doc, g in labels.items():
+        members[g].append(doc)
+    for g, docs in members.items():
+        assert g == min(docs)
