@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- multimodal (binary + metadata; mapInPandas plumbing) ---
         "multimodal_summary": multimodal.multimodal_summary,
         "multimodal_frames": multimodal.frame_sample,
+        "multimodal_resize": multimodal.image_resize,
         # --- reference relational surface (SURVEY.md §2.1) ---
         "point_lookup": relational.point_lookup,
         "full_scan": relational.full_scan,
@@ -685,6 +686,21 @@ SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
        CAST(length(substring(text, 1 + frame_idx * step, 32)) AS INT)
          AS frame_bytes
 FROM f
+""",
+        # Nearest-neighbor byte resample: output index i reads input char
+        # (i*n)//64 + 1 (docs are all-ASCII, so chars == bytes).
+        "multimodal_resize": """
+WITH r AS (
+  SELECT doc_id, length(text) AS n,
+         array_to_string(
+           list_transform(generate_series(0, 63),
+                          i -> substring(text, (i * length(text)) // 64 + 1, 1)),
+           '') AS resized
+  FROM documents)
+SELECT doc_id, CAST(n AS INT) AS orig_bytes,
+       CAST(length(resized) AS INT) AS resized_bytes,
+       md5(resized) AS resized_md5
+FROM r ORDER BY doc_id
 """,
         "tpch_q3": """
 SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -133,3 +133,51 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipped by a real decoder and are absent from the testdata (min 48 B)."""
     blobs = attach_blob(spark, sf_dir).select("doc_id", "content")
     return blobs.mapInPandas(_fake_frame_sample, schema=_FRAME_SCHEMA)
+
+
+_RESIZE_TARGET = 64
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("orig_bytes", T.IntegerType()),
+        T.StructField("resized_bytes", T.IntegerType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB RESIZER: a real implementation decodes the image and resamples
+    pixels (PIL `Image.resize`). The fake applies true nearest-neighbor
+    resampling to the raw byte string — output index i maps to input index
+    floor(i*n/target) — which is exactly the index arithmetic a NN resize
+    performs, applied to bytes instead of pixel rows. Deterministic, so
+    the DuckDB oracle recomputes the identical resized digest."""
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "orig_bytes": [],
+            "resized_bytes": [],
+            "resized_md5": [],
+        }
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            b = bytes(content)
+            n = len(b)
+            resized = bytes(
+                b[(i * n) // _RESIZE_TARGET] for i in range(_RESIZE_TARGET)
+            )
+            out["doc_id"].append(int(doc_id))
+            out["orig_bytes"].append(n)
+            out["resized_bytes"].append(len(resized))
+            out["resized_md5"].append(hashlib.md5(resized).hexdigest())
+        yield pd.DataFrame(out)
+
+
+def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize step of a media pipeline over mapInPandas: one output row per
+    payload with the resampled digest. Same Arrow plumbing as the feature
+    extractor — binary column in, fixed-schema batch out, no shuffle, no
+    driver; swapping the fake for PIL changes no plan shape."""
+    blobs = attach_blob(spark, sf_dir).select("doc_id", "content")
+    return blobs.mapInPandas(_fake_resize, schema=_RESIZE_SCHEMA).orderBy("doc_id")
