@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extraction": analytics.json_extraction,
         "events_hourly_rollup": analytics.events_hourly_rollup,
         "events_trending_topk": analytics.events_trending_topk,
+        "attribution_window_join": analytics.attribution_window_join,
         "funnel_conversion": analytics.funnel_conversion,
         "retention_cohorts": analytics.retention_cohorts,
         "join_agg_orders_lineitem": analytics.join_agg_orders_lineitem,
@@ -600,6 +601,19 @@ r AS (
   FROM a)
 SELECT hour_epoch, event_type, n_events, rk FROM r WHERE rk <= 3
 ORDER BY hour_epoch, rk
+""",
+        # The oracle states the raw inequality join; the Spark side must
+        # produce the identical counts through the band trick.
+        "attribution_window_join": """
+SELECT p.event_id, p.user_id, count(*) AS n_views_24h
+FROM events p JOIN events v
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view'
+ AND p.event_type = 'purchase'
+ AND v.ts < p.ts
+ AND v.ts >= p.ts - INTERVAL 24 HOUR
+GROUP BY p.event_id, p.user_id
+ORDER BY p.event_id
 """,
         "funnel_conversion": """
 WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events),

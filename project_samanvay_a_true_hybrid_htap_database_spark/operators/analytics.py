@@ -1344,3 +1344,45 @@ def events_trending_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFr
         .filter(F.col("rk") <= k)
         .orderBy("hour_epoch", "rk")
     )
+
+
+def attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join (the attribution query): for each purchase,
+    count the same user's view events in the preceding 24 hours. The raw
+    form is an inequality join (v_ts in (p_ts - 24h, p_ts)) — a cartesian
+    per user at scale. Banding turns it into an equi-join: both sides get
+    a day bucket, the purchase side duplicates into its two candidate
+    buckets (a 24 h window spans at most 2 day bands), and the exact
+    interval predicate filters the narrow banded candidates. Shuffle key
+    is (user, day): bounded fan-out, no range-join cartesian, AQE-friendly.
+    Purchases with no prior view are absent (inner join) — the attribution
+    set, not the purchase universe."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    day = lambda c: F.floor(F.unix_timestamp(c) / 86400)  # noqa: E731
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        day(F.col("ts")).alias("band"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            day(F.col("ts")).alias("p_band"),
+        )
+        .withColumn("band", F.explode(F.array(F.col("p_band") - 1, F.col("p_band"))))
+    )
+    return (
+        purchases.join(
+            views,
+            (purchases.user_id == views.v_user)
+            & (purchases.band == views.band)
+            & (views.v_ts < purchases.p_ts)
+            & (views.v_ts >= purchases.p_ts - F.expr("INTERVAL 24 HOURS")),
+        )
+        .groupBy("event_id", "user_id")
+        .agg(F.count("*").alias("n_views_24h"))
+        .orderBy("event_id")
+    )

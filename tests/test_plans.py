@@ -235,3 +235,14 @@ class TestSemiFilterBelowShuffle:
         qs = entrymod.queries()
         p = plan(qs["tpch_q21"](spark, SF_DIR))
         assert "Expand" not in p
+
+
+class TestBandedIntervalJoin:
+    def test_attribution_join_is_banded_equi_join(self, spark):
+        """The inequality predicate must ride on an equi-join over
+        (user, day band) — never a cartesian/broadcast-nested-loop over
+        per-user event pairs."""
+        qs = entrymod.queries()
+        p = plan(qs["attribution_window_join"](spark, SF_DIR))
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
