@@ -126,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_vectorized": similarity.knn_join_vectorized,
         "embedding_centroids": similarity.embedding_centroids,
         "kmeans_assign": similarity.kmeans_assign,
+        "cluster_quality_report": similarity.cluster_quality_report,
         # --- text analysis ---
         "lang_id": text.lang_id,
         "quality_score": text.quality_score,
@@ -1140,6 +1141,20 @@ best AS (
   FROM d)
 SELECT vec_id, old_label, new_label, dist_sq
 FROM best WHERE rn = 1 ORDER BY vec_id
+""",
+        "cluster_quality_report": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS T FROM documents),
+q AS (SELECT doc_id,
+        least(len(T) / 100.0, 1.0) * 0.4
+        + (len(list_distinct(T)) / len(T)) * 0.3
+        + (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+           / length(text)) * 0.3 AS quality
+      FROM t)
+SELECT label, count(*) AS n_vecs,
+       round(avg(quality), 4) AS avg_quality,
+       round(avg(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm
+FROM embeddings e JOIN q ON e.vec_id = q.doc_id
+GROUP BY label ORDER BY label
 """,
         # --- similarity ---
         "ann_bruteforce_topk": ann_bf,

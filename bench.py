@@ -200,6 +200,9 @@ def bench_htap_mixed(spark, sf_dir: str) -> dict:
         "write_degradation_pct": round(100 * (write_mixed / write_idle - 1), 1),
         "query_degradation_pct": round(100 * (query_mixed / query_idle - 1), 1),
         "mixed_writes_completed": len(mixed_writes),
+        # The write base is a sub-0.1 ms dict put, so its pct jitters with
+        # scheduler noise run-to-run; absolute ms are the stable figures.
+        "note": "write pct is noise-dominated at a sub-0.1ms base; compare absolute ms",
     }
 
 

@@ -403,3 +403,45 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "codes_csv"
         ),
     ).orderBy("vec_id")
+
+
+def cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal audit: per embedding cluster (label), how good is the
+    corresponding text? Joins the vector table to the documents table on
+    id (vec_id ↔ doc_id) and aggregates the text-quality score and vector
+    norm per cluster — the table that tells a curator which clusters to
+    drop wholesale. One equi-join on the shared id (co-partitionable at
+    100 TB) + one small agg; the quality expression is the same JVM
+    expression the text operators use (no Python)."""
+    from ..functions.textfns import tokens
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    quality = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.size(F.array_distinct(toks)) / n_tokens) * 0.3
+        + (
+            F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+            / F.length("text")
+        )
+        * 0.3
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg(quality), 4).alias("avg_quality"),
+            F.round(F.avg(norm), 4).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )
