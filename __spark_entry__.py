@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
         "decontaminate_ngram_overlap": dedup.decontaminate_ngram_overlap,
         "dedup_groups": dedup.dedup_groups,
+        "dedup_groups_lsh": dedup.dedup_groups_lsh,
         # --- similarity search ---
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -1103,6 +1104,19 @@ p AS (
          len(a.S) + len(b.S) - len(list_intersect(a.S, b.S)) AS uni
   FROM shl a JOIN shl b ON a.doc_id < b.doc_id),
 pr AS (SELECT d1, d2 FROM p WHERE inter / uni >= 0.5),
+edges AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n ORDER BY n
+""",
+        # Same recursive fixpoint, but the edge set is the LSH pipeline's
+        # verified pairs (banded candidates → exact-Jaccard ≥ 0.5).
+        "dedup_groups_lsh": f"""
+WITH RECURSIVE
+pr AS ({lsh_pairs}),
 edges AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
 nodes AS (SELECT DISTINCT a AS n FROM edges),
 reach(n, m) AS (

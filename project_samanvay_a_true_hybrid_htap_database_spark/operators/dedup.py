@@ -413,6 +413,24 @@ def dedup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataF
     Iterative fixpoint = genuinely non-SQL control flow on the Spark side;
     the DuckDB oracle expresses the same fixpoint as a recursive CTE."""
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    return connected_components(pairs, max_iters)
+
+
+def dedup_groups_lsh(
+    spark: SparkSession, sf_dir: str, max_iters: int = 20
+) -> DataFrame:
+    """dedup_groups over the MinHash-LSH verified pair graph instead of the
+    exhaustive n-gram inverted index — the composition that actually runs
+    at corpus scale (banded candidates → exact-Jaccard verify → connected
+    components). Same CC loop, same oracle shape (recursive CTE over the
+    LSH pair CTE chain)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    return connected_components(pairs, max_iters)
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Min-label-propagation connected components over an undirected edge
+    list (columns d1, d2). See dedup_groups for the scale discussion."""
     edges = (
         pairs.union(pairs.select(F.col("d2"), F.col("d1")))
         .toDF("src", "dst")
