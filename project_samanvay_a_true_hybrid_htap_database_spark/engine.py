@@ -894,6 +894,8 @@ class SamanvayEngine:
             col = c[1].lower()
             if col not in cols:
                 raise SqlError(f"Unknown column in SET: {col}")
+            if any(col == seen for seen, _ in assignments):
+                raise SqlError(f"Duplicate column in SET: {col}")
             ts.expect_op("=")
             assignments.append((col, _parse_value(ts)))
             t = ts.peek()
