@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram_overlap": dedup.decontaminate_ngram_overlap,
         "dedup_groups": dedup.dedup_groups,
         "dedup_groups_lsh": dedup.dedup_groups_lsh,
+        "dedup_apply": dedup.dedup_apply,
         # --- similarity search ---
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -137,6 +138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_freq_topk": text.ngram_freq_topk,
         "chunk_documents": text.chunk_documents,
         "source_quality_report": text.source_quality_report,
+        "bm25_search": text.bm25_search,
         # --- deterministic sampling & splits ---
         "hash_sample": sampling.hash_sample,
         "stratified_sample": sampling.stratified_sample,
@@ -1112,6 +1114,31 @@ reach(n, m) AS (
   SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
 SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n ORDER BY n
 """,
+        "dedup_apply": f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+shl AS (SELECT doc_id, {_SHINGLES} AS S FROM toks),
+p AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         len(list_intersect(a.S, b.S)) AS inter,
+         len(a.S) + len(b.S) - len(list_intersect(a.S, b.S)) AS uni
+  FROM shl a JOIN shl b ON a.doc_id < b.doc_id),
+pr AS (SELECT d1, d2 FROM p WHERE inter / uni >= 0.5),
+edges AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+lbl AS (SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n),
+ms AS (SELECT count(*) AS n_grouped,
+              CAST(sum(CASE WHEN doc_id != group_id THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_removed
+       FROM lbl),
+tot AS (SELECT count(*) AS n_total FROM documents)
+SELECT n_total, n_grouped, n_removed, n_total - n_removed AS n_surviving
+FROM tot, ms
+""",
         # Same recursive fixpoint, but the edge set is the LSH pipeline's
         # verified pairs (banded candidates → exact-Jaccard ≥ 0.5).
         "dedup_groups_lsh": f"""
@@ -1210,6 +1237,40 @@ SELECT source, count(*) AS n_docs,
             + (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
                / length(text)) * 0.3), 4) AS avg_quality
 FROM t GROUP BY source ORDER BY source
+""",
+        # Same term-by-term fixed-order double arithmetic as the Spark
+        # expression tree; floor-truncated at 1e-6 (round is not portable).
+        "bm25_search": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+d AS (SELECT doc_id, len(T) AS dl,
+             len(list_filter(T, x -> x = 'red')) AS tf0,
+             len(list_filter(T, x -> x = 'widget')) AS tf1,
+             len(list_filter(T, x -> x = 'small')) AS tf2
+      FROM t),
+s AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      FROM d)
+SELECT doc_id,
+  floor((
+      ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)
+        * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+    + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+        * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+    + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+        * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+  ) * 1e6) / 1e6 AS bm25
+FROM d, s
+WHERE floor((
+      ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0)
+        * (tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+    + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+        * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+    + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+        * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+  ) * 1e6) / 1e6 > 0
+ORDER BY bm25 DESC, doc_id ASC LIMIT 20
 """,
         # --- deterministic sampling & splits (md5-bucket membership) ---
         "hash_sample": """

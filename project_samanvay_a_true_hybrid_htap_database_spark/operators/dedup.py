@@ -470,3 +470,31 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels.select(
         F.col("n").alias("doc_id"), F.col("lbl").alias("group_id")
     ).orderBy("doc_id")
+
+
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The application step of near-dup clustering: keep each component's
+    canonical doc (min doc_id) plus every unclustered doc, and report the
+    survival accounting — total, docs in some near-dup group, removed,
+    surviving. What actually ships to training is the anti-join of
+    documents against the removed set; the audit row here is its exact
+    row-count contract, computed without materializing the filtered
+    corpus. One CC run + two tiny aggregates."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = dedup_groups(spark, sf_dir)
+    member_stats = labels.agg(
+        F.count("*").alias("n_grouped"),
+        F.sum(F.when(F.col("doc_id") != F.col("group_id"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+    )
+    totals = docs.agg(F.count("*").alias("n_total"))
+    return (
+        totals.crossJoin(F.broadcast(member_stats))
+        .select(
+            "n_total",
+            "n_grouped",
+            "n_removed",
+            (F.col("n_total") - F.col("n_removed")).alias("n_surviving"),
+        )
+    )

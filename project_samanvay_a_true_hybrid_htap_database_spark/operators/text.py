@@ -233,3 +233,61 @@ def source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+BM25_QUERY = ["red", "widget", "small"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed term query — the
+    query-based curation/retrieval op (pull training docs matching a
+    topic). Two scans, both cheap: one tiny aggregate for corpus stats
+    (N, avg doc length, per-term document frequency — a handful of rows,
+    broadcast), one scoring scan where tf/length-norm are pure JVM array
+    expressions and the k-term score is an explicit fixed-order sum (so
+    the oracle's double arithmetic is bit-identical). Top-k via
+    TakeOrderedAndProject. At 100 TB: stats aggregate is map-side
+    combinable; scoring is embarrassingly parallel; no shuffle except the
+    stats rollup and final top-k."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens("text")
+    dl = F.size(toks)
+
+    # NB: the filter lambda must be unary (PySpark passes the element index
+    # to a second parameter, clobbering a `t=t` default) — bind the term
+    # via a closure factory instead.
+    def _tf(term: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf = {t: _tf(t) for t in BM25_QUERY}
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(dl).alias("avgdl"),
+        *[
+            F.sum(F.when(tf[t] > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i, t in enumerate(BM25_QUERY)
+        ],
+    )
+
+    scored = docs.crossJoin(F.broadcast(stats))
+    score = None
+    for i, t in enumerate(BM25_QUERY):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        term = idf * (
+            tf[t]
+            * (BM25_K1 + 1)
+            / (tf[t] + BM25_K1 * (1 - BM25_B + BM25_B * dl / F.col("avgdl")))
+        )
+        score = term if score is None else score + term
+    return (
+        scored.select("doc_id", (F.floor(score * 1e6) / 1e6).alias("bm25"))
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
