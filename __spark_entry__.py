@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": text.chunk_documents,
         "source_quality_report": text.source_quality_report,
         "bm25_search": text.bm25_search,
+        "token_histogram": text.token_histogram,
         # --- deterministic sampling & splits ---
         "hash_sample": sampling.hash_sample,
         "stratified_sample": sampling.stratified_sample,
@@ -1271,6 +1272,15 @@ WHERE floor((
         * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
   ) * 1e6) / 1e6 > 0
 ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+""",
+        "token_histogram": f"""
+WITH t AS (SELECT doc_id, len({_TOKS}) AS n FROM documents)
+SELECT CASE WHEN n <= 0 THEN -1
+            ELSE CAST(floor(log2(n)) AS INT) END AS log2_bucket,
+       count(*) AS n_docs,
+       CAST(min(n) AS INT) AS min_tokens,
+       CAST(max(n) AS INT) AS max_tokens
+FROM t GROUP BY log2_bucket ORDER BY log2_bucket
 """,
         # --- deterministic sampling & splits (md5-bucket membership) ---
         "hash_sample": """

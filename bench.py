@@ -80,6 +80,8 @@ def main() -> None:
         "minhash_lsh_pairs",
         # 4-stage cleaning funnel (lang → quality → dedup) over one scan
         "pipeline_funnel",
+        # BM25 retrieval: broadcast corpus stats + scan-side scoring
+        "bm25_search",
         # 4×15-bit-chunk scale twin (32k buckets/chunk); the 6×10-bit
         # exact-recall ham≤5 form stays oracle-checked but its 1k-bucket
         # candidate keyspace is the r2-flagged corpus-scale hazard.

@@ -291,3 +291,25 @@ def bm25_search(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length histogram in power-of-two token buckets — the length
+    distribution every corpus audit starts with. floor(log2(n)) bucketing
+    is a pure per-row expression; the aggregate is as wide as the bucket
+    count (~20 rows at any corpus size), so the shuffle is trivial and
+    map-side combine does nearly all the work."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.size(tokens("text"))
+    bucket = F.when(n <= 0, F.lit(-1)).otherwise(
+        F.floor(F.log2(n)).cast("int")
+    )
+    return (
+        docs.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(n).cast("int").alias("min_tokens"),
+            F.max(n).cast("int").alias("max_tokens"),
+        )
+        .orderBy("log2_bucket")
+    )
