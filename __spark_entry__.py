@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": dedup.dedup_groups,
         "dedup_groups_lsh": dedup.dedup_groups_lsh,
         "dedup_apply": dedup.dedup_apply,
+        "containment_pairs": dedup.containment_pairs,
         # --- similarity search ---
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
@@ -129,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": similarity.embedding_centroids,
         "kmeans_assign": similarity.kmeans_assign,
         "cluster_quality_report": similarity.cluster_quality_report,
+        "semantic_outliers": similarity.semantic_outliers,
         # --- text analysis ---
         "lang_id": text.lang_id,
         "quality_score": text.quality_score,
@@ -1115,6 +1117,18 @@ reach(n, m) AS (
   SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
 SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n ORDER BY n
 """,
+        "containment_pairs": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+shl AS (SELECT doc_id, {_SHINGLES} AS S FROM toks),
+p AS (
+  SELECT a.doc_id AS contained, b.doc_id AS container,
+         len(list_intersect(a.S, b.S)) AS common, len(a.S) AS n1
+  FROM shl a JOIN shl b ON a.doc_id != b.doc_id
+  WHERE len(a.S) > 0)
+SELECT contained, container, round(common / n1, 4) AS containment
+FROM p WHERE common / n1 >= 0.8
+ORDER BY contained, container
+""",
         "dedup_apply": f"""
 WITH RECURSIVE
 toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
@@ -1183,6 +1197,20 @@ best AS (
   FROM d)
 SELECT vec_id, old_label, new_label, dist_sq
 FROM best WHERE rn = 1 ORDER BY vec_id
+""",
+        "semantic_outliers": """
+WITH c AS (
+  SELECT label AS c_label, i, avg(embedding[i]::DOUBLE) AS c
+  FROM embeddings, generate_series(1, 64) t(i)
+  GROUP BY c_label, i),
+d AS (
+  SELECT e.vec_id, e.label,
+         floor(sum((e.embedding[c.i]::DOUBLE - c.c)
+                   * (e.embedding[c.i]::DOUBLE - c.c)) * 1e6) / 1e6 AS dist_sq
+  FROM embeddings e JOIN c ON c.c_label = e.label
+  GROUP BY e.vec_id, e.label)
+SELECT vec_id, label, dist_sq FROM d
+ORDER BY dist_sq DESC, vec_id ASC LIMIT 25
 """,
         "cluster_quality_report": f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS T FROM documents),

@@ -498,3 +498,51 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_total") - F.col("n_removed")).alias("n_surviving"),
         )
     )
+
+
+def containment_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8, max_df: int = 1000
+) -> DataFrame:
+    """Asymmetric shingle containment |A∩B| / |A|: catches a short doc
+    embedded inside a longer one (quotes, boilerplate wrappers, partial
+    copies) that symmetric Jaccard misses — |A∩B|/|A∪B| stays small when
+    |B| >> |A| but containment of A hits 1.0. Same df-capped inverted
+    index as ngram_jaccard_pairs (one shuffle on the shingle key, stop-
+    shingles dropped before the self-join); emitted directed (contained
+    doc first)."""
+    sh = _doc_shingles(spark, sf_dir)
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    rare = (
+        inv.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("sh")
+    )
+    inv = inv.join(rare, on="sh")
+    common = (
+        inv.alias("a")
+        .join(inv.alias("b"), on="sh")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("contained"),
+            F.col("b.doc_id").alias("container"),
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnRenamed("doc_id", "contained").withColumnRenamed(
+                "n_sh", "n_contained"
+            ),
+            "contained",
+        )
+        .withColumn("containment", F.col("common") / F.col("n_contained"))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "contained",
+            "container",
+            F.round("containment", 4).alias("containment"),
+        )
+        .orderBy("contained", "container")
+    )

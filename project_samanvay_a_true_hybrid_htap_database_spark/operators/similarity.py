@@ -445,3 +445,38 @@ def cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def semantic_outliers(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFrame:
+    """Embedding outlier detection: the k vectors farthest (squared L2)
+    from their own label's centroid — the semantic-noise removal step of a
+    vector pipeline (mislabeled or junk members surface first). Reuses the
+    kmeans_assign machinery: centroids are tiny and broadcast, distance is
+    a JVM fold, the global top-k runs as TakeOrderedAndProject over the
+    per-vector distances (never a full sort)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("c"))
+    )
+    centroids = per_dim.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.join(F.broadcast(centroids), emb.label == F.col("c_label"))
+        .select("vec_id", "label", (F.floor(dist * 1e6) / 1e6).alias("dist_sq"))
+        .orderBy(F.col("dist_sq").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
