@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quality_report": text.source_quality_report,
         "bm25_search": text.bm25_search,
         "token_histogram": text.token_histogram,
+        "tfidf_keywords": text.tfidf_keywords,
         # --- deterministic sampling & splits ---
         "hash_sample": sampling.hash_sample,
         "stratified_sample": sampling.stratified_sample,
@@ -190,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": analytics.events_hourly_rollup,
         "events_trending_topk": analytics.events_trending_topk,
         "attribution_window_join": analytics.attribution_window_join,
+        "events_hourly_anomaly": analytics.events_hourly_anomaly,
         "funnel_conversion": analytics.funnel_conversion,
         "retention_cohorts": analytics.retention_cohorts,
         "join_agg_orders_lineitem": analytics.join_agg_orders_lineitem,
@@ -1309,6 +1311,46 @@ SELECT CASE WHEN n <= 0 THEN -1
        CAST(min(n) AS INT) AS min_tokens,
        CAST(max(n) AS INT) AS max_tokens
 FROM t GROUP BY log2_bucket ORDER BY log2_bucket
+""",
+        "tfidf_keywords": f"""
+WITH t AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+s AS (
+  SELECT doc_id, tf.term,
+         floor(tf * ln(n_docs / df) * 1e6) / 1e6 AS score
+  FROM tf JOIN df ON tf.term = df.term, n),
+r AS (
+  SELECT doc_id, term, score,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, term ASC) AS INT) AS rk
+  FROM s)
+SELECT doc_id, term, score, rk FROM r WHERE rk <= 3 AND score > 0
+ORDER BY doc_id, rk
+""",
+        "events_hourly_anomaly": """
+WITH h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts::TIMESTAMP)) AS BIGINT) AS hour_epoch,
+         count(*) AS n_events
+  FROM events GROUP BY 1),
+w AS (
+  SELECT hour_epoch, n_events,
+         avg(n_events) OVER (ORDER BY hour_epoch
+                             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+           AS trailing_mean,
+         count(n_events) OVER (ORDER BY hour_epoch
+                               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+           AS n_trailing
+  FROM h),
+f AS (
+  SELECT hour_epoch, n_events, trailing_mean,
+         floor(n_events / trailing_mean * 1e4) / 1e4 AS ratio
+  FROM w WHERE n_trailing = 24)
+SELECT hour_epoch, n_events,
+       floor(trailing_mean * 1e4) / 1e4 AS trailing_mean, ratio
+FROM f WHERE ratio > 1.2 OR ratio < 0.8
+ORDER BY hour_epoch
 """,
         # --- deterministic sampling & splits (md5-bucket membership) ---
         "hash_sample": """

@@ -1386,3 +1386,35 @@ def attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_views_24h"))
         .orderBy("event_id")
     )
+
+
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection on the hourly event series: hours
+    whose event count deviates more than ±20% from the mean of the 24
+    preceding hours. The window runs over the ALREADY-AGGREGATED series —
+    one row per hour, so the unpartitioned ordered window is bounded by
+    calendar time, not data volume (a year is 8,760 rows regardless of
+    corpus size); the raw events only ever see the hash-partitioned hourly
+    rollup. Deviation uses the trailing mean (exact integer sum / count),
+    not stddev — stddev algorithms differ across engines, means do not."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch")
+    ).agg(F.count("*").alias("n_events"))
+    w = Window.orderBy("hour_epoch").rowsBetween(-24, -1)
+    trailing = F.avg("n_events").over(w)
+    ratio = F.col("n_events") / F.col("trailing_mean")
+    return (
+        hourly.withColumn("trailing_mean", trailing)
+        .withColumn("n_trailing", F.count("n_events").over(w))
+        .filter(F.col("n_trailing") == 24)
+        .withColumn("ratio", F.floor(ratio * 1e4) / 1e4)
+        .filter((F.col("ratio") > 1.2) | (F.col("ratio") < 0.8))
+        .select(
+            "hour_epoch",
+            "n_events",
+            (F.floor(F.col("trailing_mean") * 1e4) / 1e4).alias("trailing_mean"),
+            "ratio",
+        )
+        .orderBy("hour_epoch")
+    )

@@ -313,3 +313,43 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+def tfidf_keywords(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-document top-k TF-IDF keywords — the corpus-exploration op
+    (what is each doc about?). Inverted-index shape: explode tokens,
+    corpus df per term (map-side combinable), join back, score
+    tf·ln(N/df), rank per doc. The df table is vocabulary-sized and
+    hash-partitioned; the per-doc rank window partitions on doc_id, so
+    nothing is ever global. Scores floor-truncated (round is not
+    cross-engine-portable)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.floor(F.col("tf") * F.log(F.col("n_docs") / F.col("df")) * 1e6)
+            / 1e6,
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(
+            F.col("score").desc(), F.col("term").asc()
+        )
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter((F.col("rk") <= k) & (F.col("score") > 0))
+        .select("doc_id", "term", "score", "rk")
+        .orderBy("doc_id", "rk")
+    )
