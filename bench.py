@@ -82,6 +82,10 @@ def main() -> None:
         "pipeline_funnel",
         # BM25 retrieval: broadcast corpus stats + scan-side scoring
         "bm25_search",
+        # inverted-index df + per-doc rank window
+        "tfidf_keywords",
+        # trailing-window anomaly over the aggregated hourly series
+        "events_hourly_anomaly",
         # 4×15-bit-chunk scale twin (32k buckets/chunk); the 6×10-bit
         # exact-recall ham≤5 form stays oracle-checked but its 1k-bucket
         # candidate keyspace is the r2-flagged corpus-scale hazard.
