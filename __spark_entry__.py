@@ -1439,7 +1439,8 @@ SELECT vec_id,
        floor(sc * 1e6) / 1e6 AS scale_1e6,
        array_to_string(
          list_transform(embedding,
-                        x -> CAST(floor(x::DOUBLE / sc) AS INT)), ',') AS codes_csv
-FROM s ORDER BY vec_id
+                        x -> CASE WHEN sc = 0 THEN 0
+                             ELSE CAST(floor(x::DOUBLE / sc) AS INT) END), ',') AS codes_csv
+FROM s
 """,
     }

@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import threading
 import time
 from dataclasses import dataclass, field
@@ -93,6 +94,9 @@ class TableState:
     # memtable maps pk -> (seq, row-dict or None for tombstone)
     base_rows: int | None = None  # cached count; None = not yet computed
     base_io: tuple[int, int] | None = None  # cached (files, bytes) of the base
+    gen: int = 0  # live durable base generation (0 = no flushed base)
+    ext_path: str | None = None  # externally-registered base parquet path
+    unrecovered: bool = False  # base was lost across restart; refuse to serve
 
 
 class SqlError(Exception):
@@ -296,6 +300,7 @@ class SamanvayEngine:
     ):
         self.spark = spark
         self.quirk_compat = quirk_compat
+        self.autoflush_rows: int | None = self.AUTOFLUSH_ROWS
         self.tables: dict[str, TableState] = {}
         self._seq = 0
         self._lock = threading.RLock()
@@ -325,9 +330,20 @@ class SamanvayEngine:
     def _table_data_path(self, name: str) -> str:
         return os.path.join(self.data_dir, f"table_{name}")
 
+    def _gen_path(self, name: str, gen: int) -> str:
+        """Versioned base directory. Each flush writes a FRESH generation
+        (table_<name>/gen_<n>) and the atomic sidecar swap commits it — the
+        Spark analog of the reference LSM writing new SSTables and swapping
+        the manifest, never destroying the old level in place
+        (sstable.hpp write-then-rename)."""
+        return os.path.join(self._table_data_path(name), f"gen_{gen}")
+
     def _persist_schemas(self) -> None:
         """Atomic rewrite of the schema sidecar (reference persists the
-        registry as a text sidecar on every DDL, schema_registry.hpp:248-344)."""
+        registry as a text sidecar on every DDL, schema_registry.hpp:248-344).
+        The sidecar records the LIVE base generation per table — os.replace
+        is the commit point, so a crash mid-flush leaves the previous
+        generation live and intact."""
         if self.data_dir is None:
             return
         doc = {
@@ -335,7 +351,14 @@ class SamanvayEngine:
                 "schema": state.schema.jsonValue(),
                 "pk": state.pk,
                 "not_null": sorted(state.not_null),
-                "has_base": os.path.isdir(self._table_data_path(name)),
+                "gen": state.gen,
+                "ext_path": state.ext_path,
+                # external-no-path bases (e.g. streamed-in localCheckpoints)
+                # cannot be re-read after restart; record the fact so
+                # recovery refuses to serve silently-empty data.
+                "ext_volatile": state.base is not None
+                and state.gen == 0
+                and state.ext_path is None,
             }
             for name, state in self.tables.items()
         }
@@ -385,14 +408,35 @@ class SamanvayEngine:
         for name, meta in doc.items():
             schema = T.StructType.fromJson(meta["schema"])
             base = None
-            if meta.get("has_base") and os.path.isdir(self._table_data_path(name)):
+            gen = int(meta.get("gen", 0))
+            ext_path = meta.get("ext_path")
+            unrecovered = False
+            if gen and os.path.isdir(self._gen_path(name, gen)):
+                base = self.spark.read.parquet(self._gen_path(name, gen))
+            elif meta.get("has_base") and os.path.isdir(self._table_data_path(name)):
+                # legacy (pre-generation) sidecar: base lives directly in
+                # table_<name>; adopt it as generation 1 on the next flush.
                 base = self.spark.read.parquet(self._table_data_path(name))
+            elif ext_path is not None:
+                if os.path.isdir(ext_path) or os.path.isfile(ext_path):
+                    base = self.spark.read.parquet(ext_path)
+                else:
+                    unrecovered = True  # registered path vanished
+            elif meta.get("ext_volatile"):
+                # base was registered from an in-memory DataFrame and never
+                # flushed — it cannot be rebuilt. Serving just the overlay
+                # would silently drop the registered rows, so poison the
+                # table instead (ADVICE r3: engine.py register_base/recovery).
+                unrecovered = True
             self.tables[name] = TableState(
                 name=name,
                 schema=schema,
                 pk=meta["pk"],
                 not_null=set(meta["not_null"]),
                 base=base,
+                gen=gen,
+                ext_path=ext_path,
+                unrecovered=unrecovered,
             )
         if os.path.exists(self._wal_path):
             with open(self._wal_path) as fh:
@@ -438,14 +482,44 @@ class SamanvayEngine:
         result.execution_time_ms = (time.perf_counter() - start) * 1000.0
         return result
 
-    def register_base(self, name: str, df: DataFrame, pk: str) -> None:
+    def register_base(self, name: str, df: DataFrame, pk: str, path: str | None = None) -> None:
         """Register a parquet-backed table as the analytic base (the LSM
-        levels); subsequent DML overlays it through the memtable."""
+        levels); subsequent DML overlays it through the memtable.
+
+        Pass ``path`` (the parquet location ``df`` was read from) to make
+        the registration durable: the sidecar records it and restart
+        recovery re-reads it. Without a path the base is volatile — after
+        a restart the engine REFUSES to serve the table (instead of
+        silently returning overlay-only rows) until it is re-registered
+        or flushed (ADVICE r3)."""
         with self._lock:
             name = name.lower()
             self.tables[name] = TableState(
-                name=name, schema=df.schema, pk=pk.lower(), not_null=set(), base=df
+                name=name,
+                schema=df.schema,
+                pk=pk.lower(),
+                not_null=set(),
+                base=df,
+                ext_path=path,
             )
+            self._persist_schemas()
+
+    def append_batch(self, name: str, df: DataFrame, pk: str) -> None:
+        """Locked append of a micro-batch to a table's base — the entry
+        point for streaming sinks (foreachBatch runs on the stream's
+        thread; SQL may be served concurrently by the threaded REST
+        server, so the read-modify-write of the base must hold the engine
+        lock, ADVICE r3)."""
+        with self._lock:
+            state = self.tables.get(name.lower())
+            if state is None:
+                self.register_base(name, df, pk=pk)
+                return
+            base = df if state.base is None else state.base.unionByName(df)
+            state.base = base.localCheckpoint(eager=True)
+            state.ext_path = None  # checkpointed union is volatile again
+            state.base_rows = None
+            state.base_io = None
             self._persist_schemas()
 
     def table_df(self, name: str) -> DataFrame:
@@ -456,30 +530,60 @@ class SamanvayEngine:
 
     def flush(self, name: str) -> int:
         """Fold the memtable into the base (reference freeze→flush,
-        memtable.hpp:140-236). With ``data_dir`` the base lands in an
-        on-disk parquet directory and the WAL drops the flushed entries;
+        memtable.hpp:140-236). With ``data_dir`` the base lands in a fresh
+        on-disk parquet generation and the WAL drops the flushed entries;
         without it, an in-memory localCheckpoint. Returns flushed count."""
         with self._lock:
             state = self._state(name)
             n = len(state.memtable)
             if n:
-                # localCheckpoint first: breaks lineage off the parquet dir we
-                # are about to overwrite (Spark rejects overwriting a path the
-                # plan still reads) and materializes exactly once.
+                # localCheckpoint first: breaks lineage off any parquet dir
+                # the plan still reads and materializes exactly once.
                 merged = self._merged_df(state).localCheckpoint(eager=True)
-                if self.data_dir is not None:
-                    path = self._table_data_path(state.name)
-                    merged.write.mode("overwrite").parquet(path)
-                    state.base = self.spark.read.parquet(path)
-                else:
-                    state.base = merged
+                self._install_base(state, merged)
                 state.memtable.clear()
-                state.base_rows = None  # invalidate cached EXPLAIN estimates
-                state.base_io = None
                 self.stats["total_flushes"] += 1
                 self._rewrite_wal()
                 self._persist_schemas()
             return n
+
+    def _install_base(self, state: TableState, merged: DataFrame) -> None:
+        """Make ``merged`` (already checkpointed) the table's base. Durable
+        mode writes a FRESH generation directory, commits it via the atomic
+        sidecar swap in the caller's _persist_schemas, then garbage-collects
+        older generations — a crash at any point leaves either the old or
+        the new generation fully intact, never a half-deleted base (the
+        reference LSM writes new SSTables and swaps the manifest; ADVICE r3
+        flagged the old in-place overwrite as crash-unsafe)."""
+        if self.data_dir is not None:
+            new_gen = state.gen + 1
+            path = self._gen_path(state.name, new_gen)
+            # overwrite is safe here: gen_<n> is a fresh name; a leftover
+            # from a crashed earlier attempt at this generation is garbage.
+            merged.write.mode("overwrite").parquet(path)
+            state.base = self.spark.read.parquet(path)
+            state.gen = new_gen
+            state.ext_path = None  # durably owned now
+            self._gc_generations(state)
+        else:
+            state.base = merged
+        state.base_rows = None  # invalidate cached EXPLAIN estimates
+        state.base_io = None
+
+    def _gc_generations(self, state: TableState) -> None:
+        """Drop generation dirs older than the live one (and any stale
+        legacy part-files directly under table_<name>)."""
+        tdir = self._table_data_path(state.name)
+        if not os.path.isdir(tdir):
+            return
+        for entry in os.listdir(tdir):
+            full = os.path.join(tdir, entry)
+            if entry == f"gen_{state.gen}":
+                continue
+            if entry.startswith("gen_") and os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+            elif os.path.isfile(full):
+                os.unlink(full)  # legacy pre-generation base files
 
     def status(self) -> dict:
         """Engine statistics in the reference's stats shape (reference:
@@ -594,6 +698,13 @@ class SamanvayEngine:
         return self._seq
 
     def _merged_df(self, state: TableState) -> DataFrame:
+        if state.unrecovered:
+            raise SqlError(
+                f"Table {state.name} cannot be served: its base was "
+                "registered from an in-memory DataFrame (or a vanished "
+                "path) and was not durably flushed before restart. "
+                "Re-register the base or restore the path."
+            )
         cols = [f.name for f in state.schema.fields]
         base = state.base
         if base is None:
@@ -738,6 +849,11 @@ class SamanvayEngine:
         name = str(name_t[1]).lower()
         self._state(name)  # raises if missing
         del self.tables[name]
+        if self.data_dir is not None:
+            # remove the on-disk base too — a stale table_<name> dir would
+            # otherwise be adopted as the base of a later same-named table
+            # on restart, resurrecting deleted rows (ADVICE r3).
+            shutil.rmtree(self._table_data_path(name), ignore_errors=True)
         self._persist_schemas()
         self._rewrite_wal()  # drop journaled overlay rows for the dead table
         return ResultSet(message=f"Table dropped: {name}")
@@ -797,12 +913,28 @@ class SamanvayEngine:
         seq = self._next_seq()
         state.memtable[pk_val] = (seq, row)
         self._wal_append(state.name, pk_val, seq, row)
+        self._maybe_autoflush(state)
         return ResultSet(rows_affected=1, message="Query OK, 1 row(s) affected")
 
     # DML mutations touching at most this many rows go through the hot
     # overlay (row-at-a-time, reference semantics); above it the base is
     # rewritten set-based so the matched set never lands on the driver.
     OVERLAY_BUDGET = 10_000
+
+    # Auto-flush threshold: when a table's memtable reaches this many
+    # entries the overlay folds into the base inline — the Spark analog of
+    # the reference freezing the memtable at 64 MB and flushing in the
+    # background (memtable.hpp:140-161, storage_engine.hpp:24). Without it
+    # a sustained INSERT stream grows the driver-side dict and the
+    # per-query createDataFrame overlay merge without bound. Rows, not
+    # bytes: the overlay holds hot row dicts whose width is schema-bounded,
+    # so a row cap bounds bytes within a constant factor. Set to None to
+    # disable (tests that assert raw memtable contents do).
+    AUTOFLUSH_ROWS: int | None = 100_000
+
+    def _maybe_autoflush(self, state: TableState) -> None:
+        if self.autoflush_rows is not None and len(state.memtable) >= self.autoflush_rows:
+            self.flush(state.name)
 
     def _pred_to_column(self, state: TableState, pred) -> F.Column:
         """Predicate AST → Spark Column. Under ``quirk_compat``, comparisons
@@ -867,16 +999,8 @@ class SamanvayEngine:
     def _set_base(self, state: TableState, df: DataFrame) -> None:
         """Replace a table's base with ``df`` (memtable folded in by the
         caller): checkpoint to break lineage, persist when durable."""
-        merged = df.localCheckpoint(eager=True)
-        if self.data_dir is not None:
-            path = self._table_data_path(state.name)
-            merged.write.mode("overwrite").parquet(path)
-            state.base = self.spark.read.parquet(path)
-        else:
-            state.base = merged
+        self._install_base(state, df.localCheckpoint(eager=True))
         state.memtable.clear()
-        state.base_rows = None
-        state.base_io = None
         self._rewrite_wal()
         self._persist_schemas()
 
@@ -956,6 +1080,7 @@ class SamanvayEngine:
             state.memtable[new_pk] = (seq, row)
             self._wal_append(state.name, new_pk, seq, row)
         n = len(matches)
+        self._maybe_autoflush(state)
         return ResultSet(rows_affected=n, message=f"Query OK, {n} row(s) affected")
 
     def _delete(self, ts: _Tokens) -> ResultSet:
@@ -982,6 +1107,7 @@ class SamanvayEngine:
             state.memtable[row[state.pk]] = (seq, None)
             self._wal_append(state.name, row[state.pk], seq, None)
         n = len(matches)
+        self._maybe_autoflush(state)
         return ResultSet(rows_affected=n, message=f"Query OK, {n} row(s) affected")
 
     # -- SELECT -------------------------------------------------------------

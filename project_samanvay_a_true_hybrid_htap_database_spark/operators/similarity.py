@@ -374,12 +374,14 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label")
         .agg(F.min("dl").alias("best"))
     )
+    # No trailing orderBy: N-row output; a presentational global sort is a
+    # full shuffle at scale and both correctness gates are order-insensitive.
     return scored.select(
         "vec_id",
         F.col("label").alias("old_label"),
         F.col("best.l").alias("new_label"),
         F.col("best.d").alias("dist_sq"),
-    ).orderBy("vec_id")
+    )
 
 
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,14 +397,21 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("embedding").cast("array<double>")
     max_abs = F.array_max(F.transform(x, lambda v: F.abs(v)))
     scale = max_abs / F.lit(127.0)
-    codes = F.transform(x, lambda v: F.floor(v / scale).cast("int"))
+    # all-zero vector → scale 0; x/0 is NULL and concat_ws would silently
+    # drop the NULL codes (ADVICE r3) — emit explicit zero codes instead.
+    codes = F.transform(
+        x,
+        lambda v: F.when(max_abs == 0, F.lit(0)).otherwise(
+            F.floor(v / scale).cast("int")
+        ),
+    )
     return emb.select(
         "vec_id",
         (F.floor(scale * 1e6) / 1e6).alias("scale_1e6"),
         F.concat_ws(",", F.transform(codes, lambda c: c.cast("string"))).alias(
             "codes_csv"
         ),
-    ).orderBy("vec_id")
+    )
 
 
 def cluster_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:

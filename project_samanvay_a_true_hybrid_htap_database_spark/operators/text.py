@@ -347,9 +347,11 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
             F.col("score").desc(), F.col("term").asc()
         )
     )
+    # No trailing orderBy: the output is corpus-sized (k rows per doc), so
+    # a presentational global sort would be a full shuffle of the entire
+    # result at 100 TB; both correctness gates compare order-insensitively.
     return (
         scored.withColumn("rk", rk)
         .filter((F.col("rk") <= k) & (F.col("score") > 0))
         .select("doc_id", "term", "score", "rk")
-        .orderBy("doc_id", "rk")
     )

@@ -275,13 +275,10 @@ def stream_into_engine(
         rows = batch_df.select(
             "event_id", "user_id", "event_type", "value"
         ).localCheckpoint(eager=True)
-        state = engine.tables.get(table)
-        if state is None:
-            engine.register_base(table, rows, pk="event_id")
-        else:
-            state.base = state.base.unionByName(rows).localCheckpoint(eager=True)
-            state.base_rows = None
-            state.base_io = None
+        # append_batch holds engine._lock: foreachBatch runs on the
+        # streaming thread while SQL may be served concurrently by the
+        # threaded REST server (ADVICE r3).
+        engine.append_batch(table, rows, pk="event_id")
         applied.add(batch_id)
     return (
         events.writeStream.foreachBatch(sink)

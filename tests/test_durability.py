@@ -275,3 +275,148 @@ def test_concurrent_insert_and_scan_no_errors(engine):
         t.join()
     assert errors == []
     assert engine.execute("SELECT COUNT(id) FROM k").rows[0][0] == 80
+
+
+# --- round-4 durability hardening (ADVICE r3 + VERDICT r3 #2) ---
+
+
+def test_drop_table_then_recreate_does_not_resurrect(spark, data_dir):
+    """ADVICE r3: DROP must remove the on-disk base; a recreated same-named
+    table must not adopt the dropped table's parquet on restart."""
+    e1 = SamanvayEngine(spark, data_dir=data_dir)
+    _seed(e1, 3)
+    e1.flush("users")
+    e1.execute("DROP TABLE users")
+    e1.execute("CREATE TABLE users (id BIGINT NOT NULL, name VARCHAR(255), age INT)")
+    e1.execute("INSERT INTO users VALUES (42, 'fresh', 1)")
+
+    e2 = SamanvayEngine(spark, data_dir=data_dir)
+    rs = e2.execute("SELECT id, name FROM users")
+    assert rs.error_message is None
+    assert rs.rows == [(42, "fresh")]  # no resurrected u1/u2/u3
+
+
+def test_flush_writes_versioned_generations_and_gcs(spark, data_dir):
+    """ADVICE r3: each flush lands in a fresh gen_<n> dir committed by the
+    atomic sidecar swap; older generations are garbage-collected."""
+    import json as _json
+    import os
+
+    e1 = SamanvayEngine(spark, data_dir=data_dir)
+    _seed(e1, 2)
+    e1.flush("users")
+    e1.execute("INSERT INTO users VALUES (3, 'u3', 23)")
+    e1.flush("users")
+
+    tdir = e1._table_data_path("users")
+    assert os.path.isdir(os.path.join(tdir, "gen_2"))
+    assert not os.path.isdir(os.path.join(tdir, "gen_1"))  # GC'd
+    with open(e1._schemas_path) as fh:
+        assert _json.load(fh)["users"]["gen"] == 2
+
+    e2 = SamanvayEngine(spark, data_dir=data_dir)
+    assert len(e2.execute("SELECT * FROM users").rows) == 3
+
+
+def test_stale_generation_leftover_is_ignored_on_recovery(spark, data_dir):
+    """A crash mid-flush leaves a half-written gen_<n+1> dir but the sidecar
+    still points at gen_<n>: recovery must serve gen_<n> untouched."""
+    import os
+
+    e1 = SamanvayEngine(spark, data_dir=data_dir)
+    _seed(e1, 2)
+    e1.flush("users")  # live = gen_1
+    # simulate the torn write of a crashed gen_2 flush
+    torn = os.path.join(e1._table_data_path("users"), "gen_2")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"not parquet")
+
+    e2 = SamanvayEngine(spark, data_dir=data_dir)
+    assert sorted(e2.execute("SELECT id FROM users").rows) == [(1,), (2,)]
+    # and the next flush retires the torn dir without tripping over it
+    e2.execute("INSERT INTO users VALUES (3, 'u3', 23)")
+    e2.flush("users")
+    assert sorted(e2.execute("SELECT id FROM users").rows) == [(1,), (2,), (3,)]
+
+
+def test_register_base_with_path_survives_restart(spark, data_dir, tmp_path):
+    """ADVICE r3: an externally-registered base re-reads from its recorded
+    parquet path after restart."""
+    ext = str(tmp_path / "ext_base")
+    spark.range(1, 6).selectExpr("id", "cast(id * 10 as int) as v").write.parquet(ext)
+    e1 = SamanvayEngine(spark, data_dir=data_dir)
+    e1.register_base("ext", spark.read.parquet(ext), pk="id", path=ext)
+    e1.execute("INSERT INTO ext VALUES (99, 1)")
+
+    e2 = SamanvayEngine(spark, data_dir=data_dir)
+    rs = e2.execute("SELECT COUNT(id) FROM ext")
+    assert rs.error_message is None
+    assert rs.rows[0][0] == 6  # 5 base rows + 1 WAL-replayed overlay row
+
+
+def test_register_base_without_path_refused_after_restart(spark, data_dir):
+    """ADVICE r3: a volatile registered base cannot be rebuilt; recovery
+    must refuse to serve overlay-only rows rather than silently lose data."""
+    e1 = SamanvayEngine(spark, data_dir=data_dir)
+    df = spark.range(1, 4).selectExpr("id", "cast(id as int) as v")
+    e1.register_base("vol", df, pk="id")
+
+    e2 = SamanvayEngine(spark, data_dir=data_dir)
+    rs = e2.execute("SELECT * FROM vol")
+    assert rs.error_message is not None
+    assert "not durably flushed" in rs.error_message
+
+
+def test_registered_base_flush_converts_to_durable(spark, data_dir):
+    e1 = SamanvayEngine(spark, data_dir=data_dir)
+    df = spark.range(1, 4).selectExpr("id", "cast(id as int) as v")
+    e1.register_base("conv", df, pk="id")
+    e1.execute("INSERT INTO conv VALUES (7, 70)")
+    e1.flush("conv")  # folds external base + overlay into gen_1
+
+    e2 = SamanvayEngine(spark, data_dir=data_dir)
+    rs = e2.execute("SELECT COUNT(id) FROM conv")
+    assert rs.error_message is None
+    assert rs.rows[0][0] == 4
+
+
+# --- size-triggered auto-flush (VERDICT r3 #2; memtable.hpp:140-161) ---
+
+
+def test_autoflush_bounds_overlay_under_sustained_inserts(engine):
+    """Stream 100k INSERTs through the engine (the bulk_loader scenario
+    VERDICT r3 flagged): the overlay must stay bounded by the threshold
+    and every query result must be unchanged by the background folds."""
+    engine.execute("CREATE TABLE s (id BIGINT NOT NULL, v INT)")
+    engine.autoflush_rows = 25_000
+    state = engine.tables["s"]
+    max_seen = 0
+    for i in range(100_000):
+        engine.execute(f"INSERT INTO s VALUES ({i}, {i % 7})")
+        if i % 250 == 249:
+            max_seen = max(max_seen, len(state.memtable))
+    assert max_seen <= 25_000  # overlay never grows past the threshold
+    assert engine.stats["total_flushes"] >= 3
+    rs = engine.execute("SELECT COUNT(id) FROM s")
+    assert rs.rows[0][0] == 100_000
+    rs = engine.execute("SELECT SUM(v) FROM s")
+    assert rs.rows[0][0] == sum(i % 7 for i in range(100_000))
+
+
+def test_autoflush_durable_truncates_wal(spark, data_dir):
+    import os
+
+    e1 = SamanvayEngine(spark, data_dir=data_dir)
+    e1.execute("CREATE TABLE w (id BIGINT NOT NULL, v INT)")
+    e1.autoflush_rows = 100
+    for i in range(250):
+        e1.execute(f"INSERT INTO w VALUES ({i}, {i})")
+    # two auto-flushes happened; WAL holds only the residual 50 rows
+    with open(e1._wal_path) as fh:
+        residual = sum(1 for line in fh if line.strip())
+    assert residual == 50
+    assert len(e1.tables["w"].memtable) == 50
+
+    e2 = SamanvayEngine(spark, data_dir=data_dir)
+    assert e2.execute("SELECT COUNT(id) FROM w").rows[0][0] == 250

@@ -156,6 +156,25 @@ class TestNoCartesian:
         )
 
 
+class TestNoPresentationalSort:
+    """VERDICT r3 #3: unbounded (corpus-sized) outputs must not end in a
+    presentational global sort — at 100 TB that's a full range-shuffle of
+    the entire result that no consumer needs (both correctness gates
+    compare order-insensitively). A global Sort compiles to an Exchange
+    rangepartitioning; the per-doc rank windows only need hash exchanges,
+    so rangepartitioning in the plan is exactly the regression signature."""
+
+    @pytest.mark.parametrize(
+        "name", ["tfidf_keywords", "kmeans_assign", "embedding_quantize"]
+    )
+    def test_unbounded_output_has_no_global_sort(self, spark, name):
+        qs = entrymod.queries()
+        p = plan(qs[name](spark, SF_DIR))
+        assert "rangepartitioning" not in p.lower(), (
+            f"{name} ends in a global sort (range-partition exchange)"
+        )
+
+
 class TestLshIndexPruning:
     def test_indexed_lsh_scan_is_partition_pruned(self, spark):
         """The materialized bucket layout must turn the bucket predicate
