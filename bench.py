@@ -146,6 +146,26 @@ def main() -> None:
         )
     )
 
+    # Regression tracking (VERDICT r3 #5): diff this run against the newest
+    # recorded BENCH_r*.json per query, flagging >1.3x drifts. stderr only —
+    # stdout stays the ONE JSON line the driver parses.
+    try:
+        from tools.bench_diff import diff_table, latest_bench_files
+
+        prior = latest_bench_files(os.path.dirname(os.path.abspath(__file__)), n=1)
+        if prior:
+            with open(prior[0]) as fh:
+                old_doc = json.load(fh)
+            table = diff_table(
+                old_doc,
+                {"queries": timings},
+                old_label=os.path.basename(prior[0]).replace(".json", ""),
+                new_label="this-run",
+            )
+            print("\n-- bench drift vs last recorded round --\n" + table, file=sys.stderr)
+    except Exception as exc:  # diagnostics must never break the bench contract
+        print(f"bench_diff skipped: {exc}", file=sys.stderr)
+
 
 def bench_htap_mixed(spark, sf_dir: str) -> dict:
     """Mixed-HTAP latency ratios mirroring the reference's §7.4 benchmark

@@ -1,0 +1,109 @@
+"""Per-query bench regression diff (VERDICT r3 #5).
+
+Compares two bench payloads ({"queries": {name: sec}, ...}) and renders a
+drift table so "noise vs regression" stops being a judgment call: queries
+whose ratio exceeds DRIFT_RATIO in either direction are flagged, new and
+removed queries are listed, and totals are recomputed over the common set
+(so adding headline queries doesn't read as a slowdown).
+
+CLI:
+    python tools/bench_diff.py                # latest two BENCH_r*.json
+    python tools/bench_diff.py OLD.json NEW.json
+
+Accepts both the raw bench.py JSON line and the driver's BENCH_r{N}.json
+wrapper (payload under "parsed"). bench.py calls diff_table() after its
+JSON line (on stderr) against the newest BENCH_r*.json in the repo root.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+# min-of-two-pass timings on this box still show real scheduler noise;
+# 1.3x is outside that band for everything but the sub-0.3 s microqueries,
+# which the floor guard below absorbs.
+DRIFT_RATIO = 1.3
+# ignore drifts where both sides are this fast — a 0.1 s -> 0.2 s "2x
+# regression" is pure scheduling jitter, not a plan change.
+FLOOR_SEC = 0.3
+
+
+def _payload(doc: dict) -> dict:
+    return doc.get("parsed", doc)
+
+
+def diff_table(old_doc: dict, new_doc: dict, old_label: str = "old", new_label: str = "new") -> str:
+    old = _payload(old_doc).get("queries", {})
+    new = _payload(new_doc).get("queries", {})
+    common = sorted(set(old) & set(new))
+    added = sorted(set(new) - set(old))
+    removed = sorted(set(old) - set(new))
+
+    lines = []
+    width = max((len(n) for n in common), default=10)
+    lines.append(
+        f"{'query'.ljust(width)}  {old_label:>9}  {new_label:>9}  {'ratio':>6}  flag"
+    )
+    flagged = 0
+    for name in common:
+        o, n = old[name], new[name]
+        ratio = n / o if o else float("inf")
+        flag = ""
+        if max(o, n) >= FLOOR_SEC:
+            if ratio > DRIFT_RATIO:
+                flag = "REGRESSION"
+                flagged += 1
+            elif ratio < 1 / DRIFT_RATIO:
+                flag = "improved"
+        lines.append(
+            f"{name.ljust(width)}  {o:9.3f}  {n:9.3f}  {ratio:6.2f}  {flag}"
+        )
+    tot_old = sum(old[n] for n in common)
+    tot_new = sum(new[n] for n in common)
+    lines.append(
+        f"{('TOTAL (%d common)' % len(common)).ljust(width)}  "
+        f"{tot_old:9.3f}  {tot_new:9.3f}  "
+        f"{(tot_new / tot_old if tot_old else 1):6.2f}  "
+        f"{flagged} flagged >{DRIFT_RATIO}x"
+    )
+    if added:
+        lines.append(f"added ({len(added)}): {', '.join(added)}")
+    if removed:
+        lines.append(f"removed ({len(removed)}): {', '.join(removed)}")
+    return "\n".join(lines)
+
+
+def latest_bench_files(repo_root: str, n: int = 2) -> list[str]:
+    files = sorted(glob.glob(os.path.join(repo_root, "BENCH_r*.json")))
+    return files[-n:]
+
+
+def main(argv: list[str]) -> int:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if len(argv) == 2:
+        paths = argv
+    else:
+        paths = latest_bench_files(root)
+        if len(paths) < 2:
+            print("need two BENCH_r*.json files (or pass OLD NEW)", file=sys.stderr)
+            return 1
+    with open(paths[0]) as fh:
+        old = json.load(fh)
+    with open(paths[1]) as fh:
+        new = json.load(fh)
+    print(
+        diff_table(
+            old,
+            new,
+            old_label=os.path.basename(paths[0]).replace(".json", ""),
+            new_label=os.path.basename(paths[1]).replace(".json", ""),
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
