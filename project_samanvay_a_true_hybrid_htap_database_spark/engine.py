@@ -22,9 +22,14 @@ memtable + LSM store. Here the same observable surface runs Spark-first:
   only live latest versions (mirrors k-way merge compaction,
   compaction.hpp:193-275).
 
-Reference quirks (SURVEY.md §2.1 S9/S11/S12) are kept behind
+Reference quirks (SURVEY.md §2.1 S8/S9/S11/S12) are kept behind
 ``quirk_compat`` (default True): COUNT(col) == COUNT(*), AVG divides by the
-all-row count, MIN/MAX on an empty selection return 0.
+all-row count, MIN/MAX on an empty selection return 0, string-column
+comparisons go numeric-if-both-parse, unhandled operators (LIKE / IS NULL /
+IN / BETWEEN / NOT) evaluate TRUE, literal-on-left comparisons bind the
+column as the left operand without flipping the operator, and col-vs-col /
+lit-vs-lit comparisons match nothing (see ``_pred_to_column`` for the
+query_executor.cpp line map).
 """
 
 from __future__ import annotations
@@ -196,12 +201,53 @@ def _parse_pred_term(ts: _Tokens):
 
 def _parse_pred_factor(ts: _Tokens):
     t = ts.peek()
+    if t and t[0] == "word" and t[1].upper() == "NOT":
+        # hsql parses NOT into kOpNot, which evalWhere's default arm turns
+        # into TRUE (query_executor.cpp:691-693). Consume the negated factor
+        # so the surrounding AND/OR structure still parses.
+        ts.next()
+        _parse_pred_factor(ts)
+        return ("unknown_op", "NOT")
     if t and t[0] == "op" and t[1] == "(":
         ts.next()
         inner = _parse_pred(ts)
         ts.expect_op(")")
         return inner
     lhs = _parse_operand(ts)
+    t = ts.peek()
+    if t and t[0] == "word":
+        # Operators hsql parses but the reference executor never handles:
+        # evalWhere's default arm evaluates them TRUE for every row
+        # (query_executor.cpp:691-693). Parse the full form so AND/OR
+        # structure survives, then defer TRUE-vs-error to quirk_compat.
+        u = t[1].upper()
+        if u == "LIKE":
+            ts.next()
+            _parse_operand(ts)
+            return ("unknown_op", "LIKE")
+        if u == "IS":
+            ts.next()
+            ts.accept_word("NOT")
+            ts.expect_word("NULL")
+            return ("unknown_op", "IS NULL")
+        if u == "BETWEEN":
+            ts.next()
+            _parse_operand(ts)
+            ts.expect_word("AND")
+            _parse_operand(ts)
+            return ("unknown_op", "BETWEEN")
+        if u == "IN":
+            ts.next()
+            ts.expect_op("(")
+            _parse_operand(ts)
+            while True:
+                nxt = ts.next()
+                if nxt == ("op", ")"):
+                    break
+                if nxt != ("op", ","):
+                    raise SqlError(f"Expected ',' or ')' in IN list, got {nxt[1]!r}")
+                _parse_operand(ts)
+            return ("unknown_op", "IN")
     op_t = ts.next()
     if op_t[0] != "op" or op_t[1] not in {"=", "!=", "<", "<=", ">", ">="}:
         raise SqlError(f"Expected comparison operator, got {op_t[1]!r}")
@@ -253,6 +299,8 @@ def _pred_columns(pred) -> set[str]:
     kind = pred[0]
     if kind in ("and", "or"):
         return _pred_columns(pred[1]) | _pred_columns(pred[2])
+    if kind == "unknown_op":
+        return set()
     cols = set()
     for operand in (pred[2], pred[3]):
         if operand[0] == "col":
@@ -943,7 +991,23 @@ class SamanvayEngine:
         is tried on *both* operands — if both parse, compare numerically,
         else compare lexicographically. So a VARCHAR column holding numerics
         yields ``'10' > '9'`` (reference behavior), where a typed Spark
-        string compare would say ``'10' < '9'``."""
+        string compare would say ``'10' < '9'``.
+
+        Three further S8 residual quirks, all behind ``quirk_compat``:
+
+        * Unknown operators (LIKE / IS NULL / IN / BETWEEN / NOT) evaluate
+          TRUE for every row — evalWhere's default arm
+          (query_executor.cpp:691-693). Off-quirk they raise, since the
+          repo has no honest implementation of them.
+        * Literal-on-left comparisons are NOT flipped: compareOp binds
+          whichever side is the column ref as the LEFT operand and keeps
+          the operator (query_executor.cpp:701-706), so ``5 < id`` means
+          ``id < 5``. Off-quirk the standard reading applies.
+        * Column-vs-column and literal-vs-literal comparisons are FALSE
+          for every row: exprToString() returns nullopt for a column ref
+          and row.find() misses for a literal, and compareOp bails false
+          both ways (query_executor.cpp:703-711, 627-653). Off-quirk both
+          compare standardly."""
         kind = pred[0]
         if kind == "and":
             return self._pred_to_column(state, pred[1]) & self._pred_to_column(
@@ -953,7 +1017,16 @@ class SamanvayEngine:
             return self._pred_to_column(state, pred[1]) | self._pred_to_column(
                 state, pred[2]
             )
+        if kind == "unknown_op":
+            if self.quirk_compat:
+                return F.lit(True)
+            raise SqlError(f"Unsupported operator: {pred[1]}")
         _, op, lhs, rhs = pred
+        if self.quirk_compat:
+            if lhs[0] == "lit" and rhs[0] == "col":
+                lhs, rhs = rhs, lhs  # non-flip: column side becomes LHS, op kept
+            elif lhs[0] == rhs[0]:
+                return F.lit(False)  # col-vs-col / lit-vs-lit: reference says no row
         l = F.col(lhs[1]) if lhs[0] == "col" else F.lit(lhs[1])
         r = F.col(rhs[1]) if rhs[0] == "col" else F.lit(rhs[1])
         stringly = self.quirk_compat and any(

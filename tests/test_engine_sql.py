@@ -134,6 +134,87 @@ def test_where_operators(engine, where, count):
     assert len(engine.execute(f"SELECT * FROM orders WHERE {where}").rows) == count
 
 
+# --- S8 residual quirks (query_executor.cpp:691-711) ---
+
+
+@pytest.mark.parametrize(
+    "where",
+    [
+        "customer LIKE 'Al%'",
+        "region IS NULL",
+        "region IS NOT NULL",
+        "amount BETWEEN 100 AND 300",
+        "id IN (1, 2)",
+        "NOT region = 'APAC'",
+    ],
+)
+def test_unknown_operator_evaluates_true(engine, where):
+    """evalWhere's default arm returns TRUE for any operator the reference
+    executor doesn't handle (query_executor.cpp:691-693), so LIKE / IS NULL
+    / IN / BETWEEN / NOT match every row."""
+    _seed_orders(engine)
+    assert len(engine.execute(f"SELECT * FROM orders WHERE {where}").rows) == 5
+
+
+def test_unknown_operator_composes_with_and(engine):
+    # the TRUE arm participates in AND/OR like any other predicate
+    _seed_orders(engine)
+    res = engine.execute(
+        "SELECT * FROM orders WHERE customer LIKE 'x%' AND region = 'APAC'"
+    )
+    assert len(res.rows) == 2
+
+
+def test_unknown_operator_rejected_without_quirk(spark):
+    from project_samanvay_a_true_hybrid_htap_database_spark import SamanvayEngine
+
+    eng = SamanvayEngine(spark, quirk_compat=False)
+    _seed_orders(eng)
+    res = eng.execute("SELECT * FROM orders WHERE customer LIKE 'Al%'")
+    assert not res.ok and "Unsupported operator" in res.error_message
+    eng.execute("DROP TABLE orders")
+
+
+def test_literal_on_left_not_flipped(engine):
+    """compareOp binds the column-ref side as the LEFT operand and keeps the
+    operator (query_executor.cpp:701-706): `100 < amount` means
+    `amount < 100` (matches 99.99 and 75.50), not the standard reading."""
+    _seed_orders(engine)
+    assert len(engine.execute("SELECT * FROM orders WHERE 100 < amount").rows) == 2
+    assert len(engine.execute("SELECT * FROM orders WHERE 100 > amount").rows) == 3
+    # '=' is direction-free, so point lookup via `lit = pk` still works
+    assert len(engine.execute("SELECT * FROM orders WHERE 3 = id").rows) == 1
+
+
+def test_literal_on_left_standard_without_quirk(spark):
+    from project_samanvay_a_true_hybrid_htap_database_spark import SamanvayEngine
+
+    eng = SamanvayEngine(spark, quirk_compat=False)
+    _seed_orders(eng)
+    # standard semantics: 100 < amount means amount > 100
+    assert len(eng.execute("SELECT * FROM orders WHERE 100 < amount").rows) == 3
+    eng.execute("DROP TABLE orders")
+
+
+def test_col_col_and_lit_lit_compare_false(engine):
+    """exprToString() returns nullopt for a column ref and row.find() misses
+    for a literal, so compareOp returns FALSE both ways
+    (query_executor.cpp:703-711): col-vs-col and lit-vs-lit match nothing."""
+    _seed_orders(engine)
+    assert engine.execute("SELECT * FROM orders WHERE customer = region").rows == []
+    assert engine.execute("SELECT * FROM orders WHERE 1 = 1").rows == []
+
+
+def test_col_col_and_lit_lit_standard_without_quirk(spark):
+    from project_samanvay_a_true_hybrid_htap_database_spark import SamanvayEngine
+
+    eng = SamanvayEngine(spark, quirk_compat=False)
+    _seed_orders(eng)
+    assert len(eng.execute("SELECT * FROM orders WHERE 1 = 1").rows) == 5
+    assert eng.execute("SELECT * FROM orders WHERE customer = region").rows == []
+    eng.execute("DROP TABLE orders")
+
+
 # --- aggregation goldens (Unit_Test2.cpp:479-521) ---
 
 
