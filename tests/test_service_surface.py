@@ -339,3 +339,45 @@ class TestRestConcurrency:
         assert not errors, errors[:3]
         s, b = _req(api, "POST", "/api/query", {"sql": "SELECT COUNT(*) FROM cc"})
         assert b["data"]["rows"] == [[15]]
+
+
+# ---------------------------------------------------------------------------
+# Demo seed (demo_seed.sh:38-146) — the reference's out-of-box REST demo
+# ---------------------------------------------------------------------------
+
+
+class TestDemoSeed:
+    def test_seed_populates_and_pumps_stats(self, api):
+        from tools.demo_seed import seed
+
+        stats = seed(f"http://127.0.0.1:{api.port}", echo=False)
+        # 4 CREATEs + 133 INSERTs + 22 stat queries + 20 point reads
+        assert stats["statements"] == 179
+        assert stats["failed"] == 0 and stats["ok"] == 179
+
+        # table row counts match the shell script's summary block
+        for table, n in [("users", 10), ("orders", 15), ("inventory", 8), ("sales_events", 100)]:
+            s, b = _req(api, "POST", "/api/query", {"sql": f"SELECT COUNT(*) FROM {table}"})
+            assert s == 200 and b["data"]["rows"] == [[n]], table
+
+        # seeded RNG makes the OLAP table deterministic: pin one aggregate
+        s, b = _req(api, "POST", "/api/query", {"sql": "SELECT MIN(revenue) FROM sales_events"})
+        assert s == 200 and b["data"]["rows"][0][0] > 0
+
+        # the stat pump actually bumped the engine's operation counters
+        s, b = _req(api, "GET", "/api/status")
+        assert s == 200
+        ops = b["data"]["operations"]
+        assert ops["total_writes"] >= 133  # the INSERTs
+        # 8 point reads + 20 seeded point reads + 14 scans/aggregates
+        assert ops["total_reads"] + ops["total_range_queries"] >= 42
+
+    def test_seed_is_idempotent_failure_free_on_rerun_tables(self, api):
+        # a second run hits CREATE TABLE ... exists errors but nothing else;
+        # the shell script tolerates these (prints "--" and continues)
+        from tools.demo_seed import seed
+
+        seed(f"http://127.0.0.1:{api.port}", echo=False)
+        stats = seed(f"http://127.0.0.1:{api.port}", echo=False)
+        assert stats["failed"] == 4  # the four CREATEs
+        assert stats["ok"] == 175
