@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_summary": multimodal.multimodal_summary,
         "multimodal_frames": multimodal.frame_sample,
         "multimodal_resize": multimodal.image_resize,
+        "multimodal_audio_chunks": multimodal.audio_chunks,
         # --- reference relational surface (SURVEY.md §2.1) ---
         "point_lookup": relational.point_lookup,
         "full_scan": relational.full_scan,
@@ -727,6 +728,20 @@ SELECT doc_id, CAST(n AS INT) AS orig_bytes,
        CAST(length(resized) AS INT) AS resized_bytes,
        md5(resized) AS resized_md5
 FROM r ORDER BY doc_id
+""",
+        # Overlapped framing: offsets 0, 48, 96, ... < n (window 64, hop 48),
+        # final partial window kept — max chunk_idx = (n-1) // 48.
+        "multimodal_audio_chunks": """
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, (length(text) - 1) // 48)) AS chunk_idx
+  FROM documents)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_idx * 48 AS INT) AS start_byte,
+       CAST(length(substring(text, chunk_idx * 48 + 1, 64)) AS INT)
+         AS chunk_bytes,
+       md5(substring(text, chunk_idx * 48 + 1, 64)) AS chunk_md5
+FROM c
 """,
         "tpch_q3": """
 SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -104,6 +104,9 @@ def main() -> None:
         # production path.
         "knn_join_vectorized",
         "multimodal_frames",
+        # overlapped-window framing (audio-chunk analog) — row-exploding
+        # mapInPandas, ~4 chunks out per doc in
+        "multimodal_audio_chunks",
     ]
 
     # Warm-up: prime parquet footers, then run every headline query once

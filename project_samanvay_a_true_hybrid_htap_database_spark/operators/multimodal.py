@@ -180,4 +180,61 @@ def image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     extractor — binary column in, fixed-schema batch out, no shuffle, no
     driver; swapping the fake for PIL changes no plan shape."""
     blobs = attach_blob(spark, sf_dir).select("doc_id", "content")
-    return blobs.mapInPandas(_fake_resize, schema=_RESIZE_SCHEMA).orderBy("doc_id")
+    # No trailing orderBy: N-row output; a presentational global sort is a
+    # full shuffle at scale and both correctness gates are order-insensitive.
+    return blobs.mapInPandas(_fake_resize, schema=_RESIZE_SCHEMA)
+
+
+_CHUNK_WINDOW = 64
+_CHUNK_HOP = 48  # 16-byte overlap between consecutive windows
+
+_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.IntegerType()),
+        T.StructField("start_byte", T.IntegerType()),
+        T.StructField("chunk_bytes", T.IntegerType()),
+        T.StructField("chunk_md5", T.StringType()),
+    ]
+)
+
+
+def _fake_audio_chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB AUDIO CHUNKER: a real implementation would decode PCM frames
+    (e.g. torchaudio.load → frame tensor) and window the samples. The fake
+    applies the identical overlapped-window arithmetic to the raw bytes:
+    window ``_CHUNK_WINDOW``, hop ``_CHUNK_HOP`` (so consecutive chunks
+    overlap by window-hop bytes, the standard STFT-style framing), offsets
+    0, H, 2H, ... < n with the final partial window kept. Deterministic, so
+    the DuckDB oracle recomputes identical chunk digests."""
+    for pdf in batches:
+        out = {
+            "doc_id": [],
+            "chunk_idx": [],
+            "start_byte": [],
+            "chunk_bytes": [],
+            "chunk_md5": [],
+        }
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            b = bytes(content)
+            for idx, start in enumerate(range(0, len(b), _CHUNK_HOP)):
+                chunk = b[start : start + _CHUNK_WINDOW]
+                out["doc_id"].append(int(doc_id))
+                out["chunk_idx"].append(idx)
+                out["start_byte"].append(start)
+                out["chunk_bytes"].append(len(chunk))
+                out["chunk_md5"].append(hashlib.md5(chunk).hexdigest())
+        yield pd.DataFrame(out)
+
+
+def audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapped fixed-window chunking of binary payloads via mapInPandas —
+    the framing step of an audio pipeline (window 64 B, hop 48 B, 16 B
+    overlap; a real deployment frames PCM samples the same way, e.g.
+    25 ms windows / 10 ms hop). One output row per chunk; the row
+    explosion happens executor-side inside the Arrow batch, output
+    partitioning follows input, no shuffle, no driver. Swapping the fake
+    for a real decoder changes no plan shape — the bytes already arrive
+    inside the Arrow batch."""
+    blobs = attach_blob(spark, sf_dir).select("doc_id", "content")
+    return blobs.mapInPandas(_fake_audio_chunk, schema=_CHUNK_SCHEMA)

@@ -165,7 +165,13 @@ class TestNoPresentationalSort:
     so rangepartitioning in the plan is exactly the regression signature."""
 
     @pytest.mark.parametrize(
-        "name", ["tfidf_keywords", "kmeans_assign", "embedding_quantize"]
+        "name",
+        [
+            "tfidf_keywords",
+            "kmeans_assign",
+            "embedding_quantize",
+            "multimodal_resize",
+        ],
     )
     def test_unbounded_output_has_no_global_sort(self, spark, name):
         qs = entrymod.queries()
