@@ -246,6 +246,36 @@ class TestRestAPI:
                 # the page drives the same envelope endpoints
                 assert "/api/query" in body and "/api/explain" in body
 
+    def test_console_dashboard_tab(self, api):
+        """The console ships a Dashboard tab — the analog of the reference's
+        monitoring frontend (dashboard/app.js: stat cards + per-structure
+        breakdown + ops/sec chart polling /api/status). Assert the view and
+        its status-API wiring are present, and that the status payload the
+        tab renders carries every field the cards/bars read."""
+        import urllib.request as ur
+
+        with ur.urlopen(f"http://127.0.0.1:{api.port}/") as resp:
+            body = resp.read().decode()
+        # tab + containers + polling wiring
+        assert "Dashboard" in body and "showTab" in body
+        assert "dash-cards" in body and "dash-tables" in body
+        assert "refreshDash" in body and "/api/status" in body
+        assert "opsspark" in body  # ops/sec sparkline (app.js line chart analog)
+        # the fields the dashboard reads exist in the live status payload
+        status, payload = _req(api, "GET", "/api/status")
+        assert status == 200
+        data = payload["data"]
+        assert {"hotTables", "hotEntries"} <= set(data["memory"])
+        for t in data["tables"]:
+            assert {"table", "hotEntries", "tombstones", "hasBase"} <= set(t)
+        assert {
+            "total_writes",
+            "total_reads",
+            "total_range_queries",
+            "total_flushes",
+        } <= set(data["operations"])
+        assert "currentSequence" in data["engine"]
+
     def test_unknown_endpoint_404(self, api):
         status, body = _req(api, "GET", "/api/nope")
         assert status == 404 and body["error"]["type"] == "NOT_FOUND"
