@@ -98,22 +98,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so the entries WITHOUT a driver correctness row come FIRST:
-    # the driver sweep caps at 50 entries per round, so dict order is the
-    # sweep order. r2 covered the relational/analytics core, r3 covered the
-    # LLM-data-pipeline extensions; the r3 front-load displaced the TPC-H
-    # completions + event analytics below. Front-loading them here earns
-    # the final batch of hard driver rows (CORRECTNESS_r04); everything
-    # after slot ~30 already holds a green r2/r3 row.
+    # Ordered so the entries WITHOUT a green driver correctness row come
+    # FIRST: the driver sweep caps at 50 entries per round, so dict order is
+    # the sweep order. As of CORRECTNESS_r04 every registered query holds a
+    # green row except the 7 below: 5 event-analytics queries that crashed on
+    # the regenerated events.parquet (ts became TIMESTAMP_MICROS; loader now
+    # adapts), tpch_q12 (DuckDB HUGEINT sum output, now CAST AS BIGINT), and
+    # multimodal_audio_chunks (added after the r4 sweep order froze).
     return {
-        # --- round-4 front-load: driver-unchecked as of CORRECTNESS_r03 ---
+        # --- round-5 front-load: failed or unswept in CORRECTNESS_r04 ---
+        "tpch_q12": analytics.tpch_q12_shipping_priority_class,
+        "events_trending_topk": analytics.events_trending_topk,
+        "attribution_window_join": analytics.attribution_window_join,
+        "events_hourly_anomaly": analytics.events_hourly_anomaly,
+        "funnel_conversion": analytics.funnel_conversion,
+        "retention_cohorts": analytics.retention_cohorts,
+        "multimodal_audio_chunks": multimodal.audio_chunks,
+        # --- everything below holds a green r2/r3/r4 driver row ---
         "tpch_q2": analytics.tpch_q2_min_cost_supplier,
         "tpch_q4": analytics.tpch_q4_order_priority,
         "tpch_q7": analytics.tpch_q7_volume_shipping,
         "tpch_q8": analytics.tpch_q8_market_share,
         "tpch_q9": analytics.tpch_q9_product_profit,
         "tpch_q11": analytics.tpch_q11_important_stock,
-        "tpch_q12": analytics.tpch_q12_shipping_priority_class,
         "tpch_q13": analytics.tpch_q13_customer_distribution,
         "tpch_q15": analytics.tpch_q15_top_supplier,
         "tpch_q16": analytics.tpch_q16_parts_supplier_count,
@@ -125,11 +132,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": analytics.tpch_q22_global_sales_opportunity,
         "bucketed_join_agg": bucketed_join_agg,
         "skew_join_salted": analytics.skew_join_salted,
-        "events_trending_topk": analytics.events_trending_topk,
-        "attribution_window_join": analytics.attribution_window_join,
-        "events_hourly_anomaly": analytics.events_hourly_anomaly,
-        "funnel_conversion": analytics.funnel_conversion,
-        "retention_cohorts": analytics.retention_cohorts,
         # HLL sketch twin: no SQL oracle (approximate by construction);
         # the driver records the rows-only check, and the pytest suite
         # bounds its error against the exact twin.
@@ -189,7 +191,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_summary": multimodal.multimodal_summary,
         "multimodal_frames": multimodal.frame_sample,
         "multimodal_resize": multimodal.image_resize,
-        "multimodal_audio_chunks": multimodal.audio_chunks,
         # --- reference relational surface (SURVEY.md §2.1) ---
         "point_lookup": relational.point_lookup,
         "full_scan": relational.full_scan,
@@ -952,10 +953,10 @@ ORDER BY part_value DESC, p_key
 """,
         "tpch_q12": """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE year(l_shipdate) = 1998
   AND l_shipdate >= o_orderdate + INTERVAL 60 DAY

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timefns import epoch_seconds
 from ..sources import load_table
 
 
@@ -216,7 +217,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(
-            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            epoch_seconds(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
             F.col("event_type"),
         )
         .agg(
@@ -235,7 +236,7 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_min: int = 30) -> DataFrame
     events = load_table(spark, sf_dir, "events")
     gapped = events.select(
         "user_id",
-        F.unix_timestamp("ts").alias("epoch_s"),
+        epoch_seconds("ts").alias("epoch_s"),
         "event_id",
         "value",
     ).withColumn(
@@ -541,7 +542,7 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the events table is bucketed by user so the sort is within-partition."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
-        F.unix_timestamp("ts").asc(), F.col("event_id").asc()
+        epoch_seconds("ts").asc(), F.col("event_id").asc()
     )
     return (
         ev.withColumn("prev_value", F.lag("value").over(w))
@@ -1331,7 +1332,7 @@ def events_trending_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFr
     never over raw events; same split the streaming form makes."""
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy(
-        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+        epoch_seconds(F.date_trunc("hour", "ts")).alias("hour_epoch"),
         "event_type",
     ).agg(F.count("*").alias("n_events"))
     rk = F.row_number().over(
@@ -1358,7 +1359,7 @@ def attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Purchases with no prior view are absent (inner join) — the attribution
     set, not the purchase universe."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
-    day = lambda c: F.floor(F.unix_timestamp(c) / 86400)  # noqa: E731
+    day = lambda c: F.floor(epoch_seconds(c) / 86400)  # noqa: E731
     views = ev.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("v_user"),
         F.col("ts").alias("v_ts"),
@@ -1399,7 +1400,7 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     not stddev — stddev algorithms differ across engines, means do not."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
-        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch")
+        epoch_seconds(F.date_trunc("hour", "ts")).alias("hour_epoch")
     ).agg(F.count("*").alias("n_events"))
     w = Window.orderBy("hour_epoch").rowsBetween(-24, -1)
     trailing = F.avg("n_events").over(w)

@@ -39,9 +39,10 @@ def get_spark(
         # is exactly the asymmetry broadcast joins want.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
-        # The events testdata stores ts as TIMESTAMP(NANOS), which Spark's
-        # parquet reader rejects by default; read it as long nanos and convert
-        # in sources.load_table.
+        # Some events testdata generations store ts as TIMESTAMP(NANOS),
+        # which Spark's parquet reader rejects by default; with this conf it
+        # reads as a raw long and sources.load_table adapts (newer
+        # generations use TIMESTAMP(MICROS), where this conf is a no-op).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")

@@ -37,19 +37,43 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects unless read as a raw long. Set the conf defensively
-        # (the driver's harness may build its own session without it), read
-        # nanos, and surface both the raw value and a microsecond timestamp.
-        # Only touch session state when it's actually missing.
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (read as a
+        # raw long under spark.sql.legacy.parquet.nanosAsLong) and plain
+        # TIMESTAMP(MICROS) (read as timestamp/timestamp_ntz) across testdata
+        # generations, so adapt to whatever the file actually contains and
+        # always surface the same two columns: `ts` (timestamp) and
+        # `ts_nanos` (epoch nanos, bigint). Only touch session state when
+        # it's actually missing.
         if (
             spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
             != "true"
         ):
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts_nanos", F.col("ts")).withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "integer"):
+            # raw nanos → NTZ via pure arithmetic against the naive epoch
+            # (timestamp_micros() would yield session-tz-dependent LTZ);
+            # keep the exact nano value before truncating to micros.
+            return df.withColumn("ts_nanos", F.col("ts")).withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        if ts_type == "timestamp":
+            # LTZ read (not seen in any generation so far): pin the naive
+            # reading to UTC. Only this fallback depends on session tz.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        # ts is now TIMESTAMP_NTZ in every path; derive epoch nanos with
+        # tz-free NTZ arithmetic (see functions/timefns.py).
+        return df.withColumn(
+            "ts_nanos",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"
+            ),
         )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..functions.timefns import epoch_seconds
+
 SESSION_GAP_MIN = 30
 
 EVENTS_SCHEMA = T.StructType(
@@ -70,7 +72,7 @@ def hourly_rollup_stream(events: DataFrame) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            epoch_seconds(F.col("w.start")).alias("hour_epoch"),
             "event_type",
             "n_events",
             "total_value",
@@ -153,7 +155,7 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     stream processor)."""
     prepared = events.select(
         "user_id",
-        F.unix_timestamp("ts").alias("epoch_s"),
+        epoch_seconds("ts").alias("epoch_s"),
         "value",
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
@@ -242,8 +244,8 @@ def view_purchase_join_stream(
         F.col("p_user").alias("user_id"),
         "view_id",
         "purchase_id",
-        F.unix_timestamp("v_ts").alias("view_s"),
-        F.unix_timestamp("p_ts").alias("purchase_s"),
+        epoch_seconds("v_ts").alias("view_s"),
+        epoch_seconds("p_ts").alias("purchase_s"),
         "value",
     )
 
@@ -304,7 +306,7 @@ def trending_topk_stream(
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("n_events"))
         .select(
-            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            epoch_seconds(F.col("w.start")).alias("hour_epoch"),
             "event_type",
             "n_events",
         )

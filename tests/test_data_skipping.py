@@ -50,7 +50,15 @@ def _measure(spark, path, pred, agg_col):
 
 def test_time_sorted_events_layout_skips_bytes(metered, tmp_path):
     spark = metered
-    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts", "value")
+    # events.ts arrives as TIMESTAMP_NTZ in current testdata, whose
+    # row-group stats Spark's reader does not consult (same finding as the
+    # lineitem test below): cast to TIMESTAMP (session tz is UTC in tests)
+    # so the sorted layout's zone maps actually fire.
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "ts", "value")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
     shuffled = str(tmp_path / "ev_shuffled")
     srted = str(tmp_path / "ev_sorted")
     # shuffled baseline: every file spans the full month, no skipping possible
@@ -114,7 +122,14 @@ def test_int96_default_would_not_skip(metered, tmp_path):
     Spark's default INT96 timestamps gets no row-group skipping — the
     reason write_range_sorted forces TIMESTAMP_MICROS."""
     spark = metered
-    ev = load_table(spark, SF_DIR, "events").select("event_id", "ts", "value")
+    # outputTimestampType only governs TIMESTAMP (LTZ) writes, so the
+    # INT96-vs-MICROS contrast needs the LTZ cast (NTZ would sidestep the
+    # comparison entirely — neither layout skips, see the NTZ test below).
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_id", "ts", "value")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
     int96 = str(tmp_path / "ev_int96")
     (
         ev.repartitionByRange(8, "ts")

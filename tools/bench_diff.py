@@ -32,7 +32,10 @@ FLOOR_SEC = 0.3
 
 
 def _payload(doc: dict) -> dict:
-    return doc.get("parsed", doc)
+    # The driver wrapper carries "parsed": null when the bench run crashed
+    # (e.g. BENCH_r04); treat that as an empty payload rather than erroring.
+    inner = doc.get("parsed", doc)
+    return inner if isinstance(inner, dict) else {}
 
 
 def diff_table(old_doc: dict, new_doc: dict, old_label: str = "old", new_label: str = "new") -> str:
@@ -77,7 +80,16 @@ def diff_table(old_doc: dict, new_doc: dict, old_label: str = "old", new_label: 
 
 
 def latest_bench_files(repo_root: str, n: int = 2) -> list[str]:
-    files = sorted(glob.glob(os.path.join(repo_root, "BENCH_r*.json")))
+    """Newest n bench files that actually contain per-query timings
+    (crashed rounds persist a wrapper with "parsed": null — skip those)."""
+    files = []
+    for path in sorted(glob.glob(os.path.join(repo_root, "BENCH_r*.json"))):
+        try:
+            with open(path) as fh:
+                if _payload(json.load(fh)).get("queries"):
+                    files.append(path)
+        except (OSError, json.JSONDecodeError):
+            continue
     return files[-n:]
 
 
