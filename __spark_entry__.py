@@ -114,6 +114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_conversion": analytics.funnel_conversion,
         "retention_cohorts": analytics.retention_cohorts,
         "multimodal_audio_chunks": multimodal.audio_chunks,
+        # --- round-5 additions (no driver row yet) ---
+        "interval_overlap_join": analytics.interval_overlap_join,
+        "grouping_sets_report": analytics.grouping_sets_report,
+        "repetition_ratio": text.repetition_ratio,
+        "ann_mips_topk": similarity.ann_mips_topk,
         # --- everything below holds a green r2/r3/r4 driver row ---
         "tpch_q2": analytics.tpch_q2_min_cost_supplier,
         "tpch_q4": analytics.tpch_q4_order_priority,
@@ -950,6 +955,59 @@ SELECT l_partkey AS p_key, round(value_raw, 2) AS part_value
 FROM per_part
 WHERE value_raw > (SELECT sum(value_raw) * 0.001 FROM per_part)
 ORDER BY part_value DESC, p_key
+""",
+        "interval_overlap_join": """
+WITH hrs AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1),
+top AS (SELECT h FROM hrs ORDER BY n DESC, h ASC LIMIT 10),
+win AS (SELECT h - INTERVAL 30 MINUTE AS w_start,
+               h + INTERVAL 90 MINUTE AS w_end
+        FROM top)
+SELECT w_start, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS total_value
+FROM events e JOIN win w ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w_start ORDER BY w_start
+""",
+        "grouping_sets_report": """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+ORDER BY status, priority
+""",
+        "repetition_ratio": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN len(T) >= 3 THEN
+          list_transform(generate_series(1, len(T) - 2),
+                         i -> array_to_string(list_slice(T, i, i + 2), ' '))
+        ELSE [] END AS G
+      FROM t),
+tri AS (SELECT doc_id,
+          CASE WHEN len(G) > 0
+               THEN 1.0 - len(list_distinct(G))::DOUBLE / len(G)
+               ELSE 0.0 END AS dup3
+        FROM g),
+cnts AS (SELECT doc_id, tok, count(*) AS c
+         FROM (SELECT doc_id, unnest(T) AS tok FROM t) GROUP BY doc_id, tok),
+shares AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  max(c)::DOUBLE / sum(c) AS top_share
+           FROM cnts GROUP BY doc_id)
+SELECT s.doc_id, n_tokens,
+       round(dup3, 4) AS dup3_ratio,
+       round(top_share, 4) AS top_token_share,
+       (round(dup3, 4) >= 0.1 OR round(top_share, 4) >= 0.15) AS is_repetitive
+FROM shares s JOIN tri USING (doc_id)
+""",
+        "ann_mips_topk": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id, list_dot_product(e.embedding::DOUBLE[], qe) AS ip
+      FROM embeddings e, q WHERE e.vec_id != 0)
+SELECT vec_id, round(ip, 4) AS inner_product FROM s
+ORDER BY ip DESC, vec_id ASC LIMIT 10
 """,
         "tpch_q12": """
 SELECT l_returnflag,

@@ -107,6 +107,10 @@ def main() -> None:
         # overlapped-window framing (audio-chunk analog) — row-exploding
         # mapInPandas, ~4 chunks out per doc in
         "multimodal_audio_chunks",
+        # round-5: bin-bucketed range join (equi-join, no nested loop)
+        "interval_overlap_join",
+        # round-5: Gopher-style repetition quality signals
+        "repetition_ratio",
     ]
 
     # Warm-up: prime parquet footers, then run every headline query once

@@ -33,3 +33,22 @@ def epoch_days(col: Column | str) -> Column:
     """Whole days since the naive epoch (truncating)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.timestamp_diff("DAY", _epoch_ntz(), c)
+
+
+def hour_epoch_seconds(col: Column | str) -> Column:
+    """Epoch seconds of the naive hour truncation — replaces
+    epoch_seconds(date_trunc('hour', ts)): date_trunc casts NTZ to
+    session-timezone TIMESTAMP, which only looks correct in timezones whose
+    1970 and query-date UTC offsets happen to match."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff("HOUR", _epoch_ntz(), c) * 3600
+
+
+def trunc_hour_ntz(col: Column | str) -> Column:
+    """Naive hour truncation that stays TIMESTAMP_NTZ (date_trunc coerces
+    NTZ to session-tz TIMESTAMP; round-tripping back breaks for wall-clock
+    times that don't exist in the session timezone)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_add(
+        "HOUR", F.timestamp_diff("HOUR", _epoch_ntz(), c), _epoch_ntz()
+    )

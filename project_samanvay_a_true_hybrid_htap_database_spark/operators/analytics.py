@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.timefns import epoch_seconds
+from ..functions.timefns import epoch_seconds, hour_epoch_seconds, trunc_hour_ntz
 from ..sources import load_table
 
 
@@ -217,7 +217,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(
-            epoch_seconds(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            hour_epoch_seconds(F.col("ts")).alias("hour_epoch"),
             F.col("event_type"),
         )
         .agg(
@@ -1129,7 +1129,7 @@ def tpch_q12_shipping_priority_class(spark: SparkSession, sf_dir: str) -> DataFr
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .filter(
-            F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            F.col("l_shipdate") >= F.expr("timestampadd(DAY, 60, o_orderdate)")
         )
         .groupBy("l_returnflag")
         .agg(
@@ -1238,7 +1238,7 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
     )
     lines = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
         "late",
-        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        F.col("l_shipdate") >= F.expr("timestampadd(DAY, 90, o_orderdate)"),
     )
     # Pre-aggregate to one row per (order, supplier) FIRST: the raw lines
     # never feed a countDistinct expand or a join-back. n_supp is then a
@@ -1332,7 +1332,7 @@ def events_trending_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFr
     never over raw events; same split the streaming form makes."""
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy(
-        epoch_seconds(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+        hour_epoch_seconds("ts").alias("hour_epoch"),
         "event_type",
     ).agg(F.count("*").alias("n_events"))
     rk = F.row_number().over(
@@ -1381,7 +1381,7 @@ def attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (purchases.user_id == views.v_user)
             & (purchases.band == views.band)
             & (views.v_ts < purchases.p_ts)
-            & (views.v_ts >= purchases.p_ts - F.expr("INTERVAL 24 HOURS")),
+            & (views.v_ts >= F.expr("timestampadd(HOUR, -24, p_ts)")),
         )
         .groupBy("event_id", "user_id")
         .agg(F.count("*").alias("n_views_24h"))
@@ -1400,7 +1400,7 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     not stddev — stddev algorithms differ across engines, means do not."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
-        epoch_seconds(F.date_trunc("hour", "ts")).alias("hour_epoch")
+        hour_epoch_seconds("ts").alias("hour_epoch")
     ).agg(F.count("*").alias("n_events"))
     w = Window.orderBy("hour_epoch").rowsBetween(-24, -1)
     trailing = F.avg("n_events").over(w)
@@ -1419,3 +1419,85 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_epoch")
     )
+
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Interval-overlap (range) join without a nested-loop: events falling
+    inside any of the k busiest "incident windows" (the top-k hours by
+    event volume, widened to [hour - 30 min, hour + 90 min)).
+
+    Spark has no native range join, and the naive formulation
+    (events JOIN windows ON ts BETWEEN w_start AND w_end) plans a
+    BroadcastNestedLoopJoin — every event row probed against every window.
+    The scalable shape used here is bin bucketing: each 2-hour window is
+    exploded into the 3 hour-buckets it can touch, events are keyed by
+    their own hour bucket, and the join becomes a broadcast hash EQUI-join
+    on the bucket with the exact interval predicate as a residual filter.
+    At 100 TB the fact side shuffles nothing and probes a few-hundred-entry
+    hash table; overlapping windows are handled naturally (an event can
+    match several windows — interval semantics, not dedup semantics).
+
+    The reference has no join at all (SURVEY.md §2.4); this is extension
+    surface modeled after the zone-map range pruning its columnar files
+    declare (columnar_file.hpp:346-362) applied to a time dimension.
+    """
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    hours = ev.groupBy(trunc_hour_ntz("ts").alias("h")).agg(
+        F.count("*").alias("n")
+    )
+    top = hours.orderBy(F.col("n").desc(), F.col("h").asc()).limit(k)
+    # timestampadd, not +/- INTERVAL: interval arithmetic on TIMESTAMP_NTZ
+    # coerces to session-timezone TIMESTAMP (caught by
+    # tests/test_tz_independence.py), timestampadd preserves NTZ.
+    win = top.select(
+        F.col("h"),
+        F.expr("timestampadd(MINUTE, -30, h)").alias("w_start"),
+        F.expr("timestampadd(MINUTE, 90, h)").alias("w_end"),
+    )
+    buckets = win.select(
+        "w_start",
+        "w_end",
+        F.explode(
+            F.array(
+                F.expr("timestampadd(HOUR, -1, h)"),
+                F.col("h"),
+                F.expr("timestampadd(HOUR, 1, h)"),
+            )
+        ).alias("bucket"),
+    )
+    return (
+        ev.withColumn("bucket", trunc_hour_ntz("ts"))
+        .join(F.broadcast(buckets), "bucket")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .groupBy("w_start")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("w_start")
+    )
+
+
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity order report in ONE pass: per (status, priority),
+    per status, and grand total via GROUPING SETS — Catalyst expands the
+    sets with a single Expand over one scan instead of three scans + union.
+    NULL grouping slots are coalesced to the 'ALL' sentinel (the data has
+    no real NULLs, so the sentinel is unambiguous). Complements rollup_agg
+    (strict hierarchy) with the arbitrary-subset form."""
+    orders = load_table(spark, sf_dir, "orders")
+    gs = orders.groupingSets(
+        [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+    return gs.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "n_orders",
+        "total_price",
+    ).orderBy("status", "priority")

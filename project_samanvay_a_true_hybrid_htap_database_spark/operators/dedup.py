@@ -42,10 +42,13 @@ def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents scan spread across all cores. The small-SF parquet is one
     file = one input split, which would serialize every downstream
     explode/hash onto a single task; at 100 TB the scan has thousands of
-    splits and this repartition is a cheap no-op guard."""
+    splits and this repartition is a cheap no-op guard. The split estimate
+    comes from the file index (`inputFiles()` — driver-side metadata), not
+    `df.rdd.getNumPartitions()`, which would materialize the physical plan
+    per query (VERDICT r3 nit #3)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
+    if len(docs.inputFiles()) < target:
         docs = docs.repartition(target)
     return docs
 

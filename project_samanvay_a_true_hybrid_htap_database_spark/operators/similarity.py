@@ -489,3 +489,32 @@ def semantic_outliers(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFram
         .orderBy(F.col("dist_sq").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def ann_mips_topk(
+    spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID, k: int = TOP_K
+) -> DataFrame:
+    """Maximum-inner-product search (MIPS) top-k for one query vector —
+    the retrieval metric for unnormalized embedding spaces (recommendation
+    scores, unnormalized dual encoders), complementing the cosine family.
+
+    Brute-force dot product with the query broadcast as a literal array;
+    one scan, JVM-side zip_with/aggregate fold, TakeOrderedAndProject
+    top-k (no global sort). For the indexed path at 100 TB, MIPS reduces
+    to cosine LSH via norm augmentation: append sqrt(M^2 - |x|^2) to each
+    vector (M = max norm) and a 0 to the query, after which inner-product
+    order equals cosine order and ann_lsh_indexed_topk's partition-pruned
+    index applies unchanged."""
+    from ..functions.vectors import dot
+
+    qvec, _ = _query_vector(spark, sf_dir, vec_id)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = emb.filter(F.col("vec_id") != vec_id).select(
+        "vec_id", dot(F.col("embedding"), q).alias("ip")
+    )
+    return (
+        scored.orderBy(F.col("ip").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("ip", 4).alias("inner_product"))
+    )

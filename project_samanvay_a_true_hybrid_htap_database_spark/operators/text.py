@@ -355,3 +355,63 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         .filter((F.col("rk") <= k) & (F.col("score") > 0))
         .select("doc_id", "term", "score", "rk")
     )
+
+
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the fraction
+    of word 3-grams that are duplicates (1 - distinct/total) and the share
+    of the single most frequent token. Heavily repetitive documents are a
+    dominant failure mode in web-scale training corpora; these two signals
+    are the standard cheap filters applied before any model-based scoring.
+
+    All JVM-side: the 3-gram stats are pure array HOFs per row (no
+    shuffle), and the top-token share is one explode + two partial-agg
+    groupBys keyed on doc_id — both map-side combinable, so at 100 TB the
+    only shuffle carries (doc_id, token) partial counts. The flag
+    thresholds compare ROUNDED values so the boolean is bit-stable across
+    engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.select("doc_id", tokens("text").alias("T"))
+    # Non-distinct trigram list (word_shingles dedups, which would hide
+    # exactly the repetition being measured).
+    g = t.withColumn(
+        "G",
+        F.when(
+            F.size("T") >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size("T") - 2),
+                lambda i: F.concat_ws(" ", F.slice("T", i, F.lit(3))),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    tri = g.select(
+        "doc_id",
+        F.when(
+            F.size("G") > 0,
+            1.0 - F.size(F.array_distinct("G")) / F.size("G"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup3"),
+    )
+    cnts = (
+        t.select("doc_id", F.explode("T").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    shares = cnts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        (F.max("c") / F.sum("c")).alias("top_share"),
+    )
+    return (
+        shares.join(tri, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("dup3", 4).alias("dup3_ratio"),
+            F.round("top_share", 4).alias("top_token_share"),
+            (
+                (F.round("dup3", 4) >= 0.1)
+                | (F.round("top_share", 4) >= 0.15)
+            ).alias("is_repetitive"),
+        )
+    )

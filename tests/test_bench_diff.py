@@ -46,7 +46,12 @@ def test_driver_wrapper_unwrapped():
 
 def test_latest_bench_files(tmp_path):
     for n in (1, 2, 3):
-        (tmp_path / f"BENCH_r0{n}.json").write_text("{}")
+        (tmp_path / f"BENCH_r0{n}.json").write_text(
+            '{"queries": {"q": 1.0}}'
+        )
+    # crashed-round wrapper (parsed: null) and junk must both be skipped
+    (tmp_path / "BENCH_r04.json").write_text('{"parsed": null, "rc": 1}')
+    (tmp_path / "BENCH_r05.json").write_text("not json")
     got = latest_bench_files(str(tmp_path), n=2)
     assert [p.rsplit("/", 1)[1] for p in got] == ["BENCH_r02.json", "BENCH_r03.json"]
 

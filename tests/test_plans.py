@@ -46,6 +46,7 @@ def plans(spark):
         "lang_id",
         "asof_join_events_orders",
         "tpch_q3",
+        "interval_overlap_join",
     ]
     return {n: plan(qs[n](spark, SF_DIR)) for n in names}
 
@@ -271,3 +272,16 @@ class TestBandedIntervalJoin:
         p = plan(qs["attribution_window_join"](spark, SF_DIR))
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+class TestRangeJoinShape:
+    """interval_overlap_join's bin-bucketing must keep the interval join an
+    EQUI-join: the naive ts-BETWEEN formulation plans a
+    BroadcastNestedLoopJoin (every event probed against every window),
+    which is the exact 100 TB failure the bucket key exists to prevent."""
+
+    def test_interval_overlap_join_is_equi_join(self, plans):
+        p = plans["interval_overlap_join"]
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+        assert "BroadcastHashJoin" in p
