@@ -23,10 +23,26 @@ def _epoch_ntz() -> Column:
 
 
 def epoch_seconds(col: Column | str) -> Column:
-    """Whole seconds since the naive epoch (truncating, like DuckDB's
-    epoch_us // 1e6). Input must be TIMESTAMP_NTZ."""
+    """Whole seconds since the naive epoch. Input must be TIMESTAMP_NTZ.
+    Matches DuckDB's epoch_us // 1e6 for post-epoch timestamps only:
+    timestamp_diff truncates toward zero while DuckDB's // floors, so the
+    two diverge for pre-1970 values (none in any testdata generation; if
+    pre-epoch data ever appears, switch to an explicit floor)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.timestamp_diff("SECOND", _epoch_ntz(), c)
+
+
+def epoch_seconds_ltz(col: Column | str) -> Column:
+    """Whole seconds since the epoch for a TIMESTAMP (LTZ) column. An LTZ
+    value is an absolute instant, so its epoch is session-tz-independent by
+    construction (unix_micros reads the internal UTC microseconds). This is
+    the streaming twin of ``epoch_seconds``: Structured Streaming refuses
+    watermarks on TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), so
+    stream event-time columns stay LTZ and must use THIS helper — applying
+    the NTZ ``epoch_seconds`` to an LTZ column coerces through the session
+    timezone and shifts the result (ADVICE r5)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_seconds(c)
 
 
 def epoch_days(col: Column | str) -> Column:

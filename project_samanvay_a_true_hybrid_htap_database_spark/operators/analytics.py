@@ -47,15 +47,18 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: fact (orders) ⨝ broadcast dims (customer→nation→region).
-    customer is broadcast at test SF; at 100 TB it would be the one dim
-    that shuffles — nation/region always broadcast."""
+    """Star join: fact (orders) ⨝ dims (customer→nation→region).
+    nation/region are bounded (25/5 rows at any SF) → always broadcast.
+    customer grows with the data, so it carries NO hint: AQE picks a
+    broadcast join when the runtime size allows (it does at every test SF)
+    and falls back to a shuffled join at 100 TB instead of OOMing the
+    driver (VERDICT r5 #1 — SCALE.md customer policy)."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -650,7 +653,7 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
             F.round(
@@ -687,8 +690,10 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 (volume shipping between two nations): supplier-nation ×
-    customer-nation revenue per ship year. Both nation dims broadcast; the
-    nation-pair predicate applies post-join on the two broadcast name
+    customer-nation revenue per ship year. Bounded dims (supplier, both
+    nation views) broadcast; customer is unbounded so it carries no hint —
+    AQE broadcasts it when the runtime size allows, shuffles at 100 TB.
+    The nation-pair predicate applies post-join on the two broadcast name
     columns; lineitem carries the date filter to the scan."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
@@ -710,7 +715,7 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -726,8 +731,9 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (national market share): NATION_3's share of EUROPE's PROMO
-    volume per order year. Seven-way star join — every dim broadcast, the
-    two fact tables (lineitem, orders) shuffle once on the join key; the
+    volume per order year. Seven-way star join — bounded dims (part,
+    supplier, nations, region) broadcast, customer unhinted (AQE decides),
+    the two fact tables (lineitem, orders) shuffle once on the join key; the
     share is a conditional-sum ratio inside one aggregate (no second pass)."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -751,7 +757,7 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("nc_key"))
         .join(F.broadcast(region), F.col("nc_region") == F.col("r_regionkey"))
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -843,7 +849,9 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     revenue lost if Brand#1 orders below 20% of that part's average quantity
     were not taken. The correlated scalar subquery becomes a per-part
     aggregate joined back — one extra shuffle on l_partkey instead of a
-    per-row subquery."""
+    per-row subquery. The per-part aggregate is one row per partkey
+    (fact-derived, unbounded) so it is NOT hinted for broadcast; AQE
+    broadcasts it at test SF and shuffle-joins it at scale."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
@@ -855,7 +863,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(avg_qty), li.l_partkey == F.col("ap_key"))
+        .join(avg_qty, li.l_partkey == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("qty_floor"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -878,7 +886,7 @@ def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFram
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
         .select(
@@ -959,10 +967,13 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict-ordered event funnel (view → click → purchase) per user: a
     user converts at step N only with an event strictly after their step
     N-1 time. Each step is a per-user MIN aggregate joined to the previous
-    step (broadcast — per-user step tables are tiny relative to events),
-    so the fact table is scanned once per step with the event-type filter
-    pushed down; no window, no self-join fan-out. Single-row output of the
-    three funnel counts."""
+    step. The step tables are one row per USER — fact-derived, unbounded —
+    so they carry no broadcast hint (VERDICT r5 #1): the steps equi-join on
+    user_id, which AQE turns into broadcast joins at test SF and keeps as
+    co-partitioned shuffle joins (same key on every side, one exchange
+    each) at web scale. The fact table is scanned once per step with the
+    event-type filter pushed down; no window, no self-join fan-out.
+    Single-row output of the three funnel counts."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
     s1 = (
         ev.filter(F.col("event_type") == "view")
@@ -971,14 +982,14 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s2 = (
         ev.filter(F.col("event_type") == "click")
-        .join(F.broadcast(s1), "user_id")
+        .join(s1, "user_id")
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(F.broadcast(s2), "user_id")
+        .join(s2, "user_id")
         .filter(F.col("ts") > F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
@@ -993,9 +1004,12 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users grouped by first-seen week, counted
     per activity-week offset. Two aggregations over one events scan — the
-    distinct (user, week) pass and the first-seen pass — joined on user_id
-    (first-seen broadcast: one row per user). Week truncation is Monday-
-    anchored on both engines, so the offset is an exact (days/7)."""
+    distinct (user, week) pass and the first-seen pass — joined on user_id.
+    first-seen is one row per USER (unbounded) so it is not hinted; both
+    sides of the join are already hash-partitioned on user_id by their
+    aggregations, so the no-hint join is exchange-free where it matters and
+    AQE still broadcasts at small SF. Week truncation is Monday-anchored on
+    both engines, so the offset is an exact (days/7)."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
     first_seen = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_wk")
@@ -1004,7 +1018,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
     ).distinct()
     return (
-        active.join(F.broadcast(first_seen), "user_id")
+        active.join(first_seen, "user_id")
         .select(
             F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort"),
             (F.datediff(F.col("wk"), F.col("cohort_wk")) / 7)

@@ -166,7 +166,10 @@ def chunk_documents(
     executor-side in the same stage as the scan, never on the driver, and
     the output carries offsets + per-chunk token counts (the chunk text
     itself is a trivial slice the consumer takes when needed). Short docs
-    (< size tokens) yield their single truncated chunk."""
+    (< size tokens) yield their single truncated chunk. The output is
+    corpus-sized and deliberately unordered — a trailing orderBy would be
+    a full range-shuffle no consumer needs (VERDICT r5 #2; guarded by
+    TestNoPresentationalSort)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = tokens("text")
     n = F.size(toks)
@@ -185,7 +188,6 @@ def chunk_documents(
             ).alias("chunk_tokens"),
         )
         .filter(F.col("chunk_tokens") > 0)
-        .orderBy("doc_id", "chunk_idx")
     )
 
 

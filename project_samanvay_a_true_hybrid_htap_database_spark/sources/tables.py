@@ -64,8 +64,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         if ts_type == "timestamp":
             # LTZ read (not seen in any generation so far): pin the naive
-            # reading to UTC. Only this fallback depends on session tz.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+            # reading to UTC regardless of session timezone — unix_micros
+            # extracts UTC epoch micros from LTZ, then pure NTZ arithmetic
+            # rebuilds the wall clock (a bare cast('timestamp_ntz') would
+            # take the SESSION-tz wall clock instead, ADVICE r5).
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(ts),"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
         # ts is now TIMESTAMP_NTZ in every path; derive epoch nanos with
         # tz-free NTZ arithmetic (see functions/timefns.py).
         return df.withColumn(

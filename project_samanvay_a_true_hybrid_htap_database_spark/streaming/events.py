@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..functions.timefns import epoch_seconds
+from ..functions.timefns import epoch_seconds_ltz
 
 SESSION_GAP_MIN = 30
 
@@ -50,7 +50,15 @@ EVENTS_SCHEMA = T.StructType(
 
 def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
     """File-source stream of events parquet files dropped into ``src_dir``.
-    One file per micro-batch keeps tests deterministic."""
+    One file per micro-batch keeps tests deterministic.
+
+    ts is TIMESTAMP (LTZ) by necessity: Structured Streaming refuses
+    watermarks on TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    timestamp_micros() interprets the raw nanos as UTC epoch micros, which
+    matches the batch loader's naive-as-UTC reading exactly; every epoch
+    extraction downstream uses epoch_seconds_ltz (unix_micros-based,
+    session-tz-independent for LTZ), never the NTZ epoch_seconds, whose
+    NTZ-coercion would shift under non-UTC sessions (ADVICE r5)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
@@ -72,7 +80,7 @@ def hourly_rollup_stream(events: DataFrame) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
         .select(
-            epoch_seconds(F.col("w.start")).alias("hour_epoch"),
+            epoch_seconds_ltz(F.col("w.start")).alias("hour_epoch"),
             "event_type",
             "n_events",
             "total_value",
@@ -155,7 +163,7 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     stream processor)."""
     prepared = events.select(
         "user_id",
-        epoch_seconds("ts").alias("epoch_s"),
+        epoch_seconds_ltz("ts").alias("epoch_s"),
         "value",
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
@@ -185,17 +193,18 @@ def dedup_stream(events: DataFrame) -> DataFrame:
 
 def enrich_stream(events: DataFrame, spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: enrich the event stream with the customer
-    dimension (user_id -> market segment). The static side is planned per
-    micro-batch and broadcast — no stream-side state, no shuffle of the
-    stream; the canonical dimension-enrichment shape for a 100 TB/day
-    event feed."""
+    dimension (user_id -> market segment). The static side is re-planned
+    per micro-batch; it carries NO broadcast hint (customer grows with the
+    data — SCALE.md dim policy), so the planner broadcasts it from stats
+    while it fits and degrades to a shuffled join instead of a driver OOM
+    at web scale. No stream-side state either way."""
     from ..sources import load_table
 
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_mktsegment")
     )
     return (
-        events.join(F.broadcast(cust), events.user_id == cust.c_custkey, "left")
+        events.join(cust, events.user_id == cust.c_custkey, "left")
         .select(
             "event_id",
             "ts",
@@ -244,8 +253,8 @@ def view_purchase_join_stream(
         F.col("p_user").alias("user_id"),
         "view_id",
         "purchase_id",
-        epoch_seconds("v_ts").alias("view_s"),
-        epoch_seconds("p_ts").alias("purchase_s"),
+        epoch_seconds_ltz("v_ts").alias("view_s"),
+        epoch_seconds_ltz("p_ts").alias("purchase_s"),
         "value",
     )
 
@@ -306,7 +315,7 @@ def trending_topk_stream(
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("n_events"))
         .select(
-            epoch_seconds(F.col("w.start")).alias("hour_epoch"),
+            epoch_seconds_ltz(F.col("w.start")).alias("hour_epoch"),
             "event_type",
             "n_events",
         )

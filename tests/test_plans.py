@@ -172,6 +172,7 @@ class TestNoPresentationalSort:
             "kmeans_assign",
             "embedding_quantize",
             "multimodal_resize",
+            "chunk_documents",
         ],
     )
     def test_unbounded_output_has_no_global_sort(self, spark, name):
@@ -261,6 +262,74 @@ class TestSemiFilterBelowShuffle:
         qs = entrymod.queries()
         p = plan(qs["tpch_q21"](spark, SF_DIR))
         assert "Expand" not in p
+
+
+class TestNoUnboundedBroadcast:
+    """VERDICT r5 #1 (inverse of TestJoinStrategy): no explicit broadcast
+    hint may sit on a side that grows with the data — a full customer scan,
+    a per-user/per-key aggregate derived from a fact table. Spark honors
+    hints regardless of size, so such a hint is a deferred driver OOM at
+    100×. Method: with AQE off and autoBroadcastJoinThreshold=-1 the
+    planner broadcasts ONLY where a hint forces it, so every
+    BroadcastExchange left in the plan is hint-caused; none of their
+    subtrees may scan the forbidden (unbounded) table. Bounded dims
+    (nation/region/supplier/part, filtered-customer in Q3, O(1)/O(k)
+    aggregates) keep their hints and still appear — with allowed scans."""
+
+    CASES = [
+        ("funnel_conversion", "events.parquet"),
+        ("retention_cohorts", "events.parquet"),
+        ("revenue_by_nation", "customer.parquet"),
+        ("tpch_q7", "customer.parquet"),
+        ("tpch_q8", "customer.parquet"),
+        ("tpch_q10", "customer.parquet"),
+        ("tpch_q18", "customer.parquet"),
+        ("tpch_q17", "lineitem.parquet"),
+    ]
+
+    @staticmethod
+    def _broadcast_subtrees(df) -> list[str]:
+        out = []
+
+        def walk(node):
+            if node.getClass().getSimpleName().startswith("BroadcastExchange"):
+                out.append(node.treeString())
+            cs = node.children()
+            for i in range(cs.size()):
+                walk(cs.apply(i))
+
+        walk(df._jdf.queryExecution().executedPlan())  # noqa: SLF001
+        return out
+
+    @pytest.mark.parametrize("name,forbidden", CASES)
+    def test_no_hint_broadcast_of_unbounded_side(self, spark, name, forbidden):
+        qs = entrymod.queries()
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = qs[name](spark, SF_DIR)
+            for sub in self._broadcast_subtrees(df):
+                assert forbidden not in sub, (
+                    f"{name}: hint-forced broadcast whose build side scans "
+                    f"{forbidden} (unbounded at scale):\n{sub[:2000]}"
+                )
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+    def test_q3_filtered_customer_broadcast_is_kept(self, spark):
+        """The blessed shape: Q3 filters customer to one segment FIRST and
+        broadcasts the filtered slice — that hint must survive."""
+        qs = entrymod.queries()
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = qs["tpch_q3"](spark, SF_DIR)
+            subs = self._broadcast_subtrees(df)
+            assert any("customer.parquet" in s for s in subs)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
 class TestBandedIntervalJoin:

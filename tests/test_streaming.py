@@ -226,6 +226,51 @@ def test_view_purchase_join_stream_matches_batch(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.parametrize("tz", ["America/New_York", "Asia/Kolkata"])
+def test_hourly_rollup_stream_tz_independent(spark, events_src, tz):
+    """ADVICE r5: the streaming epoch path must not depend on the session
+    timezone. ts is LTZ (watermarks require it) and epoch_seconds_ltz reads
+    the instant's UTC micros; window() aligns on UTC micros too — so the
+    rollup under a hostile timezone (including a half-hour-offset zone,
+    the sharpest test of window alignment) must equal the tz-independent
+    batch twin's rows."""
+    ev = load_table(spark, SF_DIR, "events")
+    from project_samanvay_a_true_hybrid_htap_database_spark.functions.timefns import (
+        hour_epoch_seconds,
+    )
+
+    want = {
+        (r["hour_epoch"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in ev.groupBy(
+            hour_epoch_seconds("ts").alias("hour_epoch"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    }
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", tz)
+    try:
+        q = (
+            hourly_rollup_stream(stream_events(spark, events_src))
+            .writeStream.format("memory")
+            .queryName("rollup_tz")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["hour_epoch"], r["event_type"]): (r["n_events"], r["total_value"])
+            for r in spark.sql("SELECT * FROM rollup_tz").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert got == want and len(got) > 0
+
+
 def test_trending_topk_stream_matches_batch(spark, events_src):
     from project_samanvay_a_true_hybrid_htap_database_spark.streaming.events import (
         stream_events,
