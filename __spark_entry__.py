@@ -98,105 +98,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so the entries WITHOUT a green driver correctness row come
-    # FIRST: the driver sweep caps at 50 entries per round, so dict order is
-    # the sweep order. As of CORRECTNESS_r04 every registered query holds a
-    # green row except the 7 below: 5 event-analytics queries that crashed on
-    # the regenerated events.parquet (ts became TIMESTAMP_MICROS; loader now
-    # adapts), tpch_q12 (DuckDB HUGEINT sum output, now CAST AS BIGINT), and
-    # multimodal_audio_chunks (added after the r4 sweep order froze).
+    # Ordered so the driver's 50-entry-per-round sweep (dict order = sweep
+    # order) re-validates what most needs it (VERDICT r5 #3). Round-6 front
+    # window: (a) new entries with no row ever, (b) queries whose plans
+    # changed this round (broadcast hints dropped / sort removed — results
+    # identical, but the green row should be re-earned on the new plan),
+    # (c) the stale set whose newest green row predates the r4 testdata
+    # regeneration, events-derived queries first (the exact class that
+    # regeneration broke) then relational/DML and core SQL. The tail holds
+    # r5-green rows (re-validated last round) plus the stale overflow that
+    # rotates to the r7 window.
     return {
-        # --- round-5 front-load: failed or unswept in CORRECTNESS_r04 ---
-        "tpch_q12": analytics.tpch_q12_shipping_priority_class,
-        "events_trending_topk": analytics.events_trending_topk,
-        "attribution_window_join": analytics.attribution_window_join,
-        "events_hourly_anomaly": analytics.events_hourly_anomaly,
+        # --- (a) round-6 additions: no driver row yet ---
+        "ann_mips_indexed_topk": similarity.ann_mips_indexed_topk,
+        # --- (b) plans changed this round (r5-green, re-earn the row) ---
         "funnel_conversion": analytics.funnel_conversion,
         "retention_cohorts": analytics.retention_cohorts,
-        "multimodal_audio_chunks": multimodal.audio_chunks,
-        # --- round-5 additions (no driver row yet) ---
-        "interval_overlap_join": analytics.interval_overlap_join,
-        "grouping_sets_report": analytics.grouping_sets_report,
-        "repetition_ratio": text.repetition_ratio,
-        "ann_mips_topk": similarity.ann_mips_topk,
-        # --- everything below holds a green r2/r3/r4 driver row ---
-        "tpch_q2": analytics.tpch_q2_min_cost_supplier,
-        "tpch_q4": analytics.tpch_q4_order_priority,
         "tpch_q7": analytics.tpch_q7_volume_shipping,
         "tpch_q8": analytics.tpch_q8_market_share,
-        "tpch_q9": analytics.tpch_q9_product_profit,
-        "tpch_q11": analytics.tpch_q11_important_stock,
-        "tpch_q13": analytics.tpch_q13_customer_distribution,
-        "tpch_q15": analytics.tpch_q15_top_supplier,
-        "tpch_q16": analytics.tpch_q16_parts_supplier_count,
         "tpch_q17": analytics.tpch_q17_small_quantity_revenue,
         "tpch_q18": analytics.tpch_q18_large_volume_customer,
-        "tpch_q19": analytics.tpch_q19_discounted_revenue,
-        "tpch_q20": analytics.tpch_q20_part_promotion,
-        "tpch_q21": analytics.tpch_q21_suppliers_kept_waiting,
-        "tpch_q22": analytics.tpch_q22_global_sales_opportunity,
-        "bucketed_join_agg": bucketed_join_agg,
-        "skew_join_salted": analytics.skew_join_salted,
-        # HLL sketch twin: no SQL oracle (approximate by construction);
-        # the driver records the rows-only check, and the pytest suite
-        # bounds its error against the exact twin.
-        "distinct_count_approx": analytics.distinct_count_approx,
-        # percentile production twin: GK sketch, bounded reducer memory.
-        # No oracle entry (sketch ≠ interpolated exact value) — the recall
-        # bound vs the exact twin is pytest-asserted instead.
-        "percentile_prices_approx": analytics.percentile_prices_approx,
-        # --- dedup (LLM-data-pipeline extensions) ---
-        "exact_dedup": dedup.exact_dedup,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "minhash_signatures": dedup.minhash_signatures_str,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
-        "simhash_fingerprints": dedup.simhash_fingerprints,
-        "simhash_fingerprints_vectorized": dedup.simhash_fingerprints_vectorized,
-        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
-        "simhash_neardup_pairs_scale": dedup.simhash_neardup_pairs_scale,
-        "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
-        "decontaminate_ngram_overlap": dedup.decontaminate_ngram_overlap,
-        "dedup_groups": dedup.dedup_groups,
-        "dedup_groups_lsh": dedup.dedup_groups_lsh,
-        "dedup_apply": dedup.dedup_apply,
-        "containment_pairs": dedup.containment_pairs,
-        # --- similarity search ---
-        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
-        "ann_lsh_topk": similarity.ann_lsh_topk,
-        "ann_lsh_indexed_topk": similarity.ann_lsh_indexed_topk,
-        "ann_lsh_multiprobe_topk": similarity.ann_lsh_multiprobe_topk,
-        "knn_join_blocked": similarity.knn_join_blocked,
-        "knn_join_vectorized": similarity.knn_join_vectorized,
-        "embedding_centroids": similarity.embedding_centroids,
-        "kmeans_assign": similarity.kmeans_assign,
-        "cluster_quality_report": similarity.cluster_quality_report,
-        "semantic_outliers": similarity.semantic_outliers,
-        # --- text analysis ---
-        "lang_id": text.lang_id,
-        "quality_score": text.quality_score,
-        "token_counts": text.token_counts,
-        "fingerprints": text.fingerprints,
-        "lang_distribution": text.lang_distribution,
-        "ngram_freq_topk": text.ngram_freq_topk,
+        # --- (c) stale rows (r2/r3, pre-regeneration testdata) ---
+        # events-derived first; revenue_by_nation/tpch_q10/chunk_documents
+        # are stale AND changed this round.
+        "events_hourly_rollup": analytics.events_hourly_rollup,
+        "sessionize": analytics.sessionize,
+        "asof_join_events_orders": analytics.asof_join_events_orders,
+        "window_lag_delta": analytics.window_lag_delta,
+        "json_extraction": analytics.json_extraction,
+        "date_functions": analytics.date_functions,
+        "revenue_by_nation": analytics.revenue_by_nation,
+        "tpch_q10": analytics.tpch_q10_returned_items,
         "chunk_documents": text.chunk_documents,
-        "source_quality_report": text.source_quality_report,
-        "bm25_search": text.bm25_search,
-        "token_histogram": text.token_histogram,
-        "tfidf_keywords": text.tfidf_keywords,
-        # --- deterministic sampling & splits ---
-        "hash_sample": sampling.hash_sample,
-        "stratified_sample": sampling.stratified_sample,
-        "fixed_k_per_stratum": sampling.fixed_k_per_stratum,
-        "train_test_split": sampling.train_test_split,
-        "pipeline_funnel": sampling.pipeline_funnel,
-        "pack_sequences": sampling.pack_sequences,
-        "embedding_quantize": similarity.embedding_quantize,
-        # --- multimodal (binary + metadata; mapInPandas plumbing) ---
-        "multimodal_summary": multimodal.multimodal_summary,
-        "multimodal_frames": multimodal.frame_sample,
-        "multimodal_resize": multimodal.image_resize,
-        # --- reference relational surface (SURVEY.md §2.1) ---
+        # reference relational surface (SURVEY.md §2.1)
         "point_lookup": relational.point_lookup,
         "full_scan": relational.full_scan,
         "range_scan": relational.range_scan,
@@ -213,9 +147,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "update_projection": relational.update_projection,
         "delete_projection": relational.delete_projection,
         "upsert_merge": relational.upsert_merge,
-        # --- full analytical SQL (SURVEY.md §2.4 gaps, driver extension) ---
+        # core analytical SQL
         "tpch_q1": analytics.tpch_q1_pricing_summary,
-        "revenue_by_nation": analytics.revenue_by_nation,
+        "tpch_q3": analytics.tpch_q3_shipping_priority,
+        "tpch_q5": analytics.tpch_q5_supplier_volume,
+        "tpch_q6": analytics.tpch_q6_forecast_revenue,
+        "tpch_q14": analytics.tpch_q14_promo_revenue,
         "top_orders": analytics.top_orders,
         "group_having": analytics.group_having,
         "distinct_values": analytics.distinct_values,
@@ -226,27 +163,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": analytics.semi_join,
         "scalar_subquery": analytics.scalar_subquery,
         "case_bucketing": analytics.case_bucketing,
-        "date_functions": analytics.date_functions,
         "string_functions": analytics.string_functions,
-        "json_extraction": analytics.json_extraction,
-        "events_hourly_rollup": analytics.events_hourly_rollup,
         "join_agg_orders_lineitem": analytics.join_agg_orders_lineitem,
-        "sessionize": analytics.sessionize,
-        "tpch_q3": analytics.tpch_q3_shipping_priority,
-        "tpch_q5": analytics.tpch_q5_supplier_volume,
-        "tpch_q6": analytics.tpch_q6_forecast_revenue,
-        "tpch_q10": analytics.tpch_q10_returned_items,
-        "tpch_q14": analytics.tpch_q14_promo_revenue,
         "anti_join": analytics.anti_join,
         "rollup_agg": analytics.rollup_agg,
+        # --- sweep line (~50) — below rotates to the r7 window ---
+        # stale overflow (r2/r3 rows, next in line)
         "pivot_status_by_priority": analytics.pivot_status_by_priority,
         "percentile_prices": analytics.percentile_prices,
-        "asof_join_events_orders": analytics.asof_join_events_orders,
         "corr_stats": analytics.corr_stats,
-        "window_lag_delta": analytics.window_lag_delta,
         "ntile_quartiles": analytics.ntile_quartiles,
         "distinct_count_agg": analytics.distinct_count_agg,
         "salted_agg": analytics.salted_agg,
+        "knn_join_vectorized": similarity.knn_join_vectorized,
+        "embedding_centroids": similarity.embedding_centroids,
+        "kmeans_assign": similarity.kmeans_assign,
+        "cluster_quality_report": similarity.cluster_quality_report,
+        "semantic_outliers": similarity.semantic_outliers,
+        "embedding_quantize": similarity.embedding_quantize,
+        "lang_id": text.lang_id,
+        "quality_score": text.quality_score,
+        "token_counts": text.token_counts,
+        "fingerprints": text.fingerprints,
+        "lang_distribution": text.lang_distribution,
+        "ngram_freq_topk": text.ngram_freq_topk,
+        "source_quality_report": text.source_quality_report,
+        "bm25_search": text.bm25_search,
+        "token_histogram": text.token_histogram,
+        "tfidf_keywords": text.tfidf_keywords,
+        "hash_sample": sampling.hash_sample,
+        "stratified_sample": sampling.stratified_sample,
+        "fixed_k_per_stratum": sampling.fixed_k_per_stratum,
+        "train_test_split": sampling.train_test_split,
+        "pipeline_funnel": sampling.pipeline_funnel,
+        "pack_sequences": sampling.pack_sequences,
+        "multimodal_summary": multimodal.multimodal_summary,
+        "multimodal_frames": multimodal.frame_sample,
+        "multimodal_resize": multimodal.image_resize,
+        # r5-green rows (freshest — re-validated last round)
+        "tpch_q12": analytics.tpch_q12_shipping_priority_class,
+        "events_trending_topk": analytics.events_trending_topk,
+        "attribution_window_join": analytics.attribution_window_join,
+        "events_hourly_anomaly": analytics.events_hourly_anomaly,
+        "multimodal_audio_chunks": multimodal.audio_chunks,
+        "interval_overlap_join": analytics.interval_overlap_join,
+        "grouping_sets_report": analytics.grouping_sets_report,
+        "repetition_ratio": text.repetition_ratio,
+        "ann_mips_topk": similarity.ann_mips_topk,
+        "tpch_q2": analytics.tpch_q2_min_cost_supplier,
+        "tpch_q4": analytics.tpch_q4_order_priority,
+        "tpch_q9": analytics.tpch_q9_product_profit,
+        "tpch_q11": analytics.tpch_q11_important_stock,
+        "tpch_q13": analytics.tpch_q13_customer_distribution,
+        "tpch_q15": analytics.tpch_q15_top_supplier,
+        "tpch_q16": analytics.tpch_q16_parts_supplier_count,
+        "tpch_q19": analytics.tpch_q19_discounted_revenue,
+        "tpch_q20": analytics.tpch_q20_part_promotion,
+        "tpch_q21": analytics.tpch_q21_suppliers_kept_waiting,
+        "tpch_q22": analytics.tpch_q22_global_sales_opportunity,
+        "bucketed_join_agg": bucketed_join_agg,
+        "skew_join_salted": analytics.skew_join_salted,
+        # HLL sketch twin: no SQL oracle (approximate by construction);
+        # the driver records the rows-only check, and the pytest suite
+        # bounds its error against the exact twin.
+        "distinct_count_approx": analytics.distinct_count_approx,
+        # percentile production twin: GK sketch, bounded reducer memory.
+        # No oracle entry (sketch ≠ interpolated exact value) — the recall
+        # bound vs the exact twin is pytest-asserted instead.
+        "percentile_prices_approx": analytics.percentile_prices_approx,
+        # dedup (LLM-data-pipeline extensions)
+        "exact_dedup": dedup.exact_dedup,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_signatures": dedup.minhash_signatures_str,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        "simhash_fingerprints_vectorized": dedup.simhash_fingerprints_vectorized,
+        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
+        "simhash_neardup_pairs_scale": dedup.simhash_neardup_pairs_scale,
+        "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        "decontaminate_ngram_overlap": dedup.decontaminate_ngram_overlap,
+        "dedup_groups": dedup.dedup_groups,
+        "dedup_groups_lsh": dedup.dedup_groups_lsh,
+        "dedup_apply": dedup.dedup_apply,
+        "containment_pairs": dedup.containment_pairs,
+        # similarity search
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_lsh_indexed_topk": similarity.ann_lsh_indexed_topk,
+        "ann_lsh_multiprobe_topk": similarity.ann_lsh_multiprobe_topk,
+        "knn_join_blocked": similarity.knn_join_blocked,
     }
 
 
@@ -356,6 +362,36 @@ s AS (SELECT e.vec_id, {cos_q} AS cos,
       FROM embeddings e, q WHERE e.vec_id != 0)
 SELECT vec_id, round(cos, 4) AS cos_sim FROM s, qb WHERE s.eb = qb.b
 ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+    # MIPS indexed: norm augmentation — 65-dim planes; data bucket uses
+    # dot64 + aug*p65 in the SAME accumulation order as the Spark fold over
+    # the concat'd array; the query's augmented coordinate is exactly 0, so
+    # its bucket is the raw 64-dim signs.
+    planes65 = hyperplanes(LSH_PLANES, 65)
+
+    def _mips_bucket(vec: str, aug: str | None) -> str:
+        terms = []
+        for i, plane in enumerate(planes65):
+            p64 = ", ".join(repr(x) for x in plane[:64])
+            d = f"list_dot_product({vec}, [{p64}])"
+            if aug is not None:
+                d = f"({d} + {aug} * {plane[64]!r})"
+            terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << i} ELSE 0 END)")
+        return " + ".join(terms)
+
+    ann_mips_idx = f"""
+WITH m AS (SELECT max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS mv
+           FROM embeddings),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {_mips_bucket("qe", None)} AS b FROM q),
+x AS (SELECT vec_id, embedding::DOUBLE[] AS xe,
+             sqrt(greatest(mv*mv - list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 0)) AS aug
+      FROM embeddings, m WHERE vec_id != 0),
+s AS (SELECT x.vec_id, list_dot_product(x.xe, q.qe) AS ip,
+             {_mips_bucket("x.xe", "x.aug")} AS eb
+      FROM x, q)
+SELECT vec_id, round(ip, 4) AS inner_product FROM s, qb WHERE s.eb = qb.b
+ORDER BY ip DESC, vec_id ASC LIMIT 10
 """
     probe_xors = ", ".join(
         str(x) for x in [0] + [1 << i for i in range(LSH_PLANES)]
@@ -1311,6 +1347,7 @@ GROUP BY label ORDER BY label
         "ann_lsh_topk": ann_lsh,
         "ann_lsh_indexed_topk": ann_lsh,
         "ann_lsh_multiprobe_topk": ann_lsh_mp,
+        "ann_mips_indexed_topk": ann_mips_idx,
         "knn_join_blocked": knn,
         # same oracle: the vectorized path must produce identical rows
         "knn_join_vectorized": knn,

@@ -491,6 +491,87 @@ def semantic_outliers(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFram
     )
 
 
+def build_mips_index(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> str:
+    """One-time materialization of the MIPS bucket layout via norm
+    augmentation (Bachrach et al., RecSys'14): append sqrt(M² − |x|²) to
+    every vector (M = max norm over the table), after which inner-product
+    order against any query equals cosine order in the augmented space —
+    so the same sign-LSH bucketing that indexes cosine indexes MIPS.
+    Embeddings are written partitioned by the augmented-space bucket; the
+    stored column is the ORIGINAL vector (the augmented coordinate only
+    influences the bucket, never the returned inner product). Idempotent
+    per sf dir, like build_lsh_index. The M fetch is a 1-row aggregate —
+    an index-build job cost, not a per-query cost."""
+    import os
+    import tempfile
+
+    from ..functions.hashing import hyperplanes
+    from ..functions.vectors import dot as vdot
+    from ..functions.vectors import norm
+
+    if out_dir is None:
+        base = os.path.basename(sf_dir.rstrip("/"))
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"samanvay_mips_index_{base}_p{LSH_PLANES}"
+        )
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir
+    emb = load_table(spark, sf_dir, "embeddings")
+    m_val = float(emb.agg(F.max(norm(F.col("embedding"))).alias("m")).head()["m"])
+    x = F.col("embedding").cast("array<double>")
+    # greatest(…, 0): for the max-norm vector itself M²−|x|² can round a
+    # hair below zero; both engines clamp identically before sqrt.
+    aug = F.sqrt(F.greatest(F.lit(m_val * m_val) - vdot(x, x), F.lit(0.0)))
+    augmented = F.concat(x, F.array(aug))
+    planes = hyperplanes(LSH_PLANES, 65)
+    (
+        emb.withColumn("bucket", _sign_bucket(augmented, planes))
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def ann_mips_indexed_topk(
+    spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID, k: int = TOP_K
+) -> DataFrame:
+    """Indexed MIPS top-k — the 100 TB path ann_mips_topk's docstring
+    promises: norm augmentation reduces MIPS to cosine (augmented query
+    coordinate is 0, so its bucket uses the raw 64-dim signs), and the
+    materialized bucket layout (build_mips_index) turns the bucket
+    predicate into a partition filter — the scan reads ~1/2^planes of the
+    files. Recall is probabilistic exactly as in the cosine LSH family;
+    the oracle reproduces the bucket filter so correctness is exact."""
+    from ..functions.hashing import hyperplanes
+
+    index_dir = build_mips_index(spark, sf_dir)
+    planes = hyperplanes(LSH_PLANES, 65)
+    qvec, _ = _query_vector(spark, sf_dir, vec_id)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        # zip stops at the 64 query dims: the augmented coordinate is 0.
+        if sum(float(a) * b for a, b in zip(qvec, plane)) >= 0:
+            qbucket |= 1 << i
+    from ..functions.vectors import dot as vdot
+
+    emb = spark.read.parquet(index_dir)
+    q = F.array(*[F.lit(float(v)) for v in qvec])
+    scored = (
+        emb.filter(F.col("bucket") == qbucket)  # partition-pruned
+        .filter(F.col("vec_id") != vec_id)
+        .select("vec_id", vdot(F.col("embedding"), q).alias("ip"))
+    )
+    return (
+        scored.orderBy(F.col("ip").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("ip", 4).alias("inner_product"))
+    )
+
+
 def ann_mips_topk(
     spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID, k: int = TOP_K
 ) -> DataFrame:
@@ -500,11 +581,10 @@ def ann_mips_topk(
 
     Brute-force dot product with the query broadcast as a literal array;
     one scan, JVM-side zip_with/aggregate fold, TakeOrderedAndProject
-    top-k (no global sort). For the indexed path at 100 TB, MIPS reduces
-    to cosine LSH via norm augmentation: append sqrt(M^2 - |x|^2) to each
-    vector (M = max norm) and a 0 to the query, after which inner-product
-    order equals cosine order and ann_lsh_indexed_topk's partition-pruned
-    index applies unchanged."""
+    top-k (no global sort). The 100 TB path is ann_mips_indexed_topk:
+    norm augmentation (append sqrt(M^2 - |x|^2) to each vector, 0 to the
+    query) reduces MIPS to cosine, bucketed and partition-pruned by
+    build_mips_index. This brute-force form is its exact verifier."""
     from ..functions.vectors import dot
 
     qvec, _ = _query_vector(spark, sf_dir, vec_id)

@@ -205,6 +205,36 @@ class TestLshIndexPruning:
         assert [tuple(r) for r in a] == [tuple(r) for r in b] and len(a) > 0
 
 
+class TestMipsIndexPruning:
+    def test_mips_indexed_scan_is_partition_pruned(self, spark):
+        """Norm-augmented MIPS over the materialized bucket layout: the
+        bucket predicate must be a PartitionFilter (file-level pruning) —
+        same physical contract as the cosine LSH index."""
+        import os
+
+        df = similarity.ann_mips_indexed_topk(spark, SF_DIR)
+        p = plan(df)
+        pf = p.split("PartitionFilters")[1][:200] if "PartitionFilters" in p else ""
+        assert "bucket" in pf, f"bucket not in PartitionFilters: {pf!r}"
+        index_dir = similarity.build_mips_index(spark, SF_DIR)
+        buckets = [d for d in os.listdir(index_dir) if d.startswith("bucket=")]
+        assert 1 < len(buckets) <= 2**similarity.LSH_PLANES
+
+    def test_indexed_rows_are_bucket_filtered_bruteforce(self, spark):
+        """The indexed result must equal brute-force MIPS restricted to the
+        query's augmented-space bucket — i.e. the index changes WHAT IS
+        SCANNED, never the scores of what it returns."""
+        got = {
+            (r["vec_id"], r["inner_product"])
+            for r in similarity.ann_mips_indexed_topk(spark, SF_DIR).collect()
+        }
+        brute = {
+            (r["vec_id"], r["inner_product"])
+            for r in similarity.ann_mips_topk(spark, SF_DIR, k=10_000).collect()
+        }
+        assert len(got) > 0 and got <= brute
+
+
 class TestBucketedJoin:
     def test_bucketed_join_has_no_join_side_exchange(self, spark):
         """Both fact scans read bucket-aligned files, so the SortMergeJoin
