@@ -111,6 +111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- (a) round-6 additions: no driver row yet ---
         "ann_mips_indexed_topk": similarity.ann_mips_indexed_topk,
+        "ann_ivf_indexed_topk": similarity.ann_ivf_indexed_topk,
+        "embedding_random_projection": similarity.embedding_random_projection,
+        "ann_projected_rerank_topk": similarity.ann_projected_rerank_topk,
+        "cross_source_overlap": dedup.cross_source_overlap,
         # --- (b) plans changed this round (r5-green, re-earn the row) ---
         "funnel_conversion": analytics.funnel_conversion,
         "retention_cohorts": analytics.retention_cohorts,
@@ -363,6 +367,53 @@ s AS (SELECT e.vec_id, {cos_q} AS cos,
 SELECT vec_id, round(cos, 4) AS cos_sim FROM s, qb WHERE s.eb = qb.b
 ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
+    # Random projection 64 → 16 (same fixed-LCG planes as the Spark side).
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators.similarity import (
+        PROJ_DIMS,
+        PROJ_SEED,
+    )
+
+    planes16 = hyperplanes(PROJ_DIMS, 64, seed=PROJ_SEED)
+
+    def _proj_list(vec: str) -> str:
+        return "[" + ", ".join(
+            f"list_dot_product({vec}, [{', '.join(repr(x) for x in p)}])"
+            for p in planes16
+        ) + "]"
+
+    proj_csv_cols = ", ".join(
+        f"printf('%.4f', list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(x) for x in p)}]))"
+        for p in planes16
+    )
+    random_projection = f"""
+SELECT vec_id, concat_ws(',', {proj_csv_cols}) AS proj_csv FROM embeddings
+"""
+    proj_rerank = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+qp AS (SELECT {_proj_list("qe")} AS pq FROM q),
+s0 AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS xe, {_proj_list("e.embedding::DOUBLE[]")} AS pe
+       FROM embeddings e WHERE e.vec_id != 0),
+s1 AS (SELECT s0.vec_id, s0.xe, {_COS.format(a="s0.pe", b="qp.pq")} AS pc
+       FROM s0, qp ORDER BY pc DESC, s0.vec_id ASC LIMIT 50)
+SELECT s1.vec_id, round({_COS.format(a="s1.xe", b="q.qe")}, 4) AS cos_sim
+FROM s1, q ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+    cross_source = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+shl AS (SELECT doc_id, {_SHINGLES} AS S FROM toks),
+ss AS (SELECT DISTINCT d.source, u.s
+       FROM (SELECT doc_id, unnest(S) AS s FROM shl WHERE len(S) > 0) u
+       JOIN documents d USING (doc_id)),
+sz AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY source),
+cm AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS shared_shingles
+       FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+       GROUP BY 1, 2)
+SELECT cm.src_a, cm.src_b, cm.shared_shingles,
+       round(cm.shared_shingles / (na.n_sh + nb.n_sh - cm.shared_shingles), 4) AS jaccard
+FROM cm JOIN sz na ON na.source = cm.src_a JOIN sz nb ON nb.source = cm.src_b
+"""
+
     # MIPS indexed: norm augmentation — 65-dim planes; data bucket uses
     # dot64 + aug*p65 in the SAME accumulation order as the Spark fold over
     # the concat'd array; the query's augmented coordinate is exactly 0, so
@@ -1348,6 +1399,10 @@ GROUP BY label ORDER BY label
         "ann_lsh_indexed_topk": ann_lsh,
         "ann_lsh_multiprobe_topk": ann_lsh_mp,
         "ann_mips_indexed_topk": ann_mips_idx,
+        "ann_ivf_indexed_topk": ann_ivf,
+        "embedding_random_projection": random_projection,
+        "ann_projected_rerank_topk": proj_rerank,
+        "cross_source_overlap": cross_source,
         "knn_join_blocked": knn,
         # same oracle: the vectorized path must produce identical rows
         "knn_join_vectorized": knn,

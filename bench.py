@@ -111,6 +111,13 @@ def main() -> None:
         "interval_overlap_join",
         # round-5: Gopher-style repetition quality signals
         "repetition_ratio",
+        # round-6: norm-augmented MIPS over the partition-pruned bucket
+        # layout (index build in warm-up, steady-state serving timed)
+        "ann_mips_indexed_topk",
+        # round-6: two-stage retrieval (projected-space scan, exact rerank)
+        "ann_projected_rerank_topk",
+        # round-6: per-source-pair shared-shingle/Jaccard audit
+        "cross_source_overlap",
     ]
 
     # Warm-up: prime parquet footers, then run every headline query once
@@ -139,23 +146,14 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     htap = bench_htap_mixed(spark, sf_dir)
-
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "htap_mixed": htap,
-            }
-        )
-    )
+    htap_sustained = bench_htap_sustained(spark)
 
     # Regression tracking (VERDICT r3 #5): diff this run against the newest
-    # recorded BENCH_r*.json per query, flagging >1.3x drifts. stderr only —
-    # stdout stays the ONE JSON line the driver parses.
+    # recorded BENCH_r*.json per query, flagging >1.3x drifts. Printed to
+    # stderr BEFORE the JSON line: the driver merges streams and parses the
+    # TAIL of the combined output, so anything printed after the JSON can
+    # push it out of the parse window (this is exactly how BENCH_r05.json
+    # ended up with parsed=null). The JSON line must be the LAST output.
     try:
         from tools.bench_diff import diff_table, latest_bench_files
 
@@ -172,6 +170,22 @@ def main() -> None:
             print("\n-- bench drift vs last recorded round --\n" + table, file=sys.stderr)
     except Exception as exc:  # diagnostics must never break the bench contract
         print(f"bench_diff skipped: {exc}", file=sys.stderr)
+    sys.stderr.flush()
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "htap_mixed": htap,
+                "htap_sustained": htap_sustained,
+            }
+        )
+    )
+    sys.stdout.flush()
 
 
 def bench_htap_mixed(spark, sf_dir: str) -> dict:
@@ -242,6 +256,95 @@ def bench_htap_mixed(spark, sf_dir: str) -> dict:
         # The write base is a sub-0.1 ms dict put, so its pct jitters with
         # scheduler noise run-to-run; absolute ms are the stable figures.
         "note": "write pct is noise-dominated at a sub-0.1ms base; compare absolute ms",
+    }
+
+
+def bench_htap_sustained(spark) -> dict:
+    """Sustained-ingest HTAP (VERDICT r5 #7): bulk-load 1M rows
+    (bulk_loader's distributed path), then stream single-row SQL INSERTs
+    with auto-flush ACTIVE while the analytical query keeps running —
+    the steady-state the reference's §7.4 benchmark approximates with a
+    fixed-duration mixed phase. Reports sustained ingest throughput, how
+    many overlay→base flush cycles the window crossed, the maximum
+    overlay size the writer ever observed (the bound pytest also
+    asserts: tests/test_htap_sustained.py), and query latency idle vs
+    under sustained ingest.
+
+    The auto-flush threshold is scaled down (5k) so the bench window
+    crosses several full flush cycles in seconds; the mechanism measured
+    (inline overlay fold into a 1M-row base while queries serve) is the
+    production one — only the trigger point moves."""
+    import statistics
+    import threading
+
+    from project_samanvay_a_true_hybrid_htap_database_spark import SamanvayEngine
+    from project_samanvay_a_true_hybrid_htap_database_spark.bulk_loader import (
+        load_transactions_distributed,
+    )
+
+    engine = SamanvayEngine(spark)
+    load_transactions_distributed(engine, n=1_000_000)
+    engine.autoflush_rows = 5_000
+    query = (
+        "SELECT SUM(amount), AVG(amount) FROM transactions WHERE amount > 1000"
+    )
+
+    def query_once() -> float:
+        t0 = time.perf_counter()
+        rs = engine.execute(query)
+        assert rs.error_message is None, rs.error_message
+        return (time.perf_counter() - t0) * 1000
+
+    query_once()  # warm-up
+    query_idle = statistics.median(query_once() for _ in range(5))
+
+    n_ingest = 15_000
+    state = {"ingested": 0, "max_overlay": 0}
+    flushes0 = engine.stats["total_flushes"]
+
+    def writer():
+        k = 2_000_000
+        mem = engine.tables["transactions"].memtable
+        while state["ingested"] < n_ingest:
+            rs = engine.execute(
+                f"INSERT INTO transactions VALUES ({k}, 'North', 'Food', "
+                f"{100.0 + k % 500}, 1, 'completed')"
+            )
+            assert rs.error_message is None, rs.error_message
+            state["ingested"] += 1
+            state["max_overlay"] = max(state["max_overlay"], len(mem))
+            k += 1
+
+    t0 = time.perf_counter()
+    t = threading.Thread(target=writer)
+    t.start()
+    # Bounded query sampling with breathing room: execute() serializes on
+    # the engine lock, so a tight query loop would win most lock handoffs
+    # and starve the writer — the sustained-ingest number would then
+    # measure lock starvation, not ingest.
+    sustained: list[float] = []
+    while t.is_alive() and len(sustained) < 12:
+        sustained.append(query_once())
+        time.sleep(0.25)
+    t.join()
+    elapsed = time.perf_counter() - t0
+
+    return {
+        "base_rows": 1_000_000,
+        "ingested_rows": state["ingested"],
+        "ingest_rows_per_sec": round(state["ingested"] / elapsed, 1),
+        "autoflush_rows": engine.autoflush_rows,
+        "flushes": engine.stats["total_flushes"] - flushes0,
+        "max_overlay_rows": state["max_overlay"],
+        "query_ms_idle": round(query_idle, 2),
+        "query_ms_sustained": round(statistics.median(sustained), 2),
+        "query_ms_sustained_p95": round(
+            sorted(sustained)[int(0.95 * (len(sustained) - 1))], 2
+        ),
+        "query_degradation_pct": round(
+            100 * (statistics.median(sustained) / query_idle - 1), 1
+        ),
+        "queries_during_ingest": len(sustained),
     }
 
 

@@ -549,3 +549,59 @@ def containment_pairs(
         )
         .orderBy("contained", "container")
     )
+
+
+def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination audit: for every pair of sources, how
+    many distinct 3-word shingles they share and the Jaccard of their
+    shingle sets — the table that tells a corpus owner which feeds are
+    re-crawls/mirrors of each other before any per-document dedup runs.
+
+    Shape for 100 TB: one explode to distinct (source, shingle) — the only
+    corpus-sized shuffle, map-side combinable — then an inverted-index
+    self-join keyed on the shingle (pairs generated only where a shingle
+    actually co-occurs, never sources × sources × shingles) and a final
+    aggregate over at most C(n_sources, 2) rows. High-df stop-shingles
+    would be capped exactly as in ngram_jaccard_pairs; at 20 test sources
+    the full index is already far below any cap."""
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .join(
+            load_table(spark, sf_dir, "documents").select("doc_id", "source"),
+            "doc_id",
+        )
+        .select("source", F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    # Persist: the sizes branch and both join sides read this subtree.
+    sh = sh.persist()
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    common = (
+        sh.alias("a")
+        .join(sh.alias("b"), "s")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "shared_shingles",
+            F.round(
+                F.col("shared_shingles")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_shingles")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

@@ -228,6 +228,131 @@ def ann_lsh_indexed_topk(
     )
 
 
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> str:
+    """One-time materialization of the IVF list layout: embeddings written
+    partitioned by their coarse cluster id (``label`` — at scale a k-means
+    assignment produced by kmeans_assign passes). ann_ivf_topk filters rows
+    over a full scan; over this layout the cluster predicate is a partition
+    filter, so a query reads ~1/n_clusters of the FILES — the inverted-file
+    structure every production vector store builds. Idempotent per sf dir,
+    like build_lsh_index."""
+    import os
+    import tempfile
+
+    if out_dir is None:
+        base = os.path.basename(sf_dir.rstrip("/"))
+        out_dir = os.path.join(tempfile.gettempdir(), f"samanvay_ivf_index_{base}")
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir
+    emb = load_table(spark, sf_dir, "embeddings")
+    (
+        emb.repartition("label")
+        .write.partitionBy("label")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def ann_ivf_indexed_topk(
+    spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID, k: int = TOP_K
+) -> DataFrame:
+    """ann_ivf_topk over the materialized list layout (build_ivf_index):
+    same rows, but the cluster predicate prunes partitions instead of
+    filtering a full scan — at 100 TB the difference between reading one
+    IVF list and reading the table. Shares ann_ivf_topk's oracle."""
+    index_dir = build_ivf_index(spark, sf_dir)
+    qvec, qlabel = _query_vector(spark, sf_dir, vec_id)
+    emb = spark.read.parquet(index_dir)
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = (
+        emb.filter(F.col("label") == qlabel)  # partition-pruned
+        .filter(F.col("vec_id") != vec_id)
+        .select("vec_id", cosine(F.col("embedding"), q).alias("cos"))
+    )
+    return (
+        scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+PROJ_DIMS = 16
+PROJ_SEED = 11
+
+
+def _proj_planes() -> list[list[float]]:
+    from ..functions.hashing import hyperplanes
+
+    return hyperplanes(PROJ_DIMS, 64, seed=PROJ_SEED)
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss-style random projection 64 → 16 dims: each
+    output coordinate is a dot product with a fixed pseudo-random plane
+    (same deterministic LCG planes as the LSH family, so the DuckDB oracle
+    computes identical doubles). The cheap-representation step of a vector
+    pipeline — 4× smaller vectors for coarse search/clustering, exact
+    rerank on the originals (ann_projected_rerank_topk). One scan, all
+    JVM HOF arithmetic, no shuffle; projected vectors emitted as a
+    formatted CSV string (float arrays don't hash identically across
+    engines, strings do — same contract as embedding_centroids)."""
+    from ..functions.vectors import dot as vdot
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    x = F.col("embedding").cast("array<double>")
+    coords = [
+        F.format_number(vdot(x, F.array(*[F.lit(v) for v in plane])), 4)
+        for plane in _proj_planes()
+    ]
+    return emb.select("vec_id", F.concat_ws(",", *coords).alias("proj_csv"))
+
+
+def ann_projected_rerank_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """Two-stage retrieval — the production ANN serving shape: stage 1
+    scores every vector in the PROJECTED 16-dim space (4× less arithmetic
+    and, at scale, 4× less IO from a projected column) and keeps the top
+    n_candidates; stage 2 reranks only those candidates with the exact
+    64-dim cosine and returns the top k. Both stages are
+    TakeOrderedAndProject — no global sort; the candidate set carries the
+    original embedding through, so no second scan or join. Deterministic
+    tie-breaks on vec_id at both cuts keep the result engine-portable (the
+    oracle reproduces both stages)."""
+    from ..functions.vectors import dot as vdot
+
+    qvec, _ = _query_vector(spark, sf_dir, vec_id)
+    planes = _proj_planes()
+    # project the query driver-side with the same left-to-right accumulation
+    qproj = [sum(float(a) * b for a, b in zip(qvec, plane)) for plane in planes]
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    proj = F.array(*[
+        vdot(x, F.array(*[F.lit(v) for v in plane])) for plane in planes
+    ])
+    qp = F.array(*[F.lit(v) for v in qproj])
+    q = F.array(*[F.lit(float(v)) for v in qvec])
+    stage1 = (
+        emb.filter(F.col("vec_id") != vec_id)
+        .select("vec_id", "embedding", cosine(proj, qp).alias("proj_cos"))
+        .orderBy(F.col("proj_cos").desc(), F.col("vec_id").asc())
+        .limit(n_candidates)
+    )
+    return (
+        stage1.select("vec_id", cosine(F.col("embedding"), q).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
 def knn_join_vectorized(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Vectorized twin of knn_join_blocked: one Arrow batch per label block
     into applyInPandas, cosine via a single BLAS matmul (M @ M.T), top-k by

@@ -235,6 +235,41 @@ class TestMipsIndexPruning:
         assert len(got) > 0 and got <= brute
 
 
+class TestIvfIndexPruning:
+    def test_ivf_indexed_scan_is_partition_pruned(self, spark):
+        df = similarity.ann_ivf_indexed_topk(spark, SF_DIR)
+        p = plan(df)
+        pf = p.split("PartitionFilters")[1][:200] if "PartitionFilters" in p else ""
+        assert "label" in pf, f"label not in PartitionFilters: {pf!r}"
+
+    def test_indexed_matches_unindexed(self, spark):
+        a = similarity.ann_ivf_topk(spark, SF_DIR).collect()
+        b = similarity.ann_ivf_indexed_topk(spark, SF_DIR).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b] and len(a) > 0
+
+
+class TestTwoStageRetrieval:
+    def test_both_stages_are_topk_not_global_sort(self, spark):
+        import re
+
+        p = plan(similarity.ann_projected_rerank_topk(spark, SF_DIR))
+        # formatted mode lists tree + detail; count the detail entries
+        n = len(re.findall(r"\(\d+\) TakeOrderedAndProject", p))
+        assert n == 2, f"expected both stages as top-k operators, got {n}"
+        assert "rangepartitioning" not in p.lower()
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    def test_random_projection_is_scan_stage_only(self, spark):
+        # pure projection: no shuffle, no Python — one codegen'd scan
+        p = plan(similarity.embedding_random_projection(spark, SF_DIR))
+        assert "Exchange" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    def test_cross_source_overlap_never_cartesian(self, spark):
+        p = plan(dedup.cross_source_overlap(spark, SF_DIR))
+        assert "CartesianProduct" not in p
+
+
 class TestBucketedJoin:
     def test_bucketed_join_has_no_join_side_exchange(self, spark):
         """Both fact scans read bucket-aligned files, so the SortMergeJoin
