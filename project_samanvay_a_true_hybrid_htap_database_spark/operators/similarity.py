@@ -310,6 +310,69 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", F.concat_ws(",", *coords).alias("proj_csv"))
 
 
+def build_projection_index(
+    spark: SparkSession, sf_dir: str, out_dir: str | None = None
+) -> str:
+    """One-time materialization of the projected representation: the table
+    rewritten with a ``proj`` column (16 doubles) NEXT TO the original
+    embedding. Parquet is columnar, so a stage-1 scan that selects only
+    (vec_id, proj) never reads the 64-dim column — the projection is paid
+    once at build, not per query. Idempotent per sf dir."""
+    import os
+    import tempfile
+
+    from ..functions.vectors import dot as vdot
+
+    if out_dir is None:
+        base = os.path.basename(sf_dir.rstrip("/"))
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"samanvay_proj_index_{base}_d{PROJ_DIMS}"
+        )
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    proj = F.array(*[
+        vdot(x, F.array(*[F.lit(v) for v in plane])) for plane in _proj_planes()
+    ])
+    (
+        emb.select("vec_id", "embedding", proj.alias("proj"))
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def projected_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    vec_id: int = QUERY_VEC_ID,
+    n_candidates: int = 50,
+) -> DataFrame:
+    """Stage 1 of two-stage retrieval: top-n candidates by cosine in the
+    materialized 16-dim projected space. The scan's ReadSchema carries only
+    (vec_id, proj) — the 64-dim column is never read (plan-asserted) — so
+    this pass moves half the bytes (16 float64 vs 64 float32; storing the
+    projection as float32 would buy the full 4× at the cost of mirroring
+    the truncation in the oracle) and a quarter of the multiply-adds of
+    the brute-force scan. Byte saving is measured, not assumed
+    (tests/test_data_skipping.py)."""
+    index_dir = build_projection_index(spark, sf_dir)
+    qvec, _ = _query_vector(spark, sf_dir, vec_id)
+    # project the query driver-side with the same left-to-right accumulation
+    qproj = [
+        sum(float(a) * b for a, b in zip(qvec, plane)) for plane in _proj_planes()
+    ]
+    qp = F.array(*[F.lit(v) for v in qproj])
+    idx = spark.read.parquet(index_dir)
+    return (
+        idx.filter(F.col("vec_id") != vec_id)
+        .select("vec_id", cosine(F.col("proj"), qp).alias("proj_cos"))
+        .orderBy(F.col("proj_cos").desc(), F.col("vec_id").asc())
+        .limit(n_candidates)
+    )
+
+
 def ann_projected_rerank_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -318,35 +381,24 @@ def ann_projected_rerank_topk(
     n_candidates: int = 50,
 ) -> DataFrame:
     """Two-stage retrieval — the production ANN serving shape: stage 1
-    scores every vector in the PROJECTED 16-dim space (4× less arithmetic
-    and, at scale, 4× less IO from a projected column) and keeps the top
-    n_candidates; stage 2 reranks only those candidates with the exact
-    64-dim cosine and returns the top k. Both stages are
-    TakeOrderedAndProject — no global sort; the candidate set carries the
-    original embedding through, so no second scan or join. Deterministic
+    scores everything in the materialized PROJECTED space (reads only the
+    16-dim column: half the bytes, a quarter of the ops), stage 2
+    reranks ONLY the candidates with the exact 64-dim cosine. The bounded
+    candidate id set (O(n_candidates)) is fetched to the driver and pushed
+    into the rerank scan as an IN filter, so stage 2 reads just the
+    candidates' row groups — never the full 64-dim column (the broadcast-
+    join alternative would probe every row's embedding). Deterministic
     tie-breaks on vec_id at both cuts keep the result engine-portable (the
-    oracle reproduces both stages)."""
-    from ..functions.vectors import dot as vdot
-
+    oracle reproduces both stages in SQL)."""
+    cand_ids = [int(r["vec_id"]) for r in projected_candidates(
+        spark, sf_dir, vec_id, n_candidates
+    ).collect()]
     qvec, _ = _query_vector(spark, sf_dir, vec_id)
-    planes = _proj_planes()
-    # project the query driver-side with the same left-to-right accumulation
-    qproj = [sum(float(a) * b for a, b in zip(qvec, plane)) for plane in planes]
-    emb = load_table(spark, sf_dir, "embeddings")
-    x = F.col("embedding").cast("array<double>")
-    proj = F.array(*[
-        vdot(x, F.array(*[F.lit(v) for v in plane])) for plane in planes
-    ])
-    qp = F.array(*[F.lit(v) for v in qproj])
     q = F.array(*[F.lit(float(v)) for v in qvec])
-    stage1 = (
-        emb.filter(F.col("vec_id") != vec_id)
-        .select("vec_id", "embedding", cosine(proj, qp).alias("proj_cos"))
-        .orderBy(F.col("proj_cos").desc(), F.col("vec_id").asc())
-        .limit(n_candidates)
-    )
+    idx = spark.read.parquet(build_projection_index(spark, sf_dir))
     return (
-        stage1.select("vec_id", cosine(F.col("embedding"), q).alias("cos"))
+        idx.filter(F.col("vec_id").isin(cand_ids))
+        .select("vec_id", cosine(F.col("embedding"), q).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col("vec_id").asc())
         .limit(k)
         .select("vec_id", F.round("cos", 4).alias("cos_sim"))

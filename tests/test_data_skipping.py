@@ -117,6 +117,36 @@ def test_shipdate_sorted_lineitem_layout_skips_bytes(metered, tmp_path):
     )
 
 
+def test_projected_stage1_reads_fewer_bytes(metered):
+    """Two-stage retrieval's stage 1 must physically move fewer bytes than
+    the brute-force scan — the materialized 16-double projection column vs
+    the 64-float embedding column (~half the bytes; column pruning is what
+    delivers it). Measured via stage inputBytes, like the layouts above."""
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+        similarity,
+    )
+
+    spark = metered
+    similarity.build_projection_index(spark, SF_DIR)  # build outside measure
+    # construct BEFORE measuring: building either df runs the driver-side
+    # query-vector fetch, a scan both shapes share that would drown the
+    # column-pruning signal being measured
+    stage1_df = similarity.projected_candidates(spark, SF_DIR)
+    brute_df = similarity.ann_bruteforce_topk(spark, SF_DIR)
+
+    b0 = stage_input_bytes(spark)
+    stage1_df.collect()
+    bytes_stage1 = stage_input_bytes(spark) - b0
+
+    b0 = stage_input_bytes(spark)
+    brute_df.collect()
+    bytes_brute = stage_input_bytes(spark) - b0
+
+    assert 0 < bytes_stage1 < 0.8 * bytes_brute, (
+        f"projected stage 1 read {bytes_stage1} vs brute {bytes_brute}"
+    )
+
+
 def test_int96_default_would_not_skip(metered, tmp_path):
     """Regression documentation: the same sorted layout written with
     Spark's default INT96 timestamps gets no row-group skipping — the

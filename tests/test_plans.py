@@ -249,14 +249,24 @@ class TestIvfIndexPruning:
 
 
 class TestTwoStageRetrieval:
-    def test_both_stages_are_topk_not_global_sort(self, spark):
-        import re
-
-        p = plan(similarity.ann_projected_rerank_topk(spark, SF_DIR))
-        # formatted mode lists tree + detail; count the detail entries
-        n = len(re.findall(r"\(\d+\) TakeOrderedAndProject", p))
-        assert n == 2, f"expected both stages as top-k operators, got {n}"
+    def test_stage1_reads_only_projected_column(self, spark):
+        """The whole point of the materialized projection: stage 1's scan
+        must never touch the 64-dim column — ReadSchema carries only
+        (vec_id, proj), 4× fewer bytes at scale."""
+        p = plan(similarity.projected_candidates(spark, SF_DIR))
+        read = p.split("ReadSchema")[1][:300]
+        assert "proj" in read and "embedding" not in read
+        assert "TakeOrderedAndProject" in p
         assert "rangepartitioning" not in p.lower()
+
+    def test_rerank_pushes_candidate_in_filter(self, spark):
+        """Stage 2 must reach the scan as a pushed IN filter over the
+        bounded candidate ids (row-group skipping), not probe every row's
+        embedding through a join."""
+        p = plan(similarity.ann_projected_rerank_topk(spark, SF_DIR))
+        pushed = p.split("PushedFilters")[1][:400]
+        assert "In(vec_id" in pushed, f"candidate IN not pushed: {pushed!r}"
+        assert "TakeOrderedAndProject" in p
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
     def test_random_projection_is_scan_stage_only(self, spark):
