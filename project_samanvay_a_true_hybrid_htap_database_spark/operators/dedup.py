@@ -43,12 +43,30 @@ def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     file = one input split, which would serialize every downstream
     explode/hash onto a single task; at 100 TB the scan has thousands of
     splits and this repartition is a cheap no-op guard. The split estimate
-    comes from the file index (`inputFiles()` — driver-side metadata), not
+    comes from driver-side file metadata (total bytes / maxPartitionBytes,
+    floored per file — Spark never splits below one split per file), not
     `df.rdd.getNumPartitions()`, which would materialize the physical plan
-    per query (VERDICT r3 nit #3)."""
+    per query (VERDICT r3 nit #3). Bytes, not file count (ADVICE r5 #4):
+    one 10 GB file yields ~80 splits, which a raw file count would call 1
+    and trigger a pointless shuffle on."""
+    import os
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     target = spark.sparkContext.defaultParallelism
-    if len(docs.inputFiles()) < target:
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").lower()
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "b": 1}
+    max_split = (
+        int(raw[:-1]) * units[raw[-1]] if raw[-1] in units else int(raw)
+    )
+    est_splits = 0
+    for f in docs.inputFiles():
+        path = f.removeprefix("file:")
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            size = 0
+        est_splits += max(1, -(-size // max_split))  # ceil per file
+    if est_splits < target:
         docs = docs.repartition(target)
     return docs
 
