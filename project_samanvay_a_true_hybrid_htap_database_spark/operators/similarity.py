@@ -27,6 +27,25 @@ TOP_K = 10
 QUERY_VEC_ID = 0
 
 
+def _index_dir(tag: str, sf_dir: str) -> str:
+    """Temp location for a materialized index layout, keyed by the SOURCE
+    FILE's identity (size + mtime), not just the sf dir name: the test
+    harness regenerates the parquet between rounds in place (it did in
+    round 4 — TESTDATA.md), and an index dir keyed by name alone would
+    silently serve the previous generation's rows."""
+    import os
+    import tempfile
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}_{st.st_mtime_ns}"
+    except OSError:
+        fp = "nostat"
+    return os.path.join(tempfile.gettempdir(), f"samanvay_{tag}_{base}_{fp}")
+
+
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int):
     emb = load_table(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == vec_id).select("embedding", "label").head()
@@ -176,10 +195,7 @@ def build_lsh_index(spark: SparkSession, sf_dir: str, out_dir: str | None = None
     from ..functions.hashing import hyperplanes
 
     if out_dir is None:
-        base = os.path.basename(sf_dir.rstrip("/"))
-        out_dir = os.path.join(
-            tempfile.gettempdir(), f"samanvay_lsh_index_{base}_p{LSH_PLANES}"
-        )
+        out_dir = _index_dir(f"lsh_index_p{LSH_PLANES}", sf_dir)
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir
     planes = hyperplanes(LSH_PLANES, 64)
@@ -242,8 +258,7 @@ def build_ivf_index(
     import tempfile
 
     if out_dir is None:
-        base = os.path.basename(sf_dir.rstrip("/"))
-        out_dir = os.path.join(tempfile.gettempdir(), f"samanvay_ivf_index_{base}")
+        out_dir = _index_dir("ivf_index", sf_dir)
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir
     emb = load_table(spark, sf_dir, "embeddings")
@@ -324,10 +339,7 @@ def build_projection_index(
     from ..functions.vectors import dot as vdot
 
     if out_dir is None:
-        base = os.path.basename(sf_dir.rstrip("/"))
-        out_dir = os.path.join(
-            tempfile.gettempdir(), f"samanvay_proj_index_{base}_d{PROJ_DIMS}"
-        )
+        out_dir = _index_dir(f"proj_index_d{PROJ_DIMS}", sf_dir)
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir
     emb = load_table(spark, sf_dir, "embeddings")
@@ -689,10 +701,7 @@ def build_mips_index(
     from ..functions.vectors import norm
 
     if out_dir is None:
-        base = os.path.basename(sf_dir.rstrip("/"))
-        out_dir = os.path.join(
-            tempfile.gettempdir(), f"samanvay_mips_index_{base}_p{LSH_PLANES}"
-        )
+        out_dir = _index_dir(f"mips_index_p{LSH_PLANES}", sf_dir)
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir
     emb = load_table(spark, sf_dir, "embeddings")
