@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_random_projection": similarity.embedding_random_projection,
         "ann_projected_rerank_topk": similarity.ann_projected_rerank_topk,
         "cross_source_overlap": dedup.cross_source_overlap,
+        "lang_id_confusion": text.lang_id_confusion,
+        "dedup_rate_by_source": dedup.dedup_rate_by_source,
         # --- (b) plans changed this round (r5-green, re-earn the row) ---
         "funnel_conversion": analytics.funnel_conversion,
         "retention_cohorts": analytics.retention_cohorts,
@@ -482,6 +484,35 @@ SELECT doc_id,
        WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
        ELSE 'fr' END AS pred_lang
 FROM s
+"""
+    lang_confusion_sql = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+s AS (SELECT doc_id, {lang_scores} FROM toks),
+pred AS (SELECT doc_id,
+  CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+       WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+       WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+       ELSE 'fr' END AS predicted
+  FROM s),
+cell AS (SELECT d.lang AS declared, p.predicted
+         FROM documents d JOIN pred p USING (doc_id)),
+counts AS (SELECT declared, predicted, count(*) AS n_docs
+           FROM cell GROUP BY 1, 2),
+tot AS (SELECT declared, CAST(sum(n_docs) AS BIGINT) AS n_declared
+        FROM counts GROUP BY 1)
+SELECT c.declared, c.predicted, c.n_docs,
+       round(c.n_docs / t.n_declared, 4) AS share
+FROM counts c JOIN tot t USING (declared)
+"""
+    dedup_rate_sql = """
+WITH f AS (SELECT doc_id, source, md5(trim(lower(text))) AS fp FROM documents),
+w AS (SELECT fp, min(doc_id) AS winner_id FROM f GROUP BY fp)
+SELECT source,
+  count(*) AS n_docs,
+  CAST(sum(CASE WHEN doc_id != winner_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes,
+  round(sum(CASE WHEN doc_id != winner_id THEN 1 ELSE 0 END) / count(*), 4) AS dup_rate
+FROM f JOIN w USING (fp) GROUP BY source
 """
     quality = f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS T FROM documents)
@@ -1408,6 +1439,8 @@ GROUP BY label ORDER BY label
         "knn_join_vectorized": knn,
         # --- text ---
         "lang_id": lang_id_sql,
+        "lang_id_confusion": lang_confusion_sql,
+        "dedup_rate_by_source": dedup_rate_sql,
         "quality_score": quality,
         "token_counts": token_counts_sql,
         "fingerprints": fingerprints_sql,

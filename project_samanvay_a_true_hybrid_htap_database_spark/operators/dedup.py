@@ -623,3 +623,35 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication audit: how many of each source's documents
+    are exact duplicates (by normalized-content md5) of an earlier doc
+    ANYWHERE in the corpus — the per-feed scorecard that decides which
+    sources get dropped or down-weighted before expensive near-dup runs.
+    'Earlier' = lower doc_id, the same canonical-winner rule exact_dedup
+    uses. One fingerprint shuffle (a min-per-fp aggregate joined back —
+    at 100 TB both sides hash-partition on the fp, no broadcast of
+    anything unbounded), then a per-source rollup over tiny keys."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    fp = F.md5(F.trim(F.lower(F.col("text"))))
+    with_fp = docs.select("doc_id", "source", fp.alias("fp"))
+    winners = with_fp.groupBy("fp").agg(F.min("doc_id").alias("winner_id"))
+    return (
+        with_fp.join(winners, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("winner_id"), 1).otherwise(0)
+            ).cast("bigint").alias("n_dupes"),
+            F.round(
+                F.sum(
+                    F.when(F.col("doc_id") != F.col("winner_id"), 1).otherwise(0)
+                )
+                / F.count("*"),
+                4,
+            ).alias("dup_rate"),
+        )
+    )

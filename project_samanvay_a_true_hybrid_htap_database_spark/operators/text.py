@@ -417,3 +417,41 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_repetitive"),
         )
     )
+
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: declared ``lang`` column × predicted
+    language, with counts and the share of each declared language's docs —
+    the classifier-audit table that tells a corpus owner whether the
+    metadata or the heuristic is lying (both happen at crawl scale).
+    Composes the lang_id expression over the same single scan and
+    aggregates to (|langs| × |predictions|) rows — tiny output, one
+    map-side-combinable shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    toks = tokens("text")
+
+    def _is_marker(markers: list[str]):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return lambda t: F.array_contains(arr, t)
+
+    scores = {
+        lang: F.size(F.filter(toks, _is_marker(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*[scores[lang] for lang in LANG_MARKERS])
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["de"] == best, F.lit("de"))
+        .when(scores["es"] == best, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    cell = docs.select(F.col("lang").alias("declared"), pred.alias("predicted"))
+    counts = cell.groupBy("declared", "predicted").agg(F.count("*").alias("n_docs"))
+    totals = counts.groupBy("declared").agg(F.sum("n_docs").alias("n_declared"))
+    return counts.join(totals, "declared").select(
+        "declared",
+        "predicted",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_declared"), 4).alias("share"),
+    )
