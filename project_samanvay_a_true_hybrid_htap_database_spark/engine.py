@@ -102,6 +102,10 @@ class TableState:
     gen: int = 0  # live durable base generation (0 = no flushed base)
     ext_path: str | None = None  # externally-registered base parquet path
     unrecovered: bool = False  # base was lost across restart; refuse to serve
+    # bumped on every base replacement (flush install, set-based DML,
+    # streaming append); lets a lock-free flush detect a base that changed
+    # under its feet and retry instead of clobbering newer data
+    base_epoch: int = 0
 
 
 class SqlError(Exception):
@@ -352,6 +356,12 @@ class SamanvayEngine:
         self.tables: dict[str, TableState] = {}
         self._seq = 0
         self._lock = threading.RLock()
+        # Auto-flush runs AFTER the tripping statement releases the engine
+        # lock (execute() drains this queue), so the expensive overlay fold
+        # never serializes concurrent readers behind it; the gate keeps one
+        # flusher at a time without holding the engine lock.
+        self._flush_queue: set[str] = set()
+        self._flush_gate = threading.Lock()
         self.data_dir = data_dir
         # Operation counters surfaced by status() (reference:
         # StorageEngineStats, api/json_helpers.hpp:72-104)
@@ -525,6 +535,10 @@ class SamanvayEngine:
         try:
             with self._lock:
                 result = self._dispatch(sql)
+            # Auto-flush outside the statement lock: the tripping statement
+            # pays the fold (bounding the overlay at the threshold for a
+            # single writer) while concurrent statements keep executing.
+            self._drain_autoflushes()
         except SqlError as exc:
             result = ResultSet(error_message=str(exc))
         result.execution_time_ms = (time.perf_counter() - start) * 1000.0
@@ -565,6 +579,7 @@ class SamanvayEngine:
                 return
             base = df if state.base is None else state.base.unionByName(df)
             state.base = base.localCheckpoint(eager=True)
+            state.base_epoch += 1
             state.ext_path = None  # checkpointed union is volatile again
             state.base_rows = None
             state.base_io = None
@@ -580,13 +595,54 @@ class SamanvayEngine:
         """Fold the memtable into the base (reference freeze→flush,
         memtable.hpp:140-236). With ``data_dir`` the base lands in a fresh
         on-disk parquet generation and the WAL drops the flushed entries;
-        without it, an in-memory localCheckpoint. Returns flushed count."""
+        without it, an in-memory localCheckpoint. Returns flushed count.
+
+        Reader-friendly like the reference's background flush: the engine
+        lock is held only to SNAPSHOT the overlay and to INSTALL the folded
+        base — the expensive materialization happens unlocked, so
+        concurrent statements keep executing against base+overlay during
+        the fold instead of queueing behind it for the full fold duration
+        (asserted by test_htap_sustained: reads complete mid-flush with
+        consistent results; the residual sustained-read cost is the
+        overlay merge itself — the merge-on-read contract, not the lock).
+        Correctness: the snapshot list is materialized eagerly under the
+        lock (the fold plan cannot see later writes); entries that gained a
+        NEWER seq during the fold stay in the overlay and still win the
+        newest-seq merge over the installed base; a base_epoch guard aborts
+        the install if a set-based DML or another flush replaced the base
+        mid-fold and retries on fresh state (nothing is lost — the overlay
+        is untouched until install succeeds)."""
+        for _ in range(3):
+            with self._lock:
+                state = self._state(name)
+                n = len(state.memtable)
+                if not n:
+                    return 0
+                snapshot = dict(state.memtable)
+                epoch = state.base_epoch
+                # _merged_df copies the overlay rows into the plan eagerly,
+                # so the plan is frozen at snapshot time.
+                merged_plan = self._merged_df(state)
+            # Slow part — unlocked. localCheckpoint breaks lineage off any
+            # parquet dir the plan still reads and materializes exactly once.
+            merged = merged_plan.localCheckpoint(eager=True)
+            with self._lock:
+                if state.base_epoch != epoch:
+                    continue  # base replaced under us: retry on fresh state
+                self._install_base(state, merged)
+                for pk, (seq, _row) in snapshot.items():
+                    cur = state.memtable.get(pk)
+                    if cur is not None and cur[0] == seq:
+                        del state.memtable[pk]
+                self.stats["total_flushes"] += 1
+                self._rewrite_wal()
+                self._persist_schemas()
+            return n
+        # Pathologically contended: fall back to the fully locked fold.
         with self._lock:
             state = self._state(name)
             n = len(state.memtable)
             if n:
-                # localCheckpoint first: breaks lineage off any parquet dir
-                # the plan still reads and materializes exactly once.
                 merged = self._merged_df(state).localCheckpoint(eager=True)
                 self._install_base(state, merged)
                 state.memtable.clear()
@@ -615,6 +671,7 @@ class SamanvayEngine:
             self._gc_generations(state)
         else:
             state.base = merged
+        state.base_epoch += 1
         state.base_rows = None  # invalidate cached EXPLAIN estimates
         state.base_io = None
 
@@ -970,9 +1027,11 @@ class SamanvayEngine:
     OVERLAY_BUDGET = 10_000
 
     # Auto-flush threshold: when a table's memtable reaches this many
-    # entries the overlay folds into the base inline — the Spark analog of
-    # the reference freezing the memtable at 64 MB and flushing in the
-    # background (memtable.hpp:140-161, storage_engine.hpp:24). Without it
+    # entries the overlay folds into the base (the tripping statement pays
+    # the fold after releasing the statement lock; readers never wait on
+    # it) — the Spark analog of the reference freezing the memtable at
+    # 64 MB and flushing in the background (memtable.hpp:140-161,
+    # storage_engine.hpp:24). Without it
     # a sustained INSERT stream grows the driver-side dict and the
     # per-query createDataFrame overlay merge without bound. Rows, not
     # bytes: the overlay holds hot row dicts whose width is schema-bounded,
@@ -981,8 +1040,36 @@ class SamanvayEngine:
     AUTOFLUSH_ROWS: int | None = 100_000
 
     def _maybe_autoflush(self, state: TableState) -> None:
+        """Called inside the dispatch lock: only ENQUEUE — execute() drains
+        the queue after releasing the lock, so the fold's heavy Spark job
+        never runs while holding the reentrant statement lock (it would
+        serialize every concurrent reader behind it)."""
         if self.autoflush_rows is not None and len(state.memtable) >= self.autoflush_rows:
-            self.flush(state.name)
+            self._flush_queue.add(state.name)
+
+    def _drain_autoflushes(self) -> None:
+        """Run pending auto-flushes outside the statement lock. The gate
+        admits one flusher at a time; the threshold is re-checked under it
+        so racing statements that enqueued the same table don't thrash
+        tiny residual flushes."""
+        while True:
+            with self._lock:
+                name = self._flush_queue.pop() if self._flush_queue else None
+            if name is None:
+                return
+            with self._flush_gate:
+                with self._lock:
+                    state = self.tables.get(name)
+                    need = (
+                        state is not None
+                        and self.autoflush_rows is not None
+                        and len(state.memtable) >= self.autoflush_rows
+                    )
+                if need:
+                    try:
+                        self.flush(name)
+                    except SqlError:
+                        pass  # table dropped between enqueue and flush
 
     def _pred_to_column(self, state: TableState, pred) -> F.Column:
         """Predicate AST → Spark Column. Under ``quirk_compat``, comparisons

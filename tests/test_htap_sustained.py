@@ -67,6 +67,53 @@ def test_sustained_ingest_keeps_overlay_bounded(loaded_engine):
     assert rs.rows == [(42.5,)]
 
 
+def test_flush_does_not_block_readers(spark):
+    """The reader-friendly flush contract: the expensive overlay fold runs
+    OUTSIDE the engine lock, so reads complete — with consistent results —
+    while a flush is in flight. Before the rework the statement lock was
+    held across the whole multi-second fold and zero reads could finish
+    mid-flush; a regression here re-serializes every reader behind every
+    auto-flush."""
+    import threading
+
+    engine = SamanvayEngine(spark)
+    load_transactions_distributed(engine, n=1_000_000)
+    engine.autoflush_rows = None  # manual flush below
+    n_new = 3_000
+    for i in range(n_new):
+        rs = engine.execute(
+            f"INSERT INTO transactions VALUES ({7_000_000 + i}, 'North', "
+            f"'Food', 1.5, 1, 'completed')"
+        )
+        assert rs.error_message is None, rs.error_message
+
+    done = threading.Event()
+
+    def flusher():
+        try:
+            engine.flush("transactions")
+        finally:
+            done.set()
+
+    t = threading.Thread(target=flusher)
+    t.start()
+    completed_mid_flush = 0
+    while not done.is_set():
+        rs = engine.execute("SELECT COUNT(*) FROM transactions")
+        assert rs.error_message is None, rs.error_message
+        # snapshot consistency: the count is identical before, during and
+        # after the fold — merge-on-read semantics are flush-invariant
+        assert rs.rows == [(1_000_000 + n_new,)]
+        if not done.is_set():
+            completed_mid_flush += 1
+    t.join()
+    assert completed_mid_flush >= 1, (
+        "no read completed while the flush was folding — readers are "
+        "serialized behind the flush again"
+    )
+    assert len(engine.tables["transactions"].memtable) == 0
+
+
 def test_sustained_ingest_under_concurrent_queries(loaded_engine):
     """The bench's mixed shape, asserted: a writer thread streams INSERTs
     through auto-flush cycles while this thread queries; results must stay
