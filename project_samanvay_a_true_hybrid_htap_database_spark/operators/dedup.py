@@ -575,32 +575,48 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle sets — the table that tells a corpus owner which feeds are
     re-crawls/mirrors of each other before any per-document dedup runs.
 
-    Shape for 100 TB: one explode to distinct (source, shingle) — the only
-    corpus-sized shuffle, map-side combinable — then an inverted-index
-    self-join keyed on the shingle (pairs generated only where a shingle
-    actually co-occurs, never sources × sources × shingles) and a final
-    aggregate over at most C(n_sources, 2) rows. High-df stop-shingles
-    would be capped exactly as in ngram_jaccard_pairs; at 20 test sources
-    the full index is already far below any cap."""
-    sh = (
+    Shape for 100 TB: ONE corpus-sized shuffle — groupBy(shingle) with a
+    collect_set of sources (bounded: a set can never exceed the feed
+    count, and high-df stop-shingles would be capped exactly as in
+    ngram_jaccard_pairs). Source pairs come from array combinatorics over
+    each shingle's sorted source set (C(s,2) structs, generated
+    executor-side — no inverted-index self-join, so no second shuffle of
+    the corpus and no s² join fan-out), and the per-source distinct
+    shingle counts fall out of the SAME aggregate by exploding the sets —
+    the downstream aggregates run over pair/source keys, KBs."""
+    inv = (
         _doc_shingles(spark, sf_dir)
         .join(
             load_table(spark, sf_dir, "documents").select("doc_id", "source"),
             "doc_id",
         )
         .select("source", F.explode("shingles").alias("s"))
-        .distinct()
     )
-    # Persist: the sizes branch and both join sides read this subtree.
-    sh = sh.persist()
-    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
-    common = (
-        sh.alias("a")
-        .join(sh.alias("b"), "s")
-        .filter(F.col("a.source") < F.col("b.source"))
-        .groupBy(
-            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+    # Persist: both the sizes branch and the pairs branch read this.
+    grouped = (
+        inv.groupBy("s")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .persist()
+    )
+    sizes = (
+        grouped.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    srcs = F.col("srcs")
+    pair_structs = F.flatten(
+        F.transform(
+            srcs,
+            lambda x, i: F.transform(
+                F.slice(srcs, i + F.lit(2), F.size(srcs)),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
         )
+    )
+    common = (
+        grouped.filter(F.size("srcs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
         .agg(F.count("*").alias("shared_shingles"))
     )
     return (
