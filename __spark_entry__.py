@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_overlap": dedup.cross_source_overlap,
         "lang_id_confusion": text.lang_id_confusion,
         "dedup_rate_by_source": dedup.dedup_rate_by_source,
+        "ngram_novelty": dedup.ngram_novelty,
         # --- (b) plans changed this round (r5-green, re-earn the row) ---
         "funnel_conversion": analytics.funnel_conversion,
         "retention_cohorts": analytics.retention_cohorts,
@@ -504,6 +505,18 @@ tot AS (SELECT declared, CAST(sum(n_docs) AS BIGINT) AS n_declared
 SELECT c.declared, c.predicted, c.n_docs,
        round(c.n_docs / t.n_declared, 4) AS share
 FROM counts c JOIN tot t USING (declared)
+"""
+    novelty_sql = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+shl AS (SELECT doc_id, {_SHINGLES} AS S FROM toks),
+inv AS (SELECT doc_id, unnest(S) AS s FROM shl WHERE len(S) > 0),
+first AS (SELECT s, min(doc_id) AS first_doc FROM inv GROUP BY s)
+SELECT doc_id,
+  count(*) AS n_shingles,
+  CAST(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+  round(sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) / count(*), 4) AS novelty
+FROM inv JOIN first USING (s)
+GROUP BY doc_id
 """
     dedup_rate_sql = """
 WITH f AS (SELECT doc_id, source, md5(trim(lower(text))) AS fp FROM documents),
@@ -1441,6 +1454,7 @@ GROUP BY label ORDER BY label
         "lang_id": lang_id_sql,
         "lang_id_confusion": lang_confusion_sql,
         "dedup_rate_by_source": dedup_rate_sql,
+        "ngram_novelty": novelty_sql,
         "quality_score": quality,
         "token_counts": token_counts_sql,
         "fingerprints": fingerprints_sql,

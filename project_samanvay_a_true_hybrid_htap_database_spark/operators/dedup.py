@@ -671,3 +671,38 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a doc's distinct 3-gram shingles
+    whose corpus-wide FIRST occurrence (min doc_id — the same canonical
+    order exact_dedup uses) is this document. Re-crawls, boilerplate and
+    template spam score near 0; genuinely new text scores near 1 — the
+    cheap scalar that ranks documents for dedup-aware sampling without
+    running any pair generation.
+
+    Shape for 100 TB: explode distinct shingles once, one groupBy(shingle)
+    min-aggregate (map-side combinable), join the ownership table back on
+    the shingle (both sides hash-partition on the same key — no broadcast
+    of anything unbounded), then a per-doc rollup. Docs without shingles
+    (< 3 tokens) are excluded (novelty undefined), matching the oracle."""
+    sh = _doc_shingles(spark, sf_dir).filter(F.size("shingles") > 0)
+    inv = sh.select("doc_id", F.explode("shingles").alias("s"))
+    first = inv.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        inv.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+            ).cast("bigint").alias("n_novel"),
+            F.round(
+                F.sum(
+                    F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0)
+                )
+                / F.count("*"),
+                4,
+            ).alias("novelty"),
+        )
+    )
