@@ -166,6 +166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": analytics.set_ops,
         "except_op": analytics.except_op,
         "window_topn_per_group": analytics.window_topn_per_group,
+        # --- sweep line (entry #50 is window_topn_per_group) — everything
+        # below rotates to the r7 window ---
+        # stale overflow (r2/r3 rows, next in line)
         "window_running_sum": analytics.window_running_sum,
         "semi_join": analytics.semi_join,
         "scalar_subquery": analytics.scalar_subquery,
@@ -174,8 +177,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_agg_orders_lineitem": analytics.join_agg_orders_lineitem,
         "anti_join": analytics.anti_join,
         "rollup_agg": analytics.rollup_agg,
-        # --- sweep line (~50) — below rotates to the r7 window ---
-        # stale overflow (r2/r3 rows, next in line)
         "pivot_status_by_priority": analytics.pivot_status_by_priority,
         "percentile_prices": analytics.percentile_prices,
         "corr_stats": analytics.corr_stats,
@@ -398,9 +399,10 @@ qp AS (SELECT {_proj_list("qe")} AS pq FROM q),
 s0 AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS xe, {_proj_list("e.embedding::DOUBLE[]")} AS pe
        FROM embeddings e WHERE e.vec_id != 0),
 s1 AS (SELECT s0.vec_id, s0.xe, {_COS.format(a="s0.pe", b="qp.pq")} AS pc
-       FROM s0, qp ORDER BY pc DESC, s0.vec_id ASC LIMIT 50)
-SELECT s1.vec_id, round({_COS.format(a="s1.xe", b="q.qe")}, 4) AS cos_sim
-FROM s1, q ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+       FROM s0, qp ORDER BY pc DESC, s0.vec_id ASC LIMIT 50),
+s2 AS (SELECT s1.vec_id, {_COS.format(a="s1.xe", b="q.qe")} AS c FROM s1, q)
+SELECT vec_id, round(c, 4) AS cos_sim
+FROM s2 ORDER BY c DESC, vec_id ASC LIMIT 10
 """
     cross_source = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),

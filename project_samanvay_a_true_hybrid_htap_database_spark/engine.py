@@ -611,7 +611,28 @@ class SamanvayEngine:
         newest-seq merge over the installed base; a base_epoch guard aborts
         the install if a set-based DML or another flush replaced the base
         mid-fold and retries on fresh state (nothing is lost — the overlay
-        is untouched until install succeeds)."""
+        is untouched until install succeeds).
+
+        DURABLE mode keeps the fully locked fold: its base is a parquet
+        generation directory that a concurrent base replacement would
+        garbage-collect mid-job — an unlocked fold reading gen_N while
+        another statement installs gen_N+1 and deletes gen_N dies with
+        FileNotFound, and the epoch guard only runs after the job. The
+        in-memory base is a localCheckpoint our plan keeps referenced, so
+        nothing can delete it out from under the unlocked fold."""
+        if self.data_dir is not None:
+            with self._lock:
+                state = self._state(name)
+                n = len(state.memtable)
+                if n:
+                    merged = self._merged_df(state).localCheckpoint(eager=True)
+                    self._install_base(state, merged)
+                    state.memtable.clear()
+                    self.stats["total_flushes"] += 1
+                    self._rewrite_wal()
+                    self._persist_schemas()
+                    self._gc_generations(state)
+                return n
         for _ in range(3):
             with self._lock:
                 state = self._state(name)
@@ -637,6 +658,7 @@ class SamanvayEngine:
                 self.stats["total_flushes"] += 1
                 self._rewrite_wal()
                 self._persist_schemas()
+                self._gc_generations(state)
             return n
         # Pathologically contended: fall back to the fully locked fold.
         with self._lock:
@@ -649,16 +671,21 @@ class SamanvayEngine:
                 self.stats["total_flushes"] += 1
                 self._rewrite_wal()
                 self._persist_schemas()
+                self._gc_generations(state)
             return n
 
     def _install_base(self, state: TableState, merged: DataFrame) -> None:
         """Make ``merged`` (already checkpointed) the table's base. Durable
-        mode writes a FRESH generation directory, commits it via the atomic
-        sidecar swap in the caller's _persist_schemas, then garbage-collects
-        older generations — a crash at any point leaves either the old or
-        the new generation fully intact, never a half-deleted base (the
-        reference LSM writes new SSTables and swaps the manifest; ADVICE r3
-        flagged the old in-place overwrite as crash-unsafe)."""
+        mode writes a FRESH generation directory and relies on the caller
+        to commit it via the atomic sidecar swap in _persist_schemas and
+        THEN garbage-collect older generations (_gc_generations) — in that
+        order: a crash between install and sidecar commit must leave the
+        OLD generation on disk (the sidecar still points at it), so GC
+        before the commit would silently lose the whole base on recovery.
+        Either way a crash leaves one generation fully intact, never a
+        half-deleted base (the reference LSM writes new SSTables and swaps
+        the manifest; ADVICE r3 flagged the old in-place overwrite as
+        crash-unsafe)."""
         if self.data_dir is not None:
             new_gen = state.gen + 1
             path = self._gen_path(state.name, new_gen)
@@ -668,7 +695,6 @@ class SamanvayEngine:
             state.base = self.spark.read.parquet(path)
             state.gen = new_gen
             state.ext_path = None  # durably owned now
-            self._gc_generations(state)
         else:
             state.base = merged
         state.base_epoch += 1
@@ -677,7 +703,12 @@ class SamanvayEngine:
 
     def _gc_generations(self, state: TableState) -> None:
         """Drop generation dirs older than the live one (and any stale
-        legacy part-files directly under table_<name>)."""
+        legacy part-files directly under table_<name>). Must run AFTER the
+        sidecar commit (_persist_schemas): a crash between install and
+        commit leaves the sidecar pointing at the OLD generation, which
+        must therefore still exist. No-op in in-memory mode."""
+        if self.data_dir is None:
+            return
         tdir = self._table_data_path(state.name)
         if not os.path.isdir(tdir):
             return
@@ -1163,6 +1194,7 @@ class SamanvayEngine:
         state.memtable.clear()
         self._rewrite_wal()
         self._persist_schemas()
+        self._gc_generations(state)
 
     def _update(self, ts: _Tokens) -> ResultSet:
         ts.expect_word("UPDATE")

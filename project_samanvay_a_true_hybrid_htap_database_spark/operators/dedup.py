@@ -51,13 +51,17 @@ def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
     and trigger a pointless shuffle on."""
     import os
 
+    import re
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     target = spark.sparkContext.defaultParallelism
+    # Spark byte-strings come in every documented shape: '134217728',
+    # '128m', '128mb', '64MB', '1g' — parse number + optional unit rather
+    # than assuming a single-char suffix.
     raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").lower()
-    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "b": 1}
-    max_split = (
-        int(raw[:-1]) * units[raw[-1]] if raw[-1] in units else int(raw)
-    )
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgtp]?)b?\s*", raw)
+    units = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "p": 1024**5}
+    max_split = int(m.group(1)) * units[m.group(2)] if m else 134217728
     est_splits = 0
     for f in docs.inputFiles():
         path = f.removeprefix("file:")
