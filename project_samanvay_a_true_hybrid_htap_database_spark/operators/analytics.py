@@ -1255,31 +1255,35 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("l_shipdate") >= F.expr("timestampadd(DAY, 90, o_orderdate)"),
     )
     # Pre-aggregate to one row per (order, supplier) FIRST: the raw lines
-    # never feed a countDistinct expand or a join-back. n_supp is then a
-    # plain count, n_late_supp a conditional sum, and the late-line count
-    # rides along — all map-side-combinable; the qualifying join runs on
-    # the two already-reduced tables.
+    # never feed a countDistinct expand. n_supp is then a plain count and
+    # n_late_supp a conditional sum — all map-side-combinable. The
+    # qualifying orders have EXACTLY ONE late supplier, so that supplier's
+    # identity and late-line count ride through the per-order aggregate as
+    # conditional max/sum — no join back onto per_os at all. (The previous
+    # join-back shape evaluated the fact-fact join twice: its two per_os
+    # consumers pruned different columns, so ReuseExchange never fired —
+    # 5 scans in the plan; this form scans lineitem and orders once each.)
     per_os = lines.groupBy("l_orderkey", "l_suppkey").agg(
         F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("late_lines")
     )
-    per_order = per_os.groupBy(F.col("l_orderkey").alias("po_key")).agg(
-        F.count("*").alias("n_supp"),
-        F.sum(F.when(F.col("late_lines") > 0, 1).otherwise(0)).alias(
-            "n_late_supp"
-        ),
+    is_late = F.col("late_lines") > 0
+    per_order = (
+        per_os.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum(F.when(is_late, 1).otherwise(0)).alias("n_late_supp"),
+            F.max(F.when(is_late, F.col("l_suppkey"))).alias("late_supp"),
+            F.sum(F.when(is_late, F.col("late_lines")).otherwise(0)).alias(
+                "late_lines_sum"
+            ),
+        )
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        per_os.filter(F.col("late_lines") > 0)
-        .join(
-            per_order,
-            (F.col("l_orderkey") == F.col("po_key"))
-            & (F.col("n_supp") >= 2)
-            & (F.col("n_late_supp") == 1),
-        )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.sum("late_lines").cast("long").alias("numwait"))
+        .agg(F.sum("late_lines_sum").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

@@ -338,6 +338,18 @@ class TestSemiFilterBelowShuffle:
         p = plan(qs["tpch_q21"](spark, SF_DIR))
         assert "Expand" not in p
 
+    def test_q21_scans_each_fact_once(self, spark):
+        """The r6 single-pass shape: the late supplier's identity rides
+        through the per-order aggregate, so there is no join-back and each
+        fact is scanned once (the join-back form scanned lineitem and
+        orders twice — ReuseExchange never fired across its differently-
+        pruned consumers)."""
+        import re
+
+        qs = entrymod.queries()
+        p = plan(qs["tpch_q21"](spark, SF_DIR))
+        assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 3
+
 
 class TestNoUnboundedBroadcast:
     """VERDICT r5 #1 (inverse of TestJoinStrategy): no explicit broadcast
