@@ -110,6 +110,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotates to the r7 window.
     return {
         # --- (a) round-6 additions: no driver row yet ---
+        "quality_filter_flags": text.quality_filter_flags,
+        "unigram_lm_score": text.unigram_lm_score,
+        "token_pmi_topk": text.token_pmi_topk,
+        "semdedup_stats": dedup.semdedup_stats,
+        "unpivot_metrics": analytics.unpivot_metrics,
         "ann_mips_indexed_topk": similarity.ann_mips_indexed_topk,
         "ann_ivf_indexed_topk": similarity.ann_ivf_indexed_topk,
         "embedding_random_projection": similarity.embedding_random_projection,
@@ -581,6 +586,103 @@ SELECT bigram, count(*) AS freq FROM b GROUP BY bigram
 ORDER BY freq DESC, bigram ASC LIMIT 20
 """
     return {
+        # --- round-6 additions ---
+        "quality_filter_flags": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+g AS (SELECT doc_id, T,
+  CASE WHEN len(T) >= 3 THEN
+    list_transform(generate_series(1, len(T) - 2),
+                   i -> array_to_string(list_slice(T, i, i + 2), ' '))
+  ELSE [] END AS G
+  FROM toks),
+base AS (SELECT doc_id,
+  len(T) AS n_tokens,
+  round(list_sum(list_transform(T, t -> len(t)))::DOUBLE / len(T), 4)
+    AS mean_tok_len,
+  round(CASE WHEN len(G) > 0
+             THEN 1.0 - len(list_distinct(G))::DOUBLE / len(G)
+             ELSE 0.0 END, 4) AS dup3_ratio,
+  len(list_filter(T, t -> list_contains(['the','a','of','and','to'], t)))
+    AS stop_hits
+  FROM g),
+cnt AS (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(T) AS tok FROM toks)
+        GROUP BY doc_id, tok),
+sh AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 4) AS top_share
+       FROM cnt GROUP BY doc_id)
+SELECT doc_id, n_tokens, mean_tok_len, dup3_ratio, top_share, stop_hits,
+  n_tokens BETWEEN 30 AND 100000 AS ok_length,
+  mean_tok_len BETWEEN 3.0 AND 10.0 AS ok_tok_len,
+  dup3_ratio < 0.1 AS ok_repetition,
+  top_share < 0.15 AS ok_top_share,
+  stop_hits >= 2 AS ok_stopwords,
+  (n_tokens BETWEEN 30 AND 100000) AND (mean_tok_len BETWEEN 3.0 AND 10.0)
+    AND dup3_ratio < 0.1 AND top_share < 0.15 AND stop_hits >= 2 AS keep
+FROM base JOIN sh USING (doc_id)
+""",
+        "unigram_lm_score": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+cnt AS (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(T) AS tok FROM toks)
+        GROUP BY doc_id, tok),
+vocab AS (SELECT tok, sum(c) AS ctok FROM cnt GROUP BY tok),
+tot AS (SELECT sum(ctok)::DOUBLE AS n_corpus FROM vocab)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       floor(sum(-c * ln(ctok / n_corpus)) / sum(c) * 1e6) / 1e6
+         AS cross_entropy
+FROM cnt JOIN vocab USING (tok), tot
+GROUP BY doc_id
+""",
+        "token_pmi_topk": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+uni AS (SELECT tok, count(*) AS ct
+        FROM (SELECT unnest(T) AS tok FROM toks) GROUP BY tok),
+tot AS (SELECT sum(ct)::DOUBLE AS n_corpus FROM uni),
+bg AS (SELECT b[1] AS w1, b[2] AS w2
+       FROM (SELECT unnest(list_transform(generate_series(1, len(T) - 1),
+                                          i -> [T[i], T[i + 1]])) AS b
+             FROM toks WHERE len(T) >= 2)),
+pairs AS (SELECT w1, w2, count(*) AS cxy FROM bg
+          GROUP BY w1, w2 HAVING count(*) >= 30)
+SELECT w1, w2, cxy,
+       floor(ln(cxy * n_corpus / (cx * cy)) * 1e6) / 1e6 AS pmi
+FROM pairs
+JOIN (SELECT tok AS w1, ct AS cx FROM uni) USING (w1)
+JOIN (SELECT tok AS w2, ct AS cy FROM uni) USING (w2), tot
+ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
+""",
+        "semdedup_stats": f"""
+WITH RECURSIVE
+pr AS (
+  SELECT a.vec_id AS d1, b.vec_id AS d2
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({_COS.format(a="a.embedding::DOUBLE[]",
+                           b="b.embedding::DOUBLE[]")}, 4) >= 0.40),
+edges AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+lbl AS (SELECT n AS vec_id, min(m) AS group_id FROM reach GROUP BY n),
+drops AS (SELECT vec_id FROM lbl WHERE vec_id != group_id)
+SELECT e.label, count(*) AS n_vecs,
+       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+       round(count(d.vec_id)::DOUBLE / count(*), 4) AS drop_ratio
+FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.vec_id
+GROUP BY e.label ORDER BY e.label
+""",
+        "unpivot_metrics": """
+WITH wide AS (
+  SELECT o_orderpriority AS priority, count(*)::DOUBLE AS n_orders,
+         round(sum(o_totalprice), 2) AS sum_price,
+         round(avg(o_totalprice), 2) AS avg_price
+  FROM orders GROUP BY 1)
+SELECT priority, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL SELECT priority, 'sum_price', sum_price FROM wide
+UNION ALL SELECT priority, 'avg_price', avg_price FROM wide
+""",
         # --- relational ---
         "point_lookup": """
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority

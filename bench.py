@@ -118,6 +118,13 @@ def main() -> None:
         "ann_projected_rerank_topk",
         # round-6: per-source-pair shared-shingle/Jaccard audit
         "cross_source_overlap",
+        # round-6: Gopher-rule quality gate (one scan + one token shuffle)
+        "quality_filter_flags",
+        # round-6: corpus-unigram cross-entropy (vocab equi-join, no
+        # unbounded broadcast)
+        "unigram_lm_score",
+        # round-6: cluster-blocked embedding dedup → CC → per-cluster stats
+        "semdedup_stats",
     ]
 
     # Warm-up: prime parquet footers, then run every headline query once

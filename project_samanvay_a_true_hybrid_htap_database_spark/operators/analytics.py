@@ -1535,3 +1535,26 @@ def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         "total_price",
     ).orderBy("status", "priority")
+
+
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long UNPIVOT: a per-priority metrics table (order count, total
+    and average price) melted to (priority, metric, value) rows with
+    stack() — the inverse of pivot_status_by_priority and the shape every
+    metrics store / plotting layer ingests. stack() is a single Generate
+    over the already-aggregated 5-row table: the only shuffle in the plan
+    is the upstream groupBy's, and the melt itself is free at any scale
+    because it runs on the aggregate, never the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+    return wide.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            "stack(3, 'n_orders', n_orders, 'sum_price', sum_price,"
+            " 'avg_price', avg_price) AS (metric, value)"
+        ),
+    )

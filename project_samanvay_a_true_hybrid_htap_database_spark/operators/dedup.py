@@ -498,9 +498,13 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    # No trailing orderBy: the label table is corpus-sized (every node in a
+    # near-dup pair), consumers either aggregate it (semdedup_stats,
+    # dedup_apply) or compare order-insensitively (both gates), so a global
+    # sort here is a pure range-shuffle tax at scale.
     return labels.select(
         F.col("n").alias("doc_id"), F.col("lbl").alias("group_id")
-    ).orderBy("doc_id")
+    )
 
 
 def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -715,4 +719,48 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("novelty"),
         )
+    )
+
+
+def semdedup_stats(
+    spark: SparkSession, sf_dir: str, threshold: float = COSINE_THRESHOLD
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by embedding
+    similarity WITHIN coarse clusters — the composition that makes
+    embedding dedup tractable at corpus scale. Pairs come from the
+    cluster-blocked cosine join (embedding_neardup_pairs: all-pairs inside
+    a label block only, never corpus-wide), connected components collapse
+    them into semantic-duplicate groups (min vec_id is the kept
+    representative, everything else is dropped), and the output is the
+    per-cluster removal accounting a curator acts on: how much of each
+    cluster is semantic duplication.
+
+    Scale shape: the pair join is bounded by the largest cluster (the
+    k-means pre-pass at 100 TB controls that directly), the CC loop is the
+    same shallow min-label fixpoint dedup_groups runs on text pairs, and
+    the final rollup is a left join of the (bounded) drop list against the
+    embedding table on its key — shuffled equi-join, nothing unbounded is
+    broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    pairs = embedding_neardup_pairs(spark, sf_dir, threshold).select(
+        F.col("v1").alias("d1"), F.col("v2").alias("d2")
+    )
+    labels = connected_components(pairs)
+    dropped = labels.filter(F.col("doc_id") != F.col("group_id")).select(
+        F.col("doc_id").alias("vec_id"), F.lit(1).alias("is_dropped")
+    )
+    return (
+        emb.join(dropped, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.round(
+                F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))) / F.count("*"),
+                4,
+            ).alias("drop_ratio"),
+        )
+        .orderBy("label")
     )

@@ -455,3 +455,182 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         F.round(F.col("n_docs") / F.col("n_declared"), 4).alias("share"),
     )
+
+
+def quality_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1, the
+    standard pre-filter applied before any model-based scoring): per
+    document, the individual rule verdicts and the final keep decision.
+    Rules: token count in [30, 100000], mean token length in [3, 10],
+    duplicate-3-gram ratio < 0.1, top-token share < 0.15, and at least 2
+    hits from the English stop-marker list. Emitting per-rule booleans
+    (not just `keep`) is deliberate — the audit table that says WHY a doc
+    was dropped is what corpus curators actually iterate on.
+
+    One corpus scan; the 3-gram and length stats are pure per-row array
+    HOFs (zero shuffle), and the top-token share reuses the
+    (doc_id, token) partial-count shuffle from repetition_ratio — the one
+    shuffle in the plan, map-side combinable. All thresholds compare
+    ROUNDED values so each boolean is bit-stable across engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.select("doc_id", tokens("text").alias("T"))
+    n = F.size("T")
+    mean_len = F.round(
+        F.aggregate(
+            F.col("T"), F.lit(0), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / n,
+        4,
+    )
+    trigrams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(" ", F.slice("T", i, F.lit(3))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup3 = F.round(
+        F.when(
+            F.size(trigrams) > 0,
+            1.0 - F.size(F.array_distinct(trigrams)) / F.size(trigrams),
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    stop_arr = F.array(*[F.lit(x) for x in LANG_MARKERS["en"]])
+    stop_hits = F.size(F.filter(F.col("T"), lambda x: F.array_contains(stop_arr, x)))
+    per_row = t.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        mean_len.alias("mean_tok_len"),
+        dup3.alias("dup3_ratio"),
+        stop_hits.cast("bigint").alias("stop_hits"),
+    )
+    shares = (
+        t.select("doc_id", F.explode("T").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c") / F.sum("c"), 4).alias("top_share"))
+    )
+    flagged = per_row.join(shares, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "mean_tok_len",
+        "dup3_ratio",
+        "top_share",
+        "stop_hits",
+        F.col("n_tokens").between(30, 100000).alias("ok_length"),
+        F.col("mean_tok_len").between(3.0, 10.0).alias("ok_tok_len"),
+        (F.col("dup3_ratio") < 0.1).alias("ok_repetition"),
+        (F.col("top_share") < 0.15).alias("ok_top_share"),
+        (F.col("stop_hits") >= 2).alias("ok_stopwords"),
+    )
+    return flagged.withColumn(
+        "keep",
+        F.col("ok_length")
+        & F.col("ok_tok_len")
+        & F.col("ok_repetition")
+        & F.col("ok_top_share")
+        & F.col("ok_stopwords"),
+    )
+
+
+def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram cross-entropy under the corpus's own unigram
+    distribution — the cheapest LM-based quality signal (CCNet buckets its
+    corpus by exactly this kind of LM perplexity). Documents made of
+    corpus-typical tokens score low; token-salad and outlier vocabulary
+    score high.
+
+    Shape for 100 TB: one explode → (doc_id, token) partial counts (the
+    same shuffle every token operator shares), a vocabulary rollup keyed
+    on token (web-scale vocab is millions of rows — it stays a shuffled
+    equi-join on the token key, never broadcast), a 1-row corpus total
+    (bounded broadcast), then a per-doc rollup. Scores floor-truncated at
+    1e-6 like tfidf (log output; round() is not cross-engine-portable)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    inst = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    per_doc_tok = inst.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    vocab = per_doc_tok.groupBy("tok").agg(F.sum("c").alias("ctok"))
+    total = vocab.agg(F.sum("ctok").cast("double").alias("n_corpus"))
+    scored = (
+        per_doc_tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            (
+                F.sum(-F.col("c") * F.log(F.col("ctok") / F.col("n_corpus")))
+                / F.sum("c")
+            ).alias("ce_raw"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(F.col("ce_raw") * 1e6) / 1e6).alias("cross_entropy"),
+    )
+
+
+def token_pmi_topk(
+    spark: SparkSession, sf_dir: str, k: int = 20, min_count: int = 30
+) -> DataFrame:
+    """Top-k adjacent-token collocations by pointwise mutual information:
+    PMI(x,y) = ln(c_xy · N / (c_x · c_y)) with N = total token instances
+    and c_x/c_y unigram instance counts — the standard corpus-exploration
+    statistic for multiword expressions (and, inverted, for boilerplate).
+    A min-count floor keeps the rare-pair PMI explosion out (PMI is
+    maximal for hapax pairs, which is noise, not signal).
+
+    Two token-keyed shuffles (bigram counts, unigram counts) + two joins
+    of the bigram table against the vocabulary on its left/right word —
+    vocabulary-sized equi-joins, shuffled not broadcast at web scale; the
+    final top-k is TakeOrderedAndProject (no global sort). Floor-truncated
+    like every log-derived score."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.select(tokens("text").alias("T"))
+    uni = (
+        t.select(F.explode("T").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("ct"))
+    )
+    n_corpus = uni.agg(F.sum("ct").cast("double").alias("n_corpus"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size("T") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("T"), i).alias("w1"),
+            F.element_at(F.col("T"), i + F.lit(1)).alias("w2"),
+        ),
+    )
+    pairs = (
+        t.filter(F.size("T") >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cxy"))
+        .filter(F.col("cxy") >= min_count)
+    )
+    scored = (
+        pairs.join(uni.select(F.col("tok").alias("w1"), F.col("ct").alias("cx")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("ct").alias("cy")), "w2")
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "w1",
+            "w2",
+            "cxy",
+            (
+                F.floor(
+                    F.log(
+                        F.col("cxy")
+                        * F.col("n_corpus")
+                        / (F.col("cx") * F.col("cy"))
+                    )
+                    * 1e6
+                )
+                / 1e6
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)

@@ -47,6 +47,7 @@ def plans(spark):
         "asof_join_events_orders",
         "tpch_q3",
         "interval_overlap_join",
+        "semdedup_stats",
     ]
     return {n: plan(qs[n](spark, SF_DIR)) for n in names}
 
@@ -149,7 +150,12 @@ class TestCodegenAndNoPython:
 class TestNoCartesian:
     @pytest.mark.parametrize(
         "name",
-        ["minhash_lsh_pairs", "simhash_neardup_pairs", "knn_join_blocked"],
+        [
+            "minhash_lsh_pairs",
+            "simhash_neardup_pairs",
+            "knn_join_blocked",
+            "semdedup_stats",
+        ],
     )
     def test_pair_generators_never_cartesian(self, plans, name):
         assert "CartesianProduct" not in plans[name], (
@@ -173,6 +179,9 @@ class TestNoPresentationalSort:
             "embedding_quantize",
             "multimodal_resize",
             "chunk_documents",
+            "quality_filter_flags",
+            "unigram_lm_score",
+            "dedup_groups",
         ],
     )
     def test_unbounded_output_has_no_global_sort(self, spark, name):
