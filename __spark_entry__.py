@@ -166,14 +166,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": analytics.tpch_q6_forecast_revenue,
         "tpch_q14": analytics.tpch_q14_promo_revenue,
         "top_orders": analytics.top_orders,
+        # --- sweep line (entry #50 is top_orders) — everything below
+        # rotates to the r7 window ---
+        # stale overflow (r2/r3 rows, next in line)
         "group_having": analytics.group_having,
         "distinct_values": analytics.distinct_values,
         "set_ops": analytics.set_ops,
         "except_op": analytics.except_op,
         "window_topn_per_group": analytics.window_topn_per_group,
-        # --- sweep line (entry #50 is window_topn_per_group) — everything
-        # below rotates to the r7 window ---
-        # stale overflow (r2/r3 rows, next in line)
         "window_running_sum": analytics.window_running_sum,
         "semi_join": analytics.semi_join,
         "scalar_subquery": analytics.scalar_subquery,
@@ -620,18 +620,22 @@ SELECT doc_id, n_tokens, mean_tok_len, dup3_ratio, top_share, stop_hits,
     AND dup3_ratio < 0.1 AND top_share < 0.15 AND stop_hits >= 2 AS keep
 FROM base JOIN sh USING (doc_id)
 """,
+        # Mirrors the Spark decomposition exactly: ln(N) - Σc·ln(ctok)/Σc
+        # (NOT the mathematically-equal -Σc·ln(ctok/N)/Σc — different float
+        # sequence, different last bits under the 1e-6 floor).
         "unigram_lm_score": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
 cnt AS (SELECT doc_id, tok, count(*) AS c
         FROM (SELECT doc_id, unnest(T) AS tok FROM toks)
         GROUP BY doc_id, tok),
-vocab AS (SELECT tok, sum(c) AS ctok FROM cnt GROUP BY tok),
-tot AS (SELECT sum(ctok)::DOUBLE AS n_corpus FROM vocab)
-SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-       floor(sum(-c * ln(ctok / n_corpus)) / sum(c) * 1e6) / 1e6
-         AS cross_entropy
-FROM cnt JOIN vocab USING (tok), tot
-GROUP BY doc_id
+wc AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY tok) AS ctok FROM cnt),
+per_doc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   sum(c * ln(ctok)) / sum(c) AS avg_ln_ctok
+            FROM wc GROUP BY doc_id),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS n_corpus FROM per_doc)
+SELECT doc_id, n_tokens,
+       floor((ln(n_corpus) - avg_ln_ctok) * 1e6) / 1e6 AS cross_entropy
+FROM per_doc, tot
 """,
         "token_pmi_topk": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),

@@ -542,33 +542,43 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-typical tokens score low; token-salad and outlier vocabulary
     score high.
 
-    Shape for 100 TB: one explode → (doc_id, token) partial counts (the
-    same shuffle every token operator shares), a vocabulary rollup keyed
-    on token (web-scale vocab is millions of rows — it stays a shuffled
-    equi-join on the token key, never broadcast), a 1-row corpus total
-    (bounded broadcast), then a per-doc rollup. Scores floor-truncated at
-    1e-6 like tfidf (log output; round() is not cross-engine-portable)."""
+    Shape for 100 TB — the corpus is scanned ONCE: the naive form (vocab
+    groupBy + equi-join back + 1-row total) re-executes the token-count
+    subtree for every branch (6 parquet scans in the compiled plan). Two
+    rewrites collapse it: (1) the vocabulary count becomes a window sum
+    over the token key on the (doc_id, token) count table — one shuffle,
+    no join, no second aggregation tree (web-scale vocab never needs to be
+    broadcast OR materialized); (2) -ln(ctok/N) decomposes as
+    ln(N) - ln(ctok), so the per-doc average needs only Σc·ln(ctok)/Σc
+    from the scan, and the corpus total N = Σ n_tokens comes from
+    re-aggregating the doc-sized result. AQE reuses one exchange between
+    the total branch and the main branch at runtime; the executed plan
+    carries 3 parquet scans vs the naive form's 6 (plan-test asserted).
+    The oracle mirrors the exact same float sequence. Scores
+    floor-truncated at 1e-6 like tfidf (log output; round() is not
+    cross-engine-portable)."""
+    from pyspark.sql import Window as W
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     inst = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
     per_doc_tok = inst.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
-    vocab = per_doc_tok.groupBy("tok").agg(F.sum("c").alias("ctok"))
-    total = vocab.agg(F.sum("ctok").cast("double").alias("n_corpus"))
-    scored = (
-        per_doc_tok.join(vocab, "tok")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("bigint").alias("n_tokens"),
-            (
-                F.sum(-F.col("c") * F.log(F.col("ctok") / F.col("n_corpus")))
-                / F.sum("c")
-            ).alias("ce_raw"),
-        )
+    with_ctok = per_doc_tok.withColumn(
+        "ctok", F.sum("c").over(W.partitionBy("tok"))
     )
-    return scored.select(
+    per_doc = with_ctok.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        (F.sum(F.col("c") * F.log("ctok")) / F.sum("c")).alias("avg_ln_ctok"),
+    )
+    total = per_doc.agg(F.sum("n_tokens").cast("double").alias("n_corpus"))
+    return per_doc.crossJoin(F.broadcast(total)).select(
         "doc_id",
         "n_tokens",
-        (F.floor(F.col("ce_raw") * 1e6) / 1e6).alias("cross_entropy"),
+        (
+            F.floor(
+                (F.log("n_corpus") - F.col("avg_ln_ctok")) * 1e6
+            )
+            / 1e6
+        ).alias("cross_entropy"),
     )
 
 

@@ -450,3 +450,24 @@ class TestRangeJoinShape:
         assert "BroadcastNestedLoopJoin" not in p
         assert "CartesianProduct" not in p
         assert "BroadcastHashJoin" in p
+
+
+class TestSingleScanTokenPipeline:
+    """unigram_lm_score's window-sum + ln-decomposition rewrite exists to
+    cut corpus scans: the naive vocab-join form compiled to SIX parquet
+    scans of documents (every branch re-derived the token counts). The
+    rewrite's executed plan must stay at <=3 scans with at least one
+    exchange reused between the corpus-total branch and the main branch —
+    the regression signature is the scan count creeping back up."""
+
+    def test_unigram_lm_executed_plan_reuses_exchange(self, spark):
+        qs = entrymod.queries()
+        df = qs["unigram_lm_score"](spark, SF_DIR)
+        df.collect()  # AQE reuse only materializes in the executed plan
+        p = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        assert p.count("Scan parquet") <= 3, (
+            f"unigram_lm_score re-scans the corpus: {p.count('Scan parquet')} scans"
+        )
+        assert "ReusedExchange" in p, (
+            "the corpus-total branch no longer reuses the per-doc exchange"
+        )
