@@ -94,18 +94,30 @@ class TableState:
     schema: T.StructType
     pk: str
     not_null: set[str]
-    base: DataFrame | None = None  # parquet-backed / flushed rows
+    base: DataFrame | None = None  # parquet-backed / compacted rows
     memtable: dict[Any, tuple[int, dict | None]] = field(default_factory=dict)
     # memtable maps pk -> (seq, row-dict or None for tombstone)
+    # Flushed-but-uncompacted rows (the L0 layer): table columns plus a
+    # __tomb marker, one row per pk (newest-wins applied at flush time).
+    # Precedence on read: memtable > delta > base. Bounded by
+    # DELTA_COMPACT_ROWS — crossing it turns the next flush into a
+    # compaction (fold into base), so flush stays O(overlay + delta),
+    # never O(base).
+    delta: DataFrame | None = None
+    delta_rows: int = 0
+    delta_gen: int = 0  # live durable delta generation (0 = none)
     base_rows: int | None = None  # cached count; None = not yet computed
     base_io: tuple[int, int] | None = None  # cached (files, bytes) of the base
     gen: int = 0  # live durable base generation (0 = no flushed base)
     ext_path: str | None = None  # externally-registered base parquet path
     unrecovered: bool = False  # base was lost across restart; refuse to serve
-    # bumped on every base replacement (flush install, set-based DML,
+    # bumped on every base replacement (compaction install, set-based DML,
     # streaming append); lets a lock-free flush detect a base that changed
     # under its feet and retry instead of clobbering newer data
     base_epoch: int = 0
+    # bumped on every delta replacement (flush install, compaction clear) —
+    # the same lost-update guard for the delta layer
+    delta_epoch: int = 0
 
 
 class SqlError(Exception):
@@ -396,6 +408,12 @@ class SamanvayEngine:
         (sstable.hpp write-then-rename)."""
         return os.path.join(self._table_data_path(name), f"gen_{gen}")
 
+    def _delta_path(self, name: str, gen: int) -> str:
+        """Versioned delta segment directory (the L0 layer): each flush
+        writes a FRESH delta_<n> committed by the sidecar swap, exactly
+        like base generations."""
+        return os.path.join(self._table_data_path(name), f"delta_{gen}")
+
     def _persist_schemas(self) -> None:
         """Atomic rewrite of the schema sidecar (reference persists the
         registry as a text sidecar on every DDL, schema_registry.hpp:248-344).
@@ -410,6 +428,8 @@ class SamanvayEngine:
                 "pk": state.pk,
                 "not_null": sorted(state.not_null),
                 "gen": state.gen,
+                "delta_gen": state.delta_gen if state.delta is not None else 0,
+                "delta_rows": state.delta_rows,
                 "ext_path": state.ext_path,
                 # external-no-path bases (e.g. streamed-in localCheckpoints)
                 # cannot be re-read after restart; record the fact so
@@ -486,6 +506,15 @@ class SamanvayEngine:
                 # would silently drop the registered rows, so poison the
                 # table instead (ADVICE r3: engine.py register_base/recovery).
                 unrecovered = True
+            delta = None
+            delta_gen = int(meta.get("delta_gen", 0))
+            if delta_gen:
+                if os.path.isdir(self._delta_path(name, delta_gen)):
+                    delta = self.spark.read.parquet(
+                        self._delta_path(name, delta_gen)
+                    )
+                else:
+                    unrecovered = True  # committed delta segment vanished
             self.tables[name] = TableState(
                 name=name,
                 schema=schema,
@@ -493,6 +522,9 @@ class SamanvayEngine:
                 not_null=set(meta["not_null"]),
                 base=base,
                 gen=gen,
+                delta=delta,
+                delta_gen=delta_gen,
+                delta_rows=int(meta.get("delta_rows", 0)) if delta is not None else 0,
                 ext_path=ext_path,
                 unrecovered=unrecovered,
             )
@@ -592,47 +624,33 @@ class SamanvayEngine:
             return self._merged_df(state)
 
     def flush(self, name: str) -> int:
-        """Fold the memtable into the base (reference freeze→flush,
-        memtable.hpp:140-236). With ``data_dir`` the base lands in a fresh
-        on-disk parquet generation and the WAL drops the flushed entries;
-        without it, an in-memory localCheckpoint. Returns flushed count.
+        """Flush the memtable into the DELTA layer — O(overlay + delta),
+        never O(base). This is the reference's memtable→L0 flush
+        (memtable.hpp:140-236): the base is untouched; flushed rows live in
+        a small per-table delta segment (table columns + __tomb) that reads
+        overlay via one bounded anti-join. Only when the accumulated delta
+        would cross DELTA_COMPACT_ROWS — or a durable engine must take
+        ownership of a not-yet-generational base — does the flush escalate
+        to a compaction (full fold, the reference's L0→deeper merge).
+        Before this split, every flush folded the FULL base
+        (localCheckpoint of 1M+ rows): the sustained-ingest bench measured
+        analytical queries stalling behind those folds.
 
-        Reader-friendly like the reference's background flush: the engine
-        lock is held only to SNAPSHOT the overlay and to INSTALL the folded
-        base — the expensive materialization happens unlocked, so
-        concurrent statements keep executing against base+overlay during
-        the fold instead of queueing behind it for the full fold duration
-        (asserted by test_htap_sustained: reads complete mid-flush with
-        consistent results; the residual sustained-read cost is the
-        overlay merge itself — the merge-on-read contract, not the lock).
-        Correctness: the snapshot list is materialized eagerly under the
-        lock (the fold plan cannot see later writes); entries that gained a
-        NEWER seq during the fold stay in the overlay and still win the
-        newest-seq merge over the installed base; a base_epoch guard aborts
-        the install if a set-based DML or another flush replaced the base
-        mid-fold and retries on fresh state (nothing is lost — the overlay
-        is untouched until install succeeds).
+        Reader-friendly: in-memory mode holds the engine lock only to
+        SNAPSHOT the overlay and to INSTALL the merged delta; the
+        materialization runs unlocked, with base/delta epoch guards
+        aborting the install (and retrying) if a compaction or set-based
+        DML replaced either layer mid-fold. Entries that gained a NEWER seq
+        during the fold stay in the overlay and still win the merge.
 
-        DURABLE mode keeps the fully locked fold: its base is a parquet
-        generation directory that a concurrent base replacement would
-        garbage-collect mid-job — an unlocked fold reading gen_N while
-        another statement installs gen_N+1 and deletes gen_N dies with
-        FileNotFound, and the epoch guard only runs after the job. The
-        in-memory base is a localCheckpoint our plan keeps referenced, so
-        nothing can delete it out from under the unlocked fold."""
+        DURABLE mode keeps the fully locked fold: its delta/base are
+        parquet generation directories that a concurrent install would
+        garbage-collect mid-job — but the locked section is now O(overlay),
+        so readers no longer queue behind a base rewrite. Returns the
+        flushed count."""
         if self.data_dir is not None:
             with self._lock:
-                state = self._state(name)
-                n = len(state.memtable)
-                if n:
-                    merged = self._merged_df(state).localCheckpoint(eager=True)
-                    self._install_base(state, merged)
-                    state.memtable.clear()
-                    self.stats["total_flushes"] += 1
-                    self._rewrite_wal()
-                    self._persist_schemas()
-                    self._gc_generations(state)
-                return n
+                return self._flush_locked(name)
         for _ in range(3):
             with self._lock:
                 state = self._state(name)
@@ -640,39 +658,133 @@ class SamanvayEngine:
                 if not n:
                     return 0
                 snapshot = dict(state.memtable)
-                epoch = state.base_epoch
-                # _merged_df copies the overlay rows into the plan eagerly,
-                # so the plan is frozen at snapshot time.
-                merged_plan = self._merged_df(state)
-            # Slow part — unlocked. localCheckpoint breaks lineage off any
-            # parquet dir the plan still reads and materializes exactly once.
-            merged = merged_plan.localCheckpoint(eager=True)
+                b_epoch = state.base_epoch
+                d_epoch = state.delta_epoch
+                compacting = self._needs_compaction(state)
+                # both plans copy the overlay rows in eagerly, so the plan
+                # is frozen at snapshot time
+                plan = (
+                    self._merged_df(state)
+                    if compacting
+                    else self._delta_merge_plan(state, snapshot)
+                )
+            # Slow part — unlocked. localCheckpoint materializes exactly
+            # once; the in-memory base/delta are checkpoints our plan keeps
+            # referenced, so nothing can delete them out from under it.
+            materialized = plan.localCheckpoint(eager=True)
+            rows = None if compacting else materialized.count()
             with self._lock:
-                if state.base_epoch != epoch:
-                    continue  # base replaced under us: retry on fresh state
-                self._install_base(state, merged)
-                for pk, (seq, _row) in snapshot.items():
-                    cur = state.memtable.get(pk)
-                    if cur is not None and cur[0] == seq:
-                        del state.memtable[pk]
+                if state.base_epoch != b_epoch or state.delta_epoch != d_epoch:
+                    continue  # a layer was replaced under us: retry fresh
+                if compacting:
+                    self._install_base(state, materialized)
+                    self._clear_delta(state)
+                else:
+                    self._install_delta(state, materialized, rows)
+                self._drop_flushed(state, snapshot)
                 self.stats["total_flushes"] += 1
-                self._rewrite_wal()
-                self._persist_schemas()
-                self._gc_generations(state)
             return n
-        # Pathologically contended: fall back to the fully locked fold.
+        # Pathologically contended: fall back to the fully locked path.
         with self._lock:
-            state = self._state(name)
-            n = len(state.memtable)
-            if n:
-                merged = self._merged_df(state).localCheckpoint(eager=True)
-                self._install_base(state, merged)
-                state.memtable.clear()
-                self.stats["total_flushes"] += 1
-                self._rewrite_wal()
-                self._persist_schemas()
-                self._gc_generations(state)
-            return n
+            return self._flush_locked(name)
+
+    def _flush_locked(self, name: str) -> int:
+        """Flush under the engine lock (durable mode + contention
+        fallback). The delta path writes the new segment straight from the
+        plan — it reads the old delta dir plus in-memory rows, both stable
+        under the lock."""
+        state = self._state(name)
+        n = len(state.memtable)
+        if not n:
+            return 0
+        snapshot = dict(state.memtable)
+        if self._needs_compaction(state):
+            merged = self._merged_df(state).localCheckpoint(eager=True)
+            self._install_base(state, merged)
+            self._clear_delta(state)
+        else:
+            self._install_delta(
+                state, self._delta_merge_plan(state, snapshot), None
+            )
+        self._drop_flushed(state, snapshot)
+        self.stats["total_flushes"] += 1
+        self._rewrite_wal()
+        self._persist_schemas()
+        self._gc_generations(state)
+        return n
+
+    def _needs_compaction(self, state: TableState) -> bool:
+        if state.delta_rows + len(state.memtable) > self.DELTA_COMPACT_ROWS:
+            return True
+        # A durable engine's first flush over a base that is not yet a
+        # generation directory (externally registered path or a volatile
+        # in-memory DataFrame) folds fully: that is what converts the base
+        # to durably-owned gen_1 (test_registered_base_flush_converts_*).
+        return (
+            self.data_dir is not None
+            and state.base is not None
+            and state.gen == 0
+        )
+
+    def _delta_merge_plan(self, state: TableState, snapshot: dict) -> DataFrame:
+        """New delta = overlay snapshot over the existing delta, newest
+        wins (one row per pk). Tombstones become marker rows so they keep
+        shadowing base rows after the memtable entry is dropped."""
+        cols = [f.name for f in state.schema.fields]
+        rows = []
+        for pk, (_seq, row) in snapshot.items():
+            if row is None:
+                rows.append(
+                    tuple(pk if c == state.pk else None for c in cols) + (True,)
+                )
+            else:
+                rows.append(tuple(row[c] for c in cols) + (False,))
+        # fully nullable: tombstone rows carry NULL in (possibly NOT NULL)
+        # non-pk columns; nullability here is segment layout, not the
+        # table contract (validation happened at write time)
+        schema = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in state.schema.fields]
+            + [T.StructField("__tomb", T.BooleanType(), False)]
+        )
+        hot = self._hot_df(rows, cols + ["__tomb"], schema)
+        if state.delta is None:
+            return hot
+        return state.delta.join(
+            hot.select(state.pk), on=state.pk, how="left_anti"
+        ).unionByName(hot)
+
+    def _install_delta(
+        self, state: TableState, delta_df: DataFrame, rows: int | None
+    ) -> None:
+        """Make ``delta_df`` the live delta segment. Durable mode writes a
+        fresh delta_<n> directory committed by the sidecar swap (same
+        write-then-commit discipline as _install_base); the old segment is
+        GC'd only after the commit."""
+        if self.data_dir is not None:
+            new_gen = state.delta_gen + 1
+            path = self._delta_path(state.name, new_gen)
+            delta_df.write.mode("overwrite").parquet(path)
+            state.delta = self.spark.read.parquet(path)
+            state.delta_gen = new_gen
+            state.delta_rows = (
+                state.delta.count() if rows is None else rows
+            )
+        else:
+            state.delta = delta_df
+            state.delta_rows = delta_df.count() if rows is None else rows
+        state.delta_epoch += 1
+
+    def _clear_delta(self, state: TableState) -> None:
+        state.delta = None
+        state.delta_rows = 0
+        state.delta_epoch += 1
+
+    @staticmethod
+    def _drop_flushed(state: TableState, snapshot: dict) -> None:
+        for pk, (seq, _row) in snapshot.items():
+            cur = state.memtable.get(pk)
+            if cur is not None and cur[0] == seq:
+                del state.memtable[pk]
 
     def _install_base(self, state: TableState, merged: DataFrame) -> None:
         """Make ``merged`` (already checkpointed) the table's base. Durable
@@ -712,11 +824,16 @@ class SamanvayEngine:
         tdir = self._table_data_path(state.name)
         if not os.path.isdir(tdir):
             return
+        keep = {f"gen_{state.gen}"}
+        if state.delta is not None:
+            keep.add(f"delta_{state.delta_gen}")
         for entry in os.listdir(tdir):
             full = os.path.join(tdir, entry)
-            if entry == f"gen_{state.gen}":
+            if entry in keep:
                 continue
-            if entry.startswith("gen_") and os.path.isdir(full):
+            if (
+                entry.startswith("gen_") or entry.startswith("delta_")
+            ) and os.path.isdir(full):
                 shutil.rmtree(full, ignore_errors=True)
             elif os.path.isfile(full):
                 os.unlink(full)  # legacy pre-generation base files
@@ -743,6 +860,7 @@ class SamanvayEngine:
                     "columns": len(state.schema.fields),
                     "hotEntries": hot,
                     "tombstones": tomb,
+                    "deltaEntries": state.delta_rows,
                     "hasBase": state.base is not None,
                 }
             )
@@ -760,9 +878,24 @@ class SamanvayEngine:
         }
 
     def compact(self, name: str) -> None:
-        """Re-materialize the base keeping live latest versions only
-        (reference k-way merge + bottom-level tombstone GC)."""
-        self.flush(name)
+        """Full fold: base ∪ delta ∪ overlay → fresh base generation,
+        delta cleared, tombstones GC'd (reference k-way merge +
+        bottom-level tombstone GC, compaction.hpp:193-551). flush() is the
+        cheap O(overlay) L0 path; this is the deliberate O(base) one."""
+        with self._lock:
+            state = self._state(name)
+            had_overlay = bool(state.memtable)
+            if not had_overlay and state.delta is None:
+                return
+            merged = self._merged_df(state).localCheckpoint(eager=True)
+            self._install_base(state, merged)
+            self._clear_delta(state)
+            state.memtable.clear()
+            if had_overlay:
+                self.stats["total_flushes"] += 1
+            self._rewrite_wal()
+            self._persist_schemas()
+            self._gc_generations(state)
 
     # -- dispatch -----------------------------------------------------------
 
@@ -845,6 +978,16 @@ class SamanvayEngine:
         base = state.base
         if base is None:
             base = self.spark.createDataFrame([], state.schema)
+        if state.delta is not None:
+            # L0 delta layer: flushed rows shadow same-pk base rows, delta
+            # tombstones delete them. One anti-join on the pk — the delta
+            # is bounded by DELTA_COMPACT_ROWS, so AQE broadcasts it at
+            # overlay scale and the base is never shuffled.
+            base = base.join(
+                state.delta.select(state.pk), on=state.pk, how="left_anti"
+            ).unionByName(
+                state.delta.filter(~F.col("__tomb")).drop("__tomb")
+            )
         if not state.memtable:
             return base
         live_rows = [
@@ -853,13 +996,32 @@ class SamanvayEngine:
             if row is not None
         ]
         tomb_keys = {pk for pk, (_, row) in state.memtable.items() if row is None}
-        hot = self.spark.createDataFrame(live_rows, state.schema) if live_rows else None
+        hot = self._hot_df(live_rows, cols, state.schema) if live_rows else None
         out = base
         if tomb_keys:
             out = out.filter(~F.col(state.pk).isin(list(tomb_keys)))
         if hot is not None:
             out = latest_version(out, hot, key=state.pk)
         return out
+
+    def _hot_df(self, live_rows: list, cols: list[str], schema) -> DataFrame:
+        """Overlay rows → DataFrame, on the Arrow fast path. The default
+        ``createDataFrame(list-of-tuples)`` verifies the schema row by row
+        in Python and ships pickled rows through ``parallelize`` — ~1 s at
+        the overlay's size ceiling, paid by EVERY query while the overlay
+        is non-empty (the sustained-ingest bench measured 990% analytical
+        degradation from exactly this). Routing through pandas hits the
+        Arrow batch converter instead (one zero-copy batch to the JVM);
+        rows were already type-coerced on write (`_coerce`), so the skipped
+        verification pass adds nothing. Falls back to the verified slow
+        path for anything Arrow can't convert."""
+        try:
+            import pandas as pd
+
+            pdf = pd.DataFrame(live_rows, columns=cols)
+            return self.spark.createDataFrame(pdf, schema=schema)
+        except Exception:
+            return self.spark.createDataFrame(live_rows, schema)
 
     def _coerce(self, state: TableState, col: str, value: Any) -> Any:
         """Validate + coerce a literal to the declared column type (the
@@ -1070,6 +1232,13 @@ class SamanvayEngine:
     # disable (tests that assert raw memtable contents do).
     AUTOFLUSH_ROWS: int | None = 100_000
 
+    # Compaction trigger: when the accumulated delta (flushed-but-
+    # uncompacted rows) would cross this, the next flush folds delta +
+    # overlay into the base instead of growing the delta — the L0→base
+    # merge of the reference LSM (compaction.hpp:416-551), kept infrequent
+    # so the common flush stays O(overlay + delta), never O(base).
+    DELTA_COMPACT_ROWS = 500_000
+
     def _maybe_autoflush(self, state: TableState) -> None:
         """Called inside the dispatch lock: only ENQUEUE — execute() drains
         the queue after releasing the lock, so the fold's heavy Spark job
@@ -1191,6 +1360,7 @@ class SamanvayEngine:
         """Replace a table's base with ``df`` (memtable folded in by the
         caller): checkpoint to break lineage, persist when durable."""
         self._install_base(state, df.localCheckpoint(eager=True))
+        self._clear_delta(state)  # df was built from the merged view
         state.memtable.clear()
         self._rewrite_wal()
         self._persist_schemas()
@@ -1516,6 +1686,7 @@ class SamanvayEngine:
             f"Estimated I/O Cost: {io_cost}",
             "Storage Paths:",
             f"  - Memtable Overlay ({mem_rows} hot entries)",
+            f"  - Delta Segment ({state.delta_rows} flushed rows)",
             f"  - Parquet Base ({base_rows} rows)",
             f"Filter: {'yes' if pred is not None else 'none'}",
             f"Projection: {', '.join(aggs) if aggs else ', '.join(proj)}",

@@ -297,8 +297,11 @@ def test_drop_table_then_recreate_does_not_resurrect(spark, data_dir):
 
 
 def test_flush_writes_versioned_generations_and_gcs(spark, data_dir):
-    """ADVICE r3: each flush lands in a fresh gen_<n> dir committed by the
-    atomic sidecar swap; older generations are garbage-collected."""
+    """ADVICE r3 + the r6 delta split: each flush lands in a fresh
+    delta_<n> segment dir committed by the atomic sidecar swap (older
+    segments GC'd); compaction folds delta+overlay into a fresh gen_<n>
+    base dir and clears the delta. Either way, exactly one committed dir
+    per layer survives."""
     import json as _json
     import os
 
@@ -309,35 +312,85 @@ def test_flush_writes_versioned_generations_and_gcs(spark, data_dir):
     e1.flush("users")
 
     tdir = e1._table_data_path("users")
-    assert os.path.isdir(os.path.join(tdir, "gen_2"))
-    assert not os.path.isdir(os.path.join(tdir, "gen_1"))  # GC'd
+    # O(overlay) flushes: delta segments version forward, base untouched
+    assert os.path.isdir(os.path.join(tdir, "delta_2"))
+    assert not os.path.isdir(os.path.join(tdir, "delta_1"))  # GC'd
     with open(e1._schemas_path) as fh:
-        assert _json.load(fh)["users"]["gen"] == 2
+        meta = _json.load(fh)["users"]
+    assert meta["delta_gen"] == 2
+    assert meta["gen"] == 0  # no compaction yet
 
+    # restart serves base(∅) + delta
     e2 = SamanvayEngine(spark, data_dir=data_dir)
     assert len(e2.execute("SELECT * FROM users").rows) == 3
 
+    # compaction folds into a fresh base generation and clears the delta
+    e2.execute("INSERT INTO users VALUES (4, 'u4', 24)")
+    e2.compact("users")
+    assert os.path.isdir(os.path.join(tdir, "gen_1"))
+    assert not any(d.startswith("delta_") for d in os.listdir(tdir))
+    with open(e2._schemas_path) as fh:
+        meta = _json.load(fh)["users"]
+    assert meta["gen"] == 1 and meta["delta_gen"] == 0
+
+    e3 = SamanvayEngine(spark, data_dir=data_dir)
+    assert len(e3.execute("SELECT * FROM users").rows) == 4
+
 
 def test_stale_generation_leftover_is_ignored_on_recovery(spark, data_dir):
-    """A crash mid-flush leaves a half-written gen_<n+1> dir but the sidecar
-    still points at gen_<n>: recovery must serve gen_<n> untouched."""
+    """A crash mid-compaction leaves a half-written gen_<n> dir but the
+    sidecar still points at the committed layers (here: the delta segment):
+    recovery must serve them untouched. Same for a torn delta_<n+1>."""
     import os
 
     e1 = SamanvayEngine(spark, data_dir=data_dir)
     _seed(e1, 2)
-    e1.flush("users")  # live = gen_1
-    # simulate the torn write of a crashed gen_2 flush
-    torn = os.path.join(e1._table_data_path("users"), "gen_2")
-    os.makedirs(torn)
-    with open(os.path.join(torn, "part-00000.parquet"), "wb") as fh:
-        fh.write(b"not parquet")
+    e1.flush("users")  # live = delta_1
+    # simulate torn writes of a crashed compaction AND a crashed flush
+    for torn_name in ("gen_2", "delta_2"):
+        torn = os.path.join(e1._table_data_path("users"), torn_name)
+        os.makedirs(torn)
+        with open(os.path.join(torn, "part-00000.parquet"), "wb") as fh:
+            fh.write(b"not parquet")
 
     e2 = SamanvayEngine(spark, data_dir=data_dir)
     assert sorted(e2.execute("SELECT id FROM users").rows) == [(1,), (2,)]
-    # and the next flush retires the torn dir without tripping over it
+    # and the next flush retires the torn dirs without tripping over them
     e2.execute("INSERT INTO users VALUES (3, 'u3', 23)")
     e2.flush("users")
     assert sorted(e2.execute("SELECT id FROM users").rows) == [(1,), (2,), (3,)]
+
+
+def test_delta_tombstone_shadows_base_across_restart(spark, data_dir):
+    """DELETE → flush moves the tombstone into the delta segment; it must
+    keep shadowing the flushed row after restart (the L0 tombstone
+    semantics of memtable.hpp:343-362 carried through the flush)."""
+    e1 = SamanvayEngine(spark, data_dir=data_dir)
+    _seed(e1, 3)
+    e1.compact("users")  # rows land in the parquet base
+    e1.execute("DELETE FROM users WHERE id = 2")
+    e1.flush("users")  # tombstone now lives in delta, not the memtable
+    assert not e1.tables["users"].memtable
+    assert sorted(e1.execute("SELECT id FROM users").rows) == [(1,), (3,)]
+
+    e2 = SamanvayEngine(spark, data_dir=data_dir)
+    assert sorted(e2.execute("SELECT id FROM users").rows) == [(1,), (3,)]
+
+
+def test_overlay_wins_over_delta_wins_over_base(spark, data_dir):
+    """Precedence memtable > delta > base: the same pk updated at every
+    layer serves the newest value."""
+    e1 = SamanvayEngine(spark, data_dir=data_dir)
+    _seed(e1, 1)
+    e1.compact("users")  # v1 in base
+    e1.execute("UPDATE users SET name = 'v2' WHERE id = 1")
+    e1.flush("users")  # v2 in delta
+    e1.execute("UPDATE users SET name = 'v3' WHERE id = 1")  # v3 in overlay
+    assert e1.execute("SELECT name FROM users WHERE id = 1").rows == [("v3",)]
+    e1.flush("users")  # v3 replaces v2 within the delta (newest wins)
+    assert e1.execute("SELECT name FROM users WHERE id = 1").rows == [("v3",)]
+    e2 = SamanvayEngine(spark, data_dir=data_dir)
+    assert e2.execute("SELECT name FROM users WHERE id = 1").rows == [("v3",)]
 
 
 def test_register_base_with_path_survives_restart(spark, data_dir, tmp_path):
