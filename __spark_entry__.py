@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pmi_topk": text.token_pmi_topk,
         "semdedup_stats": dedup.semdedup_stats,
         "unpivot_metrics": analytics.unpivot_metrics,
+        "cube_report": analytics.cube_report,
         "ann_mips_indexed_topk": similarity.ann_mips_indexed_topk,
         "ann_ivf_indexed_topk": similarity.ann_ivf_indexed_topk,
         "embedding_random_projection": similarity.embedding_random_projection,
@@ -676,6 +677,14 @@ SELECT e.label, count(*) AS n_vecs,
        round(count(d.vec_id)::DOUBLE / count(*), 4) AS drop_ratio
 FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.vec_id
 GROUP BY e.label ORDER BY e.label
+""",
+        "cube_report": """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
         "unpivot_metrics": """
 WITH wide AS (

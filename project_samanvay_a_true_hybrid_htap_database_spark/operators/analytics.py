@@ -1558,3 +1558,27 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'avg_price', avg_price) AS (metric, value)"
         ),
     )
+
+
+def cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE completes the multi-granularity triad (rollup_agg: strict
+    hierarchy; grouping_sets_report: arbitrary subsets; cube: ALL 2^k
+    subsets): order counts and revenue for every combination of
+    (status, priority) including each one-sided margin and the grand
+    total, in ONE Expand pass over one scan — vs 4 scans + union by hand.
+    NULL grouping slots coalesce to the 'ALL' sentinel (the data has no
+    real NULLs)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )

@@ -462,9 +462,20 @@ def dedup_groups_lsh(
 def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Min-label-propagation connected components over an undirected edge
     list (columns d1, d2). See dedup_groups for the scale discussion."""
+    # Both edge directions from ONE execution of the pair generator: a
+    # union of (d1,d2) with (d2,d1) runs the upstream join twice during
+    # materialization (the expensive cosine/Jaccard pass, not the tiny
+    # edge list); exploding a 2-struct array emits both rows in one pass.
     edges = (
-        pairs.union(pairs.select(F.col("d2"), F.col("d1")))
-        .toDF("src", "dst")
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("d1").alias("src"), F.col("d2").alias("dst")),
+                    F.struct(F.col("d2").alias("src"), F.col("d1").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .persist()
     )
     labels = (
