@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_stats": dedup.semdedup_stats,
         "unpivot_metrics": analytics.unpivot_metrics,
         "cube_report": analytics.cube_report,
+        "window_frame_bounds": analytics.window_frame_bounds,
         "ann_mips_indexed_topk": similarity.ann_mips_indexed_topk,
         "ann_ivf_indexed_topk": similarity.ann_ivf_indexed_topk,
         "embedding_random_projection": similarity.embedding_random_projection,
@@ -677,6 +678,17 @@ SELECT e.label, count(*) AS n_vecs,
        round(count(d.vec_id)::DOUBLE / count(*), 4) AS drop_ratio
 FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.vec_id
 GROUP BY e.label ORDER BY e.label
+""",
+        "window_frame_bounds": """
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
+       round(first_value(c_acctbal) OVER w, 2) AS seg_min_bal,
+       round(last_value(c_acctbal) OVER w, 2) AS seg_max_bal,
+       CAST(dense_rank() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal ASC) AS INT) AS bal_rank
+FROM customer WHERE c_custkey <= 200
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal ASC, c_custkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """,
         "cube_report": """
 SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -1582,3 +1582,33 @@ def cube_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
         )
     )
+
+
+def window_frame_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / dense_rank — the window forms the other
+    window entries don't exercise: per market segment, each customer's
+    balance against the segment's poorest and richest customer (explicit
+    UNBOUNDED PRECEDING .. UNBOUNDED FOLLOWING frame — last_value over the
+    default frame would be the current row, the classic window bug) and
+    the dense rank of their balance. One shuffle on the segment key; the
+    frame is computed within the sorted partition, nothing global."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 200
+    )
+    order = [F.col("c_acctbal").asc(), F.col("c_custkey").asc()]
+    w_frame = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_rank = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.round(F.first("c_acctbal").over(w_frame), 2).alias("seg_min_bal"),
+        F.round(F.last("c_acctbal").over(w_frame), 2).alias("seg_max_bal"),
+        F.dense_rank().over(w_rank).alias("bal_rank"),
+    )
