@@ -166,11 +166,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": analytics.tpch_q3_shipping_priority,
         "tpch_q5": analytics.tpch_q5_supplier_volume,
         "tpch_q6": analytics.tpch_q6_forecast_revenue,
+        # --- sweep line (entry #50 is tpch_q6) — everything below rotates
+        # to the r7 window ---
+        # stale overflow (r2/r3 rows, next in line)
         "tpch_q14": analytics.tpch_q14_promo_revenue,
         "top_orders": analytics.top_orders,
-        # --- sweep line (entry #50 is top_orders) — everything below
-        # rotates to the r7 window ---
-        # stale overflow (r2/r3 rows, next in line)
         "group_having": analytics.group_having,
         "distinct_values": analytics.distinct_values,
         "set_ops": analytics.set_ops,

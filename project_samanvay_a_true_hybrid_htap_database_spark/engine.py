@@ -599,23 +599,39 @@ class SamanvayEngine:
             self._persist_schemas()
 
     def append_batch(self, name: str, df: DataFrame, pk: str) -> None:
-        """Locked append of a micro-batch to a table's base — the entry
-        point for streaming sinks (foreachBatch runs on the stream's
-        thread; SQL may be served concurrently by the threaded REST
-        server, so the read-modify-write of the base must hold the engine
-        lock, ADVICE r3)."""
+        """Locked append of a streaming micro-batch — the foreachBatch
+        entry point (the stream's thread races the threaded REST server's
+        SQL, so the read-modify-write holds the engine lock, ADVICE r3).
+
+        The batch lands in the DELTA layer, not the base: batch rows are
+        the NEWEST versions of their pks, and the read path ranks
+        memtable > delta > base — appending to the base would leave any
+        previously-flushed tombstone or stale delta version permanently
+        shadowing the fresh rows (review r6). Folding into the delta keeps
+        the LSM ingest shape (micro-batch → L0, O(batch + delta)), and in
+        durable mode the batch lands in a committed delta_<n> parquet
+        generation instead of a restart-volatile checkpoint."""
         with self._lock:
             state = self.tables.get(name.lower())
             if state is None:
                 self.register_base(name, df, pk=pk)
                 return
-            base = df if state.base is None else state.base.unionByName(df)
-            state.base = base.localCheckpoint(eager=True)
-            state.base_epoch += 1
-            state.ext_path = None  # checkpointed union is volatile again
-            state.base_rows = None
-            state.base_io = None
+            batch = df.select(
+                *[F.col(f.name) for f in state.schema.fields]
+            ).withColumn("__tomb", F.lit(False))
+            if state.delta is None:
+                new_delta = batch
+            else:
+                new_delta = state.delta.join(
+                    batch.select(state.pk), on=state.pk, how="left_anti"
+                ).unionByName(batch)
+            if self.data_dir is None:
+                new_delta = new_delta.localCheckpoint(eager=True)
+            self._install_delta(state, new_delta, None)
             self._persist_schemas()
+            self._gc_generations(state)
+            if state.delta_rows > self.DELTA_COMPACT_ROWS:
+                self.compact(name)  # reentrant lock; rare O(base) fold
 
     def table_df(self, name: str) -> DataFrame:
         """Current merged view of a table (base ∪ memtable overlay)."""
@@ -703,13 +719,22 @@ class SamanvayEngine:
             self._install_base(state, merged)
             self._clear_delta(state)
         else:
-            self._install_delta(
-                state, self._delta_merge_plan(state, snapshot), None
-            )
+            plan = self._delta_merge_plan(state, snapshot)
+            if self.data_dir is None:
+                # break lineage: installing the raw plan would make every
+                # read (and the next flush) re-execute the growing
+                # anti-join chain (review r6)
+                plan = plan.localCheckpoint(eager=True)
+            self._install_delta(state, plan, None)
         self._drop_flushed(state, snapshot)
         self.stats["total_flushes"] += 1
-        self._rewrite_wal()
+        # Sidecar commit BEFORE WAL truncation: a crash between the two
+        # must leave the row in at least one durable place. Replaying a
+        # WAL entry that was already flushed is idempotent (newest-wins);
+        # truncating the WAL before the new segment is committed loses
+        # acknowledged writes (review r6).
         self._persist_schemas()
+        self._rewrite_wal()
         self._gc_generations(state)
         return n
 
@@ -893,8 +918,9 @@ class SamanvayEngine:
             state.memtable.clear()
             if had_overlay:
                 self.stats["total_flushes"] += 1
-            self._rewrite_wal()
+            # sidecar commit before WAL truncation (see _flush_locked)
             self._persist_schemas()
+            self._rewrite_wal()
             self._gc_generations(state)
 
     # -- dispatch -----------------------------------------------------------
@@ -1018,7 +1044,12 @@ class SamanvayEngine:
         try:
             import pandas as pd
 
-            pdf = pd.DataFrame(live_rows, columns=cols)
+            # dtype=object is load-bearing: letting pandas infer dtypes
+            # upcasts an int64 column containing a NULL to float64, which
+            # silently rounds BIGINTs >= 2^53. Object columns hand the
+            # original Python ints to Arrow, which builds exact int64
+            # arrays with nulls.
+            pdf = pd.DataFrame(live_rows, columns=cols, dtype=object)
             return self.spark.createDataFrame(pdf, schema=schema)
         except Exception:
             return self.spark.createDataFrame(live_rows, schema)
@@ -1362,8 +1393,9 @@ class SamanvayEngine:
         self._install_base(state, df.localCheckpoint(eager=True))
         self._clear_delta(state)  # df was built from the merged view
         state.memtable.clear()
-        self._rewrite_wal()
+        # sidecar commit before WAL truncation (see _flush_locked)
         self._persist_schemas()
+        self._rewrite_wal()
         self._gc_generations(state)
 
     def _update(self, ts: _Tokens) -> ResultSet:
@@ -1641,7 +1673,9 @@ class SamanvayEngine:
             base_rows = state.base.count()
             state.base_rows = base_rows
         mem_rows = len(state.memtable)
-        est = 1 if point else base_rows + mem_rows
+        # delta rows are flushed-but-uncompacted live versions — without
+        # them a fully-flushed table would estimate 0 rows (review r6)
+        est = 1 if point else base_rows + state.delta_rows + mem_rows
         if pred is not None and not point:
             est = max(1, int(est * 0.33))
 

@@ -50,3 +50,32 @@ def duckdb_word_shingles(tokens_expr: str, n: int = 3) -> str:
         f"i -> array_to_string(list_slice({tokens_expr}, i, i + {n - 1}), ' '))) "
         f"ELSE [] END"
     )
+
+
+def word_ngrams_all(tokens_col: Column, n: int = 3) -> Column:
+    """NON-distinct word n-gram list — word_shingles' repetition-measuring
+    twin: dedup wants distinct shingles, repetition metrics need the
+    copies kept. Empty array below n tokens (same sequence() guard).
+
+    DuckDB: CASE WHEN len(t) >= n THEN list_transform(generate_series(1,
+    len(t)-n+1), i -> array_to_string(t[i:i+n-1], ' ')) ELSE [] END.
+    """
+    return F.when(
+        F.size(tokens_col) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens_col) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(tokens_col, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_ratio(tokens_col: Column, n: int = 3) -> Column:
+    """Gopher-style duplicate n-gram fraction: 1 - distinct/total over the
+    non-distinct n-gram list, 0.0 when the doc is shorter than n words.
+    Shared by repetition_ratio and quality_filter_flags so the threshold
+    semantics can't drift between the signal table and the gate."""
+    g = word_ngrams_all(tokens_col, n)
+    return F.when(
+        F.size(g) > 0,
+        1.0 - F.size(F.array_distinct(g)) / F.size(g),
+    ).otherwise(F.lit(0.0))

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MERSENNE31
-from ..functions.textfns import tokens
+from ..functions.textfns import dup_ngram_ratio, tokens
 from ..sources import load_table
 
 # Marker stopwords per language for the n-gram/stopword-voting heuristic.
@@ -359,6 +359,24 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     )
 
 
+def _token_share_stats(t: DataFrame) -> DataFrame:
+    """(doc_id, T) → per-doc token totals + top-token share (raw, unrounded;
+    callers round where their oracle does). One explode + two partial-agg
+    groupBys keyed on doc_id — the single (doc_id, token) shuffle every
+    token operator shares. Used by repetition_ratio and
+    quality_filter_flags so the two report the identical signal."""
+    return (
+        t.select("doc_id", F.explode("T").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            (F.max("c") / F.sum("c")).alias("top_share"),
+        )
+    )
+
+
 def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document: the fraction
     of word 3-grams that are duplicates (1 - distinct/total) and the share
@@ -374,36 +392,11 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     t = docs.select("doc_id", tokens("text").alias("T"))
-    # Non-distinct trigram list (word_shingles dedups, which would hide
-    # exactly the repetition being measured).
-    g = t.withColumn(
-        "G",
-        F.when(
-            F.size("T") >= 3,
-            F.transform(
-                F.sequence(F.lit(1), F.size("T") - 2),
-                lambda i: F.concat_ws(" ", F.slice("T", i, F.lit(3))),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
-    )
-    tri = g.select(
-        "doc_id",
-        F.when(
-            F.size("G") > 0,
-            1.0 - F.size(F.array_distinct("G")) / F.size("G"),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("dup3"),
-    )
-    cnts = (
-        t.select("doc_id", F.explode("T").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c"))
-    )
-    shares = cnts.groupBy("doc_id").agg(
-        F.sum("c").alias("n_tokens"),
-        (F.max("c") / F.sum("c")).alias("top_share"),
-    )
+    # Non-distinct trigrams (word_shingles dedups, which would hide
+    # exactly the repetition being measured) — shared helper so the gate
+    # operator (quality_filter_flags) computes the identical signal.
+    tri = t.select("doc_id", dup_ngram_ratio(F.col("T")).alias("dup3"))
+    shares = _token_share_stats(t)
     return (
         shares.join(tri, "doc_id")
         .select(
@@ -482,20 +475,9 @@ def quality_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         / n,
         4,
     )
-    trigrams = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws(" ", F.slice("T", i, F.lit(3))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    dup3 = F.round(
-        F.when(
-            F.size(trigrams) > 0,
-            1.0 - F.size(F.array_distinct(trigrams)) / F.size(trigrams),
-        ).otherwise(F.lit(0.0)),
-        4,
-    )
+    # same dup3 / top-share signals as repetition_ratio, via the shared
+    # helpers — the gate and the signal table cannot drift apart
+    dup3 = F.round(dup_ngram_ratio(F.col("T")), 4)
     stop_arr = F.array(*[F.lit(x) for x in LANG_MARKERS["en"]])
     stop_hits = F.size(F.filter(F.col("T"), lambda x: F.array_contains(stop_arr, x)))
     per_row = t.select(
@@ -505,12 +487,8 @@ def quality_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup3.alias("dup3_ratio"),
         stop_hits.cast("bigint").alias("stop_hits"),
     )
-    shares = (
-        t.select("doc_id", F.explode("T").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.round(F.max("c") / F.sum("c"), 4).alias("top_share"))
+    shares = _token_share_stats(t).select(
+        "doc_id", F.round("top_share", 4).alias("top_share")
     )
     flagged = per_row.join(shares, "doc_id").select(
         "doc_id",

@@ -473,3 +473,67 @@ def test_autoflush_durable_truncates_wal(spark, data_dir):
 
     e2 = SamanvayEngine(spark, data_dir=data_dir)
     assert e2.execute("SELECT COUNT(id) FROM w").rows[0][0] == 250
+
+
+def test_bigint_precision_preserved_with_nulls_in_overlay(spark):
+    """Review r6: the Arrow overlay path must not route int64 through a
+    pandas float64 upcast — a BIGINT >= 2^53 sharing a column batch with a
+    NULL was silently rounded (9007199254740993 -> ...992)."""
+    e = SamanvayEngine(spark)
+    e.execute("CREATE TABLE bigp (id BIGINT PRIMARY KEY, v BIGINT)")
+    e.execute("INSERT INTO bigp VALUES (1, 9007199254740993)")
+    e.execute("INSERT INTO bigp VALUES (2, NULL)")
+    rows = dict(e.execute("SELECT id, v FROM bigp").rows)
+    assert rows[1] == 9007199254740993
+    assert rows[2] is None
+    # and the value survives the delta flush (the corruption would
+    # otherwise become permanent in the segment parquet)
+    e.flush("bigp")
+    rows = dict(e.execute("SELECT id, v FROM bigp").rows)
+    assert rows[1] == 9007199254740993
+
+
+def test_append_batch_outranks_flushed_delta_and_tombstones(spark):
+    """Review r6: a streaming micro-batch carries the NEWEST versions of
+    its pks — a previously-flushed tombstone or stale delta version must
+    not shadow it (append_batch now lands in the delta layer)."""
+    e = SamanvayEngine(spark)
+    e.execute("CREATE TABLE ab (id BIGINT PRIMARY KEY, v VARCHAR)")
+    e.execute("INSERT INTO ab VALUES (5, 'v1')")
+    e.execute("INSERT INTO ab VALUES (6, 'dead')")
+    e.execute("DELETE FROM ab WHERE id = 6")
+    e.flush("ab")  # v1 + tombstone(6) now live in the delta
+    batch = spark.createDataFrame([(5, "v2"), (6, "w2")], "id bigint, v string")
+    e.append_batch("ab", batch, pk="id")
+    rows = dict(e.execute("SELECT id, v FROM ab").rows)
+    assert rows == {5: "v2", 6: "w2"}
+
+
+def test_flush_crash_between_segment_commit_and_wal_truncate_loses_nothing(
+    spark, data_dir, monkeypatch
+):
+    """Review r6: the sidecar swap must commit the new delta segment
+    BEFORE the WAL truncates — a crash between the two must leave every
+    acknowledged row in at least one durable place (WAL replay over an
+    already-flushed row is idempotent newest-wins)."""
+    e1 = SamanvayEngine(spark, data_dir=data_dir)
+    e1.execute("CREATE TABLE c (id BIGINT PRIMARY KEY, v VARCHAR)")
+    e1.execute("INSERT INTO c VALUES (1, 'a')")
+
+    real_persist = e1._persist_schemas
+    calls = {"n": 0}
+
+    def crash_after_persist():
+        real_persist()
+        calls["n"] += 1
+        raise RuntimeError("simulated crash after sidecar commit")
+
+    monkeypatch.setattr(e1, "_persist_schemas", crash_after_persist)
+    try:
+        e1.flush("c")
+    except RuntimeError:
+        pass
+    assert calls["n"] == 1  # crashed exactly between commit and truncate
+
+    e2 = SamanvayEngine(spark, data_dir=data_dir)
+    assert e2.execute("SELECT id, v FROM c").rows == [(1, "a")]
