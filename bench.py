@@ -303,7 +303,11 @@ def bench_htap_sustained(spark) -> dict:
         return (time.perf_counter() - t0) * 1000
 
     query_once()  # warm-up
-    query_idle = statistics.median(query_once() for _ in range(5))
+    # 9 samples: the idle median is the degradation denominator, and at a
+    # ~100-300 ms base the 5-sample median jittered 2.5x run-to-run,
+    # swinging the reported pct for reasons that have nothing to do with
+    # the engine. Absolute ms remain the stable figures either way.
+    query_idle = statistics.median(query_once() for _ in range(9))
 
     n_ingest = 15_000
     state = {"ingested": 0, "max_overlay": 0, "writer_error": None}

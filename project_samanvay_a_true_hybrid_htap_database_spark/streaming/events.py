@@ -262,11 +262,12 @@ def view_purchase_join_stream(
 def stream_into_engine(
     events: DataFrame, engine, table: str = "events_live"
 ) -> "object":
-    """HTAP ingestion loop: each micro-batch lands in the engine's base for
-    `table` (newest batch unioned in), so SQL through
-    ``SamanvayEngine.execute`` sees streamed rows as they arrive — the
-    Structured-Streaming replacement for the reference's WAL→memtable→flush
-    write path (memtable.hpp:140-236).
+    """HTAP ingestion loop: each micro-batch lands in the engine's DELTA
+    layer for `table` (newest-pk-wins over prior segments, O(batch+delta),
+    durable delta_<n> dirs in durable mode, compaction past the
+    threshold), so SQL through ``SamanvayEngine.execute`` sees streamed
+    rows as they arrive — the Structured-Streaming replacement for the
+    reference's WAL→memtable→flush write path (memtable.hpp:140-236).
 
     Delivery contract: **at-least-once, deduplicated per batch_id within
     this engine process**. foreachBatch may re-invoke a batch after a task
