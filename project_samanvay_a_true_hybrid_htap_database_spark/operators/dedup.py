@@ -218,11 +218,29 @@ def minhash_lsh_pairs(
     # O(|candidates|), never the all-pairs inverted-index join — that is the
     # entire point of LSH and the only shape that survives 100 TB.
     # Persisted: both verify joins (d1 side, d2 side) read it, so without
-    # this the tokenize+shingle scan of the corpus runs twice.
+    # this the tokenize+shingle scan of the corpus runs twice. The merge
+    # hint is load-bearing: BOTH verify-join sides grow with the corpus
+    # (candidates AND the shingle table), so neither may ever be broadcast
+    # — and a persisted in-memory shingle table reports a size estimate
+    # that can sit under the auto-broadcast threshold long after the real
+    # payload exceeds driver memory (the 10× scaling probe reproduced the
+    # driver OOM). SMJ on the doc key is the only verify shape that
+    # survives growth (tests/test_scaling_probe.py). Costs ~0.6 s at
+    # sf0.1 vs the broadcast plan — the price of not OOMing at 10×.
     sh = _doc_shingles(spark, sf_dir).persist()
     return (
-        cands.join(sh.select(F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1")), "d1")
-        .join(sh.select(F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2")), "d2")
+        cands.join(
+            sh.select(
+                F.col("doc_id").alias("d1"), F.col("shingles").alias("sh1")
+            ).hint("merge"),
+            "d1",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("d2"), F.col("shingles").alias("sh2")
+            ).hint("merge"),
+            "d2",
+        )
         .withColumn(
             "jac",
             F.size(F.array_intersect("sh1", "sh2"))
