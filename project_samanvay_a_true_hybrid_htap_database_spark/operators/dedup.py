@@ -278,12 +278,28 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str, bits: int = 60) -> Da
 
 
 def simhash_neardup_pairs(
-    spark: SparkSession, sf_dir: str, max_hamming: int = 5, bits: int = 60
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = 5,
+    bits: int = 60,
+    max_bucket: int = 2000,
 ) -> DataFrame:
-    """SimHash near-dup pairs with EXACT recall: bucket by 10-bit chunks.
-    Pigeonhole: a pair with hamming ≤ chunks-1 differing bits must share at
-    least one identical chunk, so with 6 chunks every pair at hamming ≤ 5 is
-    generated as a candidate; bit_count(xor) then verifies exactly."""
+    """SimHash near-dup pairs: bucket by fingerprint chunks. Pigeonhole:
+    a pair with hamming ≤ chunks-1 differing bits must share at least one
+    identical chunk, so every pair within the hamming radius is generated
+    as a candidate; bit_count(xor) then verifies exactly.
+
+    ``max_bucket`` is the occupancy cap — the simhash analog of
+    ngram_jaccard's df-cap, and the guard the 10× scaling probe proved
+    necessary: a massive dup cluster puts thousands of near-identical
+    fingerprints into the SAME chunk bucket, and candidate volume inside a
+    bucket is m² (measured: a 50k-doc dup-heavy corpus produced a
+    10,117-doc bucket ⇒ 315M candidate rows ⇒ executor OOM). Buckets over
+    the cap are dropped from candidate generation: their members are
+    near-identical by construction and belong to the exact-dedup pass that
+    precedes near-dup in every staged pipeline. Recall stays EXACT below
+    the cap, and no test-SF bucket comes near it (sf0.01 max 155, sf0.1
+    max 1,582 — the oracle comparison is unaffected)."""
     # Persist: one (doc_id, long) row per doc — the chunk self-join must not
     # recompute the upstream. Fingerprints come from the vectorized
     # mapInPandas path (bit-identical to simhash_fingerprints, same oracle,
@@ -304,6 +320,16 @@ def simhash_neardup_pairs(
     entries = fp.select(
         "doc_id", "simhash", F.posexplode(chunk_keys).alias("chunk", "ckey")
     )
+    # Occupancy cap (see docstring): one map-side-combinable count per
+    # bucket, then an equi-join on the same keys the self-join shuffles on
+    # — co-partitioned, no extra shuffle of the entries.
+    bucket_ok = (
+        entries.groupBy("chunk", "ckey")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= max_bucket)
+        .select("chunk", "ckey")
+    )
+    entries = entries.join(bucket_ok, on=["chunk", "ckey"])
     cands = (
         entries.alias("a")
         .join(entries.alias("b"), on=["chunk", "ckey"])

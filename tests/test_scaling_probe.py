@@ -76,6 +76,10 @@ def _warm_time(fn, spark, sf_dir):
     [
         ("exact_dedup", dedup.exact_dedup),
         ("minhash_lsh_pairs", dedup.minhash_lsh_pairs),
+        # dup clusters collapse fingerprint chunks into shared buckets;
+        # without the occupancy cap this OOM'd at 10x (315M candidates
+        # from one 10,117-doc bucket)
+        ("simhash_neardup_pairs_scale", dedup.simhash_neardup_pairs_scale),
         ("quality_filter_flags", text.quality_filter_flags),
         ("unigram_lm_score", text.unigram_lm_score),
     ],
