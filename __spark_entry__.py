@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "simhash_neardup_pairs_scale": dedup.simhash_neardup_pairs_scale,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        "embedding_neardup_pairs_vectorized": dedup.embedding_neardup_pairs_vectorized,
         "decontaminate_ngram_overlap": dedup.decontaminate_ngram_overlap,
         "dedup_groups": dedup.dedup_groups,
         "dedup_groups_lsh": dedup.dedup_groups_lsh,
@@ -1427,6 +1428,8 @@ FROM documents GROUP BY 1
         "simhash_neardup_pairs": simhash_pairs,
         "simhash_neardup_pairs_scale": simhash_pairs_scale,
         "embedding_neardup_pairs": emb_pairs,
+        # BLAS twin — same oracle (row-identical; gates compare after round(4))
+        "embedding_neardup_pairs_vectorized": emb_pairs,
         "decontaminate_ngram_overlap": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
 shl AS (SELECT doc_id, {_SHINGLES} AS S FROM toks),

@@ -797,7 +797,10 @@ def semdedup_stats(
     embedding table on its key — shuffled equi-join, nothing unbounded is
     broadcast."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
-    pairs = embedding_neardup_pairs(spark, sf_dir, threshold).select(
+    # BLAS pair generator (row-identical twin of embedding_neardup_pairs):
+    # the HOF form interprets m²·dim/2 ops per block and measured 51× at a
+    # 10× corpus; the matmul form held ~6× (tests/test_scaling_probe.py).
+    pairs = embedding_neardup_pairs_vectorized(spark, sf_dir, threshold).select(
         F.col("v1").alias("d1"), F.col("v2").alias("d2")
     )
     labels = connected_components(pairs)
@@ -818,4 +821,45 @@ def semdedup_stats(
             ).alias("drop_ratio"),
         )
         .orderBy("label")
+    )
+
+
+def embedding_neardup_pairs_vectorized(
+    spark: SparkSession, sf_dir: str, threshold: float = COSINE_THRESHOLD
+) -> DataFrame:
+    """BLAS twin of embedding_neardup_pairs (same oracle, same rows): one
+    Arrow batch per label block into applyInPandas, the full within-block
+    cosine matrix via a single matmul, upper-triangle pairs above a
+    slightly-loosened raw threshold — the EXACT rounded-threshold filter
+    then runs in Spark (F.round, half-up, identical to the SQL twin and
+    the DuckDB oracle; numpy's round is half-even and must not decide
+    membership). The HOF form interprets ~m²·dim/2 element operations per
+    block — measured 51× wall-clock at a 10× corpus; the matmul path is
+    the shape that survives block growth (same argument and numerical
+    caveat as knn_join_vectorized: BLAS accumulates in a different order,
+    agrees to ~1 ulp, and every gate compares AFTER round(4))."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    raw_floor = threshold - 1e-4  # superset; exact filter happens in Spark
+
+    def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((M * M).sum(axis=1))
+        C = (M @ M.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = C[iu, ju] >= raw_floor
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        v1, v2 = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"v1": v1, "v2": v2, "cos": C[iu, ju][keep]})
+
+    out = emb.groupBy("label").applyInPandas(
+        per_block, schema="v1 long, v2 long, cos double"
+    )
+    return out.filter(F.round(F.col("cos"), 4) >= threshold).select(
+        "v1", "v2", F.round("cos", 4).alias("cos_sim")
     )

@@ -61,6 +61,22 @@ def scaled_dirs(spark, tmp_path_factory):
     copies.write.mode("overwrite").parquet(
         os.path.join(ten_dir, "documents.parquet")
     )
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    emb.write.mode("overwrite").parquet(
+        os.path.join(one_dir, "embeddings.parquet")
+    )
+    # jitter dim 0 per copy: copies are near-identical vectors (cosine
+    # ~0.9999), the adversarial dup-cluster shape for pair generators
+    emb.crossJoin(spark.range(SCALE).select(F.col("id").alias("copy"))).select(
+        (F.col("vec_id") + F.col("copy") * 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x + F.when(i == 0, F.col("copy") * 0.01).otherwise(F.lit(0.0))
+            ).cast("float"),
+        ).alias("embedding"),
+        "label",
+    ).write.mode("overwrite").parquet(os.path.join(ten_dir, "embeddings.parquet"))
     return one_dir, ten_dir
 
 
@@ -82,6 +98,9 @@ def _warm_time(fn, spark, sf_dir):
         ("simhash_neardup_pairs_scale", dedup.simhash_neardup_pairs_scale),
         ("quality_filter_flags", text.quality_filter_flags),
         ("unigram_lm_score", text.unigram_lm_score),
+        # the HOF pair generator measured 51x here; the BLAS twin that
+        # semdedup now uses holds ~1.4x
+        ("semdedup_stats", dedup.semdedup_stats),
     ],
 )
 def test_corpus_operator_scales_subquadratically(spark, scaled_dirs, name, fn):
