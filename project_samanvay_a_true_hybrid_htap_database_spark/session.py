@@ -27,6 +27,17 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local[...] runs driver AND executors in ONE JVM whose default
+        # heap is 1g — a 32-core run with a 1g heap GC-thrashes on any
+        # shuffle in the hundreds of MB (the 10x scaling probe died here,
+        # not in any operator). Sized for the 128 GiB test box; only takes
+        # effect when the JVM is launched by this session (a pre-existing
+        # JVM keeps its heap). On a cluster, executor memory comes from
+        # spark-submit and this conf only affects the driver process.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        )
         # Adaptive execution: runtime re-plan, partition coalescing, skew joins.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
