@@ -1,0 +1,164 @@
+"""Build 10× corpora and print measured growth ratios per operator family.
+
+The reproducible artifact behind SCALE.md's "measured growth order"
+section (tests/test_scaling_probe.py asserts the documents/embeddings
+families in CI; this tool also covers the TPC-H and event families, which
+are too slow for the suite). 10× corpora are deterministic perturbations:
+
+- documents: 10 copies, copy-token appended (near-dup, not exact-dup)
+- embeddings: 10 copies, dim-0 jitter per copy (cosine ~0.9999 clusters)
+- orders/lineitem: 10 copies with disjoint orderkey ranges
+- events: 10 copies with disjoint event_id/user_id ranges (same ts span)
+
+Usage: python tools/scaling_probe.py [family ...]
+Families: text, embeddings, tpch, events (default: all).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+ROOT = "/tmp/samanvay_scaling_probe"
+SCALE = 10
+
+
+def _copy_table(dst: str, name: str) -> None:
+    p = os.path.join(dst, f"{name}.parquet")
+    s = os.path.join(SRC, f"{name}.parquet")
+    if os.path.exists(p):
+        return
+    (shutil.copytree if os.path.isdir(s) else shutil.copy)(s, p)
+
+
+def _build(spark) -> tuple[str, str]:
+    from pyspark.sql import functions as F
+
+    one, ten = os.path.join(ROOT, "sf1x"), os.path.join(ROOT, "sf10x")
+    if os.path.exists(os.path.join(ten, "_READY")):
+        return one, ten
+    os.makedirs(one, exist_ok=True)
+    os.makedirs(ten, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        _copy_table(one, t)
+        _copy_table(ten, t)
+    copies = spark.range(SCALE).select(F.col("id").alias("c"))
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    docs.write.mode("overwrite").parquet(f"{one}/documents.parquet")
+    docs.crossJoin(copies).select(
+        (F.col("doc_id") + F.col("c") * 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" copytok"), F.col("c").cast("string")).alias(
+            "text"
+        ),
+        "lang",
+        "source",
+        (F.col("n_chars") + 9).alias("n_chars"),
+    ).write.mode("overwrite").parquet(f"{ten}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    emb.write.mode("overwrite").parquet(f"{one}/embeddings.parquet")
+    emb.crossJoin(copies).select(
+        (F.col("vec_id") + F.col("c") * 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x + F.when(i == 0, F.col("c") * 0.01).otherwise(F.lit(0.0))
+            ).cast("float"),
+        ).alias("embedding"),
+        "label",
+    ).write.mode("overwrite").parquet(f"{ten}/embeddings.parquet")
+
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    orders.write.mode("overwrite").parquet(f"{one}/orders.parquet")
+    orders.crossJoin(copies).select(
+        (F.col("o_orderkey") + F.col("c") * 100_000_000).alias("o_orderkey"),
+        *[c for c in orders.columns if c != "o_orderkey"],
+    ).write.mode("overwrite").parquet(f"{ten}/orders.parquet")
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    li.write.mode("overwrite").parquet(f"{one}/lineitem.parquet")
+    li.crossJoin(copies).select(
+        (F.col("l_orderkey") + F.col("c") * 100_000_000).alias("l_orderkey"),
+        *[c for c in li.columns if c != "l_orderkey"],
+    ).write.mode("overwrite").parquet(f"{ten}/lineitem.parquet")
+
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    ev.write.mode("overwrite").parquet(f"{one}/events.parquet")
+    ev.crossJoin(copies).select(
+        (F.col("event_id") + F.col("c") * 100_000_000).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("c") * 10_000_000).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    ).write.mode("overwrite").parquet(f"{ten}/events.parquet")
+    open(os.path.join(ten, "_READY"), "w").close()
+    return one, ten
+
+
+def _probe(spark, name, fn, one, ten) -> None:
+    def warm_time(d):
+        fn(spark, d).count()
+        t0 = time.perf_counter()
+        fn(spark, d).count()
+        return time.perf_counter() - t0
+
+    t1, t10 = warm_time(one), warm_time(ten)
+    print(f"{name:32s} 1x={t1:6.2f}s  10x={t10:7.2f}s  ratio={t10 / max(t1, 1e-3):5.1f}")
+
+
+def main() -> None:
+    from project_samanvay_a_true_hybrid_htap_database_spark import get_spark
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+        analytics,
+        dedup,
+        text,
+    )
+
+    families = set(sys.argv[1:]) or {"text", "embeddings", "tpch", "events"}
+    spark = get_spark(app_name="scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    one, ten = _build(spark)
+    probes = {
+        "text": [
+            ("exact_dedup", dedup.exact_dedup),
+            ("minhash_lsh_pairs", dedup.minhash_lsh_pairs),
+            ("simhash_neardup_pairs_scale", dedup.simhash_neardup_pairs_scale),
+            ("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs),
+            ("quality_filter_flags", text.quality_filter_flags),
+            ("unigram_lm_score", text.unigram_lm_score),
+        ],
+        "embeddings": [
+            ("embedding_neardup_pairs_vectorized", dedup.embedding_neardup_pairs_vectorized),
+            ("semdedup_stats", dedup.semdedup_stats),
+        ],
+        "tpch": [
+            ("tpch_q1", analytics.tpch_q1_pricing_summary),
+            ("tpch_q3", analytics.tpch_q3_shipping_priority),
+            ("tpch_q8", analytics.tpch_q8_market_share),
+            ("tpch_q18", analytics.tpch_q18_large_volume_customer),
+            ("tpch_q21", analytics.tpch_q21_suppliers_kept_waiting),
+        ],
+        "events": [
+            ("events_hourly_rollup", analytics.events_hourly_rollup),
+            ("sessionize", analytics.sessionize),
+            ("funnel_conversion", analytics.funnel_conversion),
+            ("retention_cohorts", analytics.retention_cohorts),
+            ("attribution_window_join", analytics.attribution_window_join),
+        ],
+    }
+    for fam in ("text", "embeddings", "tpch", "events"):
+        if fam not in families:
+            continue
+        print(f"-- {fam} --")
+        for name, fn in probes[fam]:
+            _probe(spark, name, fn, one, ten)
+
+
+if __name__ == "__main__":
+    main()
