@@ -318,20 +318,34 @@ FROM sig
 WITH {_simhash_fp_cte()}
 SELECT doc_id, simhash FROM fp
 """
-    simhash_pairs = f"""
-WITH {_simhash_fp_cte()}
-SELECT a.doc_id AS d1, b.doc_id AS d2,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+    def _simhash_pairs_sql(max_hamming: int, max_bucket: int = 2000) -> str:
+        """Mirrors the Spark candidate generation EXACTLY — chunk-bucket
+        keys AND the occupancy cap — rather than the idealized all-pairs
+        join: with the cap in only one engine, a testdata regeneration
+        whose dup clusters push a bucket past the cap would silently
+        desynchronize the gate (review r6). Below the cap the pigeonhole
+        guarantee makes this identical to the exact all-pairs form."""
+        chunks = max_hamming + 1
+        chunk_bits = 60 // chunks
+        mask = (1 << chunk_bits) - 1
+        return f"""
+WITH {_simhash_fp_cte()},
+ent AS (SELECT doc_id, simhash, t.c AS chunk,
+               (simhash >> (t.c * {chunk_bits})) & {mask} AS ckey
+        FROM fp, generate_series(0, {chunks - 1}) t(c)),
+ok AS (SELECT chunk, ckey FROM ent GROUP BY chunk, ckey
+       HAVING count(*) <= {max_bucket}),
+e2 AS (SELECT ent.* FROM ent JOIN ok USING (chunk, ckey)),
+cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+                a.simhash AS h1, b.simhash AS h2
+         FROM e2 a JOIN e2 b
+           ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(h1, h2)) <= {max_hamming}
 """
-    simhash_pairs_scale = f"""
-WITH {_simhash_fp_cte()}
-SELECT a.doc_id AS d1, b.doc_id AS d2,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-"""
+
+    simhash_pairs = _simhash_pairs_sql(5)
+    simhash_pairs_scale = _simhash_pairs_sql(3)
     cos_ab = _COS.format(a="a.embedding::DOUBLE[]", b="b.embedding::DOUBLE[]")
     emb_pairs = f"""
 SELECT a.vec_id AS v1, b.vec_id AS v2, round({cos_ab}, 4) AS cos_sim

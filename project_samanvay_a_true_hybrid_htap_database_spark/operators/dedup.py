@@ -798,8 +798,9 @@ def semdedup_stats(
     broadcast."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     # BLAS pair generator (row-identical twin of embedding_neardup_pairs):
-    # the HOF form interprets m²·dim/2 ops per block and measured 51× at a
-    # 10× corpus; the matmul form held ~6× (tests/test_scaling_probe.py).
+    # the HOF form interprets m²·dim/2 ops per block and measured 51×
+    # (154 s) at a 10× corpus; the matmul form holds ~1.4× (3.2 s) —
+    # tests/test_scaling_probe.py.
     pairs = embedding_neardup_pairs_vectorized(spark, sf_dir, threshold).select(
         F.col("v1").alias("d1"), F.col("v2").alias("d2")
     )
@@ -827,24 +828,29 @@ def semdedup_stats(
 def embedding_neardup_pairs_vectorized(
     spark: SparkSession, sf_dir: str, threshold: float = COSINE_THRESHOLD
 ) -> DataFrame:
-    """BLAS twin of embedding_neardup_pairs (same oracle, same rows): one
-    Arrow batch per label block into applyInPandas, the full within-block
-    cosine matrix via a single matmul, upper-triangle pairs above a
-    slightly-loosened raw threshold — the EXACT rounded-threshold filter
-    then runs in Spark (F.round, half-up, identical to the SQL twin and
-    the DuckDB oracle; numpy's round is half-even and must not decide
-    membership). The HOF form interprets ~m²·dim/2 element operations per
-    block — measured 51× wall-clock at a 10× corpus; the matmul path is
-    the shape that survives block growth (same argument and numerical
-    caveat as knn_join_vectorized: BLAS accumulates in a different order,
-    agrees to ~1 ulp, and every gate compares AFTER round(4))."""
+    """BLAS twin of embedding_neardup_pairs (same oracle, BIT-identical
+    rows): the matmul is used ONLY to generate candidates — one Arrow
+    batch per label block, the full within-block cosine matrix via a
+    single matmul, upper-triangle pairs above a loosened raw floor
+    (threshold − 1e-4, a guaranteed superset since BLAS and the HOF fold
+    agree to ~1 ulp ≪ 1e-4). The final cosine VALUE and the rounded
+    threshold decision are then recomputed in Spark with the exact HOF
+    expression the SQL twin uses — so membership (which feeds
+    semdedup_stats' connected components) can never flip on a BLAS
+    summation-order ulp at the round(4) boundary, unlike a raw BLAS score
+    (knn_join_vectorized can round its BLAS score directly because its
+    rounding only affects a reported value, not set membership). Work:
+    O(m²) candidate math in BLAS, O(|pairs|) HOF verification —
+    |pairs| ≪ m², which is the entire point."""
     import numpy as np
     import pandas as pd
 
+    from ..functions.vectors import dot, norm
+
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", "label"
+        "vec_id", "embedding", "label", norm(F.col("embedding")).alias("nrm")
     )
-    raw_floor = threshold - 1e-4  # superset; exact filter happens in Spark
+    raw_floor = threshold - 1e-4
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
@@ -852,14 +858,35 @@ def embedding_neardup_pairs_vectorized(
         nrm = np.sqrt((M * M).sum(axis=1))
         C = (M @ M.T) / np.outer(nrm, nrm)
         iu, ju = np.triu_indices(len(ids), k=1)
-        keep = C[iu, ju] >= raw_floor
+        vals = C[iu, ju]  # gathered once, reused for the mask
+        keep = vals >= raw_floor
         a, b = ids[iu[keep]], ids[ju[keep]]
-        v1, v2 = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"v1": v1, "v2": v2, "cos": C[iu, ju][keep]})
+        return pd.DataFrame({"v1": np.minimum(a, b), "v2": np.maximum(a, b)})
 
-    out = emb.groupBy("label").applyInPandas(
-        per_block, schema="v1 long, v2 long, cos double"
+    cands = emb.select("vec_id", "embedding", "label").groupBy(
+        "label"
+    ).applyInPandas(per_block, schema="v1 long, v2 long")
+    e1 = emb.select(
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("emb1"),
+        F.col("nrm").alias("n1"),
     )
-    return out.filter(F.round(F.col("cos"), 4) >= threshold).select(
+    e2 = emb.select(
+        F.col("vec_id").alias("v2"),
+        F.col("embedding").alias("emb2"),
+        F.col("nrm").alias("n2"),
+    )
+    verified = (
+        cands.join(e1, "v1")
+        .join(e2, "v2")
+        .select(
+            "v1",
+            "v2",
+            (dot(F.col("emb1"), F.col("emb2")) / (F.col("n1") * F.col("n2"))).alias(
+                "cos"
+            ),
+        )
+    )
+    return verified.filter(F.round(F.col("cos"), 4) >= threshold).select(
         "v1", "v2", F.round("cos", 4).alias("cos_sim")
     )

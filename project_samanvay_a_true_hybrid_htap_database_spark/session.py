@@ -12,6 +12,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Half of physical RAM in whole GiB, clamped to [2g, 32g]."""
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        gb = total // (1024**3)
+    except (ValueError, OSError, AttributeError):
+        gb = 8
+    return f"{max(2, min(32, gb // 2))}g"
+
+
 def get_spark(
     app_name: str = "samanvay-spark",
     master: str | None = None,
@@ -30,13 +40,16 @@ def get_spark(
         # local[...] runs driver AND executors in ONE JVM whose default
         # heap is 1g — a 32-core run with a 1g heap GC-thrashes on any
         # shuffle in the hundreds of MB (the 10x scaling probe died here,
-        # not in any operator). Sized for the 128 GiB test box; only takes
+        # not in any operator). Sized to HALF of physical RAM, capped at
+        # 32g (a hardcoded 32g would invite the OS OOM-killer on smaller
+        # hosts; review r6). sysconf can't see cgroup limits — containered
+        # runners should set SPARK_GRAFT_DRIVER_MEM explicitly. Only takes
         # effect when the JVM is launched by this session (a pre-existing
-        # JVM keeps its heap). On a cluster, executor memory comes from
+        # JVM keeps its heap); on a cluster, executor memory comes from
         # spark-submit and this conf only affects the driver process.
         .config(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
         )
         # Adaptive execution: runtime re-plan, partition coalescing, skew joins.
         .config("spark.sql.adaptive.enabled", "true")

@@ -36,47 +36,20 @@ MAX_RATIO = 35.0  # linear ≈ 10, quadratic ≈ 100
 
 @pytest.fixture(scope="module")
 def scaled_dirs(spark, tmp_path_factory):
-    """1× = the sf0.1 documents table re-written locally (so both sides
-    read identically-laid-out parquet); 10× = SCALE perturbed copies with
-    disjoint doc_id ranges. The perturbation appends a copy-specific token
-    so copies are near-duplicates of the original, not byte-exact ones —
-    the LSH/simhash candidate structure stays realistic instead of
-    collapsing into one giant bucket of identical fingerprints."""
-    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    """1× = sf0.1 re-written locally (identical parquet layout both
+    sides); 10× = deterministic near-dup perturbations. Corpus
+    construction lives in tools/scaling_probe.py (build_text_corpora /
+    build_embedding_corpora) so this assertion and the documented
+    reproduction tool can never measure different corpora."""
+    from tools.scaling_probe import build_embedding_corpora, build_text_corpora
+
     root = tmp_path_factory.mktemp("scaling")
     one_dir = str(root / "sf1x")
     ten_dir = str(root / "sf10x")
-    base.write.mode("overwrite").parquet(os.path.join(one_dir, "documents.parquet"))
-    copies = base.crossJoin(
-        spark.range(SCALE).select(F.col("id").alias("copy"))
-    ).select(
-        (F.col("doc_id") + F.col("copy") * 1_000_000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" copytok"), F.col("copy").cast("string")).alias(
-            "text"
-        ),
-        "lang",
-        "source",
-        (F.col("n_chars") + 9).alias("n_chars"),
-    )
-    copies.write.mode("overwrite").parquet(
-        os.path.join(ten_dir, "documents.parquet")
-    )
-    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    emb.write.mode("overwrite").parquet(
-        os.path.join(one_dir, "embeddings.parquet")
-    )
-    # jitter dim 0 per copy: copies are near-identical vectors (cosine
-    # ~0.9999), the adversarial dup-cluster shape for pair generators
-    emb.crossJoin(spark.range(SCALE).select(F.col("id").alias("copy"))).select(
-        (F.col("vec_id") + F.col("copy") * 1_000_000).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: (
-                x + F.when(i == 0, F.col("copy") * 0.01).otherwise(F.lit(0.0))
-            ).cast("float"),
-        ).alias("embedding"),
-        "label",
-    ).write.mode("overwrite").parquet(os.path.join(ten_dir, "embeddings.parquet"))
+    os.makedirs(one_dir, exist_ok=True)
+    os.makedirs(ten_dir, exist_ok=True)
+    build_text_corpora(spark, one_dir, ten_dir)
+    build_embedding_corpora(spark, one_dir, ten_dir)
     return one_dir, ten_dir
 
 
@@ -107,7 +80,12 @@ def test_corpus_operator_scales_subquadratically(spark, scaled_dirs, name, fn):
     one_dir, ten_dir = scaled_dirs
     t1 = _warm_time(fn, spark, one_dir)
     t10 = _warm_time(fn, spark, ten_dir)
-    ratio = t10 / max(t1, 1e-3)
+    # floor the denominator at 0.5 s: several 1x runs are fixed-overhead
+    # dominated (~0.1-0.3 s from ONE sample), and a momentarily-quiet 1x
+    # against a noisy 10x would otherwise fail the ratio bound with no
+    # real regression (review r6). With the floor, failure requires the
+    # 10x run to exceed 17.5 s — plan-shape territory, not jitter.
+    ratio = t10 / max(t1, 0.5)
     assert ratio < MAX_RATIO, (
         f"{name}: 10x corpus cost {ratio:.1f}x the 1x run "
         f"({t1:.2f}s -> {t10:.2f}s) — growth order regressed"

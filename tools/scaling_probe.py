@@ -36,6 +36,47 @@ def _copy_table(dst: str, name: str) -> None:
     (shutil.copytree if os.path.isdir(s) else shutil.copy)(s, p)
 
 
+def build_text_corpora(spark, one_dir: str, ten_dir: str, scale: int = SCALE) -> None:
+    """1x/10x documents tables — the SINGLE definition of the perturbation
+    (copy-token appended so copies are near-duplicates, not exact ones);
+    the pytest probe imports this so CI and the reproduction tool can
+    never measure different corpora (review r6)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    docs.write.mode("overwrite").parquet(f"{one_dir}/documents.parquet")
+    copies = spark.range(scale).select(F.col("id").alias("c"))
+    docs.crossJoin(copies).select(
+        (F.col("doc_id") + F.col("c") * 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" copytok"), F.col("c").cast("string")).alias(
+            "text"
+        ),
+        "lang",
+        "source",
+        (F.col("n_chars") + 9).alias("n_chars"),
+    ).write.mode("overwrite").parquet(f"{ten_dir}/documents.parquet")
+
+
+def build_embedding_corpora(spark, one_dir: str, ten_dir: str, scale: int = SCALE) -> None:
+    """1x/10x embeddings tables — dim-0 jitter per copy (cosine ~0.9999
+    clusters, the adversarial dup-cluster shape for pair generators)."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    emb.write.mode("overwrite").parquet(f"{one_dir}/embeddings.parquet")
+    copies = spark.range(scale).select(F.col("id").alias("c"))
+    emb.crossJoin(copies).select(
+        (F.col("vec_id") + F.col("c") * 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x + F.when(i == 0, F.col("c") * 0.01).otherwise(F.lit(0.0))
+            ).cast("float"),
+        ).alias("embedding"),
+        "label",
+    ).write.mode("overwrite").parquet(f"{ten_dir}/embeddings.parquet")
+
+
 def _build(spark) -> tuple[str, str]:
     from pyspark.sql import functions as F
 
@@ -49,30 +90,8 @@ def _build(spark) -> tuple[str, str]:
         _copy_table(ten, t)
     copies = spark.range(SCALE).select(F.col("id").alias("c"))
 
-    docs = spark.read.parquet(f"{SRC}/documents.parquet")
-    docs.write.mode("overwrite").parquet(f"{one}/documents.parquet")
-    docs.crossJoin(copies).select(
-        (F.col("doc_id") + F.col("c") * 1_000_000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" copytok"), F.col("c").cast("string")).alias(
-            "text"
-        ),
-        "lang",
-        "source",
-        (F.col("n_chars") + 9).alias("n_chars"),
-    ).write.mode("overwrite").parquet(f"{ten}/documents.parquet")
-
-    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
-    emb.write.mode("overwrite").parquet(f"{one}/embeddings.parquet")
-    emb.crossJoin(copies).select(
-        (F.col("vec_id") + F.col("c") * 1_000_000).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: (
-                x + F.when(i == 0, F.col("c") * 0.01).otherwise(F.lit(0.0))
-            ).cast("float"),
-        ).alias("embedding"),
-        "label",
-    ).write.mode("overwrite").parquet(f"{ten}/embeddings.parquet")
+    build_text_corpora(spark, one, ten)
+    build_embedding_corpora(spark, one, ten)
 
     orders = spark.read.parquet(f"{SRC}/orders.parquet")
     orders.write.mode("overwrite").parquet(f"{one}/orders.parquet")
@@ -120,7 +139,13 @@ def main() -> None:
         text,
     )
 
-    families = set(sys.argv[1:]) or {"text", "embeddings", "tpch", "events"}
+    valid = {"text", "embeddings", "tpch", "events"}
+    families = set(sys.argv[1:]) or valid
+    unknown = families - valid
+    if unknown:
+        sys.exit(
+            f"unknown families: {sorted(unknown)} — valid: {sorted(valid)}"
+        )
     spark = get_spark(app_name="scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
     one, ten = _build(spark)
