@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotates to the r7 window.
     return {
         # --- (a) round-6 additions: no driver row yet ---
+        "multimodal_blob_dedup": multimodal.multimodal_blob_dedup,
         "quality_filter_flags": text.quality_filter_flags,
         "unigram_lm_score": text.unigram_lm_score,
         "token_pmi_topk": text.token_pmi_topk,
@@ -604,6 +605,11 @@ ORDER BY freq DESC, bigram ASC LIMIT 20
 """
     return {
         # --- round-6 additions ---
+        "multimodal_blob_dedup": """
+SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies,
+       count(DISTINCT source) AS n_sources
+FROM documents GROUP BY 1
+""",
         "quality_filter_flags": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
 g AS (SELECT doc_id, T,

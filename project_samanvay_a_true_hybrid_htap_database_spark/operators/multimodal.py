@@ -238,3 +238,29 @@ def audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the Arrow batch."""
     blobs = attach_blob(spark, sf_dir).select("doc_id", "content")
     return blobs.mapInPandas(_fake_audio_chunk, schema=_CHUNK_SCHEMA)
+
+
+def multimodal_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over the opaque media payload by raw-byte digest — the
+    checksum pass that runs BEFORE any decode in a multimodal pipeline
+    (re-crawled images/audio are overwhelmingly byte-identical; hashing is
+    ~free next to decoding). Per digest: the kept doc (min doc_id), copy
+    count, and how many distinct sources carry the same payload (the
+    cross-feed mirror signal). The digest is JVM md5 over the binary
+    column in the scan stage (no Python, no decode); the aggregate is one
+    map-side-combinable hash shuffle — the same shape as exact_dedup, but
+    over bytes the text normalizers never see."""
+    blobs = attach_blob(spark, sf_dir)
+    return (
+        blobs.select(
+            "doc_id",
+            F.md5(F.col("content")).alias("digest"),
+            F.col("meta.source").alias("source"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count("*").alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
