@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- (a) round-6 additions: no driver row yet ---
         "multimodal_blob_dedup": multimodal.multimodal_blob_dedup,
+        "embedding_neardup_pairs_vectorized": dedup.embedding_neardup_pairs_vectorized,
         "quality_filter_flags": text.quality_filter_flags,
         "unigram_lm_score": text.unigram_lm_score,
         "token_pmi_topk": text.token_pmi_topk,
@@ -165,11 +166,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # core analytical SQL
         "tpch_q1": analytics.tpch_q1_pricing_summary,
         "tpch_q3": analytics.tpch_q3_shipping_priority,
-        "tpch_q5": analytics.tpch_q5_supplier_volume,
-        "tpch_q6": analytics.tpch_q6_forecast_revenue,
-        # --- sweep line (entry #50 is tpch_q6) — everything below rotates
+        # --- sweep line (entry #50 is tpch_q3) — everything below rotates
         # to the r7 window ---
         # stale overflow (r2/r3 rows, next in line)
+        "tpch_q5": analytics.tpch_q5_supplier_volume,
+        "tpch_q6": analytics.tpch_q6_forecast_revenue,
         "tpch_q14": analytics.tpch_q14_promo_revenue,
         "top_orders": analytics.top_orders,
         "group_having": analytics.group_having,
@@ -257,7 +258,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "simhash_neardup_pairs_scale": dedup.simhash_neardup_pairs_scale,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
-        "embedding_neardup_pairs_vectorized": dedup.embedding_neardup_pairs_vectorized,
         "decontaminate_ngram_overlap": dedup.decontaminate_ngram_overlap,
         "dedup_groups": dedup.dedup_groups,
         "dedup_groups_lsh": dedup.dedup_groups_lsh,
