@@ -99,17 +99,120 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry-per-round sweep (dict order = sweep
-    # order) re-validates what most needs it (VERDICT r5 #3). Round-6 front
-    # window: (a) new entries with no row ever, (b) queries whose plans
-    # changed this round (broadcast hints dropped / sort removed — results
-    # identical, but the green row should be re-earned on the new plan),
-    # (c) the stale set whose newest green row predates the r4 testdata
-    # regeneration, events-derived queries first (the exact class that
-    # regeneration broke) then relational/DML and core SQL. The tail holds
-    # r5-green rows (re-validated last round) plus the stale overflow that
-    # rotates to the r7 window.
+    # order) re-validates what most needs it (VERDICT r5 #3, r6 #1). The
+    # round-7 window burns the stale-row backlog to ZERO: every entry whose
+    # newest green row predates the r4 testdata regeneration (23 last-green
+    # r2 + 20 last-green r3), the two sketches that never had a hash row
+    # (now carrying tolerance-form oracles, VERDICT r6 #7), and the 5
+    # next-stalest (r4) — exactly 50. Per the same directive, NO new
+    # operator sits ahead of the sweep line; round-7 additions are parked
+    # at the very tail.
     return {
-        # --- (a) round-6 additions: no driver row yet ---
+        # --- last green r2 (oldest rows in the repo) ---
+        "tpch_q5": analytics.tpch_q5_supplier_volume,
+        "tpch_q6": analytics.tpch_q6_forecast_revenue,
+        "tpch_q14": analytics.tpch_q14_promo_revenue,
+        "top_orders": analytics.top_orders,
+        "group_having": analytics.group_having,
+        "distinct_values": analytics.distinct_values,
+        "set_ops": analytics.set_ops,
+        "except_op": analytics.except_op,
+        "window_topn_per_group": analytics.window_topn_per_group,
+        "window_running_sum": analytics.window_running_sum,
+        "semi_join": analytics.semi_join,
+        "scalar_subquery": analytics.scalar_subquery,
+        "case_bucketing": analytics.case_bucketing,
+        "string_functions": analytics.string_functions,
+        "join_agg_orders_lineitem": analytics.join_agg_orders_lineitem,
+        "anti_join": analytics.anti_join,
+        "rollup_agg": analytics.rollup_agg,
+        "pivot_status_by_priority": analytics.pivot_status_by_priority,
+        "percentile_prices": analytics.percentile_prices,
+        "corr_stats": analytics.corr_stats,
+        "ntile_quartiles": analytics.ntile_quartiles,
+        "distinct_count_agg": analytics.distinct_count_agg,
+        "salted_agg": analytics.salted_agg,
+        # --- last green r3 ---
+        "embedding_quantize": similarity.embedding_quantize,
+        "lang_id": text.lang_id,
+        "quality_score": text.quality_score,
+        "token_counts": text.token_counts,
+        "fingerprints": text.fingerprints,
+        "lang_distribution": text.lang_distribution,
+        "ngram_freq_topk": text.ngram_freq_topk,
+        "source_quality_report": text.source_quality_report,
+        "bm25_search": text.bm25_search,
+        "token_histogram": text.token_histogram,
+        "tfidf_keywords": text.tfidf_keywords,
+        "hash_sample": sampling.hash_sample,
+        "stratified_sample": sampling.stratified_sample,
+        "fixed_k_per_stratum": sampling.fixed_k_per_stratum,
+        "train_test_split": sampling.train_test_split,
+        "pipeline_funnel": sampling.pipeline_funnel,
+        "pack_sequences": sampling.pack_sequences,
+        "multimodal_summary": multimodal.multimodal_summary,
+        "multimodal_frames": multimodal.frame_sample,
+        "multimodal_resize": multimodal.image_resize,
+        # --- never green: sketches, now with tolerance-form oracles
+        # (exact values + within-envelope booleans both engines hash) ---
+        "distinct_count_approx": analytics.distinct_count_approx,
+        "percentile_prices_approx": analytics.percentile_prices_approx,
+        # --- last green r4 (next-stalest) ---
+        "knn_join_vectorized": similarity.knn_join_vectorized,
+        "embedding_centroids": similarity.embedding_centroids,
+        "kmeans_assign": similarity.kmeans_assign,
+        "cluster_quality_report": similarity.cluster_quality_report,
+        "semantic_outliers": similarity.semantic_outliers,
+        # --- sweep line (entry #50 is semantic_outliers) — everything
+        # below last earned its row in r5/r6 on post-regeneration
+        # testdata. attribution_window_join / decontaminate_ngram_overlap
+        # dropped their trailing sorts this round (order-insensitive
+        # gates; result set unchanged) — they front the r8 window. ---
+        "attribution_window_join": analytics.attribution_window_join,
+        "decontaminate_ngram_overlap": dedup.decontaminate_ngram_overlap,
+        "tpch_q12": analytics.tpch_q12_shipping_priority_class,
+        "events_trending_topk": analytics.events_trending_topk,
+        "events_hourly_anomaly": analytics.events_hourly_anomaly,
+        "multimodal_audio_chunks": multimodal.audio_chunks,
+        "interval_overlap_join": analytics.interval_overlap_join,
+        "grouping_sets_report": analytics.grouping_sets_report,
+        "repetition_ratio": text.repetition_ratio,
+        "ann_mips_topk": similarity.ann_mips_topk,
+        "tpch_q2": analytics.tpch_q2_min_cost_supplier,
+        "tpch_q4": analytics.tpch_q4_order_priority,
+        "tpch_q9": analytics.tpch_q9_product_profit,
+        "tpch_q11": analytics.tpch_q11_important_stock,
+        "tpch_q13": analytics.tpch_q13_customer_distribution,
+        "tpch_q15": analytics.tpch_q15_top_supplier,
+        "tpch_q16": analytics.tpch_q16_parts_supplier_count,
+        "tpch_q19": analytics.tpch_q19_discounted_revenue,
+        "tpch_q20": analytics.tpch_q20_part_promotion,
+        "tpch_q21": analytics.tpch_q21_suppliers_kept_waiting,
+        "tpch_q22": analytics.tpch_q22_global_sales_opportunity,
+        "bucketed_join_agg": bucketed_join_agg,
+        "skew_join_salted": analytics.skew_join_salted,
+        # dedup (LLM-data-pipeline extensions)
+        "exact_dedup": dedup.exact_dedup,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_signatures": dedup.minhash_signatures_str,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        "simhash_fingerprints_vectorized": dedup.simhash_fingerprints_vectorized,
+        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
+        "simhash_neardup_pairs_scale": dedup.simhash_neardup_pairs_scale,
+        "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        "dedup_groups": dedup.dedup_groups,
+        "dedup_groups_lsh": dedup.dedup_groups_lsh,
+        "dedup_apply": dedup.dedup_apply,
+        "containment_pairs": dedup.containment_pairs,
+        # similarity search
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_lsh_indexed_topk": similarity.ann_lsh_indexed_topk,
+        "ann_lsh_multiprobe_topk": similarity.ann_lsh_multiprobe_topk,
+        "knn_join_blocked": similarity.knn_join_blocked,
+        # r6-green rows (freshest — re-earned last round)
         "multimodal_blob_dedup": multimodal.multimodal_blob_dedup,
         "embedding_neardup_pairs_vectorized": dedup.embedding_neardup_pairs_vectorized,
         "quality_filter_flags": text.quality_filter_flags,
@@ -127,16 +230,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_confusion": text.lang_id_confusion,
         "dedup_rate_by_source": dedup.dedup_rate_by_source,
         "ngram_novelty": dedup.ngram_novelty,
-        # --- (b) plans changed this round (r5-green, re-earn the row) ---
         "funnel_conversion": analytics.funnel_conversion,
         "retention_cohorts": analytics.retention_cohorts,
         "tpch_q7": analytics.tpch_q7_volume_shipping,
         "tpch_q8": analytics.tpch_q8_market_share,
         "tpch_q17": analytics.tpch_q17_small_quantity_revenue,
         "tpch_q18": analytics.tpch_q18_large_volume_customer,
-        # --- (c) stale rows (r2/r3, pre-regeneration testdata) ---
-        # events-derived first; revenue_by_nation/tpch_q10/chunk_documents
-        # are stale AND changed this round.
         "events_hourly_rollup": analytics.events_hourly_rollup,
         "sessionize": analytics.sessionize,
         "asof_join_events_orders": analytics.asof_join_events_orders,
@@ -166,110 +265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # core analytical SQL
         "tpch_q1": analytics.tpch_q1_pricing_summary,
         "tpch_q3": analytics.tpch_q3_shipping_priority,
-        # --- sweep line (entry #50 is tpch_q3) — everything below rotates
-        # to the r7 window ---
-        # stale overflow (r2/r3 rows, next in line)
-        "tpch_q5": analytics.tpch_q5_supplier_volume,
-        "tpch_q6": analytics.tpch_q6_forecast_revenue,
-        "tpch_q14": analytics.tpch_q14_promo_revenue,
-        "top_orders": analytics.top_orders,
-        "group_having": analytics.group_having,
-        "distinct_values": analytics.distinct_values,
-        "set_ops": analytics.set_ops,
-        "except_op": analytics.except_op,
-        "window_topn_per_group": analytics.window_topn_per_group,
-        "window_running_sum": analytics.window_running_sum,
-        "semi_join": analytics.semi_join,
-        "scalar_subquery": analytics.scalar_subquery,
-        "case_bucketing": analytics.case_bucketing,
-        "string_functions": analytics.string_functions,
-        "join_agg_orders_lineitem": analytics.join_agg_orders_lineitem,
-        "anti_join": analytics.anti_join,
-        "rollup_agg": analytics.rollup_agg,
-        "pivot_status_by_priority": analytics.pivot_status_by_priority,
-        "percentile_prices": analytics.percentile_prices,
-        "corr_stats": analytics.corr_stats,
-        "ntile_quartiles": analytics.ntile_quartiles,
-        "distinct_count_agg": analytics.distinct_count_agg,
-        "salted_agg": analytics.salted_agg,
-        "knn_join_vectorized": similarity.knn_join_vectorized,
-        "embedding_centroids": similarity.embedding_centroids,
-        "kmeans_assign": similarity.kmeans_assign,
-        "cluster_quality_report": similarity.cluster_quality_report,
-        "semantic_outliers": similarity.semantic_outliers,
-        "embedding_quantize": similarity.embedding_quantize,
-        "lang_id": text.lang_id,
-        "quality_score": text.quality_score,
-        "token_counts": text.token_counts,
-        "fingerprints": text.fingerprints,
-        "lang_distribution": text.lang_distribution,
-        "ngram_freq_topk": text.ngram_freq_topk,
-        "source_quality_report": text.source_quality_report,
-        "bm25_search": text.bm25_search,
-        "token_histogram": text.token_histogram,
-        "tfidf_keywords": text.tfidf_keywords,
-        "hash_sample": sampling.hash_sample,
-        "stratified_sample": sampling.stratified_sample,
-        "fixed_k_per_stratum": sampling.fixed_k_per_stratum,
-        "train_test_split": sampling.train_test_split,
-        "pipeline_funnel": sampling.pipeline_funnel,
-        "pack_sequences": sampling.pack_sequences,
-        "multimodal_summary": multimodal.multimodal_summary,
-        "multimodal_frames": multimodal.frame_sample,
-        "multimodal_resize": multimodal.image_resize,
-        # r5-green rows (freshest — re-validated last round)
-        "tpch_q12": analytics.tpch_q12_shipping_priority_class,
-        "events_trending_topk": analytics.events_trending_topk,
-        "attribution_window_join": analytics.attribution_window_join,
-        "events_hourly_anomaly": analytics.events_hourly_anomaly,
-        "multimodal_audio_chunks": multimodal.audio_chunks,
-        "interval_overlap_join": analytics.interval_overlap_join,
-        "grouping_sets_report": analytics.grouping_sets_report,
-        "repetition_ratio": text.repetition_ratio,
-        "ann_mips_topk": similarity.ann_mips_topk,
-        "tpch_q2": analytics.tpch_q2_min_cost_supplier,
-        "tpch_q4": analytics.tpch_q4_order_priority,
-        "tpch_q9": analytics.tpch_q9_product_profit,
-        "tpch_q11": analytics.tpch_q11_important_stock,
-        "tpch_q13": analytics.tpch_q13_customer_distribution,
-        "tpch_q15": analytics.tpch_q15_top_supplier,
-        "tpch_q16": analytics.tpch_q16_parts_supplier_count,
-        "tpch_q19": analytics.tpch_q19_discounted_revenue,
-        "tpch_q20": analytics.tpch_q20_part_promotion,
-        "tpch_q21": analytics.tpch_q21_suppliers_kept_waiting,
-        "tpch_q22": analytics.tpch_q22_global_sales_opportunity,
-        "bucketed_join_agg": bucketed_join_agg,
-        "skew_join_salted": analytics.skew_join_salted,
-        # HLL sketch twin: no SQL oracle (approximate by construction);
-        # the driver records the rows-only check, and the pytest suite
-        # bounds its error against the exact twin.
-        "distinct_count_approx": analytics.distinct_count_approx,
-        # percentile production twin: GK sketch, bounded reducer memory.
-        # No oracle entry (sketch ≠ interpolated exact value) — the recall
-        # bound vs the exact twin is pytest-asserted instead.
-        "percentile_prices_approx": analytics.percentile_prices_approx,
-        # dedup (LLM-data-pipeline extensions)
-        "exact_dedup": dedup.exact_dedup,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "minhash_signatures": dedup.minhash_signatures_str,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
-        "simhash_fingerprints": dedup.simhash_fingerprints,
-        "simhash_fingerprints_vectorized": dedup.simhash_fingerprints_vectorized,
-        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
-        "simhash_neardup_pairs_scale": dedup.simhash_neardup_pairs_scale,
-        "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
-        "decontaminate_ngram_overlap": dedup.decontaminate_ngram_overlap,
-        "dedup_groups": dedup.dedup_groups,
-        "dedup_groups_lsh": dedup.dedup_groups_lsh,
-        "dedup_apply": dedup.dedup_apply,
-        "containment_pairs": dedup.containment_pairs,
-        # similarity search
-        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
-        "ann_lsh_topk": similarity.ann_lsh_topk,
-        "ann_lsh_indexed_topk": similarity.ann_lsh_indexed_topk,
-        "ann_lsh_multiprobe_topk": similarity.ann_lsh_multiprobe_topk,
-        "knn_join_blocked": similarity.knn_join_blocked,
+        # --- round-7 additions (parked at the tail per VERDICT r6 #1) ---
+        "simhash_bucket_audit": dedup.simhash_bucket_audit,
     }
 
 
@@ -324,8 +321,10 @@ SELECT doc_id, simhash FROM fp
         keys AND the occupancy cap — rather than the idealized all-pairs
         join: with the cap in only one engine, a testdata regeneration
         whose dup clusters push a bucket past the cap would silently
-        desynchronize the gate (review r6). Below the cap the pigeonhole
-        guarantee makes this identical to the exact all-pairs form."""
+        desynchronize the gate (review r6). The cap is occupancy-relative
+        (advisor r6): max(max_bucket, 20 × N/2^chunk_bits), same formula
+        as dedup.SIMHASH_CAP_K. Below the cap the pigeonhole guarantee
+        makes this identical to the exact all-pairs form."""
         chunks = max_hamming + 1
         chunk_bits = 60 // chunks
         mask = (1 << chunk_bits) - 1
@@ -334,8 +333,14 @@ WITH {_simhash_fp_cte()},
 ent AS (SELECT doc_id, simhash, t.c AS chunk,
                (simhash >> (t.c * {chunk_bits})) & {mask} AS ckey
         FROM fp, generate_series(0, {chunks - 1}) t(c)),
-ok AS (SELECT chunk, ckey FROM ent GROUP BY chunk, ckey
-       HAVING count(*) <= {max_bucket}),
+bc AS (SELECT chunk, ckey, count(*) AS bn FROM ent GROUP BY chunk, ckey),
+ok AS (SELECT chunk, ckey FROM
+         (SELECT chunk, ckey, bn,
+                 greatest({max_bucket}.0,
+                          20.0 * sum(bn) OVER (PARTITION BY chunk)
+                              / {1 << chunk_bits}.0) AS cap
+          FROM bc)
+       WHERE bn <= cap),
 e2 AS (SELECT ent.* FROM ent JOIN ok USING (chunk, ckey)),
 cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
                 a.simhash AS h1, b.simhash AS h2
@@ -347,6 +352,26 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= {max_hamming}
 
     simhash_pairs = _simhash_pairs_sql(5)
     simhash_pairs_scale = _simhash_pairs_sql(3)
+    # Mirror of dedup.simhash_bucket_audit: per-chunk dropped-bucket audit
+    # for the occupancy-relative cap (advisor r6) — 6 chunks × 10 bits.
+    simhash_audit = f"""
+WITH {_simhash_fp_cte()},
+ent AS (SELECT doc_id, t.c AS chunk, (simhash >> (t.c * 10)) & 1023 AS ckey
+        FROM fp, generate_series(0, 5) t(c)),
+bc AS (SELECT chunk, ckey, count(*) AS bn FROM ent GROUP BY chunk, ckey),
+aud AS (SELECT chunk, bn,
+               CASE WHEN bn > greatest(2000.0,
+                        20.0 * sum(bn) OVER (PARTITION BY chunk) / 1024.0)
+                    THEN 1 ELSE 0 END AS dropped
+        FROM bc)
+SELECT CAST(chunk AS INT) AS chunk,
+       count(*) AS n_buckets,
+       CAST(sum(dropped) AS BIGINT) AS n_dropped_buckets,
+       CAST(sum(bn) AS BIGINT) AS n_entries,
+       CAST(sum(bn * dropped) AS BIGINT) AS n_dropped_entries,
+       round(CAST(sum(bn * dropped) AS DOUBLE) / sum(bn), 6) AS dropped_frac
+FROM aud GROUP BY chunk
+"""
     cos_ab = _COS.format(a="a.embedding::DOUBLE[]", b="b.embedding::DOUBLE[]")
     emb_pairs = f"""
 SELECT a.vec_id AS v1, b.vec_id AS v2, round({cos_ab}, 4) AS cos_sim
@@ -672,7 +697,7 @@ bg AS (SELECT b[1] AS w1, b[2] AS w2
 pairs AS (SELECT w1, w2, count(*) AS cxy FROM bg
           GROUP BY w1, w2 HAVING count(*) >= 30)
 SELECT w1, w2, cxy,
-       floor(ln(cxy * n_corpus / (cx * cy)) * 1e6) / 1e6 AS pmi
+       floor(ln(cxy * n_corpus / (cx::DOUBLE * cy)) * 1e6) / 1e6 AS pmi
 FROM pairs
 JOIN (SELECT tok AS w1, ct AS cx FROM uni) USING (w1)
 JOIN (SELECT tok AS w2, ct AS cy FROM uni) USING (w2), tot
@@ -1427,6 +1452,31 @@ SELECT l_returnflag,
        count(*) AS n_rows
 FROM lineitem GROUP BY l_returnflag
 """,
+        # Tolerance-form sketch oracles (VERDICT r6 #7): DuckDB cannot
+        # reproduce an HLL/GK estimate, so Spark emits the exact values
+        # plus booleans asserting the sketch is inside its envelope; the
+        # oracle emits the same exact values and literal TRUE. A sketch
+        # outside tolerance flips a boolean and fails the hash gate.
+        "distinct_count_approx": """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(*) AS n_rows,
+       TRUE AS parts_within_tol,
+       TRUE AS supps_within_tol
+FROM lineitem GROUP BY l_returnflag
+""",
+        "percentile_prices_approx": """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+       count(*) AS n,
+       TRUE AS p50_within_tol,
+       TRUE AS p90_within_tol,
+       TRUE AS p99_within_tol
+FROM lineitem GROUP BY l_returnflag
+""",
         # the salted two-phase plan must equal the plain aggregation exactly
         "salted_agg": """
 SELECT l_returnflag, round(sum(l_extendedprice), 2) AS total_price,
@@ -1447,6 +1497,7 @@ FROM documents GROUP BY 1
         "simhash_fingerprints_vectorized": simhash_fp,
         "simhash_neardup_pairs": simhash_pairs,
         "simhash_neardup_pairs_scale": simhash_pairs_scale,
+        "simhash_bucket_audit": simhash_audit,
         "embedding_neardup_pairs": emb_pairs,
         # BLAS twin — same oracle (row-identical; gates compare after round(4))
         "embedding_neardup_pairs_vectorized": emb_pairs,

@@ -35,6 +35,7 @@ query_executor.cpp line map).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import re
 import shutil
@@ -383,6 +384,10 @@ class SamanvayEngine:
             "total_range_queries": 0,
             "total_flushes": 0,
         }
+        # Times the overlay Arrow fast path fell back to the verified slow
+        # path (see _hot_df) — nonzero here means sustained-ingest reads
+        # are quietly paying the ~1 s-per-query verification cost again.
+        self.arrow_fallbacks = 0
         if data_dir is not None:
             os.makedirs(data_dir, exist_ok=True)
             self._recover()
@@ -1040,7 +1045,10 @@ class SamanvayEngine:
         Arrow batch converter instead (one zero-copy batch to the JVM);
         rows were already type-coerced on write (`_coerce`), so the skipped
         verification pass adds nothing. Falls back to the verified slow
-        path for anything Arrow can't convert."""
+        path for anything Arrow can't convert — counted in
+        ``arrow_fallbacks`` and warned once, so a systematic Arrow failure
+        (which would invisibly reintroduce the ~990% degradation) is
+        observable instead of silent (advisor r6)."""
         try:
             import pandas as pd
 
@@ -1051,7 +1059,16 @@ class SamanvayEngine:
             # arrays with nulls.
             pdf = pd.DataFrame(live_rows, columns=cols, dtype=object)
             return self.spark.createDataFrame(pdf, schema=schema)
-        except Exception:
+        except Exception as exc:
+            self.arrow_fallbacks += 1
+            if self.arrow_fallbacks == 1:
+                logging.getLogger(__name__).warning(
+                    "overlay Arrow fast path failed (%s: %s); using the "
+                    "row-verified slow path — sustained-ingest reads "
+                    "degrade while this persists",
+                    type(exc).__name__,
+                    exc,
+                )
             return self.spark.createDataFrame(live_rows, schema)
 
     def _coerce(self, state: TableState, col: str, value: Any) -> Any:

@@ -463,27 +463,38 @@ def percentile_prices_approx(
     group keys at 100 TB that is billions of doubles per task). The sketch
     is mergeable, so partial aggregation applies map-side and each reducer
     holds O(accuracy) values regardless of group size; rank error is
-    bounded by 1/accuracy. Same query shape, same output schema.
+    bounded by 1/accuracy.
 
-    Oracle: rows-only (a sketch picks an actual element, exact interpolates
-    between two) — tests/test_operators_oracle.py bounds the value error
-    against the exact twin instead."""
+    Tolerance-form oracle (VERDICT r6 #7): a sketch picks an actual group
+    element while exact interpolation may land between two, so the raw
+    sketch value can never hash-match SQL — the gated output carries the
+    EXACT percentiles (hash-comparable with DuckDB quantile_cont) plus
+    booleans asserting the sketch sits within 5% relative error of each;
+    the oracle emits the same exact values and literal TRUE. The hash
+    gate therefore fails exactly when the GK sketch leaves its envelope.
+    The exact aggregate inside this audit form is the cost of the check —
+    production callers use the sketch aggregate alone."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                f"percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), {accuracy})"
-            ).alias("ps"),
-            F.count("*").alias("n"),
+    both = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), {accuracy})"
+        ).alias("aps"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("eps"),
+        F.count("*").alias("n"),
+    )
+    def _ok(i: int):
+        return (
+            F.abs(F.col("aps")[i] - F.col("eps")[i]) / F.col("eps")[i] <= 0.05
         )
-        .select(
-            "l_returnflag",
-            F.round(F.col("ps")[0], 4).alias("p50"),
-            F.round(F.col("ps")[1], 4).alias("p90"),
-            F.round(F.col("ps")[2], 4).alias("p99"),
-            "n",
-        )
+    return both.select(
+        "l_returnflag",
+        F.round(F.col("eps")[0], 4).alias("p50"),
+        F.round(F.col("eps")[1], 4).alias("p90"),
+        F.round(F.col("eps")[2], 4).alias("p99"),
+        "n",
+        _ok(0).alias("p50_within_tol"),
+        _ok(1).alias("p90_within_tol"),
+        _ok(2).alias("p99_within_tol"),
     )
 
 
@@ -1311,14 +1322,40 @@ def distinct_count_approx(spark: SparkSession, sf_dir: str, rsd: float = 0.01) -
     pass, map-side partials, fixed memory per group regardless of
     cardinality. At 100 TB the exact form's (group, value) dedup shuffle
     moves the whole key universe; the sketch moves kilobytes per group.
-    No SQL oracle (approximate by construction — the driver records the
-    rows-only check); test_sampling-style bounds vs the exact twin are
-    asserted in tests/test_operators_oracle.py."""
+
+    Tolerance-form oracle (VERDICT r6 #7): a raw HLL estimate can never
+    hash-match a SQL engine, so the gated output carries the EXACT counts
+    plus booleans asserting |est − exact|/exact ≤ 5·rsd; the oracle emits
+    the same exact counts and literal TRUE, so the hash gate fails exactly
+    when the sketch leaves its error envelope. The exact twin inside this
+    audit form is the cost of the check, not of production use — a caller
+    wanting the sketch alone keeps just the approx_count_distinct
+    aggregates."""
+    tol = 5 * rsd
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd).alias("n_parts"),
-        F.approx_count_distinct("l_suppkey", rsd).alias("n_supps"),
-        F.count("*").alias("n_rows"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd).alias("est_parts"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.approx_count_distinct("l_suppkey", rsd).alias("est_supps"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "n_parts",
+            "n_supps",
+            "n_rows",
+            (
+                F.abs(F.col("est_parts") - F.col("n_parts")) / F.col("n_parts")
+                <= tol
+            ).alias("parts_within_tol"),
+            (
+                F.abs(F.col("est_supps") - F.col("n_supps")) / F.col("n_supps")
+                <= tol
+            ).alias("supps_within_tol"),
+        )
     )
 
 
@@ -1419,7 +1456,6 @@ def attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_id", "user_id")
         .agg(F.count("*").alias("n_views_24h"))
-        .orderBy("event_id")
     )
 
 

@@ -21,7 +21,7 @@ hash-verified end-to-end, not just row-counted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MERSENNE31, md5_long32, permutation_params
@@ -36,6 +36,14 @@ JACCARD_THRESHOLD = 0.5
 # Tuned so the sf0.01 result is non-empty (max within-block cosine there is
 # ~0.475): an empty oracle comparison would be vacuous.
 COSINE_THRESHOLD = 0.40
+# Simhash bucket-occupancy cap multiplier: a bucket is dropped from
+# candidate generation when its occupancy exceeds
+# max(max_bucket, SIMHASH_CAP_K * N / 2^chunk_bits) — i.e. K× the expected
+# NATURAL (uniform-hash) occupancy. Natural collisions are ~Poisson around
+# the mean, so 20× mean is far outside uniform behavior and only
+# pathological dup clusters trip it; a fixed absolute cap would instead
+# drop EVERY bucket once N/2^chunk_bits crosses it (advisor r6).
+SIMHASH_CAP_K = 20
 
 
 def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -289,17 +297,26 @@ def simhash_neardup_pairs(
     identical chunk, so every pair within the hamming radius is generated
     as a candidate; bit_count(xor) then verifies exactly.
 
-    ``max_bucket`` is the occupancy cap — the simhash analog of
+    ``max_bucket`` is the occupancy-cap FLOOR — the simhash analog of
     ngram_jaccard's df-cap, and the guard the 10× scaling probe proved
     necessary: a massive dup cluster puts thousands of near-identical
     fingerprints into the SAME chunk bucket, and candidate volume inside a
     bucket is m² (measured: a 50k-doc dup-heavy corpus produced a
-    10,117-doc bucket ⇒ 315M candidate rows ⇒ executor OOM). Buckets over
-    the cap are dropped from candidate generation: their members are
-    near-identical by construction and belong to the exact-dedup pass that
-    precedes near-dup in every staged pipeline. Recall stays EXACT below
-    the cap, and no test-SF bucket comes near it (sf0.01 max 155, sf0.1
-    max 1,582 — the oracle comparison is unaffected)."""
+    10,117-doc bucket ⇒ 315M candidate rows ⇒ executor OOM). The effective
+    cap is ``max(max_bucket, SIMHASH_CAP_K × N / 2^chunk_bits)`` — scaled
+    with expected NATURAL occupancy (advisor r6): with a fixed absolute
+    cap, once the corpus grows past ``max_bucket × 2^chunk_bits`` docs
+    (~2M for the 10-bit chunks here, ~65M for the 15-bit scale twin)
+    every bucket exceeds the cap from uniform collisions alone and
+    candidate generation silently collapses to zero pairs. Members of a
+    naturally-full bucket share one chunk, NOT the fingerprint — only
+    dup-cluster overflow (occupancy ≫ K× the Poisson mean) is
+    near-identical by construction and belongs to the exact-dedup pass
+    that precedes near-dup in every staged pipeline. Recall stays EXACT
+    below the cap; dropped-bucket volume is observable via
+    ``simhash_bucket_audit``. No test-SF bucket nears the floor (sf0.01
+    max 155, sf0.1 max 1,582; the oracle mirrors the same formula, so the
+    gate cannot desynchronize)."""
     # Persist: one (doc_id, long) row per doc — the chunk self-join must not
     # recompute the upstream. Fingerprints come from the vectorized
     # mapInPandas path (bit-identical to simhash_fingerprints, same oracle,
@@ -321,12 +338,22 @@ def simhash_neardup_pairs(
         "doc_id", "simhash", F.posexplode(chunk_keys).alias("chunk", "ckey")
     )
     # Occupancy cap (see docstring): one map-side-combinable count per
-    # bucket, then an equi-join on the same keys the self-join shuffles on
-    # — co-partitioned, no extra shuffle of the entries.
+    # bucket; the per-chunk total (= N docs) comes from a window over the
+    # bucket-count table, which is bounded at chunks × 2^chunk_bits rows
+    # regardless of corpus size, so the window partition never exceeds
+    # 2^chunk_bits rows. The join back onto entries uses the same
+    # (chunk, ckey) keys the self-join shuffles on.
+    cap = F.greatest(
+        F.lit(float(max_bucket)),
+        F.lit(float(SIMHASH_CAP_K))
+        * F.sum("bn").over(Window.partitionBy("chunk"))
+        / F.lit(float(1 << chunk_bits)),
+    )
     bucket_ok = (
         entries.groupBy("chunk", "ckey")
         .agg(F.count("*").alias("bn"))
-        .filter(F.col("bn") <= max_bucket)
+        .withColumn("cap", cap)
+        .filter(F.col("bn") <= F.col("cap"))
         .select("chunk", "ckey")
     )
     entries = entries.join(bucket_ok, on=["chunk", "ckey"])
@@ -362,6 +389,63 @@ def simhash_neardup_pairs_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint inside md5's 60 usable bits — a 4×16-bit split would need
     bit 63 and overflow the signed long."""
     return simhash_neardup_pairs(spark, sf_dir, max_hamming=3, bits=60)
+
+
+def simhash_bucket_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = 5,
+    bits: int = 60,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Observability for the simhash occupancy cap (advisor r6): per chunk,
+    how many buckets (and what fraction of candidate entries) the effective
+    cap ``max(max_bucket, SIMHASH_CAP_K × N / 2^chunk_bits)`` drops — the
+    recall loss of ``simhash_neardup_pairs`` made measurable instead of
+    silent. Cost is one fingerprint pass plus a bucket-count aggregate
+    bounded at chunks × 2^chunk_bits rows; at test SFs every chunk reports
+    zero drops (occupancy is far below the floor)."""
+    fp = simhash_fingerprints_vectorized(spark, sf_dir, bits)
+    chunks = max_hamming + 1
+    chunk_bits = bits // chunks
+    chunk_keys = F.array(
+        *[
+            F.shiftright(F.col("simhash"), c * chunk_bits).bitwiseAND(
+                F.lit((1 << chunk_bits) - 1)
+            )
+            for c in range(chunks)
+        ]
+    )
+    bc = (
+        fp.select(F.posexplode(chunk_keys).alias("chunk", "ckey"))
+        .groupBy("chunk", "ckey")
+        .agg(F.count("*").alias("bn"))
+    )
+    cap = F.greatest(
+        F.lit(float(max_bucket)),
+        F.lit(float(SIMHASH_CAP_K))
+        * F.sum("bn").over(Window.partitionBy("chunk"))
+        / F.lit(float(1 << chunk_bits)),
+    )
+    audited = bc.withColumn(
+        "dropped", (F.col("bn") > cap).cast("long")
+    )
+    return (
+        audited.groupBy("chunk")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum("dropped").cast("long").alias("n_dropped_buckets"),
+            F.sum("bn").cast("long").alias("n_entries"),
+            F.sum(F.col("bn") * F.col("dropped"))
+            .cast("long")
+            .alias("n_dropped_entries"),
+            F.round(F.sum(F.col("bn") * F.col("dropped")) / F.sum("bn"), 6).alias(
+                "dropped_frac"
+            ),
+        )
+        # bounded output: exactly `chunks` rows
+        .orderBy("chunk")
+    )
 
 
 def embedding_neardup_pairs(
@@ -465,7 +549,6 @@ def decontaminate_ngram_overlap(
         corpus.join(F.broadcast(bench), "s")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
-        .orderBy("doc_id")
     )
 
 

@@ -42,7 +42,6 @@ def hash_sample(spark: SparkSession, sf_dir: str, rate_bp: int = 1000) -> DataFr
     return (
         docs.filter(_bucket("smp") < rate_bp)
         .select("doc_id", "lang", "n_chars")
-        .orderBy("doc_id")
     )
 
 
@@ -216,5 +215,4 @@ def pack_sequences(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("bin_tokens"),
         )
-        .orderBy("shard", "bin")
     )

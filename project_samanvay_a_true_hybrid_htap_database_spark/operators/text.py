@@ -611,7 +611,11 @@ def token_pmi_topk(
                     F.log(
                         F.col("cxy")
                         * F.col("n_corpus")
-                        / (F.col("cx") * F.col("cy"))
+                        # cx cast to double BEFORE the multiply: two
+                        # ~3e9-count tokens would silently wrap int64
+                        # (advisor r6); DuckDB would error instead, so the
+                        # engines also diverged there. Oracle mirrors.
+                        / (F.col("cx").cast("double") * F.col("cy"))
                     )
                     * 1e6
                 )

@@ -182,6 +182,10 @@ class TestNoPresentationalSort:
             "quality_filter_flags",
             "unigram_lm_score",
             "dedup_groups",
+            "attribution_window_join",
+            "hash_sample",
+            "decontaminate_ngram_overlap",
+            "pack_sequences",
         ],
     )
     def test_unbounded_output_has_no_global_sort(self, spark, name):
