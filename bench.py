@@ -25,20 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-
-    from project_samanvay_a_true_hybrid_htap_database_spark import get_spark
-    from project_samanvay_a_true_hybrid_htap_database_spark.sources import load_table
-
-    spark = get_spark(app_name="samanvay-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    import __spark_entry__ as entrymod
-
-    qs = entrymod.queries()
-    headline = [
+HEADLINE = [
         # reference SQL-path shapes (benchmark_htap.cpp:136-152)
         "point_lookup",
         "agg_multi",
@@ -127,6 +114,22 @@ def main() -> None:
         "semdedup_stats",
     ]
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from project_samanvay_a_true_hybrid_htap_database_spark import get_spark
+    from project_samanvay_a_true_hybrid_htap_database_spark.sources import load_table
+
+    spark = get_spark(app_name="samanvay-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    headline = HEADLINE
+
     # Warm-up: prime parquet footers, then run every headline query once
     # untimed so whole-stage-codegen compilation and JIT happen off the
     # timed path. The timed pass measures steady-state compute — the figure
@@ -179,20 +182,26 @@ def main() -> None:
         print(f"bench_diff skipped: {exc}", file=sys.stderr)
     sys.stderr.flush()
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "htap_mixed": htap,
-                "htap_sustained": htap_sustained,
-            }
-        )
-    )
+    print(json.dumps(build_payload(timings, sf, htap, htap_sustained)))
     sys.stdout.flush()
+
+
+def build_payload(
+    timings: dict[str, float], sf: float, htap: dict, htap_sustained: dict
+) -> dict:
+    """The bench contract, in one place: the single JSON line the driver
+    parses into BENCH_r{N}.json and tools/bench_diff.py consumes across
+    rounds. tests/test_bench_diff.py pins this schema (VERDICT r6 #8) —
+    widen it there first if a key must change."""
+    return {
+        "metric": "total_query_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "htap_mixed": htap,
+        "htap_sustained": htap_sustained,
+    }
 
 
 def bench_htap_mixed(spark, sf_dir: str) -> dict:

@@ -1,60 +1,110 @@
-"""Bench regression diff (tools/bench_diff.py) — pure-python, no Spark.
+"""Pin the bench JSON contract (VERDICT r6 #8).
 
-Pins the contract bench.py relies on: common-set totals, >1.3x flagging
-with the sub-0.3 s noise floor, added/removed listing, and acceptance of
-both raw bench payloads and the driver's {"parsed": ...} wrapper.
+BENCH_r05.json recorded ``parsed: null`` because bench.py's output drifted
+out of the driver's parse window — a whole round of performance comparison
+lost. These tests freeze the emitted schema (bench.build_payload) and the
+consumer (tools.bench_diff) so the round-over-round diff can never silently
+break again: bench.py may only change its JSON line by widening this test
+first.
 """
 
-from tools.bench_diff import DRIFT_RATIO, FLOOR_SEC, diff_table, latest_bench_files
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import bench  # noqa: E402
+from tools.bench_diff import (  # noqa: E402
+    diff_table,
+    latest_bench_files,
+    _payload,
+)
+
+FAKE_TIMINGS = {"tpch_q1": 0.42, "minhash_lsh_pairs": 1.3}
+FAKE_HTAP = {"write_degradation_pct": 6.0, "query_degradation_pct": 1.2}
+FAKE_SUSTAINED = {"query_degradation_pct": 40.0, "ingest_rows_per_sec": 5000}
 
 
-def test_flags_regression_and_improvement():
-    old = {"queries": {"a": 1.0, "b": 1.0, "c": 1.0}}
-    new = {"queries": {"a": 1.5, "b": 0.5, "c": 1.05}}
-    table = diff_table(old, new)
-    lines = {ln.split()[0]: ln for ln in table.splitlines()}
-    assert "REGRESSION" in lines["a"]
-    assert "improved" in lines["b"]
-    assert "REGRESSION" not in lines["c"] and "improved" not in lines["c"]
-    assert "1 flagged" in table
+class TestEmittedSchema:
+    def test_required_keys_and_types(self):
+        doc = bench.build_payload(FAKE_TIMINGS, 0.1, FAKE_HTAP, FAKE_SUSTAINED)
+        # The driver's contract: ONE json line with exactly these keys.
+        assert set(doc) == {
+            "metric",
+            "value",
+            "unit",
+            "queries",
+            "sf",
+            "htap_mixed",
+            "htap_sustained",
+        }
+        assert doc["metric"] == "total_query_wall"
+        assert doc["unit"] == "sec"
+        assert isinstance(doc["value"], float)
+        assert doc["value"] == round(sum(FAKE_TIMINGS.values()), 3)
+        assert doc["sf"] == 0.1
+        # per-query timings are a flat {str: number} map — what bench_diff
+        # and the judge's round-over-round comparison key on
+        assert doc["queries"] == FAKE_TIMINGS
+        for name, sec in doc["queries"].items():
+            assert isinstance(name, str) and isinstance(sec, (int, float))
+
+    def test_json_serializable_single_line(self):
+        doc = bench.build_payload(FAKE_TIMINGS, 0.1, FAKE_HTAP, FAKE_SUSTAINED)
+        line = json.dumps(doc)
+        assert "\n" not in line
+        assert json.loads(line) == doc
+
+    def test_headline_queries_are_registered(self):
+        """Every headline name bench.py times must exist in queries() —
+        a rename that misses bench.py would crash the driver's bench run
+        and cost the round's BENCH file (the exact r5 failure class)."""
+        import __spark_entry__ as entrymod
+
+        registered = set(entrymod.queries())
+        missing = [n for n in bench.HEADLINE if n not in registered]
+        assert not missing, f"bench headline not in queries(): {missing}"
+        assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate headline"
+        for anchor in ("tpch_q1", "minhash_lsh_pairs", "point_lookup"):
+            assert anchor in bench.HEADLINE
 
 
-def test_floor_absorbs_microquery_jitter():
-    # 0.1 -> 0.25 is 2.5x but both sides are under FLOOR_SEC: not a flag.
-    assert max(0.1, 0.25) < FLOOR_SEC
-    table = diff_table({"queries": {"tiny": 0.1}}, {"queries": {"tiny": 0.25}})
-    assert "REGRESSION" not in table
-    assert "0 flagged" in table
+class TestDiffConsumesPayload:
+    def test_diff_accepts_raw_and_wrapped(self):
+        old = bench.build_payload({"q": 1.0}, 0.1, {}, {})
+        new = bench.build_payload({"q": 1.5}, 0.1, {}, {})
+        raw = diff_table(old, new)
+        wrapped = diff_table({"parsed": old}, {"parsed": new})
+        assert raw == wrapped
+        assert "REGRESSION" in raw and "q" in raw
 
+    def test_null_parsed_payload_is_empty_not_error(self):
+        # a crashed round's wrapper must not break the next round's diff
+        assert _payload({"parsed": None}) == {}
+        table = diff_table({"parsed": None}, bench.build_payload({"q": 1.0}, 0.1, {}, {}))
+        assert "added (1): q" in table
 
-def test_added_removed_and_common_total():
-    old = {"queries": {"a": 1.0, "gone": 2.0}}
-    new = {"queries": {"a": 1.0, "fresh": 9.0}}
-    table = diff_table(old, new)
-    assert "added (1): fresh" in table
-    assert "removed (1): gone" in table
-    # total is over the common set only — the 9 s new query must not count.
-    assert "TOTAL (1 common)" in table.replace("  ", " ").replace("  ", " ") or "1 common" in table
+    def test_latest_bench_files_skips_crashed_rounds(self, tmp_path):
+        good = bench.build_payload({"q": 2.0}, 0.1, {}, {})
+        (tmp_path / "BENCH_r01.json").write_text(json.dumps({"parsed": good}))
+        (tmp_path / "BENCH_r02.json").write_text(json.dumps({"parsed": None}))
+        (tmp_path / "BENCH_r03.json").write_text(json.dumps(good))
+        picked = latest_bench_files(str(tmp_path), n=2)
+        assert [Path(p).name for p in picked] == ["BENCH_r01.json", "BENCH_r03.json"]
 
-
-def test_driver_wrapper_unwrapped():
-    wrapped = {"parsed": {"queries": {"a": 1.0}}}
-    raw = {"queries": {"a": 1.2}}
-    table = diff_table(wrapped, raw)
-    assert "a" in table and "1.200" in table
-
-
-def test_latest_bench_files(tmp_path):
-    for n in (1, 2, 3):
-        (tmp_path / f"BENCH_r0{n}.json").write_text(
-            '{"queries": {"q": 1.0}}'
-        )
-    # crashed-round wrapper (parsed: null) and junk must both be skipped
-    (tmp_path / "BENCH_r04.json").write_text('{"parsed": null, "rc": 1}')
-    (tmp_path / "BENCH_r05.json").write_text("not json")
-    got = latest_bench_files(str(tmp_path), n=2)
-    assert [p.rsplit("/", 1)[1] for p in got] == ["BENCH_r02.json", "BENCH_r03.json"]
-
-
-def test_drift_ratio_sane():
-    assert 1.0 < DRIFT_RATIO < 2.0
+    def test_repo_bench_history_still_parses(self):
+        """The real recorded rounds keep satisfying the contract — if the
+        driver's wrapper format shifts, this is the first alarm."""
+        files = latest_bench_files(str(REPO), n=2)
+        assert files, "no usable BENCH_r*.json in repo root"
+        docs = []
+        for p in files:
+            with open(p) as fh:
+                docs.append(json.load(fh))
+        if len(docs) == 2:
+            table = diff_table(docs[0], docs[1])
+            assert "TOTAL" in table
