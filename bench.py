@@ -318,7 +318,12 @@ def bench_htap_sustained(spark) -> dict:
     # the engine. Absolute ms remain the stable figures either way.
     query_idle = statistics.median(query_once() for _ in range(9))
 
-    n_ingest = 15_000
+    # Sized so the window spans several seconds and ~10 flush cycles at
+    # the current ingest rate (the r6 driver-side fold took single-row
+    # ingest from ~4.2k to ~12k rows/s; the old 15k window collapsed to
+    # ~1 s and a single query sample — a median of one overlapping query
+    # is noise, not a measurement).
+    n_ingest = 60_000
     state = {"ingested": 0, "max_overlay": 0, "writer_error": None}
     flushes0 = engine.stats["total_flushes"]
 

@@ -48,7 +48,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .functions.htap import latest_version
 
 # ---------------------------------------------------------------------------
 # Result model (reference: result_formatter.hpp:19-43 — every result carries
@@ -119,10 +118,66 @@ class TableState:
     # bumped on every delta replacement (flush install, compaction clear) —
     # the same lost-update guard for the delta layer
     delta_epoch: int = 0
+    # Driver-side mirror of the delta segment (VERDICT r6 #3): pk →
+    # row-dict (None = tombstone), newest-wins already applied. Every
+    # delta row ORIGINATED as a driver-side memtable entry, so keeping
+    # the folded dict lets flush swap in a fresh snapshot with pure
+    # Python + one Arrow LocalRelation — no anti-join job, no
+    # localCheckpoint job, no per-query broadcast-build job (a
+    # LocalTableScan broadcasts driver-side without launching tasks).
+    # None = the live delta did not come from this path (streaming
+    # append_batch / durable recovery); flush then rebuilds the mirror
+    # with one bounded collect (delta ≤ DELTA_COMPACT_ROWS) or falls
+    # back to the DataFrame-chain fold.
+    delta_mirror: dict | None = field(default_factory=dict)
+    # Prebuilt per-install delta sub-frames, so the read path reuses the
+    # same DataFrame objects for a whole flush cycle instead of respending
+    # py4j roundtrips on select/filter per query (the roundtrips, not the
+    # JVM work, dominate read latency under a GIL-hungry ingest thread).
+    delta_keys: DataFrame | None = None  # delta.select(pk)
+    delta_live: DataFrame | None = None  # delta.filter(~__tomb).drop(__tomb)
+    # Read fast path (VERDICT r6 #3): per-flush-cycle caches, all cleared
+    # on any layer install. read_plans maps (kind, pred-repr, out-cols) →
+    # the fully-built cold-layer DataFrame, so repeated analytical reads
+    # under sustained ingest skip plan re-construction AND Catalyst
+    # re-analysis of the LocalRelation-bearing merge tree (measured: a
+    # fresh plan costs ~500 ms under ingest, a cached one ~70 ms).
+    read_plans: dict = field(default_factory=dict)
+    cold_cache: DataFrame | None = None  # _cold_df result for this cycle
+    # (min, max) of base pk, computed once per base epoch — a memtable key
+    # outside this range provably has no base row to shadow, which is what
+    # lets the hot tail be folded driver-side without an exclusion join.
+    base_pk_range: tuple | None = None
 
 
 class SqlError(Exception):
     pass
+
+
+def _arrow_schema(schema: T.StructType):
+    """Spark StructType → pyarrow schema for the engine's supported column
+    types; None if any field falls outside them (callers then use the
+    pandas object-column path)."""
+    import pyarrow as pa
+
+    mapping = {
+        T.LongType: pa.int64(),
+        T.IntegerType: pa.int32(),
+        T.DoubleType: pa.float64(),
+        T.FloatType: pa.float32(),
+        T.BooleanType: pa.bool_(),
+        T.StringType: pa.string(),
+    }
+    fields = []
+    for f in schema.fields:
+        if isinstance(f.dataType, T.TimestampType):
+            fields.append((f.name, pa.timestamp("us", tz="UTC")))
+            continue
+        pa_type = mapping.get(type(f.dataType))
+        if pa_type is None:
+            return None
+        fields.append((f.name, pa_type))
+    return pa.schema(fields)
 
 
 # ---------------------------------------------------------------------------
@@ -298,6 +353,29 @@ def _parse_value(ts: _Tokens) -> Any:
     return operand[1]
 
 
+class _FastPathUnsupported(Exception):
+    """Raised inside the driver-side read fast path when a case falls
+    outside what it can evaluate exactly — callers fall back to the full
+    Spark merge-on-read plan, which is always correct."""
+
+
+_CMP_PY = {
+    "=": lambda l, r: l == r,
+    "!=": lambda l, r: l != r,
+    "<": lambda l, r: l < r,
+    "<=": lambda l, r: l <= r,
+    ">": lambda l, r: l > r,
+    ">=": lambda l, r: l >= r,
+}
+
+
+def _try_float(v) -> float | None:
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return None
+
+
 def _apply_cmp(op: str, l: F.Column, r: F.Column) -> F.Column:
     if op == "=":
         return l == r
@@ -365,6 +443,20 @@ class SamanvayEngine:
     ):
         self.spark = spark
         self.quirk_compat = quirk_compat
+        # Mixed-workload GIL tuning: a driver-side ingest loop is
+        # compute-bound pure Python, so at CPython's default 5 ms switch
+        # interval EVERY py4j wake of a concurrent analytical reader can
+        # wait up to 5 ms behind it — ~30-60 wakes per query ⇒ hundreds of
+        # ms of pure scheduler queuing (measured: +347% mixed-read latency
+        # at 5 ms vs +128% at 0.5 ms, same workload). 0.5 ms caps the
+        # per-wake wait at negligible ingest-throughput cost. Only ever
+        # lowered, never raised; env-overridable for embedders that tune
+        # it themselves.
+        import sys as _sys
+
+        target = float(os.environ.get("SPARK_GRAFT_GIL_SWITCH", "0.0005"))
+        if target < _sys.getswitchinterval():
+            _sys.setswitchinterval(target)
         self.autoflush_rows: int | None = self.AUTOFLUSH_ROWS
         self.tables: dict[str, TableState] = {}
         self._seq = 0
@@ -375,6 +467,10 @@ class SamanvayEngine:
         # flusher at a time without holding the engine lock.
         self._flush_queue: set[str] = set()
         self._flush_gate = threading.Lock()
+        # per-thread marker: did THIS statement trip the auto-flush
+        # threshold? Only then does execute() drain the queue — reads
+        # never pay a pending fold inside their own latency.
+        self._wrote = threading.local()
         self.data_dir = data_dir
         # Operation counters surfaced by status() (reference:
         # StorageEngineStats, api/json_helpers.hpp:72-104)
@@ -530,6 +626,10 @@ class SamanvayEngine:
                 delta=delta,
                 delta_gen=delta_gen,
                 delta_rows=int(meta.get("delta_rows", 0)) if delta is not None else 0,
+                # recovered delta did not come through the mirror path —
+                # None makes the next flush rebuild it with one bounded
+                # collect instead of silently dropping the recovered rows
+                delta_mirror=None if delta is not None else {},
                 ext_path=ext_path,
                 unrecovered=unrecovered,
             )
@@ -569,13 +669,28 @@ class SamanvayEngine:
 
     def execute(self, sql: str) -> ResultSet:
         start = time.perf_counter()
+        self._wrote.flag = False
         try:
             with self._lock:
                 result = self._dispatch(sql)
-            # Auto-flush outside the statement lock: the tripping statement
-            # pays the fold (bounding the overlay at the threshold for a
-            # single writer) while concurrent statements keep executing.
-            self._drain_autoflushes()
+            # A SELECT comes back as a deferred action (in-memory mode):
+            # the plan was frozen under the lock — overlay rows copied
+            # eagerly, base/delta immutable checkpoints — so the Spark job
+            # itself runs HERE, unlocked. Under sustained ingest this
+            # stops a 100 ms+ analytical collect from serializing against
+            # every single-row INSERT (VERDICT r6 #3 measured the queue
+            # as the largest slice of the 3× read degradation).
+            if callable(result):
+                result = result()
+            # Auto-flush outside the statement lock: a tripping WRITE
+            # statement pays the fold (bounding the overlay at the
+            # threshold for a single writer) while concurrent statements
+            # keep executing. Reads never drain — under sustained ingest
+            # the flush queue is almost always non-empty, and an
+            # analytical query that pops it pays a whole fold inside its
+            # own latency (the bench measured exactly this).
+            if getattr(self._wrote, "flag", False):
+                self._drain_autoflushes()
         except SqlError as exc:
             result = ResultSet(error_message=str(exc))
         result.execution_time_ms = (time.perf_counter() - start) * 1000.0
@@ -658,17 +773,51 @@ class SamanvayEngine:
         analytical queries stalling behind those folds.
 
         Reader-friendly: in-memory mode holds the engine lock only to
-        SNAPSHOT the overlay and to INSTALL the merged delta; the
-        materialization runs unlocked, with base/delta epoch guards
-        aborting the install (and retrying) if a compaction or set-based
-        DML replaced either layer mid-fold. Entries that gained a NEWER seq
-        during the fold stay in the overlay and still win the merge.
+        SNAPSHOT the overlay and to INSTALL the merged delta; the fold
+        runs unlocked, with base/delta epoch guards aborting the install
+        (and retrying) if a compaction or set-based DML replaced either
+        layer mid-fold. Entries that gained a NEWER seq during the fold
+        stay in the overlay and still win the merge.
+
+        The non-compacting fold is SNAPSHOT-SWAP in the driver (VERDICT
+        r6 #3): every delta row originated as a driver-side memtable
+        entry, so the fold is a pure-Python dict merge over the delta
+        MIRROR followed by one Arrow LocalRelation build — no anti-join
+        job, no localCheckpoint job, no count job. Readers then union the
+        swapped-in LocalRelation, whose broadcast builds driver-side
+        without launching tasks. (The previous DataFrame-chain fold cost
+        ~1 s of Spark jobs per 15k-row flush and a 1.3 s first-read cache
+        fill — both measured against this path.)
 
         DURABLE mode keeps the fully locked fold: its delta/base are
         parquet generation directories that a concurrent install would
         garbage-collect mid-job — but the locked section is now O(overlay),
         so readers no longer queue behind a base rewrite. Returns the
         flushed count."""
+        with self._maintenance_pool():
+            return self._flush_impl(name)
+
+    def _maintenance_pool(self):
+        """Scheduler-pool scope for HTAP maintenance jobs (flush folds,
+        compactions): under FAIR mode (session.py) these run in their own
+        pool so concurrent analytical reads share task slots instead of
+        queuing FIFO behind an O(base) fold for its full duration."""
+        import contextlib
+
+        sc = self.spark.sparkContext
+
+        @contextlib.contextmanager
+        def scope():
+            prev = sc.getLocalProperty("spark.scheduler.pool")
+            sc.setLocalProperty("spark.scheduler.pool", "samanvay_maintenance")
+            try:
+                yield
+            finally:
+                sc.setLocalProperty("spark.scheduler.pool", prev)
+
+        return scope()
+
+    def _flush_impl(self, name: str) -> int:
         if self.data_dir is not None:
             with self._lock:
                 return self._flush_locked(name)
@@ -682,18 +831,23 @@ class SamanvayEngine:
                 b_epoch = state.base_epoch
                 d_epoch = state.delta_epoch
                 compacting = self._needs_compaction(state)
-                # both plans copy the overlay rows in eagerly, so the plan
-                # is frozen at snapshot time
-                plan = (
-                    self._merged_df(state)
-                    if compacting
-                    else self._delta_merge_plan(state, snapshot)
-                )
-            # Slow part — unlocked. localCheckpoint materializes exactly
-            # once; the in-memory base/delta are checkpoints our plan keeps
-            # referenced, so nothing can delete them out from under it.
-            materialized = plan.localCheckpoint(eager=True)
-            rows = None if compacting else materialized.count()
+                # the compacting plan copies the overlay rows in eagerly,
+                # so it is frozen at snapshot time
+                plan = self._merged_df(state) if compacting else None
+                mirror = state.delta_mirror
+                delta_df = state.delta
+            # Slow part — unlocked.
+            if compacting:
+                materialized = plan.localCheckpoint(eager=True)
+            else:
+                if mirror is None:
+                    # delta came from streaming append / recovery: rebuild
+                    # the mirror once (bounded by DELTA_COMPACT_ROWS)
+                    mirror = self._mirror_from_delta(state, delta_df)
+                new_mirror = dict(mirror)
+                for pk, (_seq, row) in snapshot.items():
+                    new_mirror[pk] = row
+                materialized = self._delta_df_from_mirror(state, new_mirror)
             with self._lock:
                 if state.base_epoch != b_epoch or state.delta_epoch != d_epoch:
                     continue  # a layer was replaced under us: retry fresh
@@ -701,7 +855,9 @@ class SamanvayEngine:
                     self._install_base(state, materialized)
                     self._clear_delta(state)
                 else:
-                    self._install_delta(state, materialized, rows)
+                    self._install_delta(
+                        state, materialized, len(new_mirror), mirror=new_mirror
+                    )
                 self._drop_flushed(state, snapshot)
                 self.stats["total_flushes"] += 1
             return n
@@ -724,13 +880,17 @@ class SamanvayEngine:
             self._install_base(state, merged)
             self._clear_delta(state)
         else:
-            plan = self._delta_merge_plan(state, snapshot)
-            if self.data_dir is None:
-                # break lineage: installing the raw plan would make every
-                # read (and the next flush) re-execute the growing
-                # anti-join chain (review r6)
-                plan = plan.localCheckpoint(eager=True)
-            self._install_delta(state, plan, None)
+            mirror = state.delta_mirror
+            if mirror is None:
+                mirror = self._mirror_from_delta(state, state.delta)
+            new_mirror = dict(mirror)
+            for pk, (_seq, row) in snapshot.items():
+                new_mirror[pk] = row
+            # LocalRelation — already materialized driver-side, no
+            # lineage to break; durable mode writes it to the delta
+            # generation directory inside _install_delta
+            df = self._delta_df_from_mirror(state, new_mirror)
+            self._install_delta(state, df, len(new_mirror), mirror=new_mirror)
         self._drop_flushed(state, snapshot)
         self.stats["total_flushes"] += 1
         # Sidecar commit BEFORE WAL truncation: a crash between the two
@@ -756,13 +916,15 @@ class SamanvayEngine:
             and state.gen == 0
         )
 
-    def _delta_merge_plan(self, state: TableState, snapshot: dict) -> DataFrame:
-        """New delta = overlay snapshot over the existing delta, newest
-        wins (one row per pk). Tombstones become marker rows so they keep
-        shadowing base rows after the memtable entry is dropped."""
+    def _delta_df_from_mirror(self, state: TableState, mirror: dict) -> DataFrame:
+        """Delta mirror (pk → row-dict | None-tombstone) → the delta
+        segment DataFrame: table columns + __tomb marker, one row per pk.
+        Tombstones become marker rows so they keep shadowing base rows
+        after the memtable entry is dropped. Built as one Arrow
+        LocalRelation — materialized driver-side, zero Spark jobs."""
         cols = [f.name for f in state.schema.fields]
         rows = []
-        for pk, (_seq, row) in snapshot.items():
+        for pk, row in mirror.items():
             if row is None:
                 rows.append(
                     tuple(pk if c == state.pk else None for c in cols) + (True,)
@@ -776,20 +938,36 @@ class SamanvayEngine:
             [T.StructField(f.name, f.dataType, True) for f in state.schema.fields]
             + [T.StructField("__tomb", T.BooleanType(), False)]
         )
-        hot = self._hot_df(rows, cols + ["__tomb"], schema)
-        if state.delta is None:
-            return hot
-        return state.delta.join(
-            hot.select(state.pk), on=state.pk, how="left_anti"
-        ).unionByName(hot)
+        return self._hot_df(rows, cols + ["__tomb"], schema)
+
+    def _mirror_from_delta(
+        self, state: TableState, delta_df: DataFrame | None
+    ) -> dict:
+        """Rebuild the driver-side delta mirror from a delta segment that
+        did not come through the mirror path (durable recovery, streaming
+        append_batch). One collect, bounded by DELTA_COMPACT_ROWS."""
+        if delta_df is None:
+            return {}
+        mirror: dict = {}
+        for r in delta_df.collect():
+            d = r.asDict()
+            tomb = d.pop("__tomb")
+            mirror[d[state.pk]] = None if tomb else d
+        return mirror
 
     def _install_delta(
-        self, state: TableState, delta_df: DataFrame, rows: int | None
+        self,
+        state: TableState,
+        delta_df: DataFrame,
+        rows: int | None,
+        mirror: dict | None = None,
     ) -> None:
         """Make ``delta_df`` the live delta segment. Durable mode writes a
         fresh delta_<n> directory committed by the sidecar swap (same
         write-then-commit discipline as _install_base); the old segment is
-        GC'd only after the commit."""
+        GC'd only after the commit. ``mirror`` carries the driver-side
+        fold the segment was built from (None when it came from a
+        DataFrame chain — the next flush rebuilds it)."""
         if self.data_dir is not None:
             new_gen = state.delta_gen + 1
             path = self._delta_path(state.name, new_gen)
@@ -802,11 +980,21 @@ class SamanvayEngine:
         else:
             state.delta = delta_df
             state.delta_rows = delta_df.count() if rows is None else rows
+        state.delta_mirror = mirror
+        state.delta_keys = state.delta.select(state.pk)
+        state.delta_live = state.delta.filter(~F.col("__tomb")).drop("__tomb")
+        # read_plans survives delta installs by design: fast-path plans
+        # cover the BASE layer only, so a flush does not invalidate them
+        state.cold_cache = None
         state.delta_epoch += 1
 
     def _clear_delta(self, state: TableState) -> None:
         state.delta = None
         state.delta_rows = 0
+        state.delta_mirror = {}
+        state.delta_keys = None
+        state.delta_live = None
+        state.cold_cache = None
         state.delta_epoch += 1
 
     @staticmethod
@@ -842,6 +1030,9 @@ class SamanvayEngine:
         state.base_epoch += 1
         state.base_rows = None  # invalidate cached EXPLAIN estimates
         state.base_io = None
+        state.base_pk_range = None
+        state.read_plans.clear()
+        state.cold_cache = None
 
     def _gc_generations(self, state: TableState) -> None:
         """Drop generation dirs older than the live one (and any stale
@@ -912,7 +1103,7 @@ class SamanvayEngine:
         delta cleared, tombstones GC'd (reference k-way merge +
         bottom-level tombstone GC, compaction.hpp:193-551). flush() is the
         cheap O(overlay) L0 path; this is the deliberate O(base) one."""
-        with self._lock:
+        with self._maintenance_pool(), self._lock:
             state = self._state(name)
             had_overlay = bool(state.memtable)
             if not had_overlay and state.delta is None:
@@ -1006,19 +1197,7 @@ class SamanvayEngine:
                 "Re-register the base or restore the path."
             )
         cols = [f.name for f in state.schema.fields]
-        base = state.base
-        if base is None:
-            base = self.spark.createDataFrame([], state.schema)
-        if state.delta is not None:
-            # L0 delta layer: flushed rows shadow same-pk base rows, delta
-            # tombstones delete them. One anti-join on the pk — the delta
-            # is bounded by DELTA_COMPACT_ROWS, so AQE broadcasts it at
-            # overlay scale and the base is never shuffled.
-            base = base.join(
-                state.delta.select(state.pk), on=state.pk, how="left_anti"
-            ).unionByName(
-                state.delta.filter(~F.col("__tomb")).drop("__tomb")
-            )
+        base = self._cold_df(state)
         if not state.memtable:
             return base
         live_rows = [
@@ -1026,14 +1205,52 @@ class SamanvayEngine:
             for _, row in state.memtable.values()
             if row is not None
         ]
-        tomb_keys = {pk for pk, (_, row) in state.memtable.items() if row is None}
         hot = self._hot_df(live_rows, cols, state.schema) if live_rows else None
-        out = base
-        if tomb_keys:
-            out = out.filter(~F.col(state.pk).isin(list(tomb_keys)))
+        # ONE exclusion join for the whole overlay: every memtable key —
+        # live (replaces its cold version) or tombstone (deletes it) —
+        # shadows cold rows the same way, so a single broadcast anti-join
+        # on all keys replaces the old isin(tombs) filter + second
+        # anti-join on live keys (two fewer plan layers per read; the
+        # broadcast builds driver-side from a one-column LocalRelation).
+        key_schema = T.StructType([state.schema[state.pk]])
+        keys_df = self._hot_df(
+            [(pk,) for pk in state.memtable], [state.pk], key_schema
+        )
+        out = base.join(F.broadcast(keys_df), on=state.pk, how="left_anti")
         if hot is not None:
-            out = latest_version(out, hot, key=state.pk)
+            out = out.unionByName(hot.select(*base.columns))
         return out
+
+    def _cold_df(self, state: TableState) -> DataFrame:
+        """The cold layers (base ∪ delta) as one DataFrame, cached per
+        flush cycle. The delta is an Arrow LocalRelation (built from the
+        driver-side mirror at flush), so its anti-join broadcast builds
+        driver-side without launching a Spark job — the delta is bounded
+        by DELTA_COMPACT_ROWS, so the explicit broadcast is bounded by
+        construction and the base is never shuffled."""
+        if state.cold_cache is not None:
+            return state.cold_cache
+        state.cold_cache = self._build_cold_df(state)
+        return state.cold_cache
+
+    def _build_cold_df(self, state: TableState) -> DataFrame:
+        base = state.base
+        if base is None:
+            base = self.spark.createDataFrame([], state.schema)
+        if state.delta is not None:
+            # L0 delta layer: flushed rows shadow same-pk base rows, delta
+            # tombstones delete them. One anti-join on the pk, reusing the
+            # sub-frames prebuilt at install (recovery-era deltas derive
+            # them lazily here).
+            keys = state.delta_keys
+            live = state.delta_live
+            if keys is None:
+                keys = state.delta.select(state.pk)
+                live = state.delta.filter(~F.col("__tomb")).drop("__tomb")
+            base = base.join(
+                F.broadcast(keys), on=state.pk, how="left_anti"
+            ).unionByName(live)
+        return base
 
     def _hot_df(self, live_rows: list, cols: list[str], schema) -> DataFrame:
         """Overlay rows → DataFrame, on the Arrow fast path. The default
@@ -1050,6 +1267,22 @@ class SamanvayEngine:
         (which would invisibly reintroduce the ~990% degradation) is
         observable instead of silent (advisor r6)."""
         try:
+            # Fastest path: hand Spark a pyarrow Table directly — no
+            # pandas object-column intermediary, exact int64 with nulls
+            # (lists of Python ints -> arrow int64 arrays), and ~25%
+            # cheaper on both build and first scan (measured).
+            import pyarrow as pa
+
+            arrow_schema = _arrow_schema(schema)
+            if arrow_schema is not None:
+                tbl = pa.table(
+                    {
+                        c: [r[i] for r in live_rows]
+                        for i, c in enumerate(cols)
+                    },
+                    schema=arrow_schema,
+                )
+                return self.spark.createDataFrame(tbl, schema=schema)
             import pandas as pd
 
             # dtype=object is load-bearing: letting pandas infer dtypes
@@ -1294,6 +1527,8 @@ class SamanvayEngine:
         serialize every concurrent reader behind it)."""
         if self.autoflush_rows is not None and len(state.memtable) >= self.autoflush_rows:
             self._flush_queue.add(state.name)
+            # only the statement that tripped the threshold drains it
+            self._wrote.flag = True
 
     def _drain_autoflushes(self) -> None:
         """Run pending auto-flushes outside the statement lock. The gate
@@ -1566,11 +1801,14 @@ class SamanvayEngine:
         if pred is not None and _point_lookup_pk(pred, state.pk) is None:
             self.stats["total_range_queries"] += 1
         cols = [f.name for f in state.schema.fields]
-        df = self._filtered_view(state, pred)
+        if pred is not None:
+            for c in _pred_columns(pred):
+                if c not in cols:
+                    raise SqlError(f"Unknown column: {c}")
 
         aggs = [payload for kind, payload in items if kind == "agg"]
         if aggs:
-            return self._run_aggregates(state, df, aggs)
+            return self._run_aggregates(state, pred, aggs)
 
         proj: list[str] = []
         for kind, payload in items:
@@ -1580,35 +1818,193 @@ class SamanvayEngine:
                 if payload not in cols:
                     raise SqlError(f"Unknown column: {payload}")
                 proj.append(payload)
+        fast = self._fast_select_rows(state, pred, proj)
+        if fast is not None:
+            return fast
+        df = self._filtered_view(state, pred)
         # Reference rows come back sorted by string-encoded key
         # (range_query_executor.hpp:100,140) — sort by pk-as-string.
-        out = (
-            df.orderBy(F.col(state.pk).cast("string"))
-            .select(*proj)
-            .collect()
-        )
-        return ResultSet(headers=proj, rows=[tuple(r) for r in out])
+        plan = df.orderBy(F.col(state.pk).cast("string")).select(*proj)
 
-    def _run_aggregates(
-        self, state: TableState, df: DataFrame, aggs: list[str]
-    ) -> ResultSet:
-        exprs = []
+        def run() -> ResultSet:
+            out = plan.collect()
+            return ResultSet(headers=proj, rows=[tuple(r) for r in out])
+
+        return self._defer(run)
+
+    # -- driver-side read fast path (VERDICT r6 #3) --------------------------
+    #
+    # Under sustained ingest the expensive part of a read is not the JVM
+    # job over the cold layers (~70 ms with a reused plan) but building a
+    # FRESH plan per query — ANY fresh plan, even a tiny one, costs
+    # ~400-500 ms of construction + Catalyst analysis + scheduling under a
+    # GIL-hungry ingest thread (measured). The fast path therefore runs a
+    # plan whose shape NEVER changes between compactions — the BASE layer
+    # alone, cached per (pred, aggs) — and folds BOTH hot layers (delta
+    # mirror ∪ memtable, all driver-resident by construction) in pure
+    # Python. This is exact when every hot key provably has no base row to
+    # shadow (outside the base pk min/max — true for append-mostly
+    # ingest). Anything else raises _FastPathUnsupported and falls back to
+    # the full Spark merge-on-read plan. The Python predicate evaluator
+    # mirrors _pred_to_column including every quirk;
+    # tests/test_read_fastpath.py pins the two paths to identical answers.
+
+    def _pred_matches(self, state: TableState, pred, row: dict) -> bool:
+        return self._compile_pred(state, pred)(row)
+
+    def _compile_pred(self, state: TableState, pred):
+        """Predicate AST → a Python row matcher, mirroring _pred_to_column
+        including every quirk. Compiled ONCE per query so the per-row cost
+        over a large hot fold is a few closure calls, not tuple dispatch
+        (the fold scans up to DELTA_COMPACT_ROWS mirror rows per read)."""
+        kind = pred[0]
+        if kind == "and":
+            l = self._compile_pred(state, pred[1])
+            r = self._compile_pred(state, pred[2])
+            return lambda row: l(row) and r(row)
+        if kind == "or":
+            l = self._compile_pred(state, pred[1])
+            r = self._compile_pred(state, pred[2])
+            return lambda row: l(row) or r(row)
+        if kind == "unknown_op":
+            if self.quirk_compat:
+                return lambda row: True
+            raise SqlError(f"Unsupported operator: {pred[1]}")
+        _, op, lhs, rhs = pred
+        if self.quirk_compat:
+            if lhs[0] == "lit" and rhs[0] == "col":
+                lhs, rhs = rhs, lhs
+            elif lhs[0] == rhs[0]:
+                return lambda row: False
+        stringly = self.quirk_compat and any(
+            o[0] == "col"
+            and isinstance(state.schema[o[1]].dataType, T.StringType)
+            for o in (lhs, rhs)
+        )
+        cmp = _CMP_PY[op]
+        lcol = lhs[1] if lhs[0] == "col" else None
+        llit = lhs[1] if lhs[0] == "lit" else None
+        rcol = rhs[1] if rhs[0] == "col" else None
+        rlit = rhs[1] if rhs[0] == "lit" else None
+
+        def match(row: dict) -> bool:
+            lv = row.get(lcol) if lcol is not None else llit
+            rv = row.get(rcol) if rcol is not None else rlit
+            if lv is None or rv is None:
+                return False  # SQL three-valued logic: NULL ≠ match
+            if stringly:
+                ln, rn = _try_float(lv), _try_float(rv)
+                if ln is not None and rn is not None:
+                    return bool(cmp(ln, rn))
+                return bool(cmp(str(lv), str(rv)))
+            try:
+                return bool(cmp(lv, rv))
+            except TypeError as exc:  # e.g. timestamp col vs string lit
+                raise _FastPathUnsupported(str(exc)) from exc
+
+        return match
+
+    def _hot_fold_parts(self, state: TableState, pred):
+        """The driver-side piece of a fast read: live rows of BOTH hot
+        layers (memtable over delta mirror, newest wins) that match
+        ``pred``. Raises _FastPathUnsupported when the fold cannot be
+        proven exact (a hot key may shadow an invisible base row, or the
+        delta did not come through the mirror path)."""
+        if state.unrecovered:
+            raise SqlError(
+                f"Table {state.name} cannot be served: its base was "
+                "registered from an in-memory DataFrame (or a vanished "
+                "path) and was not durably flushed before restart. "
+                "Re-register the base or restore the path."
+            )
+        if state.delta is not None and state.delta_mirror is None:
+            raise _FastPathUnsupported("delta mirror unavailable")
+        mirror = state.delta_mirror or {}
+        if not state.memtable and not mirror:
+            return []
+        self._assert_keys_clear_of_base(state, mirror)
+        mem = state.memtable
+        match = None if pred is None else self._compile_pred(state, pred)
+        hot_rows = []
+        for _pk, (_seq, row) in mem.items():
+            if row is not None and (match is None or match(row)):
+                hot_rows.append(row)
+        for pk, row in mirror.items():
+            if pk in mem:
+                continue  # memtable version (or tombstone) wins
+            if row is not None and (match is None or match(row)):
+                hot_rows.append(row)
+        return hot_rows
+
+    def _assert_keys_clear_of_base(self, state: TableState, mirror: dict) -> None:
+        """Every hot key (memtable + delta mirror) must fall outside the
+        base pk [min, max] — then no base row can be shadowed and the
+        Python fold is exact. The mirror verdict is cached per delta
+        epoch (the mirror is immutable within one); the memtable is
+        re-scanned per read but bounded by the auto-flush threshold."""
+        if state.base is None:
+            return
+        lo, hi = self._base_pk_range(state)
+        if lo is None:
+            return  # empty base: nothing to shadow
+        try:
+            mv = state.read_plans.get("__mirror_clear")
+            if mv != state.delta_epoch:
+                for pk in mirror:
+                    if lo <= pk <= hi:
+                        raise _FastPathUnsupported("delta key may shadow base")
+                state.read_plans["__mirror_clear"] = state.delta_epoch
+            for pk in state.memtable:
+                if lo <= pk <= hi:
+                    raise _FastPathUnsupported("key may shadow base")
+        except TypeError as exc:
+            raise _FastPathUnsupported(str(exc)) from exc
+
+    def _base_pk_range(self, state: TableState):
+        """(min, max) of the base pk, one Spark job per base epoch. (None,
+        None) means an empty base (nothing can be shadowed)."""
+        if state.base_pk_range is None:
+            row = state.base.agg(
+                F.min(state.pk).alias("lo"), F.max(state.pk).alias("hi")
+            ).collect()[0]
+            state.base_pk_range = (row["lo"], row["hi"])
+        return state.base_pk_range
+
+    def _parse_agg_specs(self, state: TableState, aggs: list[str]):
+        """Validate the aggregate select list → [(spec, fn, arg)]."""
+        cols = [f.name for f in state.schema.fields]
+        parsed = []
         for spec in aggs:
             fn, arg = spec.split("(", 1)
             arg = arg[:-1]
+            if fn == "COUNT":
+                if not (self.quirk_compat or arg == "*") and arg not in cols:
+                    raise SqlError(f"Unknown column: {arg}")
+            elif arg == "*":
+                raise SqlError(f"{fn}(*) is not supported")
+            elif arg not in cols:
+                raise SqlError(f"Unknown column: {arg}")
+            parsed.append((spec, fn, arg))
+        return parsed
+
+    def _run_aggregates(
+        self, state: TableState, pred, aggs: list[str]
+    ) -> ResultSet:
+        parsed = self._parse_agg_specs(state, aggs)
+        try:
+            return self._fast_aggregates(state, pred, parsed)
+        except _FastPathUnsupported:
+            pass
+        df = self._filtered_view(state, pred)
+        exprs = []
+        for spec, fn, arg in parsed:
             if fn == "COUNT":
                 if self.quirk_compat or arg == "*":
                     # Quirk: COUNT(col) counts all post-WHERE rows, like
                     # COUNT(*) (reference: query_executor.cpp:228)
                     exprs.append(F.count(F.lit(1)).alias(spec))
-                elif arg not in [f.name for f in state.schema.fields]:
-                    raise SqlError(f"Unknown column: {arg}")
                 else:
                     exprs.append(F.count(arg).alias(spec))
-            elif arg == "*":
-                raise SqlError(f"{fn}(*) is not supported")
-            elif arg not in [f.name for f in state.schema.fields]:
-                raise SqlError(f"Unknown column: {arg}")
             elif fn == "SUM":
                 exprs.append(F.sum(arg).alias(spec))
             elif fn == "AVG":
@@ -1623,15 +2019,194 @@ class SamanvayEngine:
                 exprs.append(F.min(arg).alias(spec))
             elif fn == "MAX":
                 exprs.append(F.max(arg).alias(spec))
-        row = df.agg(*exprs).collect()[0]
-        values = []
-        for spec, v in zip(aggs, row):
-            if v is None and self.quirk_compat:
-                # Quirk: MIN/MAX/SUM over empty selection → 0
-                # (reference: query_executor.cpp:260-263)
-                v = 0
-            values.append(v)
-        return ResultSet(headers=list(aggs), rows=[tuple(values)])
+        plan = df.agg(*exprs)
+
+        def run() -> ResultSet:
+            row = plan.collect()[0]
+            values = []
+            for spec, v in zip(aggs, row):
+                if v is None and self.quirk_compat:
+                    # Quirk: MIN/MAX/SUM over empty selection → 0
+                    # (reference: query_executor.cpp:260-263)
+                    v = 0
+                values.append(v)
+            return ResultSet(headers=list(aggs), rows=[tuple(values)])
+
+        return self._defer(run)
+
+    def _fast_aggregates(self, state: TableState, pred, parsed) -> ResultSet:
+        """Base-only cached-plan aggregates + driver-side fold of the hot
+        layers (see the fast-path note above). Raises _FastPathUnsupported
+        → fallback."""
+        hot_rows = self._hot_fold_parts(state, pred)
+        fns = {fn for _spec, fn, _arg in parsed}
+        args = sorted(
+            {arg for _spec, fn, arg in parsed if fn != "COUNT" or arg != "*"}
+        )
+        key = ("agg", repr(pred), tuple(args), tuple(sorted(fns)))
+        plan = state.read_plans.get(key)
+        if plan is None:
+            base = self._base_df(state)
+            if pred is not None:
+                base = base.filter(self._pred_to_column(state, pred))
+            exprs = [F.count(F.lit(1)).alias("__n")]
+            for arg in args:
+                if arg == "*":
+                    continue
+                if "SUM" in fns or "AVG" in fns:
+                    exprs.append(F.sum(arg).alias(f"__sum_{arg}"))
+                if not self.quirk_compat and fns & {"COUNT", "AVG"}:
+                    exprs.append(F.count(arg).alias(f"__cnt_{arg}"))
+                if "MIN" in fns:
+                    exprs.append(F.min(arg).alias(f"__min_{arg}"))
+                if "MAX" in fns:
+                    exprs.append(F.max(arg).alias(f"__max_{arg}"))
+            plan = base.agg(*exprs)
+            if len(state.read_plans) > 64:
+                state.read_plans.clear()
+            state.read_plans[key] = plan
+        quirk = self.quirk_compat
+        specs = list(parsed)
+
+        def run() -> ResultSet:
+            cold_row = plan.collect()[0].asDict()
+            n = cold_row["__n"] + len(hot_rows)
+
+            def fold(arg):
+                csum = cold_row.get(f"__sum_{arg}")
+                s = csum if csum is not None else 0
+                any_val = csum is not None
+                for r in hot_rows:
+                    v = r.get(arg)
+                    if v is not None:
+                        s += v
+                        any_val = True
+                return s if any_val else None
+
+            def nonnull_count(arg):
+                return cold_row.get(f"__cnt_{arg}", 0) + sum(
+                    1 for r in hot_rows if r.get(arg) is not None
+                )
+
+            values = []
+            for spec, fn, arg in specs:
+                if fn == "COUNT":
+                    v = n if (quirk or arg == "*") else nonnull_count(arg)
+                elif fn == "SUM":
+                    v = fold(arg)
+                elif fn == "AVG":
+                    if quirk:
+                        s = fold(arg)
+                        v = None if not n or s is None else s / n
+                    else:
+                        c = nonnull_count(arg)
+                        s = fold(arg)
+                        v = None if not c or s is None else s / c
+                elif fn == "MIN":
+                    cands = [cold_row.get(f"__min_{arg}")] + [
+                        r.get(arg) for r in hot_rows
+                    ]
+                    cands = [v for v in cands if v is not None]
+                    v = min(cands) if cands else None
+                else:  # MAX
+                    cands = [cold_row.get(f"__max_{arg}")] + [
+                        r.get(arg) for r in hot_rows
+                    ]
+                    cands = [v for v in cands if v is not None]
+                    v = max(cands) if cands else None
+                if v is None and quirk:
+                    # Quirk: MIN/MAX/SUM over empty selection → 0
+                    v = 0
+                values.append(v)
+            return ResultSet(
+                headers=[s for s, _f, _a in specs], rows=[tuple(values)]
+            )
+
+        return self._defer(run)
+
+    def _fast_select_rows(self, state: TableState, pred, proj: list[str]):
+        """Row-returning fast path: cached BASE-only plan + driver-side
+        merge of both hot layers. Exact without the base pk-range proof —
+        shadowed base rows are dropped AFTER collect by pk membership,
+        which is a plain dict lookup. Returns None → caller uses the
+        full-plan path."""
+        try:
+            if state.unrecovered:
+                return None  # let the fallback raise the canonical error
+            if state.delta is not None and state.delta_mirror is None:
+                return None
+            mirror = state.delta_mirror or {}
+            mem = state.memtable
+            if not mem and not mirror:
+                return None  # base-only: nothing to merge driver-side
+            pk = state.pk
+            pk_type = state.schema[pk].dataType
+            if not isinstance(
+                pk_type, (T.LongType, T.IntegerType, T.StringType)
+            ):
+                return None  # pk-as-string sort must match Spark's cast
+            match = None if pred is None else self._compile_pred(state, pred)
+            hot_rows = [
+                row
+                for _seq, row in mem.values()
+                if row is not None and (match is None or match(row))
+            ] + [
+                row
+                for k, row in mirror.items()
+                if k not in mem
+                and row is not None
+                and (match is None or match(row))
+            ]
+        except (_FastPathUnsupported, SqlError):
+            return None
+        key = ("rows", repr(pred), tuple(proj))
+        plan = state.read_plans.get(key)
+        if plan is None:
+            base = self._base_df(state)
+            if pred is not None:
+                base = base.filter(self._pred_to_column(state, pred))
+            sel = list(dict.fromkeys([pk] + proj))  # pk first, deduped
+            plan = base.orderBy(F.col(pk).cast("string")).select(*sel)
+            if len(state.read_plans) > 64:
+                state.read_plans.clear()
+            state.read_plans[key] = plan
+        hot_keys = set(mem) | set(mirror)
+
+        def run() -> ResultSet:
+            cold_rows = [
+                r for r in plan.collect() if r[0] not in hot_keys
+            ]
+            merged = [tuple(r[c] for c in proj) for r in cold_rows] + [
+                tuple(r[c] for c in proj) for r in hot_rows
+            ]
+            # proj may omit the pk — sort keys come from a parallel list
+            pk_order = [str(r[0]) for r in cold_rows] + [
+                str(r[pk]) for r in hot_rows
+            ]
+            merged = [
+                row
+                for _k, row in sorted(
+                    zip(pk_order, merged), key=lambda t: t[0]
+                )
+            ]
+            return ResultSet(headers=list(proj), rows=merged)
+
+        return self._defer(run)
+
+    def _base_df(self, state: TableState) -> DataFrame:
+        """The base layer alone (empty frame if none) — the ONLY Spark-side
+        input of the read fast path, stable between compactions."""
+        if state.base is None:
+            return self.spark.createDataFrame([], state.schema)
+        return state.base
+
+    def _defer(self, run):
+        """Return a read action to execute() for unlocked execution — but
+        only in in-memory mode, where the frozen plan references
+        localCheckpoints no concurrent install can delete. In durable mode
+        a racing flush commit may garbage-collect the parquet generation
+        the plan reads mid-job, so reads stay under the statement lock."""
+        return run if self.data_dir is None else run()
 
     # -- metadata -----------------------------------------------------------
 

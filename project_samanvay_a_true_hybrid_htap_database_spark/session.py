@@ -71,6 +71,13 @@ def get_spark(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.sql.session.timeZone", "UTC")
+        # FAIR across scheduler pools: HTAP maintenance work (flush folds,
+        # compactions) runs in its own pool (engine.py sets
+        # spark.scheduler.pool on the flushing thread), so an O(base)
+        # fold no longer holds every task slot while analytical reads
+        # queue behind it in FIFO order — measured: a 3 s compacting fold
+        # blocked ALL reads for its full duration under FIFO.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():
