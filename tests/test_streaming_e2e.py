@@ -94,7 +94,14 @@ def chunked_events(spark, tmp_path_factory):
 
 
 def _drain(df, sink: str, ckpt: str) -> None:
-    """Run the stream over everything currently in the source, then stop."""
+    """Run the stream over everything currently in the source, then stop.
+
+    processAllAvailable + stop instead of awaitTermination: a stateful
+    query with processing-time timeouts (sessionize) never self-terminates
+    under availableNow — it keeps firing empty micro-batches to evaluate
+    timeouts — so waiting for termination hangs forever. processAllAvailable
+    returns once every posted input is committed, which is the property the
+    tests need; for self-terminating queries the two are equivalent."""
     q = (
         df.writeStream.format("parquet")
         .option("path", sink)
@@ -103,7 +110,11 @@ def _drain(df, sink: str, ckpt: str) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(60)
 
 
 def test_rollup_checkpoint_kill_restart_exactly_once(spark, chunked_events, tmp_path):
@@ -202,3 +213,178 @@ def test_dedup_stream_checkpoint_restart_exactly_once(spark, chunked_events, tmp
     assert got_fps == want_fps
     # and the restart actually added rows (phase A was a strict prefix)
     assert n_phase_a < len(got_fps)
+
+
+def _few_state_partitions(spark, n: int = 8):
+    """Scope: fewer shuffle (= state store) partitions for a stateful
+    stream. The FIRST run against a checkpoint pins the state partition
+    count, so the whole kill/restart cycle inherits it; 32 partitions ×
+    per-batch Python workers on kilobyte batches is pure overhead."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def scope():
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return scope()
+
+
+def _kill_restart_cycle(spark, df_factory, src, sink, ckpt, chunked, extra=None):
+    """Shared 3-phase harness: clean stop at a batch boundary → restart +
+    mid-stream kill → final drain. df_factory rebuilds the streaming plan
+    from a fresh source reader each phase (exactly how a restarted job
+    re-creates its plan from code + checkpoint)."""
+    # Phase A: first half, clean drain
+    for c in chunked["chunks"][: N_CHUNKS // 2]:
+        shutil.copy2(c, src)
+    _drain(df_factory(), sink, ckpt)
+    # Phase B: rest (+ any extra sentinel files), kill after first progress
+    for c in chunked["chunks"][N_CHUNKS // 2 :]:
+        shutil.copy2(c, src)
+    for e in extra or []:
+        shutil.copy2(e, src)
+    q = (
+        df_factory()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.5)
+    q.stop()  # kill mid-stream: committed batches are nondeterministic
+    q.awaitTermination(60)
+    # Phase C: restart once more and drain to the end
+    _drain(df_factory(), sink, ckpt)
+
+
+def test_sessionize_checkpoint_kill_restart_exactly_once(
+    spark, chunked_events, tmp_path
+):
+    """applyInPandasWithState across a kill/restart (VERDICT r6 #4): the
+    per-user session accumulators live in the state store, so an open
+    session split across the kill must come back as ONE session, and
+    already-emitted sessions must not re-emit. A per-user far-future
+    sentinel closes every real session via an observed gap (the processing
+    -time timeout never fires inside the test), so the sink must equal the
+    batch twin exactly."""
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators.analytics import (
+        sessionize,
+    )
+    from project_samanvay_a_true_hybrid_htap_database_spark.streaming.events import (
+        sessionize_stream,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    # per-user sentinel chunk: one event per user, 1 year past the data —
+    # closes every user's final session through the normal gap path
+    ev = load_table(spark, SF_DIR, "events")
+    last_ts = ev.agg(F.max("ts_nanos")).collect()[0][0]
+    year_ns = 365 * 24 * 3600 * 1_000_000_000
+    users = [r[0] for r in ev.select("user_id").distinct().collect()]
+    sentinel_rows = [
+        (2_000_000_000 + i, last_ts + year_ns, u, "sentinel", 0.0, "{}")
+        for i, u in enumerate(users)
+    ]
+    sent = str(chunked_events["root"] / "chunk_user_sentinels.parquet")
+    _write_chunk(
+        spark, sentinel_rows, sent,
+        str(chunked_events["root"] / "scratch2"), time.time(),
+    )
+
+    from project_samanvay_a_true_hybrid_htap_database_spark.streaming.events import (
+        stream_events,
+    )
+
+    with _few_state_partitions(spark):
+        _kill_restart_cycle(
+            spark,
+            lambda: sessionize_stream(stream_events(spark, src)),
+            src, sink, ckpt, chunked_events, extra=[sent],
+        )
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["n_events"], round(r["total_value"], 2))
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"],
+         r["n_events"], round(r["total_value"], 2))
+        for r in sessionize(spark, SF_DIR).collect()
+    }
+    assert len(want) > 0
+    assert got == want, (
+        f"sessionize kill/restart diverged from batch twin: "
+        f"{len(got)} stream vs {len(want)} batch sessions "
+        f"(missing {len(want - got)}, extra {len(got - want)})"
+    )
+
+
+def test_stream_stream_join_checkpoint_kill_restart_exactly_once(
+    spark, chunked_events, tmp_path
+):
+    """Watermarked stream-stream join across a kill/restart (VERDICT r6
+    #4): both sides buffer rows in the state store awaiting matches — a
+    view committed before the kill must still join a purchase arriving
+    after the restart, and pairs emitted pre-kill must not re-emit. Sink
+    pair set must equal the batch join exactly."""
+    from project_samanvay_a_true_hybrid_htap_database_spark.streaming.events import (
+        stream_events,
+        view_purchase_join_stream,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def factory():
+        s = stream_events(spark, src)
+        return view_purchase_join_stream(s, s)
+
+    with _few_state_partitions(spark):
+        _kill_restart_cycle(
+            spark, factory, src, sink, ckpt, chunked_events,
+            extra=[chunked_events["sentinel"]],
+        )
+
+    got_rows = spark.read.parquet(sink).collect()
+    got = {(r["view_id"], r["purchase_id"]) for r in got_rows}
+    assert len(got_rows) == len(got), "kill/restart re-emitted a join pair"
+
+    ev = load_table(spark, SF_DIR, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = {
+        (r["view_id"], r["purchase_id"])
+        for r in v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert len(want) > 0
+    assert got == want, (
+        f"join kill/restart diverged: {len(got)} stream pairs vs "
+        f"{len(want)} batch pairs"
+    )
