@@ -598,9 +598,15 @@ def dedup_groups_lsh(
     return connected_components(pairs, max_iters)
 
 
-def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20, stats: dict | None = None
+) -> DataFrame:
     """Min-label-propagation connected components over an undirected edge
-    list (columns d1, d2). See dedup_groups for the scale discussion."""
+    list (columns d1, d2). See dedup_groups for the scale discussion.
+    Pass ``stats`` to receive {"iters": n} — rounds-to-convergence is the
+    quantity the scaling probe tracks (it grows with component DIAMETER,
+    not corpus size; a 10× denser near-dup graph should converge in the
+    same few rounds)."""
     # Both edge directions from ONE execution of the pair generator: a
     # union of (d1,d2) with (d2,d1) runs the upstream join twice during
     # materialization (the expensive cosine/Jaccard pass, not the tiny
@@ -623,7 +629,9 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("lbl", F.col("n"))
         .localCheckpoint(eager=True)
     )
+    iters = 0
     for _ in range(max_iters):
+        iters += 1
         nbr_min = (
             edges.join(labels, edges.dst == labels.n)
             .groupBy("src")
@@ -647,6 +655,8 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if stats is not None:
+        stats["iters"] = iters
     edges.unpersist()
     # No trailing orderBy: the label table is corpus-sized (every node in a
     # near-dup pair), consumers either aggregate it (semdedup_stats,
@@ -729,7 +739,6 @@ def containment_pairs(
             "container",
             F.round("containment", 4).alias("containment"),
         )
-        .orderBy("contained", "container")
     )
 
 

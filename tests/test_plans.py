@@ -186,6 +186,10 @@ class TestNoPresentationalSort:
             "hash_sample",
             "decontaminate_ngram_overlap",
             "pack_sequences",
+            # pair-sized output (quadratic in dup-cluster width — the 10×
+            # probe measured ~100× pair growth); a trailing sort here is a
+            # range-shuffle of the whole pair table
+            "containment_pairs",
         ],
     )
     def test_unbounded_output_has_no_global_sort(self, spark, name):

@@ -74,6 +74,13 @@ def _warm_time(fn, spark, sf_dir):
         # the HOF pair generator measured 51x here; the BLAS twin that
         # semdedup now uses holds ~1.4x
         ("semdedup_stats", dedup.semdedup_stats),
+        # r7 probe additions (VERDICT r6 #5): the distinct-(source,shingle)
+        # inverted self-join held 1.7x at 10x; LSH-pairs -> CC held 3.2x.
+        # (containment_pairs and exact-graph dedup_groups live in the tool
+        # only: containment's OUTPUT is Θ(Σ cluster²) — 512 -> 501k pairs
+        # at 10x — so its wall ratio measures result size, not plan shape.)
+        ("cross_source_overlap", dedup.cross_source_overlap),
+        ("dedup_groups_lsh", dedup.dedup_groups_lsh),
     ],
 )
 def test_corpus_operator_scales_subquadratically(spark, scaled_dirs, name, fn):
@@ -90,3 +97,21 @@ def test_corpus_operator_scales_subquadratically(spark, scaled_dirs, name, fn):
         f"{name}: 10x corpus cost {ratio:.1f}x the 1x run "
         f"({t1:.2f}s -> {t10:.2f}s) — growth order regressed"
     )
+
+
+def test_cc_convergence_depth_stays_bounded(spark, scaled_dirs):
+    """Connected-components rounds grow with component DIAMETER, not
+    corpus size: the 10× corpus's near-dup clusters are 10-wide
+    near-cliques, so min-label propagation must converge in a handful of
+    rounds either way (measured 2 rounds at 1×, 4 at 10×). A regression
+    to O(component size) rounds — e.g. chain-shaped propagation — would
+    blow past this immediately at web scale, where max_iters truncation
+    silently mislabels components."""
+    one_dir, ten_dir = scaled_dirs
+    for d, bound in ((one_dir, 6), (ten_dir, 8)):
+        stats: dict = {}
+        pairs = dedup.minhash_lsh_pairs(spark, d).select("d1", "d2")
+        dedup.connected_components(pairs, stats=stats).count()
+        assert 1 <= stats["iters"] <= bound, (
+            f"CC took {stats['iters']} rounds on {d} (bound {bound})"
+        )

@@ -139,7 +139,7 @@ def main() -> None:
         text,
     )
 
-    valid = {"text", "embeddings", "tpch", "events"}
+    valid = {"text", "embeddings", "tpch", "events", "graph"}
     families = set(sys.argv[1:]) or valid
     unknown = families - valid
     if unknown:
@@ -176,13 +176,32 @@ def main() -> None:
             ("retention_cohorts", analytics.retention_cohorts),
             ("attribution_window_join", analytics.attribution_window_join),
         ],
+        # VERDICT r6 #5: the previously unprobed pair-graph family — the
+        # CC fixpoint over a 10× DENSER near-dup graph (copy-token copies
+        # of every doc form 10-wide clusters), the cross-source inverted-
+        # index self-join, and the df-capped containment index.
+        "graph": [
+            ("cross_source_overlap", dedup.cross_source_overlap),
+            ("containment_pairs", dedup.containment_pairs),
+            ("dedup_groups_lsh", dedup.dedup_groups_lsh),
+            ("dedup_groups", dedup.dedup_groups),
+        ],
     }
-    for fam in ("text", "embeddings", "tpch", "events"):
+    for fam in ("text", "embeddings", "tpch", "events", "graph"):
         if fam not in families:
             continue
         print(f"-- {fam} --")
         for name, fn in probes[fam]:
             _probe(spark, name, fn, one, ten)
+    if "graph" in families:
+        # CC convergence depth: rounds grow with component DIAMETER, not
+        # corpus size — near-dup clusters are cliques-ish, so a 10× denser
+        # graph should converge in the same few rounds.
+        for d, label in ((one, "1x"), (ten, "10x")):
+            stats: dict = {}
+            pairs = dedup.minhash_lsh_pairs(spark, d).select("d1", "d2")
+            dedup.connected_components(pairs, stats=stats).count()
+            print(f"cc_iterations({label}) = {stats['iters']}")
 
 
 if __name__ == "__main__":
