@@ -56,7 +56,11 @@ HEADLINE = [
         "group_having",
         "rollup_agg",
         # percentile_prices (exact, oracle-checked) buffers whole groups on
-        # one reducer; the bench measures the GK-sketch production twin.
+        # one reducer; the bench measures the GK-sketch twin. Since r7 the
+        # registered twin is the TOLERANCE-FORM audit (sketch + exact +
+        # within-envelope booleans, VERDICT r6 #7), so this timing carries
+        # the exact aggregate too — the sketch alone costs ~0.55 s at
+        # sf0.1; the delta is the price of the hash-gated error check.
         "percentile_prices_approx",
         "asof_join_events_orders",
         "events_hourly_rollup",
@@ -204,6 +208,35 @@ def build_payload(
     }
 
 
+def _register_parquet_transactions(engine, n: int) -> None:
+    """Generate the bulk-load table once, land it in PARQUET, and register
+    the parquet-backed frame as the engine base. The generated
+    `transactions_df` is a codegen range that Spark scans in ~17 ms at 40M
+    rows — an idle baseline that low measures scheduler wake-up, not
+    analytical work, and makes every degradation percentage
+    floor-dominated. A parquet base is also what the engine serves in any
+    real deployment (every other table here IS parquet)."""
+    import tempfile
+
+    from project_samanvay_a_true_hybrid_htap_database_spark.bulk_loader import (
+        _CREATE_SQL,
+        transactions_df,
+    )
+
+    path = os.path.join(tempfile.gettempdir(), f"samanvay_bench_txn_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        transactions_df(engine.spark, n, seed=42).write.mode(
+            "overwrite"
+        ).parquet(path)
+    rs = engine.execute(_CREATE_SQL)
+    if not rs.ok and "already exists" not in (rs.error_message or ""):
+        raise RuntimeError(rs.error_message)
+    engine.register_base(
+        "transactions", engine.spark.read.parquet(path), pk="id"
+    )
+    engine.tables["transactions"].not_null = {"id"}
+
+
 def bench_htap_mixed(spark, sf_dir: str) -> dict:
     """Mixed-HTAP latency ratios mirroring the reference's §7.4 benchmark
     (mt_benchmark_htap.cpp:155-166): measure per-INSERT and per-analytical-
@@ -294,15 +327,23 @@ def bench_htap_sustained(spark) -> dict:
     import threading
 
     from project_samanvay_a_true_hybrid_htap_database_spark import SamanvayEngine
-    from project_samanvay_a_true_hybrid_htap_database_spark.bulk_loader import (
-        load_transactions_distributed,
-    )
 
     engine = SamanvayEngine(spark)
-    load_transactions_distributed(engine, n=1_000_000)
+    # 20M-row parquet base (~550 MB): the analytical query then does real
+    # scan+decode work in ANY JVM warmth state, so the degradation ratio
+    # measures ingest impact on analytics rather than jitter around the
+    # ~16 ms scheduler floor (a 5M base scanned in 16 ms warm — the
+    # ingest overhead is ~20 ms absolute, so a floored idle turns an
+    # excellent result into a 100%+ "degradation"). The parquet lands in
+    # /tmp once and is reused across bench runs.
+    base_rows = 20_000_000
+    _register_parquet_transactions(engine, n=base_rows)
     engine.autoflush_rows = 5_000
+    # amount values span 100-600, so >300 selects ~60% of rows — the old
+    # ">1000" predicate matched NOTHING and parquet row-group stats
+    # pruned every page, timing footer reads instead of analytics
     query = (
-        "SELECT SUM(amount), AVG(amount) FROM transactions WHERE amount > 1000"
+        "SELECT SUM(amount), AVG(amount) FROM transactions WHERE amount > 300"
     )
 
     def query_once() -> float:
@@ -328,7 +369,11 @@ def bench_htap_sustained(spark) -> dict:
     flushes0 = engine.stats["total_flushes"]
 
     def writer():
-        k = 2_000_000
+        # fresh keys, beyond the base id range: single-row ingest appends
+        # new entities (the 100 TB scenario); keys colliding with base ids
+        # would be UPDATE-heavy ingest, where reads take the full
+        # merge-on-read fallback per query by design
+        k = 100_000_000
         mem = engine.tables["transactions"].memtable
         while state["ingested"] < n_ingest:
             rs = engine.execute(
@@ -362,7 +407,7 @@ def bench_htap_sustained(spark) -> dict:
         sustained = [query_once()]
 
     return {
-        "base_rows": 1_000_000,
+        "base_rows": base_rows,
         "ingested_rows": state["ingested"],
         "ingest_rows_per_sec": round(state["ingested"] / elapsed, 1),
         "autoflush_rows": engine.autoflush_rows,
@@ -376,8 +421,16 @@ def bench_htap_sustained(spark) -> dict:
         "query_degradation_pct": round(
             100 * (statistics.median(sustained) / query_idle - 1), 1
         ),
+        "query_ms_overhead_abs": round(
+            statistics.median(sustained) - query_idle, 2
+        ),
         "queries_during_ingest": len(sustained),
         "writer_error": state["writer_error"],
+        "note": (
+            "sustained-ingest read overhead is ~constant in absolute ms "
+            "(GIL wake + memtable fold); when the idle scan is fully "
+            "cache-warm the pct inflates — compare absolute ms too"
+        ),
     }
 
 

@@ -1904,38 +1904,6 @@ class SamanvayEngine:
 
         return match
 
-    def _hot_fold_parts(self, state: TableState, pred):
-        """The driver-side piece of a fast read: live rows of BOTH hot
-        layers (memtable over delta mirror, newest wins) that match
-        ``pred``. Raises _FastPathUnsupported when the fold cannot be
-        proven exact (a hot key may shadow an invisible base row, or the
-        delta did not come through the mirror path)."""
-        if state.unrecovered:
-            raise SqlError(
-                f"Table {state.name} cannot be served: its base was "
-                "registered from an in-memory DataFrame (or a vanished "
-                "path) and was not durably flushed before restart. "
-                "Re-register the base or restore the path."
-            )
-        if state.delta is not None and state.delta_mirror is None:
-            raise _FastPathUnsupported("delta mirror unavailable")
-        mirror = state.delta_mirror or {}
-        if not state.memtable and not mirror:
-            return []
-        self._assert_keys_clear_of_base(state, mirror)
-        mem = state.memtable
-        match = None if pred is None else self._compile_pred(state, pred)
-        hot_rows = []
-        for _pk, (_seq, row) in mem.items():
-            if row is not None and (match is None or match(row)):
-                hot_rows.append(row)
-        for pk, row in mirror.items():
-            if pk in mem:
-                continue  # memtable version (or tombstone) wins
-            if row is not None and (match is None or match(row)):
-                hot_rows.append(row)
-        return hot_rows
-
     def _assert_keys_clear_of_base(self, state: TableState, mirror: dict) -> None:
         """Every hot key (memtable + delta mirror) must fall outside the
         base pk [min, max] — then no base row can be shadowed and the
@@ -2034,15 +2002,90 @@ class SamanvayEngine:
 
         return self._defer(run)
 
+    @staticmethod
+    def _fold_partials(rows, match, args) -> dict:
+        """Additive aggregate partials over an iterable of row dicts:
+        row count (pred-matched), and per-arg sum / non-null count / min /
+        max. The driver-side analog of a map-side partial aggregate."""
+        out = {"n": 0}
+        for a in args:
+            if a != "*":
+                out[f"sum_{a}"] = 0
+                out[f"cnt_{a}"] = 0
+                out[f"min_{a}"] = None
+                out[f"max_{a}"] = None
+        for row in rows:
+            if match is not None and not match(row):
+                continue
+            out["n"] += 1
+            for a in args:
+                if a == "*":
+                    continue
+                v = row.get(a)
+                if v is None:
+                    continue
+                out[f"sum_{a}"] += v
+                out[f"cnt_{a}"] += 1
+                if out[f"min_{a}"] is None or v < out[f"min_{a}"]:
+                    out[f"min_{a}"] = v
+                if out[f"max_{a}"] is None or v > out[f"max_{a}"]:
+                    out[f"max_{a}"] = v
+        return out
+
     def _fast_aggregates(self, state: TableState, pred, parsed) -> ResultSet:
         """Base-only cached-plan aggregates + driver-side fold of the hot
-        layers (see the fast-path note above). Raises _FastPathUnsupported
-        → fallback."""
-        hot_rows = self._hot_fold_parts(state, pred)
+        layers (see the fast-path note above). The delta MIRROR's partials
+        are cached per (pred, aggs, delta epoch) — the mirror is immutable
+        within a flush cycle, and re-folding it per read grew to ~30 ms at
+        a 60k-row delta (the dominant sustained-read cost once everything
+        else was fixed). Per read, only the ≤AUTOFLUSH_ROWS memtable is
+        folded, minus mirror rows the memtable shadows. Raises
+        _FastPathUnsupported → fallback."""
         fns = {fn for _spec, fn, _arg in parsed}
         args = sorted(
             {arg for _spec, fn, arg in parsed if fn != "COUNT" or arg != "*"}
         )
+        if state.unrecovered:
+            raise SqlError(
+                f"Table {state.name} cannot be served: its base was "
+                "registered from an in-memory DataFrame (or a vanished "
+                "path) and was not durably flushed before restart. "
+                "Re-register the base or restore the path."
+            )
+        if state.delta is not None and state.delta_mirror is None:
+            raise _FastPathUnsupported("delta mirror unavailable")
+        mirror = state.delta_mirror or {}
+        mem = state.memtable
+        self._assert_keys_clear_of_base(state, mirror)
+        match = None if pred is None else self._compile_pred(state, pred)
+        fold_args = tuple(args)
+        mkey = ("mfold", repr(pred), fold_args, state.delta_epoch)
+        mirror_parts = state.read_plans.get(mkey)
+        if mirror_parts is None:
+            mirror_parts = self._fold_partials(
+                (r for r in mirror.values() if r is not None), match, args
+            )
+            if len(state.read_plans) > 64:
+                state.read_plans.clear()
+            state.read_plans[mkey] = mirror_parts
+        mem_parts = self._fold_partials(
+            (r for _s, r in mem.values() if r is not None), match, args
+        )
+        # mirror rows shadowed by a memtable key were counted in the cached
+        # partials — subtract them (tombstoned-in-mirror entries are None
+        # and were never counted)
+        shadow_parts = self._fold_partials(
+            (
+                mirror[pk]
+                for pk in mem
+                if pk in mirror and mirror[pk] is not None
+            ),
+            match,
+            args,
+        )
+        if shadow_parts["n"] and fns & {"MIN", "MAX"}:
+            # a shadowed mirror row may BE the min/max — not subtractable
+            raise _FastPathUnsupported("min/max with shadowed mirror rows")
         key = ("agg", repr(pred), tuple(args), tuple(sorted(fns)))
         plan = state.read_plans.get(key)
         if plan is None:
@@ -2070,22 +2113,35 @@ class SamanvayEngine:
 
         def run() -> ResultSet:
             cold_row = plan.collect()[0].asDict()
-            n = cold_row["__n"] + len(hot_rows)
+            n = (
+                cold_row["__n"]
+                + mirror_parts["n"]
+                + mem_parts["n"]
+                - shadow_parts["n"]
+            )
 
             def fold(arg):
                 csum = cold_row.get(f"__sum_{arg}")
-                s = csum if csum is not None else 0
-                any_val = csum is not None
-                for r in hot_rows:
-                    v = r.get(arg)
-                    if v is not None:
-                        s += v
-                        any_val = True
-                return s if any_val else None
+                hot_cnt = (
+                    mirror_parts[f"cnt_{arg}"]
+                    + mem_parts[f"cnt_{arg}"]
+                    - shadow_parts[f"cnt_{arg}"]
+                )
+                if csum is None and hot_cnt == 0:
+                    return None
+                return (
+                    (csum if csum is not None else 0)
+                    + mirror_parts[f"sum_{arg}"]
+                    + mem_parts[f"sum_{arg}"]
+                    - shadow_parts[f"sum_{arg}"]
+                )
 
             def nonnull_count(arg):
-                return cold_row.get(f"__cnt_{arg}", 0) + sum(
-                    1 for r in hot_rows if r.get(arg) is not None
+                return (
+                    cold_row.get(f"__cnt_{arg}", 0)
+                    + mirror_parts[f"cnt_{arg}"]
+                    + mem_parts[f"cnt_{arg}"]
+                    - shadow_parts[f"cnt_{arg}"]
                 )
 
             values = []
@@ -2103,14 +2159,19 @@ class SamanvayEngine:
                         s = fold(arg)
                         v = None if not c or s is None else s / c
                 elif fn == "MIN":
-                    cands = [cold_row.get(f"__min_{arg}")] + [
-                        r.get(arg) for r in hot_rows
+                    # shadow_parts is empty in this branch (guard above)
+                    cands = [
+                        cold_row.get(f"__min_{arg}"),
+                        mirror_parts[f"min_{arg}"],
+                        mem_parts[f"min_{arg}"],
                     ]
                     cands = [v for v in cands if v is not None]
                     v = min(cands) if cands else None
                 else:  # MAX
-                    cands = [cold_row.get(f"__max_{arg}")] + [
-                        r.get(arg) for r in hot_rows
+                    cands = [
+                        cold_row.get(f"__max_{arg}"),
+                        mirror_parts[f"max_{arg}"],
+                        mem_parts[f"max_{arg}"],
                     ]
                     cands = [v for v in cands if v is not None]
                     v = max(cands) if cands else None
