@@ -21,7 +21,7 @@ hash-verified end-to-end, not just row-counted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MERSENNE31, md5_long32, permutation_params
@@ -350,22 +350,19 @@ def simhash_neardup_pairs(
         "doc_id", "simhash", F.posexplode(chunk_keys).alias("chunk", "ckey")
     )
     # Occupancy cap (see docstring): one map-side-combinable count per
-    # bucket; the per-chunk total (= N docs) comes from a window over the
-    # bucket-count table, which is bounded at chunks × 2^chunk_bits rows
-    # regardless of corpus size, so the window partition never exceeds
-    # 2^chunk_bits rows. The join back onto entries uses the same
-    # (chunk, ckey) keys the self-join shuffles on.
-    cap = F.greatest(
-        F.lit(float(max_bucket)),
-        F.lit(float(SIMHASH_CAP_K))
-        * F.sum("bn").over(Window.partitionBy("chunk"))
-        / F.lit(float(1 << chunk_bits)),
-    )
+    # bucket, filtered against the occupancy-relative cap. The per-chunk
+    # entry total is exactly N (every fingerprint lands once in every
+    # chunk), so the cap is a SCALAR — computed from the persisted
+    # fingerprint table's count (one cheap job over data the self-join
+    # materializes anyway) instead of a window exchange over the
+    # bucket-count table. The oracle computes the identical number via
+    # sum-over-chunk, so the gate cannot desynchronize.
+    n_docs = fp.count()
+    cap = max(float(max_bucket), SIMHASH_CAP_K * n_docs / float(1 << chunk_bits))
     bucket_ok = (
         entries.groupBy("chunk", "ckey")
         .agg(F.count("*").alias("bn"))
-        .withColumn("cap", cap)
-        .filter(F.col("bn") <= F.col("cap"))
+        .filter(F.col("bn") <= F.lit(cap))
         .select("chunk", "ckey")
     )
     entries = entries.join(bucket_ok, on=["chunk", "ckey"])
@@ -417,7 +414,7 @@ def simhash_bucket_audit(
     silent. Cost is one fingerprint pass plus a bucket-count aggregate
     bounded at chunks × 2^chunk_bits rows; at test SFs every chunk reports
     zero drops (occupancy is far below the floor)."""
-    fp = simhash_fingerprints_vectorized(spark, sf_dir, bits)
+    fp = simhash_fingerprints_vectorized(spark, sf_dir, bits).persist()
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
     chunk_keys = F.array(
@@ -433,14 +430,12 @@ def simhash_bucket_audit(
         .groupBy("chunk", "ckey")
         .agg(F.count("*").alias("bn"))
     )
-    cap = F.greatest(
-        F.lit(float(max_bucket)),
-        F.lit(float(SIMHASH_CAP_K))
-        * F.sum("bn").over(Window.partitionBy("chunk"))
-        / F.lit(float(1 << chunk_bits)),
-    )
+    # scalar cap — per-chunk entry total is exactly N (see
+    # simhash_neardup_pairs); the oracle's window form computes the same
+    n_docs = fp.count()
+    cap = max(float(max_bucket), SIMHASH_CAP_K * n_docs / float(1 << chunk_bits))
     audited = bc.withColumn(
-        "dropped", (F.col("bn") > cap).cast("long")
+        "dropped", (F.col("bn") > F.lit(cap)).cast("long")
     )
     return (
         audited.groupBy("chunk")
