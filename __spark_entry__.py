@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": analytics.tpch_q3_shipping_priority,
         # --- round-7 additions (parked at the tail per VERDICT r6 #1) ---
         "simhash_bucket_audit": dedup.simhash_bucket_audit,
+        "lsh_recall_audit": dedup.lsh_recall_audit,
     }
 
 
@@ -1498,6 +1499,22 @@ FROM documents GROUP BY 1
         "simhash_neardup_pairs": simhash_pairs,
         "simhash_neardup_pairs_scale": simhash_pairs_scale,
         "simhash_bucket_audit": simhash_audit,
+        # recall/precision of the LSH pipeline vs the exact pair set —
+        # both pair queries reused verbatim as derived tables
+        "lsh_recall_audit": f"""
+WITH e AS (SELECT d1, d2 FROM ({jac_pairs}) je),
+l AS (SELECT d1, d2 FROM ({lsh_pairs}) jl),
+j AS (SELECT e.d1 IS NOT NULL AS in_e, l.d1 IS NOT NULL AS in_l
+      FROM e FULL JOIN l ON e.d1 = l.d1 AND e.d2 = l.d2)
+SELECT count(*) FILTER (in_e) AS n_exact_pairs,
+       count(*) FILTER (in_l) AS n_lsh_pairs,
+       count(*) FILTER (in_e AND in_l) AS n_common,
+       round((count(*) FILTER (in_e AND in_l))::DOUBLE
+             / (count(*) FILTER (in_e)), 4) AS recall,
+       round((count(*) FILTER (in_e AND in_l))::DOUBLE
+             / (count(*) FILTER (in_l)), 4) AS precision
+FROM j
+""",
         "embedding_neardup_pairs": emb_pairs,
         # BLAS twin — same oracle (row-identical; gates compare after round(4))
         "embedding_neardup_pairs_vectorized": emb_pairs,

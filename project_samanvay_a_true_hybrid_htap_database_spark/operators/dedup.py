@@ -529,6 +529,52 @@ def simhash_fingerprints_vectorized(
     return docs.mapInPandas(per_batch, schema="doc_id long, simhash long")
 
 
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the MinHash-LSH pipeline against exact n-gram
+    Jaccard ground truth, as a first-class query: of the pairs the exact
+    inverted index finds at the production threshold, what fraction did
+    LSH banding surface? The production tuning workflow at 100 TB runs
+    exactly this on a held-out sample to pick (bands, rows) before
+    committing a full-corpus dedup pass — the exact side is affordable on
+    the sample, never on the corpus. Precision is an INVARIANT here, not a
+    measurement: LSH candidates are verified with the same exact-Jaccard
+    predicate, so every emitted pair is a true pair (the audit proving
+    n_lsh == n_common is the regression alarm for that verify step).
+
+    One full-outer join of the two pair sets → one global aggregate row.
+    """
+    exact = ngram_jaccard_pairs(spark, sf_dir).select(
+        "d1", "d2", F.lit(1).alias("in_exact")
+    )
+    lsh = minhash_lsh_pairs(spark, sf_dir).select(
+        "d1", "d2", F.lit(1).alias("in_lsh")
+    )
+    return (
+        exact.join(lsh, ["d1", "d2"], "full_outer")
+        .agg(
+            F.count("in_exact").alias("n_exact_pairs"),
+            F.count("in_lsh").alias("n_lsh_pairs"),
+            F.count(
+                F.when(
+                    F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull(),
+                    1,
+                )
+            ).alias("n_common"),
+        )
+        .select(
+            "n_exact_pairs",
+            "n_lsh_pairs",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_exact_pairs"), 4).alias(
+                "recall"
+            ),
+            F.round(F.col("n_common") / F.col("n_lsh_pairs"), 4).alias(
+                "precision"
+            ),
+        )
+    )
+
+
 def decontaminate_ngram_overlap(
     spark: SparkSession, sf_dir: str, bench_max_id: int = 50
 ) -> DataFrame:
