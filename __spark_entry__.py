@@ -268,6 +268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-7 additions (parked at the tail per VERDICT r6 #1) ---
         "simhash_bucket_audit": dedup.simhash_bucket_audit,
         "lsh_recall_audit": dedup.lsh_recall_audit,
+        "source_mixture_weights": sampling.source_mixture_weights,
+        "packing_efficiency": sampling.packing_efficiency,
     }
 
 
@@ -1862,6 +1864,44 @@ c AS (
 SELECT shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
        count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
 FROM c GROUP BY shard, bin ORDER BY shard, bin
+""",
+        # temperature-based source re-weighting; pow-derived shares are
+        # floor-truncated at 1e-6 (libm ulp guard) in BOTH engines
+        "source_mixture_weights": f"""
+WITH per AS (SELECT source, count(*) AS n_docs,
+                    CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+             FROM documents GROUP BY source),
+t AS (SELECT *, n_tokens::DOUBLE / sum(n_tokens) OVER () AS nat,
+             pow(n_tokens::DOUBLE / sum(n_tokens) OVER (), 0.7) AS aw
+      FROM per),
+z AS (SELECT *, aw / sum(aw) OVER () AS ash FROM t)
+SELECT source, n_docs, n_tokens,
+       floor(nat * 1e6) / 1e6 AS nat_share,
+       floor(ash * 1e6) / 1e6 AS alpha_share,
+       floor(ash / nat * 1e6) / 1e6 AS boost
+FROM z
+""",
+        "packing_efficiency": f"""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard, len({_TOKS}) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t),
+b AS (
+  SELECT shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
+         count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+  FROM c GROUP BY shard, bin)
+SELECT count(*) AS n_bins,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+       CAST(floor(sum(bin_tokens)::DOUBLE / (count(*) * 512) * 1e6)
+            AS BIGINT) AS fill_ppm,
+       CAST(sum(CASE WHEN bin_tokens < 512 THEN 1 ELSE 0 END) AS BIGINT)
+            AS underfull_bins
+FROM b
 """,
         "embedding_quantize": """
 WITH s AS (

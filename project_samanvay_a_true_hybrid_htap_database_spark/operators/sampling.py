@@ -216,3 +216,66 @@ def pack_sequences(
             F.sum("n_tokens").cast("long").alias("bin_tokens"),
         )
     )
+
+
+def source_mixture_weights(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.7
+) -> DataFrame:
+    """Temperature-based source re-weighting (the multilingual-training
+    mixing knob): each source's sampling weight is its natural token share
+    raised to ``alpha`` and renormalized — alpha < 1 up-weights small
+    feeds, alpha = 1 is natural sampling. Output is the per-source mixing
+    table a data loader consumes: natural share, alpha share, and the
+    boost factor (alpha share / natural share ≈ virtual epochs over that
+    feed).
+
+    One corpus scan (token counts fold map-side into the per-source
+    aggregate); both normalizations are windows over the per-SOURCE table,
+    which is bounded by the feed count, not the corpus. The pow-derived
+    shares are floor-truncated at 1e-6 like every transcendental output
+    (libm ulp differences must not flip a rounded digit cross-engine)."""
+    from ..functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    nat = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    aw = F.pow(nat, F.lit(alpha))
+    ash = aw / F.sum(aw).over(w_all)
+    trunc = lambda c: F.floor(c * 1e6) / 1e6  # noqa: E731
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        trunc(nat).alias("nat_share"),
+        trunc(ash).alias("alpha_share"),
+        trunc(ash / nat).alias("boost"),
+    )
+
+
+def packing_efficiency(
+    spark: SparkSession, sf_dir: str, budget: int = 512, shards: int = 8
+) -> DataFrame:
+    """Capacity audit of `pack_sequences`: how full the fixed-budget bins
+    actually are — fill ratio (token mass / bin capacity) is the fraction
+    of every training step NOT spent on padding, the number that converts
+    directly into wasted accelerator hours at pretraining scale. One
+    global row: bins, token mass, fill ratio, and the underfull-bin count
+    (final partial bin per shard is expected; more means the packer
+    regressed). Aggregates the per-bin audit — never re-scans the
+    corpus."""
+    bins = pack_sequences(spark, sf_dir, budget, shards)
+    return bins.agg(
+        F.count("*").alias("n_bins"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("bin_tokens").cast("long").alias("total_tokens"),
+        F.floor(
+            F.sum("bin_tokens") / (F.count("*") * F.lit(budget)) * 1e6
+        ).cast("long").alias("fill_ppm"),
+        F.sum(
+            (F.col("bin_tokens") < F.lit(budget)).cast("long")
+        ).alias("underfull_bins"),
+    )
