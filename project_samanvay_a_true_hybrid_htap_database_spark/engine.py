@@ -693,6 +693,14 @@ class SamanvayEngine:
                 self._drain_autoflushes()
         except SqlError as exc:
             result = ResultSet(error_message=str(exc))
+        except Exception as exc:  # execution-layer failure (e.g. Py4J)
+            # The SQL surface contract: malformed input comes back as a
+            # clean error_message, never an unhandled exception — the
+            # REPL/REST layers (and the reference's error strings) depend
+            # on it. Differential fuzz found the optimizer throwing
+            # NumberFormatException for `bigint_col = 'a'` before the
+            # try_cast fix; this is the backstop for whatever remains.
+            result = ResultSet(error_message=f"{type(exc).__name__}: {exc}")
         result.execution_time_ms = (time.perf_counter() - start) * 1000.0
         return result
 
@@ -1599,6 +1607,20 @@ class SamanvayEngine:
                 return F.lit(False)  # col-vs-col / lit-vs-lit: reference says no row
         l = F.col(lhs[1]) if lhs[0] == "col" else F.lit(lhs[1])
         r = F.col(rhs[1]) if rhs[0] == "col" else F.lit(rhs[1])
+        # Typed-column vs string-literal: under ANSI semantics Spark casts
+        # the literal to the column type during CONSTANT FOLDING, so a
+        # malformed literal ("id = 'a'") threw a raw NumberFormatException
+        # out of the optimizer (found by the differential fuzz). try_cast
+        # yields NULL instead → the comparison matches nothing, cleanly —
+        # while numeric-looking literals ('42') still compare numerically.
+        if lhs[0] == "col" and rhs[0] == "lit" and isinstance(rhs[1], str):
+            dt = state.schema[lhs[1]].dataType
+            if not isinstance(dt, T.StringType):
+                r = r.try_cast(dt)
+        elif rhs[0] == "col" and lhs[0] == "lit" and isinstance(lhs[1], str):
+            dt = state.schema[rhs[1]].dataType
+            if not isinstance(dt, T.StringType):
+                l = l.try_cast(dt)
         stringly = self.quirk_compat and any(
             o[0] == "col"
             and isinstance(state.schema[o[1]].dataType, T.StringType)
@@ -1852,6 +1874,22 @@ class SamanvayEngine:
     def _pred_matches(self, state: TableState, pred, row: dict) -> bool:
         return self._compile_pred(state, pred)(row)
 
+    @staticmethod
+    def _parse_lit_like_cast(dtype, s: str):
+        """Python twin of Spark's try_cast(string literal AS column type)
+        for the types the engine's fast path supports: integral casts
+        reject fractional strings exactly as Spark does, None means the
+        cast yields NULL (comparison never matches). Unsupported target
+        types (timestamp, boolean) bail to the full-plan path."""
+        try:
+            if isinstance(dtype, (T.LongType, T.IntegerType)):
+                return int(s.strip())
+            if isinstance(dtype, (T.DoubleType, T.FloatType)):
+                return float(s)
+        except (TypeError, ValueError):
+            return None
+        raise _FastPathUnsupported(f"literal cast to {dtype} not mirrored")
+
     def _compile_pred(self, state: TableState, pred):
         """Predicate AST → a Python row matcher, mirroring _pred_to_column
         including every quirk. Compiled ONCE per query so the per-row cost
@@ -1886,6 +1924,23 @@ class SamanvayEngine:
         llit = lhs[1] if lhs[0] == "lit" else None
         rcol = rhs[1] if rhs[0] == "col" else None
         rlit = rhs[1] if rhs[0] == "lit" else None
+        # mirror the Spark path's try_cast of a string literal against a
+        # typed column: unparseable → NULL → never matches; parseable →
+        # numeric compare. Types Python can't parse like Spark
+        # (timestamp/bool) fall back to the full plan.
+        if not stringly:
+            if lcol is not None and isinstance(rlit, str):
+                rlit = self._parse_lit_like_cast(
+                    state.schema[lcol].dataType, rlit
+                )
+                if rlit is None:
+                    return lambda row: False
+            elif rcol is not None and isinstance(llit, str):
+                llit = self._parse_lit_like_cast(
+                    state.schema[rcol].dataType, llit
+                )
+                if llit is None:
+                    return lambda row: False
 
         def match(row: dict) -> bool:
             lv = row.get(lcol) if lcol is not None else llit

@@ -146,3 +146,76 @@ def _norm(rows):
         return v
 
     return [tuple(canon(v) for v in r) for r in rows]
+
+
+class TestDifferentialFuzz:
+    """Property-based differential check: random predicates over random row
+    sets must produce identical answers on the fast and fallback paths.
+    The compiled Python matcher (_compile_pred) re-implements every engine
+    quirk; this is the harness that keeps the two predicate evaluators
+    from drifting apart."""
+
+    @staticmethod
+    def _mk_engine(spark, rows):
+        e = SamanvayEngine(spark)
+        e.execute(
+            "CREATE TABLE f (id BIGINT NOT NULL, name VARCHAR(20), "
+            "amount DOUBLE, qty INT)"
+        )
+        for r in rows:
+            vals = ", ".join(
+                "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else str(v))
+                for v in r
+            )
+            e.execute(f"INSERT INTO f VALUES ({vals})")
+        return e
+
+    def test_random_predicates_agree(self, spark):
+        import itertools
+        import random
+
+        rng = random.Random(20260814)
+        rows = []
+        for i in range(1, 31):
+            rows.append(
+                (
+                    i,
+                    rng.choice(["a", "b", "7", "42", "zz", None]),
+                    rng.choice([None, -1.5, 0.0, 3.25, 99.9, 7.0]),
+                    rng.choice([None, 0, 1, 5, 42]),
+                )
+            )
+        e = self._mk_engine(spark, rows)
+        # half the rows through a flush so the delta mirror participates,
+        # then a few overwrites/deletes so shadowing participates too
+        e.flush("f")
+        e.execute("INSERT INTO f VALUES (3, '42', 1.0, 9)")
+        e.execute("DELETE FROM f WHERE id = 5")
+        e.execute("INSERT INTO f VALUES (31, 'tail', 2.5, 2)")
+
+        cols = ["id", "name", "amount", "qty"]
+        lits = ["3", "'42'", "'a'", "0.0", "'zz'", "5"]
+        ops = ["=", "!=", "<", "<=", ">", ">="]
+        preds = []
+        for c, o, l in itertools.product(cols, ops, lits):
+            preds.append(f"{c} {o} {l}")
+            preds.append(f"{l} {o} {c}")  # literal-on-left quirk
+        rng.shuffle(preds)
+        preds = preds[:60] + [
+            f"({preds[0]}) AND name != 'b'".replace("(", "").replace(")", ""),
+            "name = '7' OR qty >= 5",
+            "amount > 0.0 AND id < 20 OR name = 'a'",
+        ]
+        for p in preds:
+            for sel in (
+                "COUNT(*), SUM(amount), AVG(qty)",
+                "MIN(amount), MAX(id)",
+                "id, amount",
+            ):
+                sql = f"SELECT {sel} FROM f WHERE {p}"
+                fast, slow = _both_paths(e, sql)
+                assert (fast.error_message is None) == (
+                    slow.error_message is None
+                ), (sql, fast.error_message, slow.error_message)
+                if fast.error_message is None:
+                    assert _norm(fast.rows) == _norm(slow.rows), sql
