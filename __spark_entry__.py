@@ -340,7 +340,8 @@ bc AS (SELECT chunk, ckey, count(*) AS bn FROM ent GROUP BY chunk, ckey),
 ok AS (SELECT chunk, ckey FROM
          (SELECT chunk, ckey, bn,
                  greatest({max_bucket}.0,
-                          20.0 * sum(bn) OVER (PARTITION BY chunk)
+                          {float(dedup.SIMHASH_CAP_K)}
+                              * sum(bn) OVER (PARTITION BY chunk)
                               / {1 << chunk_bits}.0) AS cap
           FROM bc)
        WHERE bn <= cap),
@@ -364,7 +365,8 @@ ent AS (SELECT doc_id, t.c AS chunk, (simhash >> (t.c * 10)) & 1023 AS ckey
 bc AS (SELECT chunk, ckey, count(*) AS bn FROM ent GROUP BY chunk, ckey),
 aud AS (SELECT chunk, bn,
                CASE WHEN bn > greatest(2000.0,
-                        20.0 * sum(bn) OVER (PARTITION BY chunk) / 1024.0)
+                        {float(dedup.SIMHASH_CAP_K)}
+                            * sum(bn) OVER (PARTITION BY chunk) / 1024.0)
                     THEN 1 ELSE 0 END AS dropped
         FROM bc)
 SELECT CAST(chunk AS INT) AS chunk,
@@ -1511,10 +1513,12 @@ j AS (SELECT e.d1 IS NOT NULL AS in_e, l.d1 IS NOT NULL AS in_l
 SELECT count(*) FILTER (in_e) AS n_exact_pairs,
        count(*) FILTER (in_l) AS n_lsh_pairs,
        count(*) FILTER (in_e AND in_l) AS n_common,
-       round((count(*) FILTER (in_e AND in_l))::DOUBLE
-             / (count(*) FILTER (in_e)), 4) AS recall,
-       round((count(*) FILTER (in_e AND in_l))::DOUBLE
-             / (count(*) FILTER (in_l)), 4) AS precision
+       CASE WHEN count(*) FILTER (in_e) > 0 THEN
+         round((count(*) FILTER (in_e AND in_l))::DOUBLE
+               / (count(*) FILTER (in_e)), 4) END AS recall,
+       CASE WHEN count(*) FILTER (in_l) > 0 THEN
+         round((count(*) FILTER (in_e AND in_l))::DOUBLE
+               / (count(*) FILTER (in_l)), 4) END AS precision
 FROM j
 """,
         "embedding_neardup_pairs": emb_pairs,

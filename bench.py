@@ -216,6 +216,8 @@ def _register_parquet_transactions(engine, n: int) -> None:
     analytical work, and makes every degradation percentage
     floor-dominated. A parquet base is also what the engine serves in any
     real deployment (every other table here IS parquet)."""
+    import hashlib
+    import inspect
     import tempfile
 
     from project_samanvay_a_true_hybrid_htap_database_spark.bulk_loader import (
@@ -223,7 +225,15 @@ def _register_parquet_transactions(engine, n: int) -> None:
         transactions_df,
     )
 
-    path = os.path.join(tempfile.gettempdir(), f"samanvay_bench_txn_{n}")
+    # cache key includes a fingerprint of the generator + DDL, so a later
+    # change to transactions_df (seed, columns, distribution) regenerates
+    # the parquet instead of silently benchmarking stale data
+    fp = hashlib.md5(
+        (_CREATE_SQL + inspect.getsource(transactions_df)).encode()
+    ).hexdigest()[:10]
+    path = os.path.join(
+        tempfile.gettempdir(), f"samanvay_bench_txn_{n}_{fp}"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         transactions_df(engine.spark, n, seed=42).write.mode(
             "overwrite"

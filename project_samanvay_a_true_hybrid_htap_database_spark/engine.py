@@ -369,7 +369,27 @@ _CMP_PY = {
 }
 
 
+# Spark's string→double cast accepts signed decimals, scientific notation
+# and the special literals (inf/infinity/nan, signed, any case) — but NOT
+# Python's extras like underscore separators ('1_0'), which float() happily
+# parses to 10.0. The fast path must match Spark row-for-row (review r7).
+_FLOAT_RE = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?")
+_FLOAT_SPECIAL = {"inf", "infinity", "nan"}
+_INT_RE = re.compile(r"[+-]?\d+")
+
+
 def _try_float(v) -> float | None:
+    if isinstance(v, str):
+        s = v.strip()
+        if not (
+            _FLOAT_RE.fullmatch(s)
+            or s.lower().lstrip("+-") in _FLOAT_SPECIAL
+        ):
+            return None
+        try:
+            return float(s)
+        except ValueError:
+            return None
     try:
         return float(v)
     except (TypeError, ValueError):
@@ -1871,9 +1891,6 @@ class SamanvayEngine:
     # mirrors _pred_to_column including every quirk;
     # tests/test_read_fastpath.py pins the two paths to identical answers.
 
-    def _pred_matches(self, state: TableState, pred, row: dict) -> bool:
-        return self._compile_pred(state, pred)(row)
-
     @staticmethod
     def _parse_lit_like_cast(dtype, s: str):
         """Python twin of Spark's try_cast(string literal AS column type)
@@ -1881,13 +1898,12 @@ class SamanvayEngine:
         reject fractional strings exactly as Spark does, None means the
         cast yields NULL (comparison never matches). Unsupported target
         types (timestamp, boolean) bail to the full-plan path."""
-        try:
-            if isinstance(dtype, (T.LongType, T.IntegerType)):
-                return int(s.strip())
-            if isinstance(dtype, (T.DoubleType, T.FloatType)):
-                return float(s)
-        except (TypeError, ValueError):
-            return None
+        if isinstance(dtype, (T.LongType, T.IntegerType)):
+            # digits-only like Spark's string→integral cast — int() alone
+            # would also accept '1_0' (underscores), which Spark rejects
+            return int(s) if _INT_RE.fullmatch(s.strip()) else None
+        if isinstance(dtype, (T.DoubleType, T.FloatType)):
+            return _try_float(s)
         raise _FastPathUnsupported(f"literal cast to {dtype} not mirrored")
 
     def _compile_pred(self, state: TableState, pred):
@@ -2058,33 +2074,42 @@ class SamanvayEngine:
         return self._defer(run)
 
     @staticmethod
-    def _fold_partials(rows, match, args) -> dict:
+    def _fold_partials(rows, match, needs) -> dict:
         """Additive aggregate partials over an iterable of row dicts:
-        row count (pred-matched), and per-arg sum / non-null count / min /
-        max. The driver-side analog of a map-side partial aggregate."""
+        row count (pred-matched), and per-arg partials — but ONLY the
+        kinds some aggregate actually needs (``needs``: arg → subset of
+        {"sum", "cnt", "min", "max"}). Folding blindly broke on
+        non-numeric columns: COUNT(name) over a string column crashed on
+        ``0 += 'alpha'`` (review r7). A type the needed fold still can't
+        handle (SUM over strings) raises _FastPathUnsupported so the
+        caller falls back."""
         out = {"n": 0}
-        for a in args:
-            if a != "*":
-                out[f"sum_{a}"] = 0
-                out[f"cnt_{a}"] = 0
-                out[f"min_{a}"] = None
-                out[f"max_{a}"] = None
-        for row in rows:
-            if match is not None and not match(row):
-                continue
-            out["n"] += 1
-            for a in args:
-                if a == "*":
+        for a, kinds in needs.items():
+            for k in kinds:
+                out[f"{k}_{a}"] = 0 if k in ("sum", "cnt") else None
+        try:
+            for row in rows:
+                if match is not None and not match(row):
                     continue
-                v = row.get(a)
-                if v is None:
-                    continue
-                out[f"sum_{a}"] += v
-                out[f"cnt_{a}"] += 1
-                if out[f"min_{a}"] is None or v < out[f"min_{a}"]:
-                    out[f"min_{a}"] = v
-                if out[f"max_{a}"] is None or v > out[f"max_{a}"]:
-                    out[f"max_{a}"] = v
+                out["n"] += 1
+                for a, kinds in needs.items():
+                    v = row.get(a)
+                    if v is None:
+                        continue
+                    if "sum" in kinds:
+                        out[f"sum_{a}"] += v
+                    if "cnt" in kinds:
+                        out[f"cnt_{a}"] += 1
+                    if "min" in kinds and (
+                        out[f"min_{a}"] is None or v < out[f"min_{a}"]
+                    ):
+                        out[f"min_{a}"] = v
+                    if "max" in kinds and (
+                        out[f"max_{a}"] is None or v > out[f"max_{a}"]
+                    ):
+                        out[f"max_{a}"] = v
+        except TypeError as exc:  # e.g. SUM over a string column
+            raise _FastPathUnsupported(str(exc)) from exc
         return out
 
     def _fast_aggregates(self, state: TableState, pred, parsed) -> ResultSet:
@@ -2097,9 +2122,28 @@ class SamanvayEngine:
         folded, minus mirror rows the memtable shadows. Raises
         _FastPathUnsupported → fallback."""
         fns = {fn for _spec, fn, _arg in parsed}
-        args = sorted(
-            {arg for _spec, fn, arg in parsed if fn != "COUNT" or arg != "*"}
-        )
+        # Per-arg partial KINDS actually required by the select list —
+        # never more: a blanket sum over every referenced column crashed
+        # COUNT(string_col) (TypeError in the fold) and quirk-legal
+        # COUNT(nonexistent_col) (unresolved column in the plan), both
+        # review-r7 findings.
+        needs: dict[str, set] = {}
+        for _spec, fn, arg in parsed:
+            if arg == "*":
+                continue
+            kinds = needs.setdefault(arg, set())
+            if fn in ("SUM", "AVG"):
+                # cnt rides along with sum: the fold uses it to tell
+                # "no non-null values anywhere" (SUM → NULL) from a sum
+                # of zero
+                kinds.update(("sum", "cnt"))
+            if fn == "COUNT" and not self.quirk_compat:
+                kinds.add("cnt")  # quirk COUNT uses the row count
+            if fn == "MIN":
+                kinds.add("min")
+            if fn == "MAX":
+                kinds.add("max")
+        needs = {a: k for a, k in needs.items() if k}
         if state.unrecovered:
             raise SqlError(
                 f"Table {state.name} cannot be served: its base was "
@@ -2113,18 +2157,18 @@ class SamanvayEngine:
         mem = state.memtable
         self._assert_keys_clear_of_base(state, mirror)
         match = None if pred is None else self._compile_pred(state, pred)
-        fold_args = tuple(args)
-        mkey = ("mfold", repr(pred), fold_args, state.delta_epoch)
+        needs_key = tuple(sorted((a, tuple(sorted(k))) for a, k in needs.items()))
+        mkey = ("mfold", repr(pred), needs_key, state.delta_epoch)
         mirror_parts = state.read_plans.get(mkey)
         if mirror_parts is None:
             mirror_parts = self._fold_partials(
-                (r for r in mirror.values() if r is not None), match, args
+                (r for r in mirror.values() if r is not None), match, needs
             )
             if len(state.read_plans) > 64:
                 state.read_plans.clear()
             state.read_plans[mkey] = mirror_parts
         mem_parts = self._fold_partials(
-            (r for _s, r in mem.values() if r is not None), match, args
+            (r for _s, r in mem.values() if r is not None), match, needs
         )
         # mirror rows shadowed by a memtable key were counted in the cached
         # partials — subtract them (tombstoned-in-mirror entries are None
@@ -2136,28 +2180,26 @@ class SamanvayEngine:
                 if pk in mirror and mirror[pk] is not None
             ),
             match,
-            args,
+            needs,
         )
         if shadow_parts["n"] and fns & {"MIN", "MAX"}:
             # a shadowed mirror row may BE the min/max — not subtractable
             raise _FastPathUnsupported("min/max with shadowed mirror rows")
-        key = ("agg", repr(pred), tuple(args), tuple(sorted(fns)))
+        key = ("agg", repr(pred), needs_key)
         plan = state.read_plans.get(key)
         if plan is None:
             base = self._base_df(state)
             if pred is not None:
                 base = base.filter(self._pred_to_column(state, pred))
             exprs = [F.count(F.lit(1)).alias("__n")]
-            for arg in args:
-                if arg == "*":
-                    continue
-                if "SUM" in fns or "AVG" in fns:
+            for arg, kinds in sorted(needs.items()):
+                if "sum" in kinds:
                     exprs.append(F.sum(arg).alias(f"__sum_{arg}"))
-                if not self.quirk_compat and fns & {"COUNT", "AVG"}:
+                if "cnt" in kinds:
                     exprs.append(F.count(arg).alias(f"__cnt_{arg}"))
-                if "MIN" in fns:
+                if "min" in kinds:
                     exprs.append(F.min(arg).alias(f"__min_{arg}"))
-                if "MAX" in fns:
+                if "max" in kinds:
                     exprs.append(F.max(arg).alias(f"__max_{arg}"))
             plan = base.agg(*exprs)
             if len(state.read_plans) > 64:

@@ -565,12 +565,18 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact_pairs",
             "n_lsh_pairs",
             "n_common",
-            F.round(F.col("n_common") / F.col("n_exact_pairs"), 4).alias(
-                "recall"
-            ),
-            F.round(F.col("n_common") / F.col("n_lsh_pairs"), 4).alias(
-                "precision"
-            ),
+            # NULL on an empty pair set (a regenerated corpus may have no
+            # pairs at the threshold): ANSI Spark would error on the 0
+            # division and DuckDB would emit NULL — guard both engines to
+            # the same NULL so the hash gate cannot desynchronize
+            F.when(
+                F.col("n_exact_pairs") > 0,
+                F.round(F.col("n_common") / F.col("n_exact_pairs"), 4),
+            ).alias("recall"),
+            F.when(
+                F.col("n_lsh_pairs") > 0,
+                F.round(F.col("n_common") / F.col("n_lsh_pairs"), 4),
+            ).alias("precision"),
         )
     )
 

@@ -5,7 +5,7 @@ fold of the memtable tail (engine.py `_fast_aggregates` /
 `_fast_select_rows`); the fallback is the full Spark merge-on-read plan.
 Both must produce identical answers on identical state — these tests force
 each path on the same engine state and compare, including the quirky
-predicate semantics (_pred_matches must mirror _pred_to_column exactly),
+predicate semantics (_compile_pred must mirror _pred_to_column exactly),
 tombstones, delta shadowing, and the base-shadow bailout.
 """
 
