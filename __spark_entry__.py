@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall_audit": dedup.lsh_recall_audit,
         "source_mixture_weights": sampling.source_mixture_weights,
         "packing_efficiency": sampling.packing_efficiency,
+        "incremental_dedup_report": dedup.incremental_dedup_report,
     }
 
 
@@ -1868,6 +1869,39 @@ c AS (
 SELECT shard, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin,
        count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
 FROM c GROUP BY shard, bin ORDER BY shard, bin
+""",
+        # incremental (daily-batch) dedup: ~20% md5 slice plays the
+        # incoming batch; exact dup via content hash, near dup via the
+        # df-capped incoming×existing inverted index
+        "incremental_dedup_report": f"""
+WITH d AS (SELECT doc_id, text,
+             (('0x' || substr(md5('incr|' || doc_id::VARCHAR), 1, 8))::BIGINT
+              % 10000 < 2000) AS is_new
+           FROM documents),
+fp AS (SELECT doc_id, is_new, md5(trim(lower(text))) AS fp FROM d),
+exact_ids AS (SELECT DISTINCT f.doc_id FROM fp f
+              JOIN (SELECT DISTINCT fp FROM fp WHERE NOT is_new) b USING (fp)
+              WHERE f.is_new),
+t AS (SELECT doc_id, is_new, {_TOKS} AS T FROM d),
+shl AS (SELECT doc_id, is_new, {_SHINGLES} AS S FROM t),
+sizes AS (SELECT doc_id, len(S) AS n_sh FROM shl),
+inv0 AS (SELECT doc_id, is_new, unnest(S) AS sh FROM shl),
+rare AS (SELECT sh FROM inv0 GROUP BY sh HAVING count(*) <= 1000),
+inv AS (SELECT i.* FROM inv0 i JOIN rare USING (sh)),
+pairs AS (SELECT a.doc_id AS d_new, b.doc_id AS d_old, count(*) AS common
+          FROM inv a JOIN inv b ON a.sh = b.sh AND a.is_new AND NOT b.is_new
+          GROUP BY 1, 2),
+near_ids AS (SELECT DISTINCT d_new AS doc_id
+             FROM pairs p JOIN sizes sn ON sn.doc_id = p.d_new
+                          JOIN sizes so ON so.doc_id = p.d_old
+             WHERE common::DOUBLE / (sn.n_sh + so.n_sh - common) >= 0.5),
+near_only AS (SELECT doc_id FROM near_ids EXCEPT SELECT doc_id FROM exact_ids)
+SELECT (SELECT count(*) FROM d WHERE is_new) AS n_incoming,
+       (SELECT count(*) FROM exact_ids) AS n_exact_dup,
+       (SELECT count(*) FROM near_only) AS n_near_dup,
+       (SELECT count(*) FROM d WHERE is_new)
+         - (SELECT count(*) FROM exact_ids)
+         - (SELECT count(*) FROM near_only) AS n_novel
 """,
         # temperature-based source re-weighting; pow-derived shares are
         # floor-truncated at 1e-6 (libm ulp guard) in BOTH engines

@@ -529,6 +529,105 @@ def simhash_fingerprints_vectorized(
     return docs.mapInPandas(per_batch, schema="doc_id long, simhash long")
 
 
+def incremental_dedup_report(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = 1000,
+    batch_bp: int = 2000,
+) -> DataFrame:
+    """The daily-increment dedup job, as one audit row: a deterministic
+    ~20% hash slice of the corpus plays the INCOMING batch, the rest the
+    EXISTING corpus, and the report counts incoming docs that are exact
+    duplicates of existing content, near-duplicates (n-gram Jaccard ≥
+    threshold, exact-dups excluded), and novel. This is the production
+    shape at 100 TB — the expensive pair work is incoming × existing
+    through the df-capped inverted index (never existing × existing,
+    which the initial backfill already paid), so daily cost scales with
+    the BATCH, not the corpus. Membership is the same md5-bucket device
+    as the sampling family, so the oracle computes the identical split."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_new = (
+        md5_long32(F.concat(F.lit("incr|"), F.col("doc_id").cast("string")))
+        % 10000
+        < batch_bp
+    )
+    tagged = docs.withColumn("is_new", is_new)
+    fp = tagged.withColumn("fp", F.md5(F.trim(F.lower(F.col("text")))))
+    exact_ids = (
+        fp.filter(F.col("is_new"))
+        .select("doc_id", "fp")
+        .join(
+            fp.filter(~F.col("is_new")).select("fp").distinct(), "fp"
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    sh = tagged.select(
+        "doc_id",
+        "is_new",
+        word_shingles(tokens("text"), SHINGLE_N).alias("shingles"),
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    inv = sh.select("doc_id", "is_new", F.explode("shingles").alias("sh"))
+    rare = (
+        inv.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("sh")
+    )
+    inv = inv.join(rare, on="sh")
+    pairs = (
+        inv.filter(F.col("is_new"))
+        .select(F.col("doc_id").alias("d_new"), "sh")
+        .join(
+            inv.filter(~F.col("is_new")).select(
+                F.col("doc_id").alias("d_old"), "sh"
+            ),
+            on="sh",
+        )
+        .groupBy("d_new", "d_old")
+        .agg(F.count("*").alias("common"))
+    )
+    near_ids = (
+        pairs.join(
+            sizes.withColumnRenamed("doc_id", "d_new").withColumnRenamed(
+                "n_sh", "n_new"
+            ),
+            "d_new",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "d_old").withColumnRenamed(
+                "n_sh", "n_old"
+            ),
+            "d_old",
+        )
+        .filter(
+            F.col("common") / (F.col("n_new") + F.col("n_old") - F.col("common"))
+            >= threshold
+        )
+        .select(F.col("d_new").alias("doc_id"))
+        .distinct()
+    )
+    stats = tagged.agg(
+        F.sum(F.col("is_new").cast("long")).alias("n_incoming")
+    )
+    near_only = near_ids.join(exact_ids, "doc_id", "left_anti")
+    counts = (
+        stats.crossJoin(
+            exact_ids.agg(F.count("*").alias("n_exact_dup"))
+        ).crossJoin(near_only.agg(F.count("*").alias("n_near_dup")))
+    )
+    return counts.select(
+        "n_incoming",
+        "n_exact_dup",
+        "n_near_dup",
+        (
+            F.col("n_incoming") - F.col("n_exact_dup") - F.col("n_near_dup")
+        ).alias("n_novel"),
+    )
+
+
 def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall of the MinHash-LSH pipeline against exact n-gram
     Jaccard ground truth, as a first-class query: of the pairs the exact
