@@ -99,178 +99,170 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry-per-round sweep (dict order = sweep
-    # order) re-validates what most needs it (VERDICT r5 #3, r6 #1). The
-    # round-7 window burns the stale-row backlog to ZERO: every entry whose
-    # newest green row predates the r4 testdata regeneration (23 last-green
-    # r2 + 20 last-green r3), the two sketches that never had a hash row
-    # (now carrying tolerance-form oracles, VERDICT r6 #7), and the 5
-    # next-stalest (r4) — exactly 50. Per the same directive, NO new
-    # operator sits ahead of the sweep line; round-7 additions are parked
-    # at the very tail.
+    # order) re-validates what most needs it (VERDICT r5 #3, r6 #1, r7 #2).
+    # The round-8 window clears ALL remaining driver-row debt: the five
+    # never-green r7 additions first, then the 42 entries whose newest green
+    # row is r5 — 47 of 50 slots; the other 3 fall to the stalest r6 rows.
+    # Per the standing directive, NO new operator sits ahead of the sweep
+    # line; round-8 additions are parked at the very tail.
     return {
-        # --- last green r2 (oldest rows in the repo) ---
-        "tpch_q5": analytics.tpch_q5_supplier_volume,
-        "tpch_q6": analytics.tpch_q6_forecast_revenue,
-        "tpch_q14": analytics.tpch_q14_promo_revenue,
-        "top_orders": analytics.top_orders,
-        "group_having": analytics.group_having,
-        "distinct_values": analytics.distinct_values,
-        "set_ops": analytics.set_ops,
-        "except_op": analytics.except_op,
-        "window_topn_per_group": analytics.window_topn_per_group,
-        "window_running_sum": analytics.window_running_sum,
-        "semi_join": analytics.semi_join,
-        "scalar_subquery": analytics.scalar_subquery,
-        "case_bucketing": analytics.case_bucketing,
-        "string_functions": analytics.string_functions,
-        "join_agg_orders_lineitem": analytics.join_agg_orders_lineitem,
-        "anti_join": analytics.anti_join,
-        "rollup_agg": analytics.rollup_agg,
-        "pivot_status_by_priority": analytics.pivot_status_by_priority,
-        "percentile_prices": analytics.percentile_prices,
-        "corr_stats": analytics.corr_stats,
-        "ntile_quartiles": analytics.ntile_quartiles,
-        "distinct_count_agg": analytics.distinct_count_agg,
-        "salted_agg": analytics.salted_agg,
-        # --- last green r3 ---
-        "embedding_quantize": similarity.embedding_quantize,
-        "lang_id": text.lang_id,
-        "quality_score": text.quality_score,
-        "token_counts": text.token_counts,
-        "fingerprints": text.fingerprints,
-        "lang_distribution": text.lang_distribution,
-        "ngram_freq_topk": text.ngram_freq_topk,
-        "source_quality_report": text.source_quality_report,
-        "bm25_search": text.bm25_search,
-        "token_histogram": text.token_histogram,
-        "tfidf_keywords": text.tfidf_keywords,
-        "hash_sample": sampling.hash_sample,
-        "stratified_sample": sampling.stratified_sample,
-        "fixed_k_per_stratum": sampling.fixed_k_per_stratum,
-        "train_test_split": sampling.train_test_split,
-        "pipeline_funnel": sampling.pipeline_funnel,
-        "pack_sequences": sampling.pack_sequences,
-        "multimodal_summary": multimodal.multimodal_summary,
-        "multimodal_frames": multimodal.frame_sample,
-        "multimodal_resize": multimodal.image_resize,
-        # --- never green: sketches, now with tolerance-form oracles
-        # (exact values + within-envelope booleans both engines hash) ---
-        "distinct_count_approx": analytics.distinct_count_approx,
-        "percentile_prices_approx": analytics.percentile_prices_approx,
-        # --- last green r4 (next-stalest) ---
-        "knn_join_vectorized": similarity.knn_join_vectorized,
-        "embedding_centroids": similarity.embedding_centroids,
-        "kmeans_assign": similarity.kmeans_assign,
-        "cluster_quality_report": similarity.cluster_quality_report,
-        "semantic_outliers": similarity.semantic_outliers,
-        # --- sweep line (entry #50 is semantic_outliers) — everything
-        # below last earned its row in r5/r6 on post-regeneration
-        # testdata. attribution_window_join / decontaminate_ngram_overlap
-        # dropped their trailing sorts this round (order-insensitive
-        # gates; result set unchanged) — they front the r8 window. ---
-        "attribution_window_join": analytics.attribution_window_join,
-        "decontaminate_ngram_overlap": dedup.decontaminate_ngram_overlap,
-        "tpch_q12": analytics.tpch_q12_shipping_priority_class,
-        "events_trending_topk": analytics.events_trending_topk,
-        "events_hourly_anomaly": analytics.events_hourly_anomaly,
-        "multimodal_audio_chunks": multimodal.audio_chunks,
-        "interval_overlap_join": analytics.interval_overlap_join,
-        "grouping_sets_report": analytics.grouping_sets_report,
-        "repetition_ratio": text.repetition_ratio,
-        "ann_mips_topk": similarity.ann_mips_topk,
-        "tpch_q2": analytics.tpch_q2_min_cost_supplier,
-        "tpch_q4": analytics.tpch_q4_order_priority,
-        "tpch_q9": analytics.tpch_q9_product_profit,
-        "tpch_q11": analytics.tpch_q11_important_stock,
-        "tpch_q13": analytics.tpch_q13_customer_distribution,
-        "tpch_q15": analytics.tpch_q15_top_supplier,
-        "tpch_q16": analytics.tpch_q16_parts_supplier_count,
-        "tpch_q19": analytics.tpch_q19_discounted_revenue,
-        "tpch_q20": analytics.tpch_q20_part_promotion,
-        "tpch_q21": analytics.tpch_q21_suppliers_kept_waiting,
-        "tpch_q22": analytics.tpch_q22_global_sales_opportunity,
-        "bucketed_join_agg": bucketed_join_agg,
-        "skew_join_salted": analytics.skew_join_salted,
-        # dedup (LLM-data-pipeline extensions)
-        "exact_dedup": dedup.exact_dedup,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "minhash_signatures": dedup.minhash_signatures_str,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
-        "simhash_fingerprints": dedup.simhash_fingerprints,
-        "simhash_fingerprints_vectorized": dedup.simhash_fingerprints_vectorized,
-        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
-        "simhash_neardup_pairs_scale": dedup.simhash_neardup_pairs_scale,
-        "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
-        "dedup_groups": dedup.dedup_groups,
-        "dedup_groups_lsh": dedup.dedup_groups_lsh,
-        "dedup_apply": dedup.dedup_apply,
-        "containment_pairs": dedup.containment_pairs,
-        # similarity search
-        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
-        "ann_lsh_topk": similarity.ann_lsh_topk,
-        "ann_lsh_indexed_topk": similarity.ann_lsh_indexed_topk,
-        "ann_lsh_multiprobe_topk": similarity.ann_lsh_multiprobe_topk,
-        "knn_join_blocked": similarity.knn_join_blocked,
-        # r6-green rows (freshest — re-earned last round)
-        "multimodal_blob_dedup": multimodal.multimodal_blob_dedup,
-        "embedding_neardup_pairs_vectorized": dedup.embedding_neardup_pairs_vectorized,
-        "quality_filter_flags": text.quality_filter_flags,
-        "unigram_lm_score": text.unigram_lm_score,
-        "token_pmi_topk": text.token_pmi_topk,
-        "semdedup_stats": dedup.semdedup_stats,
-        "unpivot_metrics": analytics.unpivot_metrics,
-        "cube_report": analytics.cube_report,
-        "window_frame_bounds": analytics.window_frame_bounds,
-        "ann_mips_indexed_topk": similarity.ann_mips_indexed_topk,
-        "ann_ivf_indexed_topk": similarity.ann_ivf_indexed_topk,
-        "embedding_random_projection": similarity.embedding_random_projection,
-        "ann_projected_rerank_topk": similarity.ann_projected_rerank_topk,
-        "cross_source_overlap": dedup.cross_source_overlap,
-        "lang_id_confusion": text.lang_id_confusion,
-        "dedup_rate_by_source": dedup.dedup_rate_by_source,
-        "ngram_novelty": dedup.ngram_novelty,
-        "funnel_conversion": analytics.funnel_conversion,
-        "retention_cohorts": analytics.retention_cohorts,
-        "tpch_q7": analytics.tpch_q7_volume_shipping,
-        "tpch_q8": analytics.tpch_q8_market_share,
-        "tpch_q17": analytics.tpch_q17_small_quantity_revenue,
-        "tpch_q18": analytics.tpch_q18_large_volume_customer,
-        "events_hourly_rollup": analytics.events_hourly_rollup,
-        "sessionize": analytics.sessionize,
-        "asof_join_events_orders": analytics.asof_join_events_orders,
-        "window_lag_delta": analytics.window_lag_delta,
-        "json_extraction": analytics.json_extraction,
-        "date_functions": analytics.date_functions,
-        "revenue_by_nation": analytics.revenue_by_nation,
-        "tpch_q10": analytics.tpch_q10_returned_items,
-        "chunk_documents": text.chunk_documents,
-        # reference relational surface (SURVEY.md §2.1)
-        "point_lookup": relational.point_lookup,
-        "full_scan": relational.full_scan,
-        "range_scan": relational.range_scan,
-        "range_between": relational.range_between,
-        "projection": relational.projection,
-        "predicate_and_or": relational.predicate_and_or,
-        "predicate_neq": relational.predicate_neq,
-        "agg_count": relational.agg_count,
-        "agg_sum": relational.agg_sum,
-        "agg_avg": relational.agg_avg,
-        "agg_min_max": relational.agg_min_max,
-        "agg_multi": relational.agg_multi,
-        "agg_where": relational.agg_where,
-        "update_projection": relational.update_projection,
-        "delete_projection": relational.delete_projection,
-        "upsert_merge": relational.upsert_merge,
-        # core analytical SQL
-        "tpch_q1": analytics.tpch_q1_pricing_summary,
-        "tpch_q3": analytics.tpch_q3_shipping_priority,
-        # --- round-7 additions (parked at the tail per VERDICT r6 #1) ---
+        # --- never driver-green: the five r7 additions, fronting the r8
+        # window per VERDICT r7 #2 (all five pass the pytest oracle) ---
         "simhash_bucket_audit": dedup.simhash_bucket_audit,
         "lsh_recall_audit": dedup.lsh_recall_audit,
         "source_mixture_weights": sampling.source_mixture_weights,
         "packing_efficiency": sampling.packing_efficiency,
         "incremental_dedup_report": dedup.incremental_dedup_report,
+        # --- last green r5: the 42 entries whose newest driver row
+        # predates r6 — with the five above they fill 47 of the 50
+        # sweep slots, clearing ALL remaining driver-row debt ---
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_lsh_indexed_topk": similarity.ann_lsh_indexed_topk,
+        "ann_lsh_multiprobe_topk": similarity.ann_lsh_multiprobe_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_mips_topk": similarity.ann_mips_topk,
+        "attribution_window_join": analytics.attribution_window_join,
+        "bucketed_join_agg": bucketed_join_agg,
+        "containment_pairs": dedup.containment_pairs,
+        "decontaminate_ngram_overlap": dedup.decontaminate_ngram_overlap,
+        "dedup_apply": dedup.dedup_apply,
+        "dedup_groups": dedup.dedup_groups,
+        "dedup_groups_lsh": dedup.dedup_groups_lsh,
+        "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        "events_hourly_anomaly": analytics.events_hourly_anomaly,
+        "events_trending_topk": analytics.events_trending_topk,
+        "exact_dedup": dedup.exact_dedup,
+        "grouping_sets_report": analytics.grouping_sets_report,
+        "interval_overlap_join": analytics.interval_overlap_join,
+        "knn_join_blocked": similarity.knn_join_blocked,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "minhash_signatures": dedup.minhash_signatures_str,
+        "multimodal_audio_chunks": multimodal.audio_chunks,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "repetition_ratio": text.repetition_ratio,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        "simhash_fingerprints_vectorized": dedup.simhash_fingerprints_vectorized,
+        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
+        "simhash_neardup_pairs_scale": dedup.simhash_neardup_pairs_scale,
+        "skew_join_salted": analytics.skew_join_salted,
+        "tpch_q11": analytics.tpch_q11_important_stock,
+        "tpch_q12": analytics.tpch_q12_shipping_priority_class,
+        "tpch_q13": analytics.tpch_q13_customer_distribution,
+        "tpch_q15": analytics.tpch_q15_top_supplier,
+        "tpch_q16": analytics.tpch_q16_parts_supplier_count,
+        "tpch_q19": analytics.tpch_q19_discounted_revenue,
+        "tpch_q2": analytics.tpch_q2_min_cost_supplier,
+        "tpch_q20": analytics.tpch_q20_part_promotion,
+        "tpch_q21": analytics.tpch_q21_suppliers_kept_waiting,
+        "tpch_q22": analytics.tpch_q22_global_sales_opportunity,
+        "tpch_q4": analytics.tpch_q4_order_priority,
+        "tpch_q9": analytics.tpch_q9_product_profit,
+        # --- sweep line (entry #50 is the 3rd r6 entry below) ---
+        # last green r6 (next-stalest after the r5 set)
+        "agg_avg": relational.agg_avg,
+        "agg_count": relational.agg_count,
+        "agg_min_max": relational.agg_min_max,
+        "agg_multi": relational.agg_multi,
+        "agg_sum": relational.agg_sum,
+        "agg_where": relational.agg_where,
+        "ann_ivf_indexed_topk": similarity.ann_ivf_indexed_topk,
+        "ann_mips_indexed_topk": similarity.ann_mips_indexed_topk,
+        "ann_projected_rerank_topk": similarity.ann_projected_rerank_topk,
+        "asof_join_events_orders": analytics.asof_join_events_orders,
+        "chunk_documents": text.chunk_documents,
+        "cross_source_overlap": dedup.cross_source_overlap,
+        "cube_report": analytics.cube_report,
+        "date_functions": analytics.date_functions,
+        "dedup_rate_by_source": dedup.dedup_rate_by_source,
+        "delete_projection": relational.delete_projection,
+        "embedding_neardup_pairs_vectorized": dedup.embedding_neardup_pairs_vectorized,
+        "embedding_random_projection": similarity.embedding_random_projection,
+        "events_hourly_rollup": analytics.events_hourly_rollup,
+        "full_scan": relational.full_scan,
+        "funnel_conversion": analytics.funnel_conversion,
+        "json_extraction": analytics.json_extraction,
+        "lang_id_confusion": text.lang_id_confusion,
+        "multimodal_blob_dedup": multimodal.multimodal_blob_dedup,
+        "ngram_novelty": dedup.ngram_novelty,
+        "point_lookup": relational.point_lookup,
+        "predicate_and_or": relational.predicate_and_or,
+        "predicate_neq": relational.predicate_neq,
+        "projection": relational.projection,
+        "quality_filter_flags": text.quality_filter_flags,
+        "range_between": relational.range_between,
+        "range_scan": relational.range_scan,
+        "retention_cohorts": analytics.retention_cohorts,
+        "revenue_by_nation": analytics.revenue_by_nation,
+        "semdedup_stats": dedup.semdedup_stats,
+        "sessionize": analytics.sessionize,
+        "token_pmi_topk": text.token_pmi_topk,
+        "tpch_q1": analytics.tpch_q1_pricing_summary,
+        "tpch_q10": analytics.tpch_q10_returned_items,
+        "tpch_q17": analytics.tpch_q17_small_quantity_revenue,
+        "tpch_q18": analytics.tpch_q18_large_volume_customer,
+        "tpch_q3": analytics.tpch_q3_shipping_priority,
+        "tpch_q7": analytics.tpch_q7_volume_shipping,
+        "tpch_q8": analytics.tpch_q8_market_share,
+        "unigram_lm_score": text.unigram_lm_score,
+        "unpivot_metrics": analytics.unpivot_metrics,
+        "update_projection": relational.update_projection,
+        "upsert_merge": relational.upsert_merge,
+        "window_frame_bounds": analytics.window_frame_bounds,
+        "window_lag_delta": analytics.window_lag_delta,
+        # last green r7 (freshest rows in the repo)
+        "anti_join": analytics.anti_join,
+        "bm25_search": text.bm25_search,
+        "case_bucketing": analytics.case_bucketing,
+        "cluster_quality_report": similarity.cluster_quality_report,
+        "corr_stats": analytics.corr_stats,
+        "distinct_count_agg": analytics.distinct_count_agg,
+        "distinct_count_approx": analytics.distinct_count_approx,
+        "distinct_values": analytics.distinct_values,
+        "embedding_centroids": similarity.embedding_centroids,
+        "embedding_quantize": similarity.embedding_quantize,
+        "except_op": analytics.except_op,
+        "fingerprints": text.fingerprints,
+        "fixed_k_per_stratum": sampling.fixed_k_per_stratum,
+        "group_having": analytics.group_having,
+        "hash_sample": sampling.hash_sample,
+        "join_agg_orders_lineitem": analytics.join_agg_orders_lineitem,
+        "kmeans_assign": similarity.kmeans_assign,
+        "knn_join_vectorized": similarity.knn_join_vectorized,
+        "lang_distribution": text.lang_distribution,
+        "lang_id": text.lang_id,
+        "multimodal_frames": multimodal.frame_sample,
+        "multimodal_resize": multimodal.image_resize,
+        "multimodal_summary": multimodal.multimodal_summary,
+        "ngram_freq_topk": text.ngram_freq_topk,
+        "ntile_quartiles": analytics.ntile_quartiles,
+        "pack_sequences": sampling.pack_sequences,
+        "percentile_prices": analytics.percentile_prices,
+        "percentile_prices_approx": analytics.percentile_prices_approx,
+        "pipeline_funnel": sampling.pipeline_funnel,
+        "pivot_status_by_priority": analytics.pivot_status_by_priority,
+        "quality_score": text.quality_score,
+        "rollup_agg": analytics.rollup_agg,
+        "salted_agg": analytics.salted_agg,
+        "scalar_subquery": analytics.scalar_subquery,
+        "semantic_outliers": similarity.semantic_outliers,
+        "semi_join": analytics.semi_join,
+        "set_ops": analytics.set_ops,
+        "source_quality_report": text.source_quality_report,
+        "stratified_sample": sampling.stratified_sample,
+        "string_functions": analytics.string_functions,
+        "tfidf_keywords": text.tfidf_keywords,
+        "token_counts": text.token_counts,
+        "token_histogram": text.token_histogram,
+        "top_orders": analytics.top_orders,
+        "tpch_q14": analytics.tpch_q14_promo_revenue,
+        "tpch_q5": analytics.tpch_q5_supplier_volume,
+        "tpch_q6": analytics.tpch_q6_forecast_revenue,
+        "train_test_split": sampling.train_test_split,
+        "window_running_sum": analytics.window_running_sum,
+        "window_topn_per_group": analytics.window_topn_per_group,
+        # --- round-8 additions (parked at the tail per VERDICT r6 #1) ---
+        "percentile_prices_sketch": analytics.percentile_prices_sketch,
     }
 
 

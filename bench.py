@@ -56,12 +56,13 @@ HEADLINE = [
         "group_having",
         "rollup_agg",
         # percentile_prices (exact, oracle-checked) buffers whole groups on
-        # one reducer; the bench measures the GK-sketch twin. Since r7 the
-        # registered twin is the TOLERANCE-FORM audit (sketch + exact +
-        # within-envelope booleans, VERDICT r6 #7), so this timing carries
-        # the exact aggregate too — the sketch alone costs ~0.55 s at
-        # sf0.1; the delta is the price of the hash-gated error check.
-        "percentile_prices_approx",
+        # one reducer; the bench measures the PURE GK-sketch form — the
+        # production path whose whole point is to be cheap at 100 TB. The
+        # tolerance-form audit (percentile_prices_approx: sketch + exact +
+        # within-envelope booleans) stays registered as the correctness
+        # gate but is NOT timed here: benching it timed the exact
+        # verification twin, 3x the sketch cost (VERDICT r7 #3/#4).
+        "percentile_prices_sketch",
         "asof_join_events_orders",
         "events_hourly_rollup",
         "sessionize",
@@ -148,6 +149,10 @@ def main() -> None:
     # noise between runs, and min-of-2 is the standard way to report the
     # steady-state compute floor without hiding real regressions (a slow
     # plan is slow on both passes).
+    # 2-decimal timings: the serialized JSON line must stay inside the
+    # driver's 2000-char tail-capture window (VERDICT r7 #1 — r7's record
+    # was lost to a 22-char overflow); millisecond precision is noise at
+    # these magnitudes anyway.
     timings: dict[str, float] = {}
     for _ in range(2):
         for name in headline:
@@ -155,9 +160,8 @@ def main() -> None:
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - t0, 3)
+            elapsed = round(time.perf_counter() - t0, 2)
             timings[name] = min(timings.get(name, elapsed), elapsed)
-    total = round(sum(timings.values()), 3)
 
     htap = bench_htap_mixed(spark, sf_dir)
     htap_sustained = bench_htap_sustained(spark)
@@ -186,7 +190,14 @@ def main() -> None:
         print(f"bench_diff skipped: {exc}", file=sys.stderr)
     sys.stderr.flush()
 
-    print(json.dumps(build_payload(timings, sf, htap, htap_sustained)))
+    # compact separators: no ", "/": " padding — with ~75 keys that is
+    # ~160 chars of headroom inside the driver's tail-capture window
+    print(
+        json.dumps(
+            build_payload(timings, sf, htap, htap_sustained),
+            separators=(",", ":"),
+        )
+    )
     sys.stdout.flush()
 
 
@@ -195,11 +206,15 @@ def build_payload(
 ) -> dict:
     """The bench contract, in one place: the single JSON line the driver
     parses into BENCH_r{N}.json and tools/bench_diff.py consumes across
-    rounds. tests/test_bench_diff.py pins this schema (VERDICT r6 #8) —
-    widen it there first if a key must change."""
+    rounds. tests/test_bench_diff.py pins this schema AND its serialized
+    size (VERDICT r6 #8, r7 #1: the driver tail-captures 2000 chars;
+    r7's record was lost to overflow, so the htap blocks use compact keys,
+    prose notes go to stderr, and the size test holds the line <= 1800
+    with a representative 50-query payload) — widen the test first if a
+    key must change."""
     return {
         "metric": "total_query_wall",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(timings.values()), 2),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
@@ -304,23 +319,27 @@ def bench_htap_mixed(spark, sf_dir: str) -> dict:
         t.join()
     write_mixed = statistics.median(mixed_writes) if mixed_writes else write_idle
 
+    # The write base is a sub-0.1 ms dict put and (since the r7 read fast
+    # path) the query base is a ~15 ms cached-plan collect, so both pcts
+    # jitter with scheduler noise run-to-run; absolute ms are the stable
+    # figures. That caveat lives HERE (stderr) — the JSON line must stay
+    # inside the driver's 2000-char tail window (VERDICT r7 #1), hence the
+    # compact keys: w_/q_ = write/query, pct = degradation percent vs
+    # idle, abs_ms = mixed-minus-idle absolute overhead.
+    print(
+        "htap_mixed note: write pct is noise-dominated at a sub-0.1ms "
+        "base and query pct at a ~15ms cached-plan base; compare abs ms",
+        file=sys.stderr,
+    )
     return {
-        "write_ms_idle": round(write_idle, 3),
-        "write_ms_mixed": round(write_mixed, 3),
-        "query_ms_idle": round(query_idle, 2),
-        "query_ms_mixed": round(query_mixed, 2),
-        "write_degradation_pct": round(100 * (write_mixed / write_idle - 1), 1),
-        "query_degradation_pct": round(100 * (query_mixed / query_idle - 1), 1),
-        "query_ms_overhead_abs": round(query_mixed - query_idle, 2),
-        "mixed_writes_completed": len(mixed_writes),
-        # The write base is a sub-0.1 ms dict put and (since the r7 read
-        # fast path) the query base is a ~15 ms cached-plan collect, so
-        # both pcts jitter with scheduler noise run-to-run; absolute ms
-        # are the stable figures.
-        "note": (
-            "write pct is noise-dominated at a sub-0.1ms base and query "
-            "pct at a ~15ms cached-plan base; compare absolute ms"
-        ),
+        "w_idle_ms": round(write_idle, 3),
+        "w_mix_ms": round(write_mixed, 3),
+        "q_idle_ms": round(query_idle, 2),
+        "q_mix_ms": round(query_mixed, 2),
+        "w_pct": round(100 * (write_mixed / write_idle - 1), 1),
+        "q_pct": round(100 * (query_mixed / query_idle - 1), 1),
+        "q_abs_ms": round(query_mixed - query_idle, 2),
+        "writes": len(mixed_writes),
     }
 
 
@@ -422,31 +441,71 @@ def bench_htap_sustained(spark) -> dict:
     if not sustained:  # writer died instantly: keep the bench contract alive
         sustained = [query_once()]
 
+    # Second scenario (ADVICE r7): UPDATE-heavy ingest. The append-only
+    # phase above uses keys beyond the base pk range, so every sustained
+    # read qualifies for the driver-side fast path; in-range keys shadow
+    # base rows and _assert_keys_clear_of_base forces the full
+    # merge-on-read Spark fallback per query — the path whose regression
+    # surface would otherwise go unbenchmarked.
+    state2 = {"ingested": 0, "writer_error": None}
+    n_upd = 8_000
+
+    def upd_writer():
+        k = 1  # collides with base ids: upsert-as-update
+        mem = engine.tables["transactions"].memtable
+        while state2["ingested"] < n_upd:
+            rs = engine.execute(
+                f"INSERT INTO transactions VALUES ({k}, 'South', 'Tools', "
+                f"{100.0 + k % 500}, 1, 'completed')"
+            )
+            if rs.error_message is not None:
+                state2["writer_error"] = rs.error_message
+                return
+            state2["ingested"] += 1
+            state["max_overlay"] = max(state["max_overlay"], len(mem))
+            k += 1
+
+    t2 = threading.Thread(target=upd_writer)
+    t2.start()
+    upd: list[float] = []
+    while t2.is_alive() and len(upd) < 6:
+        upd.append(query_once())
+        time.sleep(0.25)
+    t2.join()
+    if not upd:
+        upd = [query_once()]
+
+    # Prose caveat on stderr, NOT in the JSON line (VERDICT r7 #1: the
+    # driver tail-captures 2000 chars; r7's record was lost to overflow).
+    # Compact keys: q_sus/upd = read latency under append-only vs
+    # UPDATE-heavy (merge-on-read fallback) ingest; pct vs idle; abs_ms =
+    # sustained-minus-idle.
+    print(
+        "htap_sustained note: append-only read overhead is ~constant abs "
+        "ms (GIL wake + memtable fold; fast-path-served) — pct inflates "
+        "when the idle scan is cache-warm; upd_* rows measure in-range "
+        f"(UPDATE-heavy) ingest on the full merge-on-read fallback. "
+        f"autoflush_rows={engine.autoflush_rows} "
+        f"upd_writer_error={state2['writer_error']}",
+        file=sys.stderr,
+    )
+    med = statistics.median(sustained)
     return {
         "base_rows": base_rows,
-        "ingested_rows": state["ingested"],
-        "ingest_rows_per_sec": round(state["ingested"] / elapsed, 1),
-        "autoflush_rows": engine.autoflush_rows,
+        "ingested": state["ingested"] + state2["ingested"],
+        "rows_per_s": round(state["ingested"] / elapsed),
         "flushes": engine.stats["total_flushes"] - flushes0,
-        "max_overlay_rows": state["max_overlay"],
-        "query_ms_idle": round(query_idle, 2),
-        "query_ms_sustained": round(statistics.median(sustained), 2),
-        "query_ms_sustained_p95": round(
-            sorted(sustained)[int(0.95 * (len(sustained) - 1))], 2
-        ),
-        "query_degradation_pct": round(
-            100 * (statistics.median(sustained) / query_idle - 1), 1
-        ),
-        "query_ms_overhead_abs": round(
-            statistics.median(sustained) - query_idle, 2
-        ),
-        "queries_during_ingest": len(sustained),
-        "writer_error": state["writer_error"],
-        "note": (
-            "sustained-ingest read overhead is ~constant in absolute ms "
-            "(GIL wake + memtable fold); when the idle scan is fully "
-            "cache-warm the pct inflates — compare absolute ms too"
-        ),
+        "max_overlay": state["max_overlay"],
+        "q_idle_ms": round(query_idle, 2),
+        "q_sus_ms": round(med, 2),
+        "q_p95_ms": round(sorted(sustained)[int(0.95 * (len(sustained) - 1))], 2),
+        "q_pct": round(100 * (med / query_idle - 1), 1),
+        "q_abs_ms": round(med - query_idle, 2),
+        "n_q": len(sustained),
+        "upd_q_ms": round(statistics.median(upd), 2),
+        "upd_abs_ms": round(statistics.median(upd) - query_idle, 2),
+        "n_upd_q": len(upd),
+        "err": state["writer_error"],
     }
 
 

@@ -498,6 +498,39 @@ def percentile_prices_approx(
     )
 
 
+def percentile_prices_sketch(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10_000
+) -> DataFrame:
+    """The PRODUCTION sketch form alone: percentile_approx (GK sketch,
+    mergeable, map-side partials, O(accuracy) memory per group) with no
+    exact twin in the plan. `percentile_prices_approx` is the tolerance
+    gate that hash-verifies this sketch against exact percentiles; it pays
+    for an exact sort-the-group aggregate, which at 100 TB is precisely
+    what the sketch exists to avoid — so the bench times THIS form while
+    the gate form stays registered for correctness (VERDICT r7 #4).
+    No oracle_sql entry: a GK sketch picks actual group elements, so its
+    raw values cannot hash-match DuckDB's interpolating quantile_cont —
+    the driver records the weaker rows-only check and the tolerance twin
+    carries the real envelope gate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                f"percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), {accuracy})"
+            ).alias("aps"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("aps")[0], 4).alias("p50"),
+            F.round(F.col("aps")[1], 4).alias("p90"),
+            F.round(F.col("aps")[2], 4).alias("p99"),
+            "n",
+        )
+    )
+
+
 def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each event, the customer's most recent order at event
     time (o_orderdate <= ts; latest o_orderdate, tie-break highest

@@ -59,6 +59,68 @@ class TestEmittedSchema:
         assert "\n" not in line
         assert json.loads(line) == doc
 
+    def test_serialized_line_fits_driver_tail_window(self):
+        """VERDICT r7 #1: the driver captures the LAST 2000 chars of bench
+        output; r7's JSON line outgrew that window and the round's bench
+        record was lost (BENCH_r07.json parsed=null). Pin the size with a
+        worst-case-representative payload: every real headline query at a
+        5-char timing (e.g. 12.34), plus htap blocks shaped exactly like
+        bench_htap_mixed / bench_htap_sustained returns with wide values.
+        Margin: <= 1800 leaves 200 chars for value-width jitter and the
+        trailing newline."""
+        timings = {name: 12.34 for name in bench.HEADLINE}
+        htap = {
+            "w_idle_ms": 0.035,
+            "w_mix_ms": 0.037,
+            "q_idle_ms": 114.98,
+            "q_mix_ms": 224.19,
+            "w_pct": 106.7,
+            "q_pct": 162.4,
+            "q_abs_ms": 109.29,
+            "writes": 16879,
+        }
+        sustained = {
+            "base_rows": 20000000,
+            "ingested": 68000,
+            "rows_per_s": 14723,
+            "flushes": 12,
+            "max_overlay": 4999,
+            "q_idle_ms": 115.09,
+            "q_sus_ms": 146.37,
+            "q_p95_ms": 181.73,
+            "q_pct": 207.2,
+            "q_abs_ms": 131.28,
+            "n_q": 12,
+            "upd_q_ms": 1234.56,
+            "upd_abs_ms": 1119.47,
+            "n_upd_q": 6,
+            "err": None,
+        }
+        # bench.main() serializes with compact separators — measure the
+        # same form it prints
+        line = json.dumps(
+            bench.build_payload(timings, 0.1, htap, sustained),
+            separators=(",", ":"),
+        )
+        assert len(line) <= 1800, (
+            f"bench JSON line is {len(line)} chars — would overflow the "
+            "driver's 2000-char tail window; shrink the payload"
+        )
+        # and the blocks above must stay in lockstep with the real
+        # producers: a key added to bench_htap_* without widening this
+        # payload would un-pin the size guarantee
+        import inspect
+
+        src_mixed = inspect.getsource(bench.bench_htap_mixed)
+        src_sus = inspect.getsource(bench.bench_htap_sustained)
+        for key in htap:
+            assert f'"{key}"' in src_mixed, f"htap_mixed key {key} drifted"
+        for key in sustained:
+            assert f'"{key}"' in src_sus, f"htap_sustained key {key} drifted"
+        assert '"note"' not in src_mixed and '"note"' not in src_sus, (
+            "prose notes belong on stderr, not in the JSON line"
+        )
+
     def test_headline_queries_are_registered(self):
         """Every headline name bench.py times must exist in queries() —
         a rename that misses bench.py would crash the driver's bench run

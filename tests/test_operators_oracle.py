@@ -100,6 +100,31 @@ def test_percentile_approx_bounded_by_exact(spark):
             assert ar[f"{q}_within_tol"] is True, f"{flag}.{q} out of tolerance"
 
 
+def test_percentile_sketch_form_bounded_by_exact(spark):
+    """percentile_prices_sketch (the timed production form, VERDICT r7 #4)
+    carries no oracle — it emits raw GK-sketch values. Bound it here the
+    same way the tolerance gate does: every sketch quantile within 5%
+    relative error of the exact interpolated quantile, identical groups
+    and counts."""
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators import analytics
+
+    exact = {
+        r["l_returnflag"]: r
+        for r in analytics.percentile_prices(spark, SF_DIR).collect()
+    }
+    sketch = {
+        r["l_returnflag"]: r
+        for r in analytics.percentile_prices_sketch(spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(sketch)
+    for flag, er in exact.items():
+        sr = sketch[flag]
+        assert sr["n"] == er["n"]
+        for q in ("p50", "p90", "p99"):
+            rel = abs(sr[q] - er[q]) / er[q]
+            assert rel <= 0.05, f"{flag}.{q}: sketch {sr[q]} vs exact {er[q]}"
+
+
 def test_simhash_scale_twin_subset_of_exact(spark):
     """The ham≤3 scale twin must equal the ham≤5 exact-recall set filtered
     to hamming ≤ 3 — the 15-bit-chunk pigeonhole loses no pairs."""
