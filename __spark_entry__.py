@@ -290,8 +290,11 @@ cand AS (
   SELECT a.doc_id AS d1, b.doc_id AS d2
   FROM sig a JOIN sig b ON a.doc_id < b.doc_id
   WHERE {band_eq}),
-shl2 AS (SELECT doc_id, {_SHINGLES} AS S
-         FROM (SELECT doc_id, {_TOKS} AS T FROM documents)),
+shl2 AS (SELECT doc_id,
+                list_distinct(list_transform(S,
+                  s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS S
+         FROM (SELECT doc_id, {_SHINGLES} AS S
+               FROM (SELECT doc_id, {_TOKS} AS T FROM documents))),
 j AS (
   SELECT c.d1, c.d2,
          len(list_intersect(x.S, y.S)) AS inter,
