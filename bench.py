@@ -448,10 +448,10 @@ def bench_htap_sustained(spark) -> dict:
     # merge-on-read Spark fallback per query — the path whose regression
     # surface would otherwise go unbenchmarked.
     state2 = {"ingested": 0, "writer_error": None}
-    n_upd = 8_000
+    n_upd = 20_000
 
     def upd_writer():
-        k = 1  # collides with base ids: upsert-as-update
+        k = 2  # collides with base ids: upsert-as-update
         mem = engine.tables["transactions"].memtable
         while state2["ingested"] < n_upd:
             rs = engine.execute(
@@ -465,12 +465,22 @@ def bench_htap_sustained(spark) -> dict:
             state["max_overlay"] = max(state["max_overlay"], len(mem))
             k += 1
 
+    # Warm the fallback plan FIRST: one in-range upsert flips reads onto
+    # the full merge-on-read path; without this the single-sample phases
+    # below time whole-stage-codegen compilation, not the steady-state
+    # fallback cost.
+    engine.execute(
+        "INSERT INTO transactions VALUES (1, 'South', 'Tools', 350.0, 1, "
+        "'completed')"
+    )
+    query_once()
+    query_once()
     t2 = threading.Thread(target=upd_writer)
     t2.start()
     upd: list[float] = []
     while t2.is_alive() and len(upd) < 6:
         upd.append(query_once())
-        time.sleep(0.25)
+        time.sleep(0.1)
     t2.join()
     if not upd:
         upd = [query_once()]

@@ -164,12 +164,20 @@ def test_sustained_ingest_under_concurrent_queries(loaded_engine):
 
 
 def test_sustained_read_degradation_under_ceiling(loaded_engine):
-    """VERDICT r6 #3's 'done' criterion, pinned: analytical read latency
-    under sustained single-row ingest (auto-flush active) stays within 50%
-    of idle latency. The read fast path serves a base-only cached plan and
-    folds delta-mirror + memtable driver-side, so ingest should barely
-    move the needle (bench_htap_sustained measured 28% at a 1M base /
-    13.7k rows/s; this asserts the contract at test scale with margin)."""
+    """The sustained-ingest read contract, re-stated on ABSOLUTE overhead
+    (VERDICT r7 #3): the percentage form is denominator-dominated — the r7
+    fast path cut the idle read to a ~15 ms cached-plan collect, so every
+    residual millisecond of ingest overhead reads as several percent and
+    the pct gate measures JVM warmth, not the engine. The honest contract:
+    read latency under sustained single-row ingest (auto-flush active)
+    exceeds idle by at most a small constant — the driver-side fold of
+    ops-since-last-read (mem_log) plus one O(flush) mirror-partial upgrade
+    per flush epoch, both independent of base size and of how long ingest
+    has been running. r8 measured 5-17 ms overhead at 9-13k rows/s on a
+    20M-row base (was 31 ms before the incremental partials; 225 ms before
+    the fast path). The relative bound stays as a secondary accept for
+    warm-JVM runs where idle is large enough to make percentages
+    meaningful."""
     import statistics
     import threading
     import time as _time
@@ -211,14 +219,12 @@ def test_sustained_read_degradation_under_ceiling(loaded_engine):
     assert len(sustained) >= 3, "ingest window too short to sample"
     med = statistics.median(sustained)
     deg = 100 * (med / idle - 1)
-    # Dual bound: at this deliberately small test base the idle median sits
-    # at the fixed per-job floor (~45 ms), so a few ms of scheduler noise
-    # reads as a large percentage — accept EITHER the bench's 50% relative
-    # ceiling (what BENCH_r07 asserts at the 1M-row base, measured 28%)
-    # or a small absolute overhead. A regression to the old per-query
-    # plan-rebuild path costs 300-500 ms and fails both bounds by an
-    # order of magnitude.
-    assert deg < 50 or (med - idle) < 40, (
+    # Primary bound: absolute overhead < 25 ms (r8 measured 5-17 ms; the
+    # old per-epoch full-mirror refold measured ~31 ms and grew with
+    # accumulated deltas; the pre-fast-path per-query plan rebuild cost
+    # 300-500 ms). Secondary accept: the 50% relative ceiling for runs
+    # warm enough that idle is off the per-job scheduling floor.
+    assert (med - idle) < 25 or deg < 50, (
         f"sustained-read degradation {deg:.0f}% and +{med - idle:.1f} ms "
         f"absolute (idle {idle:.1f} ms, sustained {med:.1f} ms)"
     )
