@@ -48,6 +48,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Expected execution-layer failure families for execute()'s clean-error
+# backstop: pyspark analysis / ANSI-cast errors and JVM-bridge faults.
+# Anything outside these is logged with a traceback (advisor r7).
+try:
+    from py4j.protocol import Py4JError as _Py4JError
+except ImportError:  # pragma: no cover - py4j ships with pyspark
+    class _Py4JError(Exception):
+        pass
+
+try:
+    from pyspark.errors import PySparkException as _PySparkException
+except ImportError:  # pragma: no cover - present since pyspark 3.4
+    from pyspark.sql.utils import CapturedException as _PySparkException
+
+_EXECUTION_ERRORS = (_PySparkException, _Py4JError)
+
 
 # ---------------------------------------------------------------------------
 # Result model (reference: result_formatter.hpp:19-43 — every result carries
@@ -469,7 +485,14 @@ class SamanvayEngine:
 
     A single reentrant lock guards all state-mutating/iterating entry points
     — the engine is served by ThreadingHTTPServer and the reference guards
-    the shared engine with per-component mutexes."""
+    the shared engine with per-component mutexes.
+
+    PROCESS-WIDE side effect (advisor r7): construction lowers CPython's
+    thread switch interval to ``SPARK_GRAFT_GIL_SWITCH`` (default 0.5 ms,
+    never raised above the current value) so concurrent analytical readers
+    are not starved behind a pure-Python ingest loop — embedders that tune
+    the interval themselves should set the env var (e.g. to ``1``) to make
+    the engine's floor a no-op; ``close()`` restores the prior value."""
 
     def __init__(
         self,
@@ -491,7 +514,9 @@ class SamanvayEngine:
         import sys as _sys
 
         target = float(os.environ.get("SPARK_GRAFT_GIL_SWITCH", "0.0005"))
+        self._prev_switch_interval: float | None = None
         if target < _sys.getswitchinterval():
+            self._prev_switch_interval = _sys.getswitchinterval()
             _sys.setswitchinterval(target)
         self.autoflush_rows: int | None = self.AUTOFLUSH_ROWS
         self.tables: dict[str, TableState] = {}
@@ -523,6 +548,16 @@ class SamanvayEngine:
         if data_dir is not None:
             os.makedirs(data_dir, exist_ok=True)
             self._recover()
+
+    def close(self) -> None:
+        """Release process-global side effects (currently: restore the
+        CPython switch interval lowered by __init__). Safe to call twice;
+        the engine remains usable for reads afterwards."""
+        if self._prev_switch_interval is not None:
+            import sys as _sys
+
+            _sys.setswitchinterval(self._prev_switch_interval)
+            self._prev_switch_interval = None
 
     # -- durability (schema sidecar + WAL + parquet base) --------------------
 
@@ -729,13 +764,28 @@ class SamanvayEngine:
                 self._drain_autoflushes()
         except SqlError as exc:
             result = ResultSet(error_message=str(exc))
-        except Exception as exc:  # execution-layer failure (e.g. Py4J)
+        except _EXECUTION_ERRORS as exc:
             # The SQL surface contract: malformed input comes back as a
             # clean error_message, never an unhandled exception — the
             # REPL/REST layers (and the reference's error strings) depend
             # on it. Differential fuzz found the optimizer throwing
             # NumberFormatException for `bigint_col = 'a'` before the
-            # try_cast fix; this is the backstop for whatever remains.
+            # try_cast fix; these are the EXPECTED execution-layer
+            # families (pyspark analysis/ANSI-cast errors surface as
+            # PySparkException; JVM faults as Py4JError).
+            result = ResultSet(error_message=f"{type(exc).__name__}: {exc}")
+        except Exception as exc:  # pragma: no cover - genuine engine defects
+            # Anything else is NOT an expected SQL failure: keep the
+            # clean-error surface contract, but log the full traceback so
+            # internal regressions can't masquerade as ordinary SQL
+            # errors (advisor r7).
+            import traceback
+
+            logging.getLogger(__name__).warning(
+                "unexpected engine failure for %r:\n%s",
+                sql,
+                traceback.format_exc(),
+            )
             result = ResultSet(error_message=f"{type(exc).__name__}: {exc}")
         result.execution_time_ms = (time.perf_counter() - start) * 1000.0
         return result
@@ -1099,9 +1149,15 @@ class SamanvayEngine:
             cur = state.memtable.get(pk)
             if cur is not None and cur[0] == seq:
                 del state.memtable[pk]
-                # removal op: the row's contribution leaves the overlay
-                # (it lives in the delta mirror now)
-                state.mem_log.append((cur[1], None))
+        # Invalidate incremental fold positions instead of logging one
+        # subtraction op per flushed row: the post-flush overlay is tiny
+        # (rows written during the unlocked fold), so a fresh refold is
+        # cheaper than a snapshot-sized replay — and float SUM partials
+        # never accumulate subtraction drift (advisor r7: repeated
+        # add-then-subtract of doubles walks the low-order bits away from
+        # what a fresh fold computes).
+        state.mem_log_base += len(state.mem_log) + 1
+        state.mem_log.clear()
 
     def _install_base(self, state: TableState, merged: DataFrame) -> None:
         """Make ``merged`` (already checkpointed) the table's base. Durable
@@ -1712,6 +1768,23 @@ class SamanvayEngine:
             dt = state.schema[rhs[1]].dataType
             if not isinstance(dt, T.StringType):
                 l = l.try_cast(dt)
+        # The mirror case (advisor r7): a STRING column against a
+        # non-string literal. ANSI Spark would cast the whole column and
+        # error on the first malformed value; try_cast the column instead —
+        # unparseable rows become NULL and cleanly no-match, parseable ones
+        # compare numerically. The fast path raises _FastPathUnsupported
+        # for this shape in non-quirk mode, so this IS the one semantic.
+        if not self.quirk_compat:  # quirk mode: the stringly branch below owns this shape
+            if lhs[0] == "col" and rhs[0] == "lit" and rhs[1] is not None and not isinstance(rhs[1], str):
+                if isinstance(state.schema[lhs[1]].dataType, T.StringType):
+                    l = l.try_cast(
+                        "boolean" if isinstance(rhs[1], bool) else "double"
+                    )
+            elif rhs[0] == "col" and lhs[0] == "lit" and lhs[1] is not None and not isinstance(lhs[1], str):
+                if isinstance(state.schema[rhs[1]].dataType, T.StringType):
+                    r = r.try_cast(
+                        "boolean" if isinstance(lhs[1], bool) else "double"
+                    )
         stringly = self.quirk_compat and any(
             o[0] == "col"
             and isinstance(state.schema[o[1]].dataType, T.StringType)
@@ -2011,6 +2084,23 @@ class SamanvayEngine:
         llit = lhs[1] if lhs[0] == "lit" else None
         rcol = rhs[1] if rhs[0] == "col" else None
         rlit = rhs[1] if rhs[0] == "lit" else None
+        # String-typed column vs non-string literal (advisor r7): the Spark
+        # path try_casts the COLUMN per row (numeric compare where
+        # parseable, NULL no-match otherwise) — per-row parsing this fold
+        # does not replicate, and a plain Python ==/!= would silently
+        # no-match where < would TypeError. Fall back for ALL six ops so
+        # hot and base rows evaluate under one semantic.
+        if not self.quirk_compat:
+            for c, lit in ((lcol, rlit), (rcol, llit)):
+                if (
+                    c is not None
+                    and lit is not None
+                    and not isinstance(lit, str)
+                    and isinstance(state.schema[c].dataType, T.StringType)
+                ):
+                    raise _FastPathUnsupported(
+                        "string column vs non-string literal"
+                    )
         # mirror the Spark path's try_cast of a string literal against a
         # typed column: unparseable → NULL → never matches; parseable →
         # numeric compare. Types Python can't parse like Spark
@@ -2229,6 +2319,15 @@ class SamanvayEngine:
         has_minmax = any(k.startswith(("min_", "max_")) for k in parts)
         if sub["n"] and has_minmax:
             return None
+        # Float subtraction is not exactly invertible (non-associativity
+        # drift, advisor r7): refuse any non-zero float SUM subtraction —
+        # the caller refolds from scratch, which is drift-free. Integer
+        # sums subtract exactly and stay incremental.
+        if sub["n"] and any(
+            k.startswith("sum_") and isinstance(v, float) and v != 0.0
+            for k, v in sub.items()
+        ):
+            return None
         out = dict(parts)
         out["n"] = parts["n"] + add["n"] - sub["n"]
         for k, v in add.items():
@@ -2355,6 +2454,15 @@ class SamanvayEngine:
         if shadow_parts["n"] and fns & {"MIN", "MAX"}:
             # a shadowed mirror row may BE the min/max — not subtractable
             raise _FastPathUnsupported("min/max with shadowed mirror rows")
+        if shadow_parts["n"] and any(
+            k.startswith("sum_") and isinstance(v, float) and v != 0.0
+            for k, v in shadow_parts.items()
+        ):
+            # float SUM/AVG with shadow subtraction: non-associativity
+            # means the fast result could differ from the fallback plan in
+            # low-order bits and vary across flush cycles (advisor r7) —
+            # same spirit as the MIN/MAX guard
+            raise _FastPathUnsupported("float sum with shadowed mirror rows")
         key = ("agg", repr(pred), needs_key)
         plan = state.read_plans.get(key)
         if plan is None:

@@ -219,3 +219,55 @@ class TestDifferentialFuzz:
                 ), (sql, fast.error_message, slow.error_message)
                 if fast.error_message is None:
                     assert _norm(fast.rows) == _norm(slow.rows), sql
+
+    def test_random_predicates_agree_nonquirk(self, spark):
+        """The same differential harness in STANDARD (non-quirk) mode
+        (advisor r7): the fast path must never answer under different
+        semantics than the Spark plan. The hazard case is a string-typed
+        column vs a non-string literal — plain Python ==/!= silently
+        no-matched where the ANSI plan errored; now the fast path falls
+        back and the plan try_casts the column (numeric compare where
+        parseable, NULL no-match otherwise)."""
+        import itertools
+        import random
+
+        from project_samanvay_a_true_hybrid_htap_database_spark import (
+            SamanvayEngine,
+        )
+
+        rng = random.Random(20260815)
+        e = SamanvayEngine(spark, quirk_compat=False)
+        e.execute(
+            "CREATE TABLE f (id BIGINT NOT NULL, name VARCHAR(20), "
+            "amount DOUBLE, qty INT)"
+        )
+        for i in range(1, 25):
+            name = rng.choice(["a", "b", "7", "42", "zz", None])
+            amount = rng.choice([None, -1.5, 0.0, 3.25, 99.9])
+            qty = rng.choice([None, 0, 1, 5, 42])
+            vals = ", ".join(
+                "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else str(v))
+                for v in (i, name, amount, qty)
+            )
+            e.execute(f"INSERT INTO f VALUES ({vals})")
+        e.flush("f")
+        e.execute("INSERT INTO f VALUES (3, '42', 1.0, 9)")
+        e.execute("DELETE FROM f WHERE id = 5")
+
+        cols = ["id", "name", "amount", "qty"]
+        # numeric literals against the string column are the point here
+        lits = ["3", "'42'", "'a'", "0.0", "42", "5"]
+        ops = ["=", "!=", "<", "<=", ">", ">="]
+        preds = []
+        for c, o, l in itertools.product(cols, ops, lits):
+            preds.append(f"{c} {o} {l}")
+        rng.shuffle(preds)
+        for p in preds[:50] + ["name = 42", "name != 42", "name < 42"]:
+            for sel in ("COUNT(*), SUM(amount)", "id, name"):
+                sql = f"SELECT {sel} FROM f WHERE {p}"
+                fast, slow = _both_paths(e, sql)
+                assert (fast.error_message is None) == (
+                    slow.error_message is None
+                ), (sql, fast.error_message, slow.error_message)
+                if fast.error_message is None:
+                    assert _norm(fast.rows) == _norm(slow.rows), sql
