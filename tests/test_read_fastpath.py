@@ -139,6 +139,51 @@ def test_fresh_keys_after_compaction_use_fast_path(engine):
     assert _norm(fast.rows) == _norm(slow.rows)
 
 
+def test_incremental_partials_interleaved_ops(engine):
+    """The r8 incremental fold machinery (mem_log replay + mirror_log
+    epoch upgrades + flush invalidation) pinned under the workload shape
+    that exercises every transition: repeated reads of the SAME queries
+    (so the caches are hot and replay paths actually run) interleaved
+    with inserts, hot-row updates, deletes, and flushes. Every read is
+    compared against the forced full Spark plan."""
+    sqls = [
+        "SELECT SUM(amount), COUNT(*) FROM t",
+        "SELECT SUM(amount), AVG(amount) FROM t WHERE amount > 4",
+        "SELECT COUNT(qty), SUM(qty) FROM t WHERE qty >= 2",
+        "SELECT MIN(amount), MAX(amount) FROM t",
+    ]
+
+    def check_all(tag):
+        for sql in sqls:
+            fast, slow = _both_paths(engine, sql)
+            assert fast.error_message is None and slow.error_message is None
+            assert _norm(fast.rows) == _norm(slow.rows), (tag, sql)
+
+    check_all("initial")  # anchor the fold caches
+    engine.execute("INSERT INTO t VALUES (6, 'f1', 7.5, 3)")
+    check_all("after append")  # replay: pure add
+    engine.execute("INSERT INTO t VALUES (6, 'f1b', 8.5, 4)")
+    check_all("after hot-row update")  # replay: add + float-sum sub → refold
+    engine.execute("DELETE FROM t WHERE id = 1")
+    check_all("after delete")  # replay: tombstone op
+    engine.flush("t")
+    check_all("after flush")  # mem positions invalidated, mirror_log epoch
+    engine.execute("INSERT INTO t VALUES (7, 'g', 1.0, 1)")
+    check_all("after post-flush append")
+    engine.flush("t")
+    check_all("after second flush")  # mirror upgrade across 2 epochs
+    engine.execute("INSERT INTO t VALUES (7, 'g2', 2.0, 2)")  # shadows mirror
+    check_all("after mirror shadow")
+    engine.flush("t")  # flush replaces a mirror entry → replaced-row sub
+    check_all("after replacing flush")
+    # queries that were NOT re-run every round must still upgrade across
+    # the multi-epoch gap
+    fast, slow = _both_paths(
+        engine, "SELECT SUM(amount), COUNT(*) FROM t WHERE qty >= 1"
+    )
+    assert _norm(fast.rows) == _norm(slow.rows)
+
+
 def _norm(rows):
     def canon(v):
         if isinstance(v, float):
