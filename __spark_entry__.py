@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topn_per_group": analytics.window_topn_per_group,
         # --- round-8 additions (parked at the tail per VERDICT r6 #1) ---
         "percentile_prices_sketch": analytics.percentile_prices_sketch,
+        "ann_recall_audit": similarity.ann_recall_audit,
     }
 
 
@@ -521,6 +522,34 @@ r AS (SELECT src, nbr, cos,
              CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, nbr ASC) AS INT) AS rk
       FROM p)
 SELECT src, nbr, rk, round(cos, 4) AS cos_sim FROM r WHERE rk <= 3
+"""
+    # ANN recall audit: exact global kNN on a 50-query sample vs the
+    # label-blocked join — same (cos DESC, nbr ASC) tie-break both sides.
+    ann_recall = f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < 50),
+gp AS (SELECT q.qid, e.vec_id AS nbr,
+              {_COS.format(a="e.embedding::DOUBLE[]", b="q.qe")} AS cos
+       FROM embeddings e JOIN q ON e.vec_id != q.qid),
+gr AS (SELECT qid, nbr,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nbr ASC) AS rk
+       FROM gp),
+exact AS (SELECT qid, nbr FROM gr WHERE rk <= 3),
+bp AS (SELECT a.vec_id AS src, b.vec_id AS nbr, {cos_ab} AS cos
+       FROM embeddings a JOIN embeddings b
+         ON a.label = b.label AND a.vec_id != b.vec_id
+       WHERE a.vec_id < 50),
+br AS (SELECT src, nbr,
+              row_number() OVER (PARTITION BY src ORDER BY cos DESC, nbr ASC) AS rk
+       FROM bp),
+blocked AS (SELECT src, nbr FROM br WHERE rk <= 3),
+perq AS (SELECT e.qid, count(b.nbr) / 3.0 AS recall
+         FROM exact e LEFT JOIN blocked b ON b.src = e.qid AND b.nbr = e.nbr
+         GROUP BY e.qid)
+SELECT CAST(count(*) AS BIGINT) AS n_queries, 3 AS k,
+       round(avg(recall), 4) AS mean_recall,
+       round(min(recall), 4) AS min_recall
+FROM perq
 """
     lang_scores = ", ".join(
         f"len(list_filter(T, t -> list_contains({markers!r}, t))) AS s_{lang}"
@@ -1672,6 +1701,7 @@ GROUP BY label ORDER BY label
         "knn_join_blocked": knn,
         # same oracle: the vectorized path must produce identical rows
         "knn_join_vectorized": knn,
+        "ann_recall_audit": ann_recall,
         # --- text ---
         "lang_id": lang_id_sql,
         "lang_id_confusion": lang_confusion_sql,
