@@ -441,12 +441,14 @@ def bench_htap_sustained(spark) -> dict:
     if not sustained:  # writer died instantly: keep the bench contract alive
         sustained = [query_once()]
 
-    # Second scenario (ADVICE r7): UPDATE-heavy ingest. The append-only
-    # phase above uses keys beyond the base pk range, so every sustained
-    # read qualifies for the driver-side fast path; in-range keys shadow
-    # base rows and _assert_keys_clear_of_base forces the full
-    # merge-on-read Spark fallback per query — the path whose regression
-    # surface would otherwise go unbenchmarked.
+    # Second scenario (ADVICE r7): UPDATE-heavy ingest — keys INSIDE the
+    # base pk range shadow base rows. Since r8 this also rides the fast
+    # path: shadowed base rows are point-read from the base parquet with
+    # pyarrow (cached per base epoch, first-seen-incremental fold) and
+    # subtracted from the cached base aggregate; reads that can't
+    # (MIN/MAX over shadowed rows, non-parquet base, fetch cap) still
+    # take the full merge-on-read fallback, so upd_q_ms records whichever
+    # path production would use.
     state2 = {"ingested": 0, "writer_error": None}
     n_upd = 20_000
 

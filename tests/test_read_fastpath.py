@@ -139,6 +139,73 @@ def test_fresh_keys_after_compaction_use_fast_path(engine):
     assert _norm(fast.rows) == _norm(slow.rows)
 
 
+def test_parquet_base_shadow_served_on_fast_path(spark, tmp_path):
+    """r8: in-range hot keys (UPDATE-heavy ingest) no longer force the
+    merge-on-read fallback when the base is parquet-backed — the shadowed
+    base rows are point-read with pyarrow and subtracted from the cached
+    base aggregate. Durable mode gives a parquet base (gen dirs); every
+    read is compared against the forced full Spark plan, including
+    updates, deletes, repeated updates of the same key, and flush
+    boundaries. MIN/MAX over a shadowed set must still fall back."""
+    e = SamanvayEngine(spark, data_dir=str(tmp_path / "d"))
+    e.execute(
+        "CREATE TABLE p (id BIGINT NOT NULL, name VARCHAR(20), "
+        "amount DOUBLE, qty INT)"
+    )
+    for i in range(1, 21):
+        e.execute(
+            f"INSERT INTO p VALUES ({i}, 'n{i}', {i * 1.5}, {i % 5})"
+        )
+    e.flush("p")
+    e.compact("p")  # durable compaction -> parquet generation base
+    assert e.tables["p"].base.inputFiles(), "expected a parquet-backed base"
+
+    sqls = [
+        "SELECT SUM(amount), COUNT(*) FROM p",
+        "SELECT SUM(amount), AVG(amount) FROM p WHERE amount > 10",
+        "SELECT COUNT(qty), SUM(qty) FROM p WHERE qty >= 2",
+        "SELECT COUNT(*) FROM p WHERE name != 'n3'",
+    ]
+
+    def check_all(tag):
+        for sql in sqls:
+            fast, slow = _both_paths(e, sql)
+            assert fast.error_message is None and slow.error_message is None
+            assert _norm(fast.rows) == _norm(slow.rows), (tag, sql)
+
+    e.execute("INSERT INTO p VALUES (3, 'upd3', 99.0, 4)")  # in-range update
+    check_all("one shadowing update")
+    # the fast path must actually SERVE this (not silently fall back)
+    e._fast_aggregates(
+        e.tables["p"], None, e._parse_agg_specs(e.tables["p"], ["SUM(amount)"])
+    )
+    e.execute("DELETE FROM p WHERE id = 7")  # in-range tombstone
+    e.execute("INSERT INTO p VALUES (3, 'upd3b', 1.0, 0)")  # re-update same key
+    e.execute("INSERT INTO p VALUES (100, 'fresh', 5.0, 1)")  # out-of-range
+    check_all("update+delete+reupdate+append")
+    e.flush("p")  # shadowing keys move memtable -> delta mirror
+    check_all("after flush")
+    e.execute("INSERT INTO p VALUES (12, 'upd12', -3.5, 2)")
+    check_all("post-flush update")
+    # MIN/MAX with shadowed base rows is not subtractable -> fallback
+    with pytest.raises(_FastPathUnsupported):
+        e._fast_aggregates(
+            e.tables["p"],
+            None,
+            e._parse_agg_specs(e.tables["p"], ["MIN(amount)"]),
+        )
+    fast, slow = _both_paths(e, "SELECT MIN(amount), MAX(amount) FROM p")
+    assert _norm(fast.rows) == _norm(slow.rows)
+    # fully-shadowed matching set: SUM over it must be NULL-ish (quirk: 0)
+    for i in range(1, 21):
+        if i != 7:
+            e.execute(f"DELETE FROM p WHERE id = {i}")
+    e.execute("DELETE FROM p WHERE id = 100")
+    fast, slow = _both_paths(e, "SELECT SUM(amount), COUNT(*) FROM p")
+    assert _norm(fast.rows) == _norm(slow.rows)
+    assert fast.rows[0][1] == 0
+
+
 def test_incremental_partials_interleaved_ops(engine):
     """The r8 incremental fold machinery (mem_log replay + mirror_log
     epoch upgrades + flush invalidation) pinned under the workload shape
