@@ -78,6 +78,8 @@ class TestEmittedSchema:
             "q_pct": 162.4,
             "q_abs_ms": 109.29,
             "writes": 16879,
+            "pl_cold_ms": 15.24,
+            "pl_warm_ms": 0.047,
         }
         sustained = {
             "base_rows": 20000000,

@@ -206,6 +206,51 @@ def test_parquet_base_shadow_served_on_fast_path(spark, tmp_path):
     assert fast.rows[0][1] == 0
 
 
+def test_point_lookup_driver_path(spark, tmp_path):
+    """r8 pyarrow point lookups: pk-equality SELECTs are served entirely
+    driver-side (memtable → mirror → one base parquet point-read) and
+    must agree with the full plan across every layer a key can live in —
+    including a cold base key that later becomes hot (the shadow_seen
+    regression: a point-lookup-warmed cache entry must not keep the key
+    out of the shadow set)."""
+    e = SamanvayEngine(spark, data_dir=str(tmp_path / "d"))
+    e.execute(
+        "CREATE TABLE p (id BIGINT NOT NULL, name VARCHAR(20), amount DOUBLE)"
+    )
+    for i in range(1, 11):
+        e.execute(f"INSERT INTO p VALUES ({i}, 'n{i}', {i * 10.0})")
+    e.flush("p")
+    e.compact("p")
+    e.execute("INSERT INTO p VALUES (3, 'hot3', 99.0)")   # hot over base
+    e.execute("DELETE FROM p WHERE id = 4")               # tombstone
+    e.execute("INSERT INTO p VALUES (50, 'fresh', 1.0)")  # beyond base
+
+    for sql, want in [
+        ("SELECT name, amount FROM p WHERE id = 3", [("hot3", 99.0)]),
+        ("SELECT name FROM p WHERE id = 4", []),            # deleted
+        ("SELECT name FROM p WHERE id = 7", [("n7",)]),     # base via pyarrow
+        ("SELECT name FROM p WHERE id = 50", [("fresh",)]),  # memtable
+        ("SELECT name FROM p WHERE id = 999", []),          # absent
+        ("SELECT id, amount FROM p WHERE 5 = id", [(5, 50.0)]),  # lit-on-left
+        ("SELECT name FROM p WHERE id = '7'", [("n7",)]),   # string literal
+        ("SELECT name FROM p WHERE id = 'x'", []),          # cast-null literal
+    ]:
+        fast, slow = _both_paths(e, sql)
+        assert fast.error_message is None and slow.error_message is None
+        assert _norm(fast.rows) == _norm(slow.rows) == _norm(want), sql
+
+    # shadow_seen regression: warm the cache for a COLD key via point
+    # lookup, then make it hot — the aggregate must still subtract its
+    # base row
+    assert e.execute("SELECT name FROM p WHERE id = 6").rows == [("n6",)]
+    e.execute("INSERT INTO p VALUES (6, 'hot6', 1000.0)")
+    fast, slow = _both_paths(e, "SELECT SUM(amount), COUNT(*) FROM p")
+    assert _norm(fast.rows) == _norm(slow.rows)
+    # base rows 1..10 sum=550; -30 (id3->99) +99; -40 (id4 tombstone);
+    # +1 (id50); -60 (id6->1000) +1000
+    assert abs(fast.rows[0][0] - (550 - 30 + 99 - 40 + 1 - 60 + 1000)) < 1e-9
+
+
 def test_incremental_partials_interleaved_ops(engine):
     """The r8 incremental fold machinery (mem_log replay + mirror_log
     epoch upgrades + flush invalidation) pinned under the workload shape
