@@ -313,7 +313,18 @@ def bench_htap_mixed(spark, sf_dir: str) -> dict:
     t = threading.Thread(target=writer)
     t.start()
     try:
-        query_mixed = statistics.median(query_once() for _ in range(n_q))
+        # Time-boxed: since the r8 cold-value cache, 15 queries complete
+        # in single-digit ms — too short a window for the writer to show
+        # any interference. Keep querying for >= 1.5 s so the mixed phase
+        # actually overlaps sustained writing.
+        mixed_samples = []
+        t_end = time.perf_counter() + 1.5
+        while len(mixed_samples) < n_q or time.perf_counter() < t_end:
+            mixed_samples.append(query_once())
+            # breathing room: sub-ms queries in a tight loop would win
+            # most lock handoffs and starve the writer
+            time.sleep(0.002)
+        query_mixed = statistics.median(mixed_samples)
     finally:
         stop.set()
         t.join()

@@ -2671,9 +2671,22 @@ class SamanvayEngine:
             state.read_plans[key] = plan
         quirk = self.quirk_compat
         specs = list(parsed)
+        # The cold aggregate VALUE is constant per base epoch (the base
+        # layer is immutable between compactions) — collecting the cached
+        # plan per read cost ~14 ms of pure Py4J/JVM roundtrip for a
+        # number that cannot change. Cache the collected row; a
+        # compaction or set-based DML bumps base_epoch (and clears
+        # read_plans) so staleness is structural, not temporal.
+        vkey = ("aggval", repr(pred), needs_key, state.base_epoch)
+        cached_cold = state.read_plans.get(vkey)
 
         def run() -> ResultSet:
-            cold_row = plan.collect()[0].asDict()
+            cold_row = cached_cold
+            if cold_row is None:
+                cold_row = plan.collect()[0].asDict()
+                if len(state.read_plans) > 64:
+                    state.read_plans.clear()
+                state.read_plans[vkey] = cold_row
             n = (
                 cold_row["__n"]
                 + mirror_parts["n"]
@@ -2807,11 +2820,23 @@ class SamanvayEngine:
                 state.read_plans.clear()
             state.read_plans[key] = plan
         hot_keys = set(mem) | set(mirror)
+        # Cold ROWS are constant per base epoch too; cache them when the
+        # result is small (point-ish/range scans) so repeated reads under
+        # ingest skip the collect roundtrip. Unbounded scans are not
+        # cached — a full-table result pinned on the driver would be a
+        # memory leak, not an optimization.
+        rvkey = ("rowsval", repr(pred), tuple(proj), state.base_epoch)
+        cached_cold_rows = state.read_plans.get(rvkey)
 
         def run() -> ResultSet:
-            cold_rows = [
-                r for r in plan.collect() if r[0] not in hot_keys
-            ]
+            base_rows = cached_cold_rows
+            if base_rows is None:
+                base_rows = plan.collect()
+                if len(base_rows) <= 10_000:
+                    if len(state.read_plans) > 64:
+                        state.read_plans.clear()
+                    state.read_plans[rvkey] = base_rows
+            cold_rows = [r for r in base_rows if r[0] not in hot_keys]
             merged = [tuple(r[c] for c in proj) for r in cold_rows] + [
                 tuple(r[c] for c in proj) for r in hot_rows
             ]
