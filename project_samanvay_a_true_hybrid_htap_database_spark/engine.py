@@ -565,6 +565,12 @@ class SamanvayEngine:
             "total_reads": 0,
             "total_range_queries": 0,
             "total_flushes": 0,
+            # r8 driver-side read-path observability: how many pk-equality
+            # SELECTs the zero-job point path served, and how many pyarrow
+            # base reads it (plus the shadowed-base fetch) performed —
+            # lookups minus reads ≈ fetch-cache hit count.
+            "point_lookups": 0,
+            "base_point_reads": 0,
         }
         # Times the overlay Arrow fast path fell back to the verified slow
         # path (see _hot_df) — nonzero here means sustained-ingest reads
@@ -2256,6 +2262,7 @@ class SamanvayEngine:
                 raise _FastPathUnsupported(
                     f"base point-read failed: {exc}"
                 ) from exc
+            self.stats["base_point_reads"] += 1
             for r in tbl.to_pylist():
                 cache[r[state.pk]] = r
             for k in missing:
@@ -2881,6 +2888,7 @@ class SamanvayEngine:
         if isinstance(key, str):
             key = self._parse_lit_like_cast(pk_type, key)
             if key is None:  # try_cast NULL → matches nothing
+                self.stats["point_lookups"] += 1
                 return ResultSet(headers=list(proj), rows=[])
         elif not isinstance(key, (int, float)):
             return None
@@ -2914,6 +2922,7 @@ class SamanvayEngine:
                         )
                     except Exception:
                         return None
+                    self.stats["base_point_reads"] += 1
                     rows = tbl.to_pylist()
                     cached = rows[0] if rows else _ABSENT
                     state.base_fetch[key] = cached
@@ -2924,6 +2933,7 @@ class SamanvayEngine:
                 row = _ABSENT
         else:
             row = _ABSENT
+        self.stats["point_lookups"] += 1
         if row is _ABSENT or row is None or not match(row):
             return ResultSet(headers=list(proj), rows=[])
         return ResultSet(
