@@ -2216,7 +2216,11 @@ class SamanvayEngine:
         return state.base_files
 
     def _refresh_shadow_fetch(
-        self, state: TableState, mirror: dict, keys: list | None = None
+        self,
+        state: TableState,
+        mirror: dict,
+        keys: list | None = None,
+        cols: set | None = None,
     ) -> None:
         """Bring the shadowed-base fetch cache and first-seen shadow_list
         up to date with the current hot key set. Cache misses are read
@@ -2240,9 +2244,26 @@ class SamanvayEngine:
         # may have fetched this key's base row while it was still cold —
         # it must still join the shadow set the moment it becomes hot
         new = [k for k in keys if k not in state.shadow_seen]
-        if not new:
+        # Column-pruned fetches: reads decode only pk + the columns this
+        # query touches (decoding all columns of every matched row group
+        # was most of the update-heavy read cost). A cached partial row
+        # that lacks a now-needed column is refetched once with the wider
+        # set and merged.
+        want = set(cols) | {state.pk} if cols is not None else None
+        if want is None:
+            missing = [k for k in new if k not in cache]
+        else:
+            missing = [
+                k
+                for k in keys
+                if k not in cache
+                or (
+                    cache[k] is not _ABSENT
+                    and not want <= cache[k].keys()
+                )
+            ]
+        if not new and not missing:
             return
-        missing = [k for k in new if k not in cache]
         if len(cache) + len(missing) > self.BASE_FETCH_CAP:
             raise _FastPathUnsupported("shadow set exceeds fetch cap")
         if missing:
@@ -2256,7 +2277,8 @@ class SamanvayEngine:
 
                 dset = pads.dataset(files, format="parquet")
                 tbl = dset.to_table(
-                    filter=pads.field(state.pk).isin(missing)
+                    columns=sorted(want) if want is not None else None,
+                    filter=pads.field(state.pk).isin(missing),
                 )
             except Exception as exc:
                 raise _FastPathUnsupported(
@@ -2264,6 +2286,9 @@ class SamanvayEngine:
                 ) from exc
             self.stats["base_point_reads"] += 1
             for r in tbl.to_pylist():
+                prev = cache.get(r[state.pk])
+                if isinstance(prev, dict):
+                    r = {**prev, **r}
                 cache[r[state.pk]] = r
             for k in missing:
                 cache.setdefault(k, _ABSENT)
@@ -2306,7 +2331,7 @@ class SamanvayEngine:
                 raise _FastPathUnsupported(
                     f"shadowed base rows with non-primitive column {c}"
                 )
-        self._refresh_shadow_fetch(state, mirror, keys)
+        self._refresh_shadow_fetch(state, mirror, keys, cols=used)
         slist = state.shadow_list
         ckey = ("bshadow", pred_key, needs_key, state.base_epoch)
         cached = state.read_plans.get(ckey)
@@ -2908,7 +2933,9 @@ class SamanvayEngine:
                     state.shadow_seen = set()
                     state.base_fetch_epoch = state.base_epoch
                 cached = state.base_fetch.get(key, _ABSENT)
-                if key not in state.base_fetch:
+                want = set(proj) | {state.pk}
+                stale = isinstance(cached, dict) and not want <= cached.keys()
+                if key not in state.base_fetch or stale:
                     files = self._base_parquet_files(state)
                     if not files:
                         return None  # cold plan path handles it
@@ -2918,13 +2945,21 @@ class SamanvayEngine:
                         import pyarrow.dataset as pads
 
                         tbl = pads.dataset(files, format="parquet").to_table(
-                            filter=pads.field(state.pk) == key
+                            columns=sorted(want),
+                            filter=pads.field(state.pk) == key,
                         )
                     except Exception:
                         return None
                     self.stats["base_point_reads"] += 1
                     rows = tbl.to_pylist()
-                    cached = rows[0] if rows else _ABSENT
+                    if rows:
+                        cached = (
+                            {**cached, **rows[0]}
+                            if isinstance(cached, dict)
+                            else rows[0]
+                        )
+                    else:
+                        cached = _ABSENT
                     state.base_fetch[key] = cached
                     # NOT appended to shadow_list: this key is not hot —
                     # it shadows nothing; the fetch cache is just reused

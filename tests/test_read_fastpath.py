@@ -239,6 +239,10 @@ def test_point_lookup_driver_path(spark, tmp_path):
         assert fast.error_message is None and slow.error_message is None
         assert _norm(fast.rows) == _norm(slow.rows) == _norm(want), sql
 
+    # column-pruned fetch: a cached partial row (name only) must refetch
+    # and merge when a wider projection needs more columns
+    fast, slow = _both_paths(e, "SELECT amount, name FROM p WHERE id = 7")
+    assert _norm(fast.rows) == _norm(slow.rows) == [(70.0, "n7")]
     # shadow_seen regression: warm the cache for a COLD key via point
     # lookup, then make it hot — the aggregate must still subtract its
     # base row
