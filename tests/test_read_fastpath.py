@@ -300,6 +300,73 @@ def test_incremental_partials_interleaved_ops(engine):
     assert _norm(fast.rows) == _norm(slow.rows)
 
 
+def test_randomized_op_stream_differential(spark, tmp_path):
+    """Randomized stress over the r8 incremental machinery: a seeded
+    stream of INSERT/UPDATE/DELETE/flush/compact ops against a durable
+    (parquet-base) table, with the SAME query set re-run every few ops so
+    the caches are always hot and every replay/upgrade/shadow transition
+    actually executes. Each read is compared against the forced full
+    Spark plan. 200 ops cover: appends beyond the base range, in-range
+    updates (pyarrow shadow fetch), repeated updates of one key, deletes
+    of base/hot keys, flushes mid-stream, and a compaction (epoch reset)."""
+    import random
+
+    rng = random.Random(20260816)
+    e = SamanvayEngine(spark, data_dir=str(tmp_path / "d"))
+    e.autoflush_rows = None  # flushes are explicit ops in the stream
+    e.execute(
+        "CREATE TABLE r (id BIGINT NOT NULL, name VARCHAR(20), "
+        "amount DOUBLE, qty INT)"
+    )
+    for i in range(1, 31):
+        e.execute(f"INSERT INTO r VALUES ({i}, 'n{i}', {i * 1.25}, {i % 7})")
+    e.flush("r")
+    e.compact("r")  # rows 1-30 become the parquet base
+
+    sqls = [
+        "SELECT SUM(amount), COUNT(*) FROM r",
+        "SELECT SUM(amount), AVG(qty) FROM r WHERE amount > 12",
+        "SELECT COUNT(qty) FROM r WHERE qty >= 3",
+        "SELECT MIN(amount), MAX(amount) FROM r WHERE qty != 2",
+    ]
+
+    def check(step):
+        for sql in sqls:
+            fast, slow = _both_paths(e, sql)
+            assert fast.error_message is None and slow.error_message is None
+            assert _norm(fast.rows) == _norm(slow.rows), (step, sql)
+
+    next_id = 31
+    check("baseline")
+    for step in range(200):
+        op = rng.random()
+        if op < 0.45:  # append a fresh key
+            rs = e.execute(
+                f"INSERT INTO r VALUES ({next_id}, 'f{next_id}', "
+                f"{round(rng.uniform(-5, 40), 2)}, {rng.randrange(7)})"
+            )
+            next_id += 1
+        elif op < 0.75:  # update an existing key (often in base range)
+            k = rng.randrange(1, next_id)
+            rs = e.execute(
+                f"INSERT INTO r VALUES ({k}, 'u{step}', "
+                f"{round(rng.uniform(-5, 40), 2)}, {rng.randrange(7)})"
+            )
+        elif op < 0.9:  # delete a key (may be base, hot, or absent)
+            k = rng.randrange(1, next_id + 5)
+            rs = e.execute(f"DELETE FROM r WHERE id = {k}")
+        elif op < 0.97:
+            e.flush("r")
+            rs = None
+        else:
+            e.compact("r")  # base epoch reset: every cache re-anchors
+            rs = None
+        assert rs is None or rs.error_message is None, (step, rs.error_message)
+        if step % 10 == 9:
+            check(step)
+    check("final")
+
+
 def _norm(rows):
     def canon(v):
         if isinstance(v, float):
