@@ -264,6 +264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-8 additions (parked at the tail per VERDICT r6 #1) ---
         "percentile_prices_sketch": analytics.percentile_prices_sketch,
         "ann_recall_audit": similarity.ann_recall_audit,
+        "duplicate_span_report": dedup.duplicate_span_report,
+        "split_leakage_audit": sampling.split_leakage_audit,
     }
 
 
@@ -1978,5 +1980,70 @@ SELECT vec_id,
                         x -> CASE WHEN sc = 0 THEN 0
                              ELSE CAST(floor(x::DOUBLE / sc) AS INT) END), ',') AS codes_csv
 FROM s
+""",
+        # span-level exact-dedup audit: non-overlapping 20-token windows,
+        # md5 per window, dup = window hash seen >= 2 times corpus-wide
+        "duplicate_span_report": f"""
+WITH toks AS (SELECT doc_id, source, {_TOKS} AS T FROM documents),
+w0 AS (SELECT doc_id, source, T,
+              unnest(range(CAST(floor(len(T) / 20.0) AS BIGINT))) AS i
+       FROM toks),
+w AS (SELECT doc_id, source,
+             md5(array_to_string(list_slice(T, i * 20 + 1, i * 20 + 20),
+                                 ' ')) AS h
+      FROM w0),
+c AS (SELECT h, count(*) AS total FROM w GROUP BY h)
+SELECT source, count(*) AS n_spans,
+       CAST(sum(CASE WHEN total >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       round(sum(CASE WHEN total >= 2 THEN 1 ELSE 0 END) / count(*), 4)
+         AS dup_frac
+FROM w JOIN c USING (h)
+GROUP BY source ORDER BY source
+""",
+        # near-dup leakage across the deterministic train/valid/test split:
+        # same recursive-CTE CC as dedup_groups, same 'split|' hash salt as
+        # train_test_split, leak = pair endpoints in different splits
+        "split_leakage_audit": f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+shl AS (SELECT doc_id, {_SHINGLES} AS S FROM toks),
+p AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         len(list_intersect(a.S, b.S)) AS inter,
+         len(a.S) + len(b.S) - len(list_intersect(a.S, b.S)) AS uni
+  FROM shl a JOIN shl b ON a.doc_id < b.doc_id),
+pr AS (SELECT d1, d2 FROM p WHERE inter / uni >= 0.5),
+edges AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+lbl AS (SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n),
+spl AS (SELECT doc_id, group_id,
+  CASE WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))::BIGINT
+            % 10000 < 8000 THEN 'train'
+       WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 8))::BIGINT
+            % 10000 < 9000 THEN 'valid' ELSE 'test' END AS doc_split,
+  CASE WHEN ('0x' || substr(md5('split|' || group_id::VARCHAR), 1, 8))::BIGINT
+            % 10000 < 8000 THEN 'train'
+       WHEN ('0x' || substr(md5('split|' || group_id::VARCHAR), 1, 8))::BIGINT
+            % 10000 < 9000 THEN 'valid' ELSE 'test' END AS grp_split
+  FROM lbl),
+ds AS (SELECT count(DISTINCT group_id) AS n_groups,
+              CAST(sum(CASE WHEN doc_split != grp_split THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_docs_moved
+       FROM spl),
+ps AS (SELECT count(*) AS n_pairs,
+              CAST(sum(CASE WHEN s1.doc_split != s2.doc_split
+                            THEN 1 ELSE 0 END) AS BIGINT) AS leaked_pairs,
+              CAST(sum(CASE WHEN s1.grp_split != s2.grp_split
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                AS leaked_pairs_grouped
+       FROM pr JOIN spl s1 ON pr.d1 = s1.doc_id
+               JOIN spl s2 ON pr.d2 = s2.doc_id)
+SELECT n_pairs, leaked_pairs, leaked_pairs_grouped, n_groups, n_docs_moved
+FROM ps, ds
 """,
     }

@@ -46,7 +46,7 @@ COSINE_THRESHOLD = 0.40
 SIMHASH_CAP_K = 20
 
 
-def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_parallel(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
     """documents scan spread across all cores. The small-SF parquet is one
     file = one input split, which would serialize every downstream
     explode/hash onto a single task; at 100 TB the scan has thousands of
@@ -61,7 +61,9 @@ def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import re
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents").select(
+        *(cols or ("doc_id", "text"))
+    )
     target = spark.sparkContext.defaultParallelism
     # Spark byte-strings come in every documented shape: '134217728',
     # '128m', '128mb', '64MB', '1g' — parse number + optional unit rather
@@ -1178,4 +1180,68 @@ def embedding_neardup_pairs_vectorized(
     )
     return verified.filter(F.round(F.col("cos"), 4) >= threshold).select(
         "v1", "v2", F.round("cos", 4).alias("cos_sim")
+    )
+
+
+def duplicate_span_report(
+    spark: SparkSession, sf_dir: str, window_tokens: int = 20
+) -> DataFrame:
+    """Span-level exact dedup audit (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): document-level dedup
+    misses the boilerplate/quotation case where only a PASSAGE repeats
+    across otherwise-distinct documents. Chunk every doc into
+    non-overlapping ``window_tokens``-token spans, hash each span, and
+    report per source how much of its span volume is duplicated anywhere
+    in the corpus (count >= 2 for the span hash, including within-doc
+    repeats — a doc that repeats its own paragraph is still training-data
+    duplication).
+
+    Scale shape: spans explode ~n_tokens/W rows per doc (W=20 → ~5% of
+    token volume as rows), and the corpus is tokenized exactly ONCE: the
+    raw span stream collapses through a map-side-combinable
+    (hash, source) count, corpus-wide totals come from a window over that
+    REDUCED table (distinct span×source, a fraction of the raw stream —
+    no join of two corpus-sized relations, no second scan), and the final
+    per-source rollup is a toy aggregate. Output is one bounded row per
+    source. The full suffix-array form of Lee et al. is a different
+    machine; fixed-window hashing is the standard distributed
+    approximation (window boundaries can split a duplicated passage, so
+    this undercounts by at most one window per passage edge).
+    """
+    from pyspark.sql import Window
+
+    w = window_tokens
+    toks = _docs_parallel(spark, sf_dir, "doc_id", "source", "text").select(
+        "source", tokens("text").alias("t")
+    ).withColumn("n_win", (F.size("t") / w).cast("long"))
+    spans = (
+        toks.filter(F.col("n_win") > 0)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_win") - 1),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("t", i * w + 1, w))
+                    ),
+                )
+            ).alias("h"),
+        )
+    )
+    per = spans.groupBy("h", "source").agg(F.count("*").alias("c"))
+    tot = per.withColumn("total", F.sum("c").over(Window.partitionBy("h")))
+    return (
+        tot.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(F.when(F.col("total") >= 2, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+            F.round(
+                F.sum(F.when(F.col("total") >= 2, F.col("c")).otherwise(0))
+                / F.sum("c"),
+                4,
+            ).alias("dup_frac"),
+        )
+        .orderBy("source")
     )

@@ -279,3 +279,76 @@ def packing_efficiency(
             (F.col("bin_tokens") < F.lit(budget)).cast("long")
         ).alias("underfull_bins"),
     )
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate leakage across train/valid/test: a per-DOCUMENT hash
+    split (train_test_split) can place two near-duplicate docs on opposite
+    sides of the boundary, so eval measures memorization instead of
+    generalization. This audit counts it, and quantifies the fix: assign
+    every doc the split of its near-dup COMPONENT (hash the connected-
+    component group id with the same salt) so clusters move as a unit.
+
+    One row: verified near-dup pairs, pairs straddling splits under the
+    per-doc assignment (the leak), pairs straddling under the group
+    assignment (0 by construction — computed honestly through the same
+    join, not asserted), distinct components, and how many docs the
+    group-aware assignment moves relative to the per-doc split (the cost
+    of the fix). Scale shape: reuses the df-capped inverted-index pair
+    graph + min-label CC (both bucketed, never all-pairs); the leak test
+    itself is two broadcast-sized equi-joins of the pair list against the
+    label table and conditional aggregates — no new shuffle family."""
+    from .dedup import connected_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2").persist()
+    labels = connected_components(pairs)
+
+    def split_of(col: F.Column) -> F.Column:
+        b = md5_long32(F.concat(F.lit("split|"), col.cast("string"))) % 10000
+        return (
+            F.when(b < 8000, "train").when(b < 9000, "valid").otherwise("test")
+        )
+
+    lab = labels.select(
+        "doc_id",
+        split_of(F.col("doc_id")).alias("doc_split"),
+        split_of(F.col("group_id")).alias("grp_split"),
+        "group_id",
+    )
+    doc_stats = lab.agg(
+        F.countDistinct("group_id").alias("n_groups"),
+        F.sum((F.col("doc_split") != F.col("grp_split")).cast("long")).alias(
+            "n_docs_moved"
+        ),
+    )
+    l1 = lab.select(
+        F.col("doc_id").alias("d1"),
+        F.col("doc_split").alias("ds1"),
+        F.col("grp_split").alias("gs1"),
+    )
+    l2 = lab.select(
+        F.col("doc_id").alias("d2"),
+        F.col("doc_split").alias("ds2"),
+        F.col("grp_split").alias("gs2"),
+    )
+    pair_stats = (
+        pairs.join(l1, "d1")
+        .join(l2, "d2")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum((F.col("ds1") != F.col("ds2")).cast("long")).alias(
+                "leaked_pairs"
+            ),
+            F.sum((F.col("gs1") != F.col("gs2")).cast("long")).alias(
+                "leaked_pairs_grouped"
+            ),
+        )
+    )
+    out = pair_stats.crossJoin(F.broadcast(doc_stats)).select(
+        "n_pairs",
+        "leaked_pairs",
+        "leaked_pairs_grouped",
+        "n_groups",
+        "n_docs_moved",
+    )
+    return out
