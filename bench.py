@@ -301,6 +301,17 @@ def bench_htap_mixed(spark, sf_dir: str) -> dict:
     write_idle = statistics.median(write_once(next_key + i) for i in range(n_w))
     query_idle = statistics.median(query_once() for _ in range(n_q))
 
+    # Uncached full-plan scan cost: the honest denominator for a §7.4-style
+    # query-degradation ratio. Since the r7/r8 read fast path, the idle
+    # read is a sub-ms driver-side fold — a ratio against THAT measures
+    # cache-hit arithmetic, not analytics. The whitepaper's "<15% query
+    # degradation" presumes the query does real scan work, so the ratio
+    # the JSON reports alongside the raw pct is overhead / full-scan cost.
+    engine.read_fastpath_enabled = False
+    query_once()  # compile the full plan off the timed path
+    scan_ms = statistics.median(query_once() for _ in range(7))
+    engine.read_fastpath_enabled = True
+
     stop = threading.Event()
     mixed_writes: list[float] = []
 
@@ -377,6 +388,8 @@ def bench_htap_mixed(spark, sf_dir: str) -> dict:
         "w_pct": round(100 * (write_mixed / write_idle - 1), 1),
         "q_pct": round(100 * (query_mixed / query_idle - 1), 1),
         "q_abs_ms": round(query_mixed - query_idle, 2),
+        "scan_ms": round(scan_ms, 2),
+        "q_pct_vs_scan": round(100 * (query_mixed - query_idle) / scan_ms, 1),
         "writes": len(mixed_writes),
         "pl_cold_ms": round(statistics.median(cold), 2),
         "pl_warm_ms": round(statistics.median(warm), 3),
@@ -433,6 +446,14 @@ def bench_htap_sustained(spark) -> dict:
     # swinging the reported pct for reasons that have nothing to do with
     # the engine. Absolute ms remain the stable figures either way.
     query_idle = statistics.median(query_once() for _ in range(9))
+
+    # Uncached full-plan scan cost over the 20M-row base — the honest
+    # §7.4-ratio denominator now that the idle read is a sub-ms cached
+    # fold (see bench_htap_mixed for the rationale).
+    engine.read_fastpath_enabled = False
+    query_once()
+    scan_ms = statistics.median(query_once() for _ in range(5))
+    engine.read_fastpath_enabled = True
 
     # Sized so the window spans several seconds and ~10 flush cycles at
     # the current ingest rate (the r6 driver-side fold took single-row
@@ -553,6 +574,8 @@ def bench_htap_sustained(spark) -> dict:
         "q_p95_ms": round(sorted(sustained)[int(0.95 * (len(sustained) - 1))], 2),
         "q_pct": round(100 * (med / query_idle - 1), 1),
         "q_abs_ms": round(med - query_idle, 2),
+        "scan_ms": round(scan_ms, 2),
+        "q_pct_vs_scan": round(100 * (med - query_idle) / scan_ms, 1),
         "n_q": len(sustained),
         "upd_q_ms": round(statistics.median(upd), 2),
         "upd_abs_ms": round(statistics.median(upd) - query_idle, 2),

@@ -544,6 +544,13 @@ class SamanvayEngine:
             self._prev_switch_interval = _sys.getswitchinterval()
             _sys.setswitchinterval(target)
         self.autoflush_rows: int | None = self.AUTOFLUSH_ROWS
+        # Escape hatch: False forces every read through the full Spark
+        # merge-on-read plan (the fast path is differential-pinned to it,
+        # tests/test_read_fastpath.py, so answers cannot change). Used by
+        # the bench to measure the uncached scan cost — the honest
+        # denominator for degradation ratios — and available to embedders
+        # that want plan-only behavior.
+        self.read_fastpath_enabled: bool = True
         self.tables: dict[str, TableState] = {}
         self._seq = 0
         self._lock = threading.RLock()
@@ -2595,6 +2602,8 @@ class SamanvayEngine:
         else was fixed). Per read, only the ≤AUTOFLUSH_ROWS memtable is
         folded, minus mirror rows the memtable shadows. Raises
         _FastPathUnsupported → fallback."""
+        if not self.read_fastpath_enabled:
+            raise _FastPathUnsupported("disabled via read_fastpath_enabled")
         fns = {fn for _spec, fn, _arg in parsed}
         # Per-arg partial KINDS actually required by the select list —
         # never more: a blanket sum over every referenced column crashed
@@ -2800,6 +2809,8 @@ class SamanvayEngine:
         shadowed base rows are dropped AFTER collect by pk membership,
         which is a plain dict lookup. Returns None → caller uses the
         full-plan path."""
+        if not self.read_fastpath_enabled:
+            return None
         try:
             if state.unrecovered:
                 return None  # let the fallback raise the canonical error

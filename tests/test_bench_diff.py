@@ -77,6 +77,8 @@ class TestEmittedSchema:
             "w_pct": 106.7,
             "q_pct": 162.4,
             "q_abs_ms": 109.29,
+            "scan_ms": 114.98,
+            "q_pct_vs_scan": 162.4,
             "writes": 16879,
             "pl_cold_ms": 15.24,
             "pl_warm_ms": 0.047,
@@ -92,6 +94,8 @@ class TestEmittedSchema:
             "q_p95_ms": 181.73,
             "q_pct": 207.2,
             "q_abs_ms": 131.28,
+            "scan_ms": 115.09,
+            "q_pct_vs_scan": 114.1,
             "n_q": 12,
             "upd_q_ms": 1234.56,
             "upd_abs_ms": 1119.47,
