@@ -98,8 +98,6 @@ class TestEmittedSchema:
             "q_pct_vs_scan": 114.1,
             "n_q": 12,
             "upd_q_ms": 1234.56,
-            "upd_abs_ms": 1119.47,
-            "n_upd_q": 6,
             "err": None,
         }
         # bench.main() serializes with compact separators — measure the
