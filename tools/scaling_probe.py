@@ -136,8 +136,11 @@ def main() -> None:
     from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
         analytics,
         dedup,
+        sampling,
         text,
     )
+
+    _split_leakage_audit = sampling.split_leakage_audit
 
     valid = {"text", "embeddings", "tpch", "events", "graph"}
     families = set(sys.argv[1:]) or valid
@@ -157,6 +160,7 @@ def main() -> None:
             ("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs),
             ("quality_filter_flags", text.quality_filter_flags),
             ("unigram_lm_score", text.unigram_lm_score),
+            ("duplicate_span_report", dedup.duplicate_span_report),
         ],
         "embeddings": [
             ("embedding_neardup_pairs_vectorized", dedup.embedding_neardup_pairs_vectorized),
@@ -185,6 +189,7 @@ def main() -> None:
             ("containment_pairs", dedup.containment_pairs),
             ("dedup_groups_lsh", dedup.dedup_groups_lsh),
             ("dedup_groups", dedup.dedup_groups),
+            ("split_leakage_audit", _split_leakage_audit),
         ],
     }
     for fam in ("text", "embeddings", "tpch", "events", "graph"):
