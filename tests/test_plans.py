@@ -147,6 +147,21 @@ class TestCodegenAndNoPython:
             spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
+class TestSpanReportSinglePass:
+    def test_one_scan_no_join_back(self, spark):
+        """duplicate_span_report must tokenize the corpus exactly once:
+        the dup flag comes from a window over the reduced (hash, source)
+        count table, NOT an equi-join of two corpus-sized span streams
+        (the shape this replaced ran the explode+md5 twice)."""
+        p = plan(
+            entrymod.queries()["duplicate_span_report"](spark, SF_DIR)
+        )
+        tree = p.split("\n\n")[0]  # formatted explain repeats nodes below
+        assert tree.count("Scan parquet") == 1, "corpus scanned more than once"
+        assert tree.count("Generate") == 1, "span explode ran more than once"
+        assert "Join" not in tree, "span stream joined back instead of windowed"
+
+
 class TestNoCartesian:
     @pytest.mark.parametrize(
         "name",

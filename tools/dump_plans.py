@@ -55,6 +55,8 @@ SHOWCASE = [
     ("token_pmi_topk", "PMI collocations — token-keyed shuffles + TakeOrderedAndProject top-k"),
     ("unpivot_metrics", "stack() melt — Generate runs on the 5-row aggregate, not the fact table"),
     ("ann_recall_audit", "blocked-kNN recall vs exact global kNN — broadcast query sample, never corpus×corpus"),
+    ("duplicate_span_report", "span-level dedup audit — one tokenize pass, (hash, source) partial agg, window total over the reduced table, no join-back"),
+    ("split_leakage_audit", "near-dup split leakage — pair graph + CC labels, two pair-sized equi-joins, single-row output"),
 ]
 
 
