@@ -228,3 +228,90 @@ def test_sustained_read_degradation_under_ceiling(loaded_engine):
         f"sustained-read degradation {deg:.0f}% and +{med - idle:.1f} ms "
         f"absolute (idle {idle:.1f} ms, sustained {med:.1f} ms)"
     )
+
+
+def test_update_heavy_ingest_reads_fast_and_exact(spark, tmp_path):
+    """UPDATE-heavy ingest (keys INSIDE the base pk range) rides the r8
+    pyarrow shadow-fetch fast path — which requires a PARQUET-backed base
+    (the fixture's distributed-generator base correctly falls back). Two
+    contracts: (1) exactness — the fast answer equals the forced full
+    merge-on-read plan on the same state; (2) cost — the fast path must
+    beat the fallback it replaced (whose per-query cost is plan
+    CONSTRUCTION: the memtable LocalRelation changes every insert, so
+    nothing caches). Measured gap is ~3-10x, so the assertion is robust
+    to scheduler noise."""
+    import statistics
+    import threading
+    import time as _time
+
+    from project_samanvay_a_true_hybrid_htap_database_spark.bulk_loader import (
+        _CREATE_SQL,
+        transactions_df,
+    )
+
+    engine = SamanvayEngine(spark)
+    path = str(tmp_path / "txn_base")
+    transactions_df(spark, BASE_ROWS, seed=42).write.parquet(path)
+    rs = engine.execute(_CREATE_SQL)
+    assert rs.error_message is None, rs.error_message
+    engine.register_base("transactions", spark.read.parquet(path), pk="id")
+    engine.tables["transactions"].not_null = {"id"}
+    engine.autoflush_rows = AUTOFLUSH
+    q = "SELECT SUM(amount), AVG(amount) FROM transactions WHERE amount > 10"
+
+    def query_once() -> float:
+        t0 = _time.perf_counter()
+        rs = engine.execute(q)
+        assert rs.error_message is None, rs.error_message
+        return (_time.perf_counter() - t0) * 1000
+
+    query_once()  # warm the cached base plan
+    point_reads0 = engine.stats["base_point_reads"]
+
+    n_upd = 8_000
+    state = {"n": 0, "err": None}
+
+    def writer():
+        for i in range(n_upd):
+            # keys 0..n_upd-1 collide with base ids: upsert-as-update
+            rs = engine.execute(
+                f"INSERT INTO transactions VALUES ({i}, 'South', 'Tools', "
+                f"{30.0 + i % 40}, 1, 'completed')"
+            )
+            if rs.error_message:
+                state["err"] = rs.error_message
+                return
+            state["n"] += 1
+
+    t = threading.Thread(target=writer)
+    t.start()
+    upd = []
+    while t.is_alive() and len(upd) < 8:
+        upd.append(query_once())
+        _time.sleep(0.1)
+    t.join(timeout=120)
+    assert not t.is_alive() and state["err"] is None, state["err"]
+    assert len(upd) >= 3, "ingest window too short to sample"
+    assert engine.stats["base_point_reads"] > point_reads0, (
+        "in-range ingest reads never touched the pyarrow shadow fetch — "
+        "they fell back to the full plan"
+    )
+
+    # (1) exactness: fast vs forced full plan on the identical final state
+    fast = engine.execute(q)
+    engine.read_fastpath_enabled = False
+    try:
+        slow = engine.execute(q)
+        assert fast.error_message is None and slow.error_message is None
+        for a, b in zip(fast.rows[0], slow.rows[0]):
+            assert round(a, 6) == round(b, 6), (fast.rows, slow.rows)
+        # (2) cost: the full plan STILL carries the overlay union —
+        # measure it on the same state the fast reads served
+        slow_med = statistics.median(query_once() for _ in range(3))
+    finally:
+        engine.read_fastpath_enabled = True
+    med_upd = statistics.median(upd)
+    assert med_upd < slow_med, (
+        f"update-heavy fast read ({med_upd:.1f} ms) is slower than the "
+        f"full-plan fallback it replaced ({slow_med:.1f} ms)"
+    )
