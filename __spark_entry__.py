@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_audit": similarity.ann_recall_audit,
         "duplicate_span_report": dedup.duplicate_span_report,
         "split_leakage_audit": sampling.split_leakage_audit,
+        "dedup_keep_best": dedup.dedup_keep_best,
     }
 
 
@@ -2045,5 +2046,42 @@ ps AS (SELECT count(*) AS n_pairs,
                JOIN spl s2 ON pr.d2 = s2.doc_id)
 SELECT n_pairs, leaked_pairs, leaked_pairs_grouped, n_groups, n_docs_moved
 FROM ps, ds
+""",
+        # quality-aware cluster representative: same recursive-CTE CC as
+        # dedup_groups, quality rounded to 4 BEFORE ranking (keep decision
+        # bit-stable cross-engine), ties to min doc_id
+        "dedup_keep_best": f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+shl AS (SELECT doc_id, {_SHINGLES} AS S FROM toks),
+p AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         len(list_intersect(a.S, b.S)) AS inter,
+         len(a.S) + len(b.S) - len(list_intersect(a.S, b.S)) AS uni
+  FROM shl a JOIN shl b ON a.doc_id < b.doc_id),
+pr AS (SELECT d1, d2 FROM p WHERE inter / uni >= 0.5),
+edges AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+lbl AS (SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n),
+q AS (SELECT doc_id,
+             round(least(len(T) / 100.0, 1.0) * 0.4
+                   + (len(list_distinct(T)) / len(T)) * 0.3
+                   + (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                      / length(text)) * 0.3, 4) AS quality
+      FROM (SELECT doc_id, text, {_TOKS} AS T FROM documents)),
+r AS (SELECT l.doc_id, l.group_id, q.quality,
+             row_number() OVER (PARTITION BY l.group_id
+                                ORDER BY q.quality DESC, l.doc_id ASC) AS rk
+      FROM lbl l JOIN q USING (doc_id))
+SELECT group_id,
+       max(CASE WHEN rk = 1 THEN doc_id END) AS keep_doc,
+       max(CASE WHEN rk = 1 THEN quality END) AS keep_quality,
+       count(*) AS n_members,
+       count(*) - 1 AS n_dropped
+FROM r GROUP BY group_id ORDER BY group_id
 """,
     }

@@ -1245,3 +1245,53 @@ def duplicate_span_report(
         )
         .orderBy("source")
     )
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection: within each near-dup component,
+    keep the HIGHEST-quality member (composite heuristic score, ties to
+    min doc_id) instead of dedup_apply's min-id canonical — the decision
+    a production pipeline actually makes (drop the truncated or
+    boilerplate copy, keep the clean one). One row per multi-member
+    group: winner, its quality, member/dropped counts — bounded by dup
+    volume, never corpus-sized (every CC label row is a pair endpoint,
+    so every group here has >= 2 members).
+
+    Scale shape: the pair graph and CC are the bucketed machines from
+    dedup_groups; quality is a pure scan-stage projection; the ranking
+    window partitions by group_id — component-sized partitions, and
+    near-dup components are shallow by construction. Quality is rounded
+    to 4 decimals BEFORE ranking so the keep decision cannot flip on a
+    cross-engine low-order-bit difference."""
+    from pyspark.sql import Window
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    labels = connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    alpha_ratio = F.length(
+        F.regexp_replace(F.lower("text"), "[^a-z]", "")
+    ) / F.length("text")
+    score = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + distinct_ratio * 0.3
+        + alpha_ratio * 0.3,
+        4,
+    )
+    qual = docs.select("doc_id", score.alias("quality"))
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = labels.join(qual, "doc_id").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return ranked.groupBy("group_id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keep_doc"),
+        F.max(F.when(F.col("rk") == 1, F.col("quality"))).alias(
+            "keep_quality"
+        ),
+        F.count("*").alias("n_members"),
+        (F.count("*") - 1).alias("n_dropped"),
+    )
