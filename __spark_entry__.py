@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_span_report": dedup.duplicate_span_report,
         "split_leakage_audit": sampling.split_leakage_audit,
         "dedup_keep_best": dedup.dedup_keep_best,
+        "ann_lsh_recall_audit": similarity.ann_lsh_recall_audit,
     }
 
 
@@ -528,6 +529,44 @@ SELECT src, nbr, rk, round(cos, 4) AS cos_sim FROM r WHERE rk <= 3
 """
     # ANN recall audit: exact global kNN on a 50-query sample vs the
     # label-blocked join — same (cos DESC, nbr ASC) tie-break both sides.
+    # sign-LSH quantizer recall: single-probe + Hamming-1 multi-probe vs
+    # exact global kNN, identical (cos DESC, nbr ASC) tie-break
+    ann_lsh_recall = f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe,
+                  {bucket_expr("embedding::DOUBLE[]")} AS qb
+           FROM embeddings WHERE vec_id < 50),
+p AS (SELECT q.qid, e.vec_id AS nbr,
+             {_COS.format(a="e.embedding::DOUBLE[]", b="q.qe")} AS cos,
+             bit_count(xor({bucket_expr("e.embedding::DOUBLE[]")}::BIGINT,
+                           q.qb::BIGINT)) AS ham
+      FROM embeddings e JOIN q ON e.vec_id != q.qid),
+er AS (SELECT qid, nbr,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, nbr ASC) AS rk
+       FROM p),
+exact AS (SELECT qid, nbr FROM er WHERE rk <= 3),
+mp AS (SELECT qid, nbr,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, nbr ASC) AS rk
+       FROM p WHERE ham <= 1),
+sp AS (SELECT qid, nbr,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, nbr ASC) AS rk
+       FROM p WHERE ham = 0),
+perq AS (SELECT e.qid,
+                count(s.nbr) / 3.0 AS recall_sp,
+                count(m.nbr) / 3.0 AS recall_mp
+         FROM exact e
+         LEFT JOIN (SELECT qid, nbr FROM sp WHERE rk <= 3) s
+           ON s.qid = e.qid AND s.nbr = e.nbr
+         LEFT JOIN (SELECT qid, nbr FROM mp WHERE rk <= 3) m
+           ON m.qid = e.qid AND m.nbr = e.nbr
+         GROUP BY e.qid)
+SELECT CAST(count(*) AS BIGINT) AS n_queries, 3 AS k,
+       round(avg(recall_sp), 4) AS recall_single_probe,
+       round(avg(recall_mp), 4) AS recall_multiprobe
+FROM perq
+"""
     ann_recall = f"""
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
            FROM embeddings WHERE vec_id < 50),
@@ -1705,6 +1744,7 @@ GROUP BY label ORDER BY label
         # same oracle: the vectorized path must produce identical rows
         "knn_join_vectorized": knn,
         "ann_recall_audit": ann_recall,
+        "ann_lsh_recall_audit": ann_lsh_recall,
         # --- text ---
         "lang_id": lang_id_sql,
         "lang_id_confusion": lang_confusion_sql,

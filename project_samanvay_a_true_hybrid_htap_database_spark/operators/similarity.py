@@ -861,3 +861,99 @@ def ann_recall_audit(
         F.round(F.avg("recall"), 4).alias("mean_recall"),
         F.round(F.min("recall"), 4).alias("min_recall"),
     )
+
+
+def ann_lsh_recall_audit(
+    spark: SparkSession, sf_dir: str, k: int = 3, n_queries: int = 50
+) -> DataFrame:
+    """Measured recall@k of the sign-LSH bucket quantizer — single-probe
+    AND Hamming-1 multi-probe in one row — against exact global kNN on
+    the same query sample. Completes the tuning loop ann_recall_audit
+    opens: that audit shows the random label blocking loses ~92% of true
+    neighbors; THIS one shows what the data-driven sign-LSH quantizer
+    (the one the indexed layouts actually partition by) retains, and how
+    much the +1-bucket probe buys — the (planes, probes) knob a curator
+    turns before committing a corpus-scale blocked pass.
+
+    Scale shape: exact side is sample × corpus with the sample BROADCAST
+    (never corpus × corpus); probed side computes each row's bucket in
+    the same scan (a literal-hyperplane projection), keeps only pairs
+    within Hamming distance 1 of the query's bucket, and ranks the two
+    candidate sets with windows over the ≤n_queries partitions. One
+    global row out."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import hyperplanes
+    from ..functions.vectors import dot, norm
+
+    planes = hyperplanes(LSH_PLANES, 64)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        _sign_bucket(F.col("embedding"), planes).alias("eb"),
+    )
+    sample = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+        F.col("eb").alias("qb"),
+    )
+    pairs = emb.join(
+        F.broadcast(sample), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "vec_id",
+        (
+            dot(F.col("embedding"), F.col("qemb"))
+            / (F.col("nrm") * F.col("qnrm"))
+        ).alias("cos"),
+        F.bit_count(
+            F.col("eb").cast("long").bitwiseXOR(F.col("qb").cast("long"))
+        ).alias("ham"),
+    )
+    order = [F.col("cos").desc(), F.col("vec_id").asc()]
+    exact = (
+        pairs.withColumn(
+            "rk", F.row_number().over(Window.partitionBy("qid").orderBy(*order))
+        )
+        .filter(F.col("rk") <= k)
+        .select("qid", F.col("vec_id").alias("nbr"))
+    )
+    probed = pairs.filter(F.col("ham") <= 1).select(
+        "qid",
+        F.col("vec_id").alias("nbr"),
+        "ham",
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(*order))
+        .alias("rk_mp"),
+    )
+    sp = probed.filter(F.col("ham") == 0).withColumn(
+        "rk_sp",
+        F.row_number().over(Window.partitionBy("qid").orderBy("rk_mp")),
+    )
+    per_q = (
+        exact.join(
+            probed.filter(F.col("rk_mp") <= k)
+            .select("qid", "nbr", F.lit(1).alias("mp_hit")),
+            ["qid", "nbr"],
+            "left",
+        )
+        .join(
+            sp.filter(F.col("rk_sp") <= k)
+            .select("qid", "nbr", F.lit(1).alias("sp_hit")),
+            ["qid", "nbr"],
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            (F.count("sp_hit") / F.lit(k)).alias("recall_sp"),
+            (F.count("mp_hit") / F.lit(k)).alias("recall_mp"),
+        )
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.lit(k).alias("k"),
+        F.round(F.avg("recall_sp"), 4).alias("recall_single_probe"),
+        F.round(F.avg("recall_mp"), 4).alias("recall_multiprobe"),
+    )
