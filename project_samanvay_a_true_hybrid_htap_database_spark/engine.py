@@ -2650,6 +2650,18 @@ class SamanvayEngine:
         if base_shadow_parts["n"] and fns & {"MIN", "MAX"}:
             # a shadowed base row may BE the min/max — not subtractable
             raise _FastPathUnsupported("min/max with shadowed base rows")
+        # NO float-SUM guard here, unlike the mirror-shadow path below:
+        # raising for float sums with shadowed BASE rows would push every
+        # UPDATE-heavy read of a double column back to the full plan —
+        # the exact workload the pyarrow shadow fetch exists to serve.
+        # The float contract is relative, not bit-exact: subtracting the
+        # fetched old values reorders a float sum, but so does the
+        # fallback itself (Spark partial-agg order varies with
+        # partitioning/AQE), so bit-exactness is not a property of EITHER
+        # path. The differential suites compare float aggregates at
+        # relative precision accordingly. The mirror-shadow guard below
+        # stays: it fires only on re-updates within one flush cycle, so
+        # being conservative there costs almost nothing.
         mkey = ("mfold", repr(pred), needs_key, state.delta_epoch)
         mirror_parts = state.read_plans.get(mkey)
         if mirror_parts is None:

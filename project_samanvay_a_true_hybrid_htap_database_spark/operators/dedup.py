@@ -1265,33 +1265,30 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine low-order-bit difference."""
     from pyspark.sql import Window
 
+    from .text import quality_score
+
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
     labels = connected_components(pairs)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tokens("text")
-    n_tokens = F.size(toks)
-    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
-    alpha_ratio = F.length(
-        F.regexp_replace(F.lower("text"), "[^a-z]", "")
-    ) / F.length("text")
-    score = F.round(
-        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
-        + distinct_ratio * 0.3
-        + alpha_ratio * 0.3,
-        4,
-    )
-    qual = docs.select("doc_id", score.alias("quality"))
+    # the ONE quality definition (text.quality_score, already rounded to
+    # 4) — not a re-derivation that could silently diverge from it
+    qual = quality_score(spark, sf_dir).select("doc_id", "quality")
     w = Window.partitionBy("group_id").orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
     )
     ranked = labels.join(qual, "doc_id").withColumn(
         "rk", F.row_number().over(w)
     )
-    return ranked.groupBy("group_id").agg(
-        F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("keep_doc"),
-        F.max(F.when(F.col("rk") == 1, F.col("quality"))).alias(
-            "keep_quality"
-        ),
-        F.count("*").alias("n_members"),
-        (F.count("*") - 1).alias("n_dropped"),
+    return (
+        ranked.groupBy("group_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+                "keep_doc"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("quality"))).alias(
+                "keep_quality"
+            ),
+            F.count("*").alias("n_members"),
+            (F.count("*") - 1).alias("n_dropped"),
+        )
+        .orderBy("group_id")  # bounded per-group summary, sorted like its oracle
     )

@@ -28,9 +28,20 @@ from ..sources import load_table
 STRATA_BP = {"en": 5000, "de": 8000, "es": 8000, "fr": 8000, "und": 2500}
 
 
-def _bucket(salt: str, col: str = "doc_id") -> F.Column:
+def _bucket(salt: str, col: str | F.Column = "doc_id") -> F.Column:
     """Deterministic bucket in [0, 10000): md5 of the salted id."""
-    return md5_long32(F.concat(F.lit(salt + "|"), F.col(col).cast("string"))) % 10000
+    c = F.col(col) if isinstance(col, str) else col
+    return md5_long32(F.concat(F.lit(salt + "|"), c.cast("string"))) % 10000
+
+
+def _split_expr(col: str | F.Column = "doc_id") -> F.Column:
+    """THE train/valid/test assignment (80/10/10 on the 'split'-salted
+    bucket). Single definition shared by train_test_split and
+    split_leakage_audit — the audit is only valid if it reproduces the
+    production split bit-for-bit, so neither may restate the salt or the
+    cut-points."""
+    b = _bucket("split", col)
+    return F.when(b < 8000, "train").when(b < 9000, "valid").otherwise("test")
 
 
 def hash_sample(spark: SparkSession, sf_dir: str, rate_bp: int = 1000) -> DataFrame:
@@ -95,12 +106,8 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     every run, every repartitioning — the property that matters when the
     split must stay stable across pipeline re-runs on growing data."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    b = _bucket("split")
-    split = (
-        F.when(b < 8000, "train").when(b < 9000, "valid").otherwise("test")
-    )
     return (
-        docs.groupBy(split.alias("split"))
+        docs.groupBy(_split_expr().alias("split"))
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
@@ -302,17 +309,10 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2").persist()
     labels = connected_components(pairs)
-
-    def split_of(col: F.Column) -> F.Column:
-        b = md5_long32(F.concat(F.lit("split|"), col.cast("string"))) % 10000
-        return (
-            F.when(b < 8000, "train").when(b < 9000, "valid").otherwise("test")
-        )
-
     lab = labels.select(
         "doc_id",
-        split_of(F.col("doc_id")).alias("doc_split"),
-        split_of(F.col("group_id")).alias("grp_split"),
+        _split_expr(F.col("doc_id")).alias("doc_split"),
+        _split_expr(F.col("group_id")).alias("grp_split"),
         "group_id",
     )
     doc_stats = lab.agg(

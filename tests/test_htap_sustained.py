@@ -303,8 +303,17 @@ def test_update_heavy_ingest_reads_fast_and_exact(spark, tmp_path):
     try:
         slow = engine.execute(q)
         assert fast.error_message is None and slow.error_message is None
+        import math
+
         for a, b in zip(fast.rows[0], slow.rows[0]):
-            assert round(a, 6) == round(b, 6), (fast.rows, slow.rows)
+            # relative tolerance: float SUM order differs between the
+            # subtractive fast fold and the fallback plan (and between
+            # fallback runs under different partitionings) — see the
+            # base-shadow note in engine._fast_aggregates
+            assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9), (
+                fast.rows,
+                slow.rows,
+            )
         # (2) cost: the full plan STILL carries the overlay union —
         # measure it on the same state the fast reads served
         slow_med = statistics.median(query_once() for _ in range(3))

@@ -370,7 +370,14 @@ def test_randomized_op_stream_differential(spark, tmp_path):
 def _norm(rows):
     def canon(v):
         if isinstance(v, float):
-            return round(v, 9)
+            # RELATIVE precision (10 significant digits), not an absolute
+            # decimal place: float SUM/AVG may differ between the paths in
+            # low-order bits (the base-shadow subtraction reorders the
+            # sum — and the fallback's own partial-agg order varies with
+            # partitioning), and the drift scales with magnitude, so
+            # round(x, 9) would flake on large aggregates while being
+            # needlessly loose on tiny ones.
+            return float(f"{v:.10g}")
         return v
 
     return [tuple(canon(v) for v in r) for r in rows]

@@ -137,13 +137,9 @@ def main() -> None:
         analytics,
         dedup,
         sampling,
+        similarity,
         text,
     )
-
-    from project_samanvay_a_true_hybrid_htap_database_spark.operators import similarity
-
-    _split_leakage_audit = sampling.split_leakage_audit
-    _ann_lsh_recall_audit = similarity.ann_lsh_recall_audit
 
     valid = {"text", "embeddings", "tpch", "events", "graph"}
     families = set(sys.argv[1:]) or valid
@@ -168,7 +164,7 @@ def main() -> None:
         "embeddings": [
             ("embedding_neardup_pairs_vectorized", dedup.embedding_neardup_pairs_vectorized),
             ("semdedup_stats", dedup.semdedup_stats),
-            ("ann_lsh_recall_audit", _ann_lsh_recall_audit),
+            ("ann_lsh_recall_audit", similarity.ann_lsh_recall_audit),
         ],
         "tpch": [
             ("tpch_q1", analytics.tpch_q1_pricing_summary),
@@ -193,7 +189,7 @@ def main() -> None:
             ("containment_pairs", dedup.containment_pairs),
             ("dedup_groups_lsh", dedup.dedup_groups_lsh),
             ("dedup_groups", dedup.dedup_groups),
-            ("split_leakage_audit", _split_leakage_audit),
+            ("split_leakage_audit", sampling.split_leakage_audit),
             ("dedup_keep_best", dedup.dedup_keep_best),
         ],
     }
