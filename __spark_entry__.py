@@ -268,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage_audit": sampling.split_leakage_audit,
         "dedup_keep_best": dedup.dedup_keep_best,
         "ann_lsh_recall_audit": similarity.ann_lsh_recall_audit,
+        "ann_ivf_recall_audit": similarity.ann_ivf_recall_audit,
     }
 
 
@@ -591,6 +592,63 @@ perq AS (SELECT e.qid, count(b.nbr) / 3.0 AS recall
 SELECT CAST(count(*) AS BIGINT) AS n_queries, 3 AS k,
        round(avg(recall), 4) AS mean_recall,
        round(min(recall), 4) AS min_recall
+FROM perq
+"""
+    # IVF centroid-probe quantizer recall: per-label centroids, rounded
+    # nearest-centroid assignment (ties to the lower cluster id — the
+    # kmeans_assign argmin contract), nprobe=1 / nprobe=2 candidate sets
+    # vs exact global kNN, identical (cos DESC, nbr ASC) tie-break.
+    ann_ivf_recall = f"""
+WITH c AS (SELECT label AS c_label, i, avg(embedding[i]::DOUBLE) AS c
+           FROM embeddings, generate_series(1, 64) t(i)
+           GROUP BY c_label, i),
+d AS (SELECT e.vec_id, c.c_label,
+             round(sum((e.embedding[c.i]::DOUBLE - c.c)
+                       * (e.embedding[c.i]::DOUBLE - c.c)), 6) AS dist_sq
+      FROM embeddings e, c GROUP BY e.vec_id, c.c_label),
+rnk AS (SELECT vec_id, c_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist_sq, c_label) AS rn
+        FROM d),
+a AS (SELECT vec_id, c_label AS cluster FROM rnk WHERE rn = 1),
+qp AS (SELECT vec_id AS qid, c_label AS probe_label, rn AS probe_rank
+       FROM rnk WHERE vec_id < 50 AND rn <= 2),
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < 50),
+gp AS (SELECT q.qid, e.vec_id AS nbr,
+              {_COS.format(a="e.embedding::DOUBLE[]", b="q.qe")} AS cos
+       FROM embeddings e JOIN q ON e.vec_id != q.qid),
+gr AS (SELECT qid, nbr,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, nbr ASC) AS rk
+       FROM gp),
+exact AS (SELECT qid, nbr FROM gr WHERE rk <= 3),
+cand AS (SELECT qp.qid, e.vec_id AS nbr, qp.probe_rank,
+                {_COS.format(a="e.embedding::DOUBLE[]", b="q.qe")} AS cos
+         FROM embeddings e
+         JOIN a ON a.vec_id = e.vec_id
+         JOIN qp ON a.cluster = qp.probe_label
+         JOIN q ON q.qid = qp.qid AND e.vec_id != q.qid),
+p1 AS (SELECT qid, nbr,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, nbr ASC) AS rk
+       FROM cand WHERE probe_rank = 1),
+p2 AS (SELECT qid, nbr,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, nbr ASC) AS rk
+       FROM cand),
+perq AS (SELECT e.qid,
+                count(x1.nbr) / 3.0 AS r1,
+                count(x2.nbr) / 3.0 AS r2
+         FROM exact e
+         LEFT JOIN (SELECT qid, nbr FROM p1 WHERE rk <= 3) x1
+           ON x1.qid = e.qid AND x1.nbr = e.nbr
+         LEFT JOIN (SELECT qid, nbr FROM p2 WHERE rk <= 3) x2
+           ON x2.qid = e.qid AND x2.nbr = e.nbr
+         GROUP BY e.qid)
+SELECT CAST(count(*) AS BIGINT) AS n_queries, 3 AS k,
+       round(avg(r1), 4) AS recall_nprobe1,
+       round(avg(r2), 4) AS recall_nprobe2
 FROM perq
 """
     lang_scores = ", ".join(
@@ -1745,6 +1803,7 @@ GROUP BY label ORDER BY label
         "knn_join_vectorized": knn,
         "ann_recall_audit": ann_recall,
         "ann_lsh_recall_audit": ann_lsh_recall,
+        "ann_ivf_recall_audit": ann_ivf_recall,
         # --- text ---
         "lang_id": lang_id_sql,
         "lang_id_confusion": lang_confusion_sql,

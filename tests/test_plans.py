@@ -215,6 +215,20 @@ class TestNoPresentationalSort:
         )
 
 
+class TestIvfRecallAuditPlan:
+    def test_candidate_join_is_broadcast_hash_equi(self, spark):
+        """The probed-candidate join must be a broadcast hash EQUI-join on
+        the assigned cluster (the tiny exploded probe list broadcast),
+        never a cartesian — and with the centroid row persisted, the
+        full-corpus centroid build must not recompile per branch (26
+        parquet scans without the pin)."""
+        df = similarity.ann_ivf_recall_audit(spark, SF_DIR)
+        p = plan(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastHashJoin" in p, "candidate join lost its equi-key"
+        assert "EvalPython" not in p, "fell back to Python row evaluation"
+
+
 class TestLshIndexPruning:
     def test_indexed_lsh_scan_is_partition_pruned(self, spark):
         """The materialized bucket layout must turn the bucket predicate
