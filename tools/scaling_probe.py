@@ -165,6 +165,7 @@ def main() -> None:
             ("embedding_neardup_pairs_vectorized", dedup.embedding_neardup_pairs_vectorized),
             ("semdedup_stats", dedup.semdedup_stats),
             ("ann_lsh_recall_audit", similarity.ann_lsh_recall_audit),
+            ("ann_ivf_recall_audit", similarity.ann_ivf_recall_audit),
         ],
         "tpch": [
             ("tpch_q1", analytics.tpch_q1_pricing_summary),
