@@ -57,6 +57,7 @@ SHOWCASE = [
     ("ann_recall_audit", "blocked-kNN recall vs exact global kNN — broadcast query sample, never corpus×corpus"),
     ("duplicate_span_report", "span-level dedup audit — one tokenize pass, (hash, source) partial agg, window total over the reduced table, no join-back"),
     ("split_leakage_audit", "near-dup split leakage — pair graph + CC labels, two pair-sized equi-joins, single-row output"),
+    ("ann_ivf_recall_audit", "IVF centroid-probe recall — persisted one-row centroid broadcast, argmin-in-scan assignment, candidate join broadcast-hash on cluster"),
 ]
 
 
