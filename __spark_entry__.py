@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup.dedup_keep_best,
         "ann_lsh_recall_audit": similarity.ann_lsh_recall_audit,
         "ann_ivf_recall_audit": similarity.ann_ivf_recall_audit,
+        "vocab_coverage": text.vocab_coverage,
     }
 
 
@@ -650,6 +651,25 @@ SELECT CAST(count(*) AS BIGINT) AS n_queries, 3 AS k,
        round(avg(r1), 4) AS recall_nprobe1,
        round(avg(r2), 4) AS recall_nprobe2
 FROM perq
+"""
+    # Vocabulary coverage at the top-v cut: deterministic (freq DESC,
+    # token ASC) truncation, integer cumsum / integer total division,
+    # floor-truncated like every derived score.
+    vocab_coverage_sql = f"""
+WITH toks AS (SELECT {_TOKS} AS T FROM documents),
+u AS (SELECT unnest(T) AS tok FROM toks),
+vc AS (SELECT tok, count(*) AS freq FROM u GROUP BY tok),
+tot AS (SELECT sum(freq)::DOUBLE AS n FROM vc),
+top AS (SELECT tok, freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, tok ASC) AS INT)
+                 AS rank
+        FROM vc ORDER BY freq DESC, tok ASC LIMIT 200)
+SELECT rank, tok AS token, freq,
+       floor(sum(freq) OVER (ORDER BY rank
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+             / n * 1e6) / 1e6 AS cum_share
+FROM top, tot
 """
     lang_scores = ", ".join(
         f"len(list_filter(T, t -> list_contains({markers!r}, t))) AS s_{lang}"
@@ -1804,6 +1824,7 @@ GROUP BY label ORDER BY label
         "ann_recall_audit": ann_recall,
         "ann_lsh_recall_audit": ann_lsh_recall,
         "ann_ivf_recall_audit": ann_ivf_recall,
+        "vocab_coverage": vocab_coverage_sql,
         # --- text ---
         "lang_id": lang_id_sql,
         "lang_id_confusion": lang_confusion_sql,

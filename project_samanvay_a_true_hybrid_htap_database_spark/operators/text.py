@@ -626,3 +626,47 @@ def token_pmi_topk(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(k)
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str, v: int = 200) -> DataFrame:
+    """Vocabulary coverage curve at the top-``v`` cut — the tokenizer-
+    budget report: for each of the ``v`` most frequent tokens, its corpus
+    instance count and the CUMULATIVE share of all token instances a
+    vocabulary truncated right there would cover. This is the table a
+    tokenizer designer reads to pick a vocab size ("top-32k covers
+    99.2%") and the complement of what falls to byte/UNK fallback.
+
+    Scale shape: one (token) hash shuffle for the vocabulary counts
+    (map-side combinable), a 1-row instance total broadcast, and a
+    deterministic top-v via TakeOrderedAndProject (freq desc, token asc
+    — never a global sort of the vocabulary). The cumulative window then
+    runs over the ALREADY-TRUNCATED v-row table: a single partition, but
+    one bounded by the report size v, not by the corpus or the
+    vocabulary — the same bounded-output discipline as token_histogram.
+    cum_share is an integer-cumsum / integer-total division both engines
+    perform on identical values; floor-truncated at 1e-6 like every
+    derived score."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vc = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    total = vc.agg(F.sum("freq").cast("double").alias("n"))
+    order = [F.col("freq").desc(), F.col("tok").asc()]
+    top = (
+        vc.orderBy(*order)
+        .limit(v)
+        .withColumn("rank", F.row_number().over(W.orderBy(*order)))
+    )
+    cum = F.sum("freq").over(
+        W.orderBy("rank").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return top.crossJoin(F.broadcast(total)).select(
+        "rank",
+        F.col("tok").alias("token"),
+        "freq",
+        (F.floor(cum / F.col("n") * 1e6) / 1e6).alias("cum_share"),
+    )
