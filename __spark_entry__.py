@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall_audit": similarity.ann_lsh_recall_audit,
         "ann_ivf_recall_audit": similarity.ann_ivf_recall_audit,
         "vocab_coverage": text.vocab_coverage,
+        "source_length_quantiles": text.source_length_quantiles,
     }
 
 
@@ -1825,6 +1826,16 @@ GROUP BY label ORDER BY label
         "ann_lsh_recall_audit": ann_lsh_recall,
         "ann_ivf_recall_audit": ann_ivf_recall,
         "vocab_coverage": vocab_coverage_sql,
+        "source_length_quantiles": f"""
+WITH t AS (SELECT source, len({_TOKS})::DOUBLE AS n_tokens FROM documents)
+SELECT source,
+       round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+       round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+       round(quantile_cont(n_tokens, 0.99), 4) AS p99_tokens,
+       count(*) AS n_docs,
+       round(avg(n_tokens), 4) AS mean_tokens
+FROM t GROUP BY source
+""",
         # --- text ---
         "lang_id": lang_id_sql,
         "lang_id_confusion": lang_confusion_sql,

@@ -670,3 +670,40 @@ def vocab_coverage(spark: SparkSession, sf_dir: str, v: int = 200) -> DataFrame:
         "freq",
         (F.floor(cum / F.col("n") * 1e6) / 1e6).alias("cum_share"),
     )
+
+
+def source_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution — exact token-count
+    percentiles (p50/p90/p99), doc count, and mean length per feed: the
+    table that sets a truncation / context-window / packing budget per
+    source ("src7's p99 is 9k tokens — chunk it") and flags feeds whose
+    length profile shifted between crawls.
+
+    One scan; token counts are a per-row expression (size of the shared
+    tokenizer split — no explode, no token shuffle), then a single
+    per-source aggregate. Exact `percentile` buffers each source's
+    values on its reducer — the number of DOCS per source, fine at any
+    corpus whose per-feed doc count fits a reducer; at true 100 TB swap
+    `percentile_approx` exactly as percentile_prices documents. The
+    array form sorts each group once for all three quantiles. Linear
+    interpolation on integer-valued doubles matches DuckDB quantile_cont
+    bit-for-bit (the percentile_prices parity contract)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens("text")).cast("double").alias("n_tokens")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.expr("percentile(n_tokens, array(0.5, 0.9, 0.99))").alias("ps"),
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
+        )
+        .select(
+            "source",
+            F.round(F.col("ps")[0], 4).alias("p50_tokens"),
+            F.round(F.col("ps")[1], 4).alias("p90_tokens"),
+            F.round(F.col("ps")[2], 4).alias("p99_tokens"),
+            "n_docs",
+            "mean_tokens",
+        )
+    )
