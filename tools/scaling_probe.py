@@ -160,6 +160,8 @@ def main() -> None:
             ("quality_filter_flags", text.quality_filter_flags),
             ("unigram_lm_score", text.unigram_lm_score),
             ("duplicate_span_report", dedup.duplicate_span_report),
+            ("vocab_coverage", text.vocab_coverage),
+            ("source_length_quantiles", text.source_length_quantiles),
         ],
         "embeddings": [
             ("embedding_neardup_pairs_vectorized", dedup.embedding_neardup_pairs_vectorized),
