@@ -523,6 +523,43 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector as (c_label, centroid: array<double>) — the
+    shared coarse-quantizer build. kmeans_assign, semantic_outliers, and
+    ann_ivf_recall_audit all consume THIS table (one definition, so the
+    assignment/tie-break contract cannot silently diverge between them);
+    embedding_centroids is its human-readable CSV twin. posexplode →
+    (label, dim) avg → re-assemble ordered by dim; two partial-agg
+    friendly shuffles, output is clusters × dims — tiny by construction,
+    broadcast by every caller."""
+    per_dim = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("c"))
+    )
+    return per_dim.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+
+
+def _sq_dist(vec_col, centroid_col):
+    """Squared-L2 JVM fold over the zipped arrays, in dim order (a fixed
+    accumulation order — the cross-engine float contract). Callers
+    round/floor per their own gate convention."""
+    return F.aggregate(
+        F.zip_with(
+            vec_col.cast("array<double>"),
+            centroid_col,
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One Lloyd assignment step: each vector moves to its nearest per-label
     centroid (squared L2). Centroids are tiny (clusters × dim) and
@@ -532,25 +569,8 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     label via struct ordering. This is the iterate of IVF list building:
     at 100 TB each pass is one broadcast join over the embedding table."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    per_dim = (
-        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(F.avg("x").alias("c"))
-    )
-    centroids = per_dim.groupBy(F.col("label").alias("c_label")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
-        ).alias("centroid")
-    )
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("embedding").cast("array<double>"),
-            F.col("centroid"),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    centroids = _label_centroids(spark, sf_dir)
+    dist = _sq_dist(F.col("embedding"), F.col("centroid"))
     scored = (
         emb.crossJoin(F.broadcast(centroids))
         .select(
@@ -653,25 +673,8 @@ def semantic_outliers(spark: SparkSession, sf_dir: str, k: int = 25) -> DataFram
     a JVM fold, the global top-k runs as TakeOrderedAndProject over the
     per-vector distances (never a full sort)."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
-    per_dim = (
-        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(F.avg("x").alias("c"))
-    )
-    centroids = per_dim.groupBy(F.col("label").alias("c_label")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
-        ).alias("centroid")
-    )
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("embedding").cast("array<double>"),
-            F.col("centroid"),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    centroids = _label_centroids(spark, sf_dir)
+    dist = _sq_dist(F.col("embedding"), F.col("centroid"))
     return (
         emb.join(F.broadcast(centroids), emb.label == F.col("c_label"))
         .select("vec_id", "label", (F.floor(dist * 1e6) / 1e6).alias("dist_sq"))
@@ -786,6 +789,58 @@ def ann_mips_topk(
     )
 
 
+def _audit_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding, nrm) — the corpus as every recall audit reads
+    it, norms hoisted once."""
+    from ..functions.vectors import norm
+
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+
+
+def _audit_sample(emb: DataFrame, n_queries: int) -> DataFrame:
+    """The audits' query sample — the first n_queries vec_ids, renamed so
+    callers can broadcast it against the corpus."""
+    return emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+
+
+def _exact_knn(emb: DataFrame, sample: DataFrame, k: int) -> DataFrame:
+    """Exact global kNN ground truth: broadcast sample × corpus cosine,
+    ranked (cos DESC, vec_id ASC) — THE tie-break contract every recall
+    audit (and its DuckDB oracle) measures against, defined once so the
+    three audits cannot compute different 'exact' baselines. Never
+    corpus × corpus. Returns (qid, nbr) rows, k per query."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import dot
+
+    pairs = emb.join(
+        F.broadcast(sample), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "vec_id",
+        (
+            dot(F.col("embedding"), F.col("qemb"))
+            / (F.col("nrm") * F.col("qnrm"))
+        ).alias("cos"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("qid").orderBy(
+            F.col("cos").desc(), F.col("vec_id").asc()
+        )
+    )
+    return (
+        pairs.withColumn("rk", rk)
+        .filter(F.col("rk") <= k)
+        .select("qid", F.col("vec_id").alias("nbr"))
+    )
+
+
 def ann_recall_audit(
     spark: SparkSession, sf_dir: str, k: int = 3, n_queries: int = 50
 ) -> DataFrame:
@@ -813,38 +868,8 @@ def ann_recall_audit(
     loses 92% of true neighbors and must be replaced (kmeans_assign /
     embedding_centroids are the re-clustering pass) or supplemented with
     multi-probe before a corpus-scale blocked kNN run."""
-    from pyspark.sql import Window
-
-    from ..functions.vectors import dot, norm
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
-    sample = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qemb"),
-        F.col("nrm").alias("qnrm"),
-    )
-    pairs = emb.join(
-        F.broadcast(sample), F.col("vec_id") != F.col("qid")
-    ).select(
-        "qid",
-        "vec_id",
-        (
-            dot(F.col("embedding"), F.col("qemb"))
-            / (F.col("nrm") * F.col("qnrm"))
-        ).alias("cos"),
-    )
-    rk = F.row_number().over(
-        Window.partitionBy("qid").orderBy(
-            F.col("cos").desc(), F.col("vec_id").asc()
-        )
-    )
-    exact = (
-        pairs.withColumn("rk", rk)
-        .filter(F.col("rk") <= k)
-        .select("qid", F.col("vec_id").alias("nbr"))
-    )
+    emb = _audit_emb(spark, sf_dir)
+    exact = _exact_knn(emb, _audit_sample(emb, n_queries), k)
     blocked = (
         knn_join_vectorized(spark, sf_dir, k)
         .filter(F.col("src") < n_queries)
@@ -913,12 +938,10 @@ def ann_lsh_recall_audit(
         ).alias("ham"),
     )
     order = [F.col("cos").desc(), F.col("vec_id").asc()]
-    exact = (
-        pairs.withColumn(
-            "rk", F.row_number().over(Window.partitionBy("qid").orderBy(*order))
-        )
-        .filter(F.col("rk") <= k)
-        .select("qid", F.col("vec_id").alias("nbr"))
+    exact = _exact_knn(
+        emb.select("vec_id", "embedding", "nrm"),
+        sample.select("qid", "qemb", "qnrm"),
+        k,
     )
     probed = pairs.filter(F.col("ham") <= 1).select(
         "qid",
@@ -994,28 +1017,16 @@ def ann_ivf_recall_audit(
     quantizer + probe budget before a 100 TB blocked pass."""
     from pyspark.sql import Window
 
-    from ..functions.vectors import dot, norm
+    from ..functions.vectors import dot
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
-    per_dim = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("label", F.posexplode("embedding").alias("dim", "x"))
-        .groupBy("label", "dim")
-        .agg(F.avg("x").alias("c"))
-    )
-    centroids = per_dim.groupBy(F.col("label").alias("c_label")).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
-        ).alias("centroid")
-    )
-    # ONE row (clusters x dims). Persisted: five plan branches reference
-    # it (assignment, sample, probe ranking, both candidate rank passes),
-    # and without the pin each branch recompiles the full-corpus
-    # posexplode+groupBy centroid build — 26 parquet scans in the
-    # compiled plan vs 5 with it (the minhash shared-scan discipline).
-    cent_row = centroids.agg(
+    emb = _audit_emb(spark, sf_dir)
+    # ONE row (clusters x dims). Persisted: multiple plan branches
+    # reference it (assignment, probe ranking, both candidate rank
+    # passes), and without the pin each branch recompiles the
+    # full-corpus posexplode+groupBy centroid build — 26 parquet scans
+    # in the compiled plan vs a handful with it (the minhash
+    # shared-scan discipline).
+    cent_row = _label_centroids(spark, sf_dir).agg(
         F.collect_list(F.struct("c_label", "centroid")).alias("cents")
     ).persist()
 
@@ -1025,18 +1036,7 @@ def ann_ivf_recall_audit(
         return F.transform(
             F.col("cents"),
             lambda s: F.struct(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            vec.cast("array<double>"),
-                            s["centroid"],
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    6,
-                ).alias("d"),
+                F.round(_sq_dist(vec, s["centroid"]), 6).alias("d"),
                 s["c_label"].alias("l"),
             ),
         )
@@ -1046,11 +1046,11 @@ def ann_ivf_recall_audit(
         .withColumn("cluster", F.array_min(dists(F.col("embedding")))["l"])
         .drop("cents")
     )
-    sample = embc.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qemb"),
-        F.col("nrm").alias("qnrm"),
-    )
+    # Built from emb, not embc: the sample feeds the exact verifier and
+    # the probe ranking, neither of which needs the assignment column —
+    # deriving it from embc dragged the (unprunable) centroid cross-join
+    # into three branches that never read it.
+    sample = _audit_sample(emb, n_queries)
     qprobes = (
         sample.crossJoin(F.broadcast(cent_row))
         .select(
@@ -1098,23 +1098,7 @@ def ann_ivf_recall_audit(
         .filter(F.col("rk") <= k)
         .select("qid", F.col("vec_id").alias("nbr"), F.lit(1).alias("p2_hit"))
     )
-    pairs = emb.join(
-        F.broadcast(sample), F.col("vec_id") != F.col("qid")
-    ).select(
-        "qid",
-        "vec_id",
-        (
-            dot(F.col("embedding"), F.col("qemb"))
-            / (F.col("nrm") * F.col("qnrm"))
-        ).alias("cos"),
-    )
-    exact = (
-        pairs.withColumn(
-            "rk", F.row_number().over(Window.partitionBy("qid").orderBy(*order))
-        )
-        .filter(F.col("rk") <= k)
-        .select("qid", F.col("vec_id").alias("nbr"))
-    )
+    exact = _exact_knn(emb, sample, k)
     per_q = (
         exact.join(p1, ["qid", "nbr"], "left")
         .join(p2, ["qid", "nbr"], "left")

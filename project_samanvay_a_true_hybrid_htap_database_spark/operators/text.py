@@ -637,15 +637,19 @@ def vocab_coverage(spark: SparkSession, sf_dir: str, v: int = 200) -> DataFrame:
     99.2%") and the complement of what falls to byte/UNK fallback.
 
     Scale shape: one (token) hash shuffle for the vocabulary counts
-    (map-side combinable), a 1-row instance total broadcast, and a
-    deterministic top-v via TakeOrderedAndProject (freq desc, token asc
-    — never a global sort of the vocabulary). The cumulative window then
-    runs over the ALREADY-TRUNCATED v-row table: a single partition, but
-    one bounded by the report size v, not by the corpus or the
-    vocabulary — the same bounded-output discipline as token_histogram.
-    cum_share is an integer-cumsum / integer-total division both engines
-    perform on identical values; floor-truncated at 1e-6 like every
-    derived score."""
+    (map-side combinable) — the count table is PERSISTED so the total
+    branch and the top-v branch read the same tokenize+shuffle instead
+    of each recompiling it (the shared-scan discipline; unpinned, the
+    compiled plan scans and shuffles the corpus twice). Then a 1-row
+    instance total broadcast and a deterministic top-v via
+    TakeOrderedAndProject (freq desc, token asc — never a global sort
+    of the vocabulary). The cumulative window runs over the
+    ALREADY-TRUNCATED v-row table: a single partition, but one bounded
+    by the report size v, not by the corpus or the vocabulary — the
+    same bounded-output discipline as token_histogram. cum_share is an
+    integer-cumsum / integer-total division both engines perform on
+    identical values; floor-truncated at 1e-6 like every derived
+    score."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -653,6 +657,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str, v: int = 200) -> DataFrame:
         docs.select(F.explode(tokens("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("freq"))
+        .persist()
     )
     total = vc.agg(F.sum("freq").cast("double").alias("n"))
     order = [F.col("freq").desc(), F.col("tok").asc()]

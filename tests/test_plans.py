@@ -219,14 +219,47 @@ class TestIvfRecallAuditPlan:
     def test_candidate_join_is_broadcast_hash_equi(self, spark):
         """The probed-candidate join must be a broadcast hash EQUI-join on
         the assigned cluster (the tiny exploded probe list broadcast),
-        never a cartesian — and with the centroid row persisted, the
-        full-corpus centroid build must not recompile per branch (26
-        parquet scans without the pin)."""
+        never a cartesian — and the persisted centroid row must actually
+        appear as an InMemoryRelation, bounding the number of times the
+        full-corpus centroid build recompiles per branch (26 parquet
+        scans without the pin)."""
+        import re
+
         df = similarity.ann_ivf_recall_audit(spark, SF_DIR)
         p = plan(df)
         assert "CartesianProduct" not in p
         assert "BroadcastHashJoin" in p, "candidate join lost its equi-key"
         assert "EvalPython" not in p, "fell back to Python row evaluation"
+        assert "InMemoryRelation" in p, "centroid-row persist was dropped"
+        # Distinct scan NODES (the formatted plan re-renders the cache
+        # definition — and its scan — inside every InMemoryRelation
+        # occurrence, so a raw substring count over-reports).
+        # 7 today: the audit's real independent passes (candidate ranks
+        # x2, probe sample, exact verifier, cached centroid definition);
+        # the guard is against the 26-scan per-branch centroid rebuild.
+        scans = set(re.findall(r"Scan parquet\s+\((\d+)\)", p))
+        assert len(scans) <= 7, (
+            f"centroid build recompiling per branch again: {len(scans)} "
+            "distinct parquet scans"
+        )
+
+    def test_vocab_coverage_persists_the_count_table(self, spark):
+        """vocab_coverage's total and top-v branches must read the ONE
+        persisted token-count table — unpinned, the compiled plan
+        tokenizes and token-shuffles the corpus twice."""
+        import re
+
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import text as textops
+
+        p = plan(textops.vocab_coverage(spark, SF_DIR))
+        assert p.count("InMemoryTableScan") >= 2, (
+            "token-count persist was dropped (branches recompute the "
+            "tokenize+shuffle)"
+        )
+        scans = set(re.findall(r"Scan parquet\s+\((\d+)\)", p))
+        assert len(scans) == 1, (
+            f"corpus scanned {len(scans)} times (want the one cached scan)"
+        )
 
 
 class TestLshIndexPruning:
