@@ -148,16 +148,18 @@ def main() -> None:
     for name in headline:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Two timed passes, per-query minimum: the box shows ±2x scheduler
-    # noise between runs, and min-of-2 is the standard way to report the
-    # steady-state compute floor without hiding real regressions (a slow
-    # plan is slow on both passes).
+    # Three timed passes, per-query minimum: the box shows ±2x scheduler
+    # noise between runs (back-to-back full runs measured individual
+    # queries at 1.3-1.8x of each other with NO code change — min-of-2
+    # left those spikes in the record), and the per-query minimum is the
+    # standard way to report the steady-state compute floor without
+    # hiding real regressions (a slow plan is slow on every pass).
     # 2-decimal timings: the serialized JSON line must stay inside the
     # driver's 2000-char tail-capture window (VERDICT r7 #1 — r7's record
     # was lost to a 22-char overflow); millisecond precision is noise at
     # these magnitudes anyway.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in headline:
             fn = qs[name]
             t0 = time.perf_counter()
