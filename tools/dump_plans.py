@@ -88,6 +88,11 @@ def main() -> None:
         "percentile_prices_approx's 3.08× was real but was the tolerance",
         "gate being timed instead of the sketch — the bench now times",
         "percentile_prices_sketch (0.42 s, vs 1.24 s for the gate twin).",
+        "Confirmed by a full min-of-3 bench run late in r8: 0 of the 49",
+        "common queries flagged >1.3× vs BENCH_r06 and the common-set",
+        "total measured 0.93× (28.0 vs 30.3 s) — every r7-reported",
+        "regression vanished under spike-suppressed timing (bench.py now",
+        "reports the per-query minimum of three passes for this reason).",
         "",
     ]
     for name, why in SHOWCASE:
