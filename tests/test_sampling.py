@@ -83,3 +83,41 @@ def test_dedup_groups_consistent_with_pairs(spark):
         members[g].append(doc)
     for g, docs in members.items():
         assert g == min(docs)
+
+
+class TestReportInvariants:
+    """Invariants of the r8 corpus-report operators beyond the oracle
+    hash gate: properties that must hold on ANY corpus, not just the
+    fixture values the gate pins."""
+
+    def test_vocab_coverage_cumulative_share(self, spark):
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import text
+
+        rows = sorted(
+            text.vocab_coverage(spark, SF_DIR).collect(),
+            key=lambda r: r.rank,
+        )
+        assert rows, "empty coverage report"
+        # Ranks are 1..n dense, frequencies non-increasing in rank, the
+        # cumulative share non-decreasing, and — because the fixture
+        # vocabulary is smaller than the top-v cut — the last row covers
+        # the whole corpus exactly.
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        freqs = [r.freq for r in rows]
+        assert freqs == sorted(freqs, reverse=True)
+        shares = [r.cum_share for r in rows]
+        assert shares == sorted(shares)
+        assert shares[-1] == pytest.approx(1.0, abs=1e-5)
+
+    def test_source_length_quantiles_ordering(self, spark):
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import text
+
+        rows = text.source_length_quantiles(spark, SF_DIR).collect()
+        assert rows, "empty length report"
+        for r in rows:
+            assert r.p50_tokens <= r.p90_tokens <= r.p99_tokens, r
+            # The mean of a nonnegative length distribution sits inside
+            # its support; with docs per source this loose envelope
+            # catches swapped columns or a broken percentile call.
+            assert 0 < r.mean_tokens <= r.p99_tokens, r
+            assert r.n_docs > 0
