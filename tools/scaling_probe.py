@@ -120,7 +120,23 @@ def _build(spark) -> tuple[str, str]:
     return one, ten
 
 
-def _probe(spark, name, fn, one, ten) -> None:
+def _build_hundred(spark) -> str:
+    """100x documents corpus — the second measured decade for the
+    output-bounded text family (the pair generators' quadratic OUTPUT
+    contract is probed at 10x; re-running them at 100x only re-measures
+    the 100-wide dup-clique output size). Same perturbation as the 10x
+    build, scale=100."""
+    hundred = os.path.join(ROOT, "sf100x")
+    if os.path.exists(os.path.join(hundred, "_READY")):
+        return hundred
+    os.makedirs(hundred, exist_ok=True)
+    scratch = os.path.join(ROOT, "sf1x_scratch100")
+    build_text_corpora(spark, scratch, hundred, scale=100)
+    open(os.path.join(hundred, "_READY"), "w").close()
+    return hundred
+
+
+def _probe(spark, name, fn, one, ten, hundred=None) -> None:
     def warm_time(d):
         fn(spark, d).count()
         t0 = time.perf_counter()
@@ -128,7 +144,15 @@ def _probe(spark, name, fn, one, ten) -> None:
         return time.perf_counter() - t0
 
     t1, t10 = warm_time(one), warm_time(ten)
-    print(f"{name:32s} 1x={t1:6.2f}s  10x={t10:7.2f}s  ratio={t10 / max(t1, 1e-3):5.1f}")
+    line = f"{name:32s} 1x={t1:6.2f}s  10x={t10:7.2f}s  ratio={t10 / max(t1, 1e-3):5.1f}"
+    if hundred is not None:
+        t100 = warm_time(hundred)
+        # decade2: growth across 10x->100x — ~10 is linear, ~100 quadratic
+        line += (
+            f"  100x={t100:7.2f}s  ratio={t100 / max(t1, 1e-3):6.1f}"
+            f"  decade2={t100 / max(t10, 1e-3):5.1f}"
+        )
+    print(line)
 
 
 def main() -> None:
@@ -141,7 +165,7 @@ def main() -> None:
         text,
     )
 
-    valid = {"text", "embeddings", "tpch", "events", "graph"}
+    valid = {"text", "embeddings", "tpch", "events", "graph", "text100"}
     families = set(sys.argv[1:]) or valid
     unknown = families - valid
     if unknown:
@@ -202,6 +226,23 @@ def main() -> None:
         print(f"-- {fam} --")
         for name, fn in probes[fam]:
             _probe(spark, name, fn, one, ten)
+    if "text100" in families:
+        # Second measured decade (1x/10x/100x documents) for the
+        # OUTPUT-BOUNDED text operators: decade2 ≈ 10 is linear-in-corpus,
+        # ≈ 100 quadratic. Pair generators are excluded — their 100x cost
+        # is the documented quadratic dup-clique OUTPUT, not plan growth.
+        print("-- text100 --")
+        hundred = _build_hundred(spark)
+        for name, fn in [
+            ("exact_dedup", dedup.exact_dedup),
+            ("minhash_signatures", dedup.minhash_signatures),
+            ("quality_filter_flags", text.quality_filter_flags),
+            ("unigram_lm_score", text.unigram_lm_score),
+            ("duplicate_span_report", dedup.duplicate_span_report),
+            ("vocab_coverage", text.vocab_coverage),
+            ("source_length_quantiles", text.source_length_quantiles),
+        ]:
+            _probe(spark, name, fn, one, ten, hundred)
     if "graph" in families:
         # CC convergence depth: rounds grow with component DIAMETER, not
         # corpus size — near-dup clusters are cliques-ish, so a 10× denser
