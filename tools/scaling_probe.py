@@ -120,19 +120,24 @@ def _build(spark) -> tuple[str, str]:
     return one, ten
 
 
-def _build_hundred(spark) -> str:
-    """100x documents corpus — the second measured decade for the
-    output-bounded text family (the pair generators' quadratic OUTPUT
+def _build_hundred(spark, table: str = "documents") -> str:
+    """100x corpus for one table — the second measured decade for the
+    output-bounded operators (the pair generators' quadratic OUTPUT
     contract is probed at 10x; re-running them at 100x only re-measures
     the 100-wide dup-clique output size). Same perturbation as the 10x
     build, scale=100."""
     hundred = os.path.join(ROOT, "sf100x")
-    if os.path.exists(os.path.join(hundred, "_READY")):
+    ready = os.path.join(hundred, f"_READY_{table}")
+    if os.path.exists(ready):
         return hundred
     os.makedirs(hundred, exist_ok=True)
     scratch = os.path.join(ROOT, "sf1x_scratch100")
-    build_text_corpora(spark, scratch, hundred, scale=100)
-    open(os.path.join(hundred, "_READY"), "w").close()
+    builder = {
+        "documents": build_text_corpora,
+        "embeddings": build_embedding_corpora,
+    }[table]
+    builder(spark, scratch, hundred, scale=100)
+    open(ready, "w").close()
     return hundred
 
 
@@ -165,7 +170,15 @@ def main() -> None:
         text,
     )
 
-    valid = {"text", "embeddings", "tpch", "events", "graph", "text100"}
+    valid = {
+        "text",
+        "embeddings",
+        "tpch",
+        "events",
+        "graph",
+        "text100",
+        "embeddings100",
+    }
     families = set(sys.argv[1:]) or valid
     unknown = families - valid
     if unknown:
@@ -241,6 +254,20 @@ def main() -> None:
             ("duplicate_span_report", dedup.duplicate_span_report),
             ("vocab_coverage", text.vocab_coverage),
             ("source_length_quantiles", text.source_length_quantiles),
+        ]:
+            _probe(spark, name, fn, one, ten, hundred)
+    if "embeddings100" in families:
+        # Second decade for the linear/bounded vector operators (pair
+        # generators excluded for the same output-contract reason).
+        print("-- embeddings100 --")
+        hundred = _build_hundred(spark, "embeddings")
+        for name, fn in [
+            ("embedding_quantize", similarity.embedding_quantize),
+            ("embedding_random_projection", similarity.embedding_random_projection),
+            ("embedding_centroids", similarity.embedding_centroids),
+            ("kmeans_assign", similarity.kmeans_assign),
+            ("ann_bruteforce_topk", similarity.ann_bruteforce_topk),
+            ("semantic_outliers", similarity.semantic_outliers),
         ]:
             _probe(spark, name, fn, one, ten, hundred)
     if "graph" in families:
