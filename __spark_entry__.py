@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_recall_audit": similarity.ann_ivf_recall_audit,
         "vocab_coverage": text.vocab_coverage,
         "source_length_quantiles": text.source_length_quantiles,
+        "staged_dedup_report": dedup.staged_dedup_report,
     }
 
 
@@ -1735,6 +1736,41 @@ ms AS (SELECT count(*) AS n_grouped,
 tot AS (SELECT count(*) AS n_total FROM documents)
 SELECT n_total, n_grouped, n_removed, n_total - n_removed AS n_surviving
 FROM tot, ms
+""",
+        # The staged production composition: exact winners first, the
+        # near-dup fixpoint restricted to them, survival accounting out.
+        "staged_dedup_report": f"""
+WITH RECURSIVE
+w AS (SELECT md5(trim(lower(text))) AS fp, min(doc_id) AS doc_id,
+             count(*) AS n_copies
+      FROM documents GROUP BY 1),
+toks AS (SELECT d.doc_id, {_TOKS.replace("text", "d.text")} AS T
+         FROM documents d JOIN w ON w.doc_id = d.doc_id),
+shl AS (SELECT doc_id, {_SHINGLES} AS S FROM toks),
+p AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         len(list_intersect(a.S, b.S)) AS inter,
+         len(a.S) + len(b.S) - len(list_intersect(a.S, b.S)) AS uni
+  FROM shl a JOIN shl b ON a.doc_id < b.doc_id),
+pr AS (SELECT d1, d2 FROM p WHERE inter / uni >= 0.5),
+edges AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+lbl AS (SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n),
+near AS (SELECT count(*) AS n_near_grouped,
+                CAST(sum(CASE WHEN doc_id != group_id THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_near_removed
+         FROM lbl),
+ex AS (SELECT CAST(count(*) AS BIGINT) AS n_winners,
+              CAST(sum(n_copies - 1) AS BIGINT) AS n_exact_removed
+       FROM w),
+tot AS (SELECT count(*) AS n_total FROM documents)
+SELECT n_total, n_exact_removed, n_winners, n_near_grouped, n_near_removed,
+       n_total - n_exact_removed - n_near_removed AS n_surviving
+FROM tot, ex, near
 """,
         # Same recursive fixpoint, but the edge set is the LSH pipeline's
         # verified pairs (banded candidates → exact-Jaccard ≥ 0.5).

@@ -107,6 +107,7 @@ def ngram_jaccard_pairs(
     sf_dir: str,
     threshold: float = JACCARD_THRESHOLD,
     max_df: int = 1000,
+    keep: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join via a shingle inverted index:
     explode distinct shingles, self-join on shingle, count common shingles
@@ -125,6 +126,12 @@ def ngram_jaccard_pairs(
     consumer than to materialize the corpus-sized shingle arrays (same
     trade knn_join_blocked documents for its norms)."""
     sh = _doc_shingles(spark, sf_dir)
+    if keep is not None:
+        # Restrict the index to a doc_id allowlist (one column) BEFORE
+        # the self-join — staged_dedup_report passes the exact-dedup
+        # winners here so the quadratic pair stage never sees a
+        # wide exact-duplicate clique (the mitigation SCALE.md names).
+        sh = sh.join(keep.select("doc_id"), "doc_id")
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
     rare = (
@@ -1291,4 +1298,56 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - 1).alias("n_dropped"),
         )
         .orderBy("group_id")  # bounded per-group summary, sorted like its oracle
+    )
+
+
+def staged_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION dedup composition as one operator: exact dedup
+    first, near-dup clustering only over the exact winners — the staged
+    mitigation SCALE.md prescribes wherever the pair graph's quadratic
+    dup-clique output is discussed. An exact-duplicate clique of width w
+    costs the pair stage w·(w-1)/2 verified pairs and the CC loop a
+    w-wide component; collapsing it to ONE winner first costs a single
+    map-side-combinable hash aggregate. At 100 TB this ordering is the
+    difference between a pair graph sized by genuine near-duplicates and
+    one dominated by boilerplate mirror cliques.
+
+    Stages: (1) md5 content-hash winners (min doc_id per hash);
+    (2) the n-gram inverted-index pair graph RESTRICTED to winners (the
+    allowlist lands before the quadratic self-join); (3) connected
+    components; (4) the survival accounting — one row: total docs,
+    exact copies removed, winners entering the near stage, docs in some
+    near-dup group, near duplicates removed, and what ships."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    winners = exact_dedup(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        spark, sf_dir, keep=winners.select("doc_id")
+    ).select("d1", "d2")
+    labels = connected_components(pairs)
+    near = labels.agg(
+        F.count("*").alias("n_near_grouped"),
+        F.sum(F.when(F.col("doc_id") != F.col("group_id"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_near_removed"),
+    )
+    ex = winners.agg(
+        F.count("*").cast("long").alias("n_winners"),
+        F.sum(F.col("n_copies") - 1).cast("long").alias("n_exact_removed"),
+    )
+    totals = docs.agg(F.count("*").alias("n_total"))
+    return (
+        totals.crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(near))
+        .select(
+            "n_total",
+            "n_exact_removed",
+            "n_winners",
+            "n_near_grouped",
+            "n_near_removed",
+            (
+                F.col("n_total")
+                - F.col("n_exact_removed")
+                - F.col("n_near_removed")
+            ).alias("n_surviving"),
+        )
     )

@@ -121,3 +121,47 @@ class TestReportInvariants:
             # catches swapped columns or a broken percentile call.
             assert 0 < r.mean_tokens <= r.p99_tokens, r
             assert r.n_docs > 0
+
+
+class TestStagedDedup:
+    """staged_dedup_report on a corpus that actually HAS exact-duplicate
+    cliques (the driver fixtures have none): the accounting must reflect
+    both stages, and the near-dup pair stage must never see the exact
+    clique — the quadratic-mitigation contract SCALE.md prescribes."""
+
+    @pytest.fixture()
+    def corpus_dir(self, spark, tmp_path):
+        a = "alpha beta gamma delta epsilon zeta eta theta"
+        b = "one two three four five six seven eight nine ten"
+        b_near = "one two three four five six seven eight nine zzz"
+        c = "completely different text with its own tokens here"
+        rows = [(i, a) for i in range(5)]  # 5-wide exact clique
+        rows += [(10, b), (11, b_near), (12, c)]
+        df = spark.createDataFrame(
+            [(i, t, "en", "srcT", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        return str(tmp_path)
+
+    def test_accounting_and_pair_stage_isolation(self, spark, corpus_dir):
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import dedup
+
+        row = dedup.staged_dedup_report(spark, corpus_dir).collect()[0]
+        assert row.n_total == 8
+        assert row.n_exact_removed == 4  # the 4 extra clique members
+        assert row.n_winners == 4  # a-winner, b, b_near, c
+        assert row.n_near_grouped == 2 and row.n_near_removed == 1  # b ~ b'
+        assert row.n_surviving == 3
+
+        # The mitigation itself: unstaged, the pair stage emits the whole
+        # exact clique (C(5,2) jaccard-1.0 pairs) plus the near pair;
+        # staged, exactly the one genuine near-dup pair survives.
+        unstaged = dedup.ngram_jaccard_pairs(spark, corpus_dir).count()
+        staged = dedup.ngram_jaccard_pairs(
+            spark,
+            corpus_dir,
+            keep=dedup.exact_dedup(spark, corpus_dir).select("doc_id"),
+        ).count()
+        assert unstaged == 10 + 1
+        assert staged == 1
