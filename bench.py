@@ -168,6 +168,7 @@ def main() -> None:
             elapsed = round(time.perf_counter() - t0, 2)
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
+    calib = bench_calibration(spark, sf_dir)
     htap = bench_htap_mixed(spark, sf_dir)
     htap_sustained = bench_htap_sustained(spark)
 
@@ -199,15 +200,57 @@ def main() -> None:
     # ~160 chars of headroom inside the driver's tail-capture window
     print(
         json.dumps(
-            build_payload(timings, sf, htap, htap_sustained),
+            build_payload(timings, sf, htap, htap_sustained, calib),
             separators=(",", ":"),
         )
     )
     sys.stdout.flush()
 
 
+def bench_calibration(spark, sf_dir: str) -> dict:
+    """Machine-speed reference recorded alongside the timings (VERDICT r8
+    #1): two fixed-work probes whose cost depends only on the box, so a
+    later round can distinguish "this sandbox is slow today" from "this
+    plan regressed". BENCH_r08 recorded 1.48x of BENCH_r06 purely from
+    sandbox load — with no calibration in the payload, that dispute was
+    unresolvable from the record. The reference pins its benchmark
+    environment in prose (docs/WHITEPAPER.md:642-648); these probes pin
+    ours in data.
+
+    - ``jvm``: pure-JVM codegen throughput — sum over a 500M-row range to
+      the noop sink. No I/O, no shuffle, no Python: measures raw executor
+      speed + scheduler overhead.
+    - ``scan``: pinned parquet scan — full count of lineitem at the bench
+      sf. Measures the I/O + decode path the real queries ride on.
+
+    Min-of-3 each, same spike-suppression rationale as the main timings.
+    tools/bench_diff.py divides cross-round query ratios by the calibration
+    ratio and flags only normalized drifts.
+    """
+    from project_samanvay_a_true_hybrid_htap_database_spark.sources import load_table
+
+    jvm = scan = float("inf")
+    li = load_table(spark, sf_dir, "lineitem")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(500_000_000).selectExpr("sum(id) AS s").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        jvm = min(jvm, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        li.count()
+        scan = min(scan, time.perf_counter() - t0)
+    # 2-decimal rounding: the consumer is a ratio judged at 1.3x, so 10 ms
+    # resolution on ~1 s probes is ample, and the JSON line is size-pinned
+    return {"jvm": round(jvm, 2), "scan": round(scan, 2)}
+
+
 def build_payload(
-    timings: dict[str, float], sf: float, htap: dict, htap_sustained: dict
+    timings: dict[str, float],
+    sf: float,
+    htap: dict,
+    htap_sustained: dict,
+    calib: dict | None = None,
 ) -> dict:
     """The bench contract, in one place: the single JSON line the driver
     parses into BENCH_r{N}.json and tools/bench_diff.py consumes across
@@ -223,6 +266,7 @@ def build_payload(
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calib": calib or {},
         "htap_mixed": htap,
         "htap_sustained": htap_sustained,
     }

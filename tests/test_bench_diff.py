@@ -19,6 +19,7 @@ sys.path.insert(0, str(REPO))
 
 import bench  # noqa: E402
 from tools.bench_diff import (  # noqa: E402
+    calib_factor,
     diff_table,
     latest_bench_files,
     _payload,
@@ -39,6 +40,7 @@ class TestEmittedSchema:
             "unit",
             "queries",
             "sf",
+            "calib",
             "htap_mixed",
             "htap_sustained",
         }
@@ -66,8 +68,9 @@ class TestEmittedSchema:
         worst-case-representative payload: every real headline query at a
         5-char timing (e.g. 12.34), plus htap blocks shaped exactly like
         bench_htap_mixed / bench_htap_sustained returns with wide values.
-        Margin: <= 1800 leaves 200 chars for value-width jitter and the
-        trailing newline."""
+        Margin: <= 1850 leaves 150 chars for value-width jitter and the
+        trailing newline (every representative timing is already worst-case
+        5-char width, so jitter is bounded by ~1 char per query)."""
         timings = {name: 12.34 for name in bench.HEADLINE}
         htap = {
             "w_idle_ms": 0.035,
@@ -101,12 +104,13 @@ class TestEmittedSchema:
             "err": None,
         }
         # bench.main() serializes with compact separators — measure the
-        # same form it prints
+        # same form it prints (calib carries two 6-char floats)
+        calib = {"jvm": 12.345, "scan": 12.345}
         line = json.dumps(
-            bench.build_payload(timings, 0.1, htap, sustained),
+            bench.build_payload(timings, 0.1, htap, sustained, calib),
             separators=(",", ":"),
         )
-        assert len(line) <= 1800, (
+        assert len(line) <= 1850, (
             f"bench JSON line is {len(line)} chars — would overflow the "
             "driver's 2000-char tail window; shrink the payload"
         )
@@ -161,6 +165,40 @@ class TestDiffConsumesPayload:
         (tmp_path / "BENCH_r03.json").write_text(json.dumps(good))
         picked = latest_bench_files(str(tmp_path), n=2)
         assert [Path(p).name for p in picked] == ["BENCH_r01.json", "BENCH_r03.json"]
+
+    def test_calibration_normalizes_uniform_slowdown(self):
+        """VERDICT r8 #1: a uniformly 2x-slower sandbox must NOT flag any
+        query when the calibration probes slowed by the same 2x — and a
+        genuine 2x plan regression on a steady machine must still flag."""
+        old = bench.build_payload(
+            {"q_fast": 1.0, "q_slow": 4.0}, 0.1, {}, {},
+            calib={"jvm": 1.0, "scan": 1.0},
+        )
+        # box 2x slower, plans unchanged: every query AND the probes double
+        loaded = bench.build_payload(
+            {"q_fast": 2.0, "q_slow": 8.0}, 0.1, {}, {},
+            calib={"jvm": 2.0, "scan": 2.0},
+        )
+        assert calib_factor(old, loaded) == 2.0
+        table = diff_table(old, loaded)
+        assert "REGRESSION" not in table
+        assert "0 flagged" in table and "(normalized)" in table
+        # same machine speed, one plan genuinely 2x slower: flag survives
+        regressed = bench.build_payload(
+            {"q_fast": 1.0, "q_slow": 8.0}, 0.1, {}, {},
+            calib={"jvm": 1.0, "scan": 1.0},
+        )
+        table2 = diff_table(old, regressed)
+        assert "REGRESSION" in table2 and "1 flagged" in table2
+
+    def test_calibration_absent_falls_back_to_raw(self):
+        """Pre-r9 records carry no calib block — the diff must keep working
+        on raw ratios (empty calib == missing calib)."""
+        old = bench.build_payload({"q": 1.0}, 0.1, {}, {})
+        new = bench.build_payload({"q": 1.5}, 0.1, {}, {}, calib={"jvm": 1.0, "scan": 1.0})
+        assert calib_factor(old, new) is None
+        table = diff_table(old, new)
+        assert "REGRESSION" in table and "norm" not in table.splitlines()[0]
 
     def test_repo_bench_history_still_parses(self):
         """The real recorded rounds keep satisfying the contract — if the

@@ -38,6 +38,22 @@ def _payload(doc: dict) -> dict:
     return inner if isinstance(inner, dict) else {}
 
 
+def calib_factor(old_doc: dict, new_doc: dict) -> float | None:
+    """Machine-speed ratio new/old from the fixed-work calibration probes
+    (VERDICT r8 #1). Both payloads must carry a non-empty ``calib`` block
+    ({"jvm": sec, "scan": sec} — pure-JVM codegen job + pinned lineitem
+    scan, constant work across rounds); returns None otherwise, in which
+    case the diff falls back to raw ratios (pre-r9 records have no calib).
+    """
+    oc = _payload(old_doc).get("calib") or {}
+    nc = _payload(new_doc).get("calib") or {}
+    o = sum(v for v in (oc.get("jvm"), oc.get("scan")) if v)
+    n = sum(v for v in (nc.get("jvm"), nc.get("scan")) if v)
+    if o <= 0 or n <= 0:
+        return None
+    return n / o
+
+
 def diff_table(old_doc: dict, new_doc: dict, old_label: str = "old", new_label: str = "new") -> str:
     old = _payload(old_doc).get("queries", {})
     new = _payload(new_doc).get("queries", {})
@@ -45,32 +61,60 @@ def diff_table(old_doc: dict, new_doc: dict, old_label: str = "old", new_label: 
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
 
+    # When both rounds recorded calibration probes, drift is judged on the
+    # calibration-NORMALIZED ratio (raw ratio / machine-speed ratio): a
+    # uniformly loaded sandbox inflates every raw ratio equally and the
+    # probes cancel it out, so only genuine plan drift gets flagged.
+    cf = calib_factor(old_doc, new_doc)
+
     lines = []
     width = max((len(n) for n in common), default=10)
-    lines.append(
-        f"{'query'.ljust(width)}  {old_label:>9}  {new_label:>9}  {'ratio':>6}  flag"
-    )
+    if cf is not None:
+        lines.append(
+            f"calibration: machine-speed ratio {new_label}/{old_label} = "
+            f"{cf:.2f}x — flags below are on the normalized column"
+        )
+        lines.append(
+            f"{'query'.ljust(width)}  {old_label:>9}  {new_label:>9}  "
+            f"{'ratio':>6}  {'norm':>6}  flag"
+        )
+    else:
+        lines.append(
+            f"{'query'.ljust(width)}  {old_label:>9}  {new_label:>9}  {'ratio':>6}  flag"
+        )
     flagged = 0
     for name in common:
         o, n = old[name], new[name]
         ratio = n / o if o else float("inf")
+        judged = ratio / cf if cf else ratio
         flag = ""
         if max(o, n) >= FLOOR_SEC:
-            if ratio > DRIFT_RATIO:
+            if judged > DRIFT_RATIO:
                 flag = "REGRESSION"
                 flagged += 1
-            elif ratio < 1 / DRIFT_RATIO:
+            elif judged < 1 / DRIFT_RATIO:
                 flag = "improved"
-        lines.append(
-            f"{name.ljust(width)}  {o:9.3f}  {n:9.3f}  {ratio:6.2f}  {flag}"
-        )
+        if cf is not None:
+            lines.append(
+                f"{name.ljust(width)}  {o:9.3f}  {n:9.3f}  {ratio:6.2f}  "
+                f"{judged:6.2f}  {flag}"
+            )
+        else:
+            lines.append(
+                f"{name.ljust(width)}  {o:9.3f}  {n:9.3f}  {ratio:6.2f}  {flag}"
+            )
     tot_old = sum(old[n] for n in common)
     tot_new = sum(new[n] for n in common)
+    tot_ratio = tot_new / tot_old if tot_old else 1
+    tail = f"{tot_ratio:6.2f}  "
+    if cf is not None:
+        tail += f"{tot_ratio / cf:6.2f}  "
     lines.append(
         f"{('TOTAL (%d common)' % len(common)).ljust(width)}  "
         f"{tot_old:9.3f}  {tot_new:9.3f}  "
-        f"{(tot_new / tot_old if tot_old else 1):6.2f}  "
-        f"{flagged} flagged >{DRIFT_RATIO}x"
+        + tail
+        + f"{flagged} flagged >{DRIFT_RATIO}x"
+        + (" (normalized)" if cf is not None else "")
     )
     if added:
         lines.append(f"added ({len(added)}): {', '.join(added)}")
