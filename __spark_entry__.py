@@ -52,6 +52,43 @@ _COS = (
 )
 
 
+def _kmeans_cte(rounds: int = 5, k: int = 10) -> tuple[str, str, str]:
+    """Unrolled fixed-round Lloyd k-means as DuckDB CTEs — the oracle twin
+    of similarity.learned_centroids: md5-bucket init, per-round centroid
+    means ROUNDED to 1e-6 (the cross-engine re-anchor), squared-L2
+    assignment rounded to 1e-6 with ties to the lower cluster id.
+
+    Returns (cte_sql, final_assign_table, final_dist_table): the assign
+    table has (vec_id, cl), the dist table (vec_id, cl, dist_sq) for every
+    surviving cluster — rank it for probe lists."""
+    parts = [
+        f"a0 AS (SELECT vec_id, CAST(('0x' || substr(md5(CAST(vec_id AS "
+        f"VARCHAR)), 1, 8))::BIGINT % {k} AS INT) AS cl FROM embeddings)"
+    ]
+    prev = "a0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"c{r} AS (SELECT {prev}.cl, i, "
+            f"round(avg(e.embedding[i]::DOUBLE), 6) AS c "
+            f"FROM embeddings e JOIN {prev} ON {prev}.vec_id = e.vec_id, "
+            f"generate_series(1, 64) t(i) GROUP BY {prev}.cl, i)"
+        )
+        parts.append(
+            f"d{r} AS (SELECT e.vec_id, c{r}.cl, "
+            f"round(sum((e.embedding[c{r}.i]::DOUBLE - c{r}.c) "
+            f"* (e.embedding[c{r}.i]::DOUBLE - c{r}.c)), 6) AS dist_sq "
+            f"FROM embeddings e, c{r} GROUP BY e.vec_id, c{r}.cl)"
+        )
+        parts.append(
+            f"a{r} AS (SELECT vec_id, cl, dist_sq FROM ("
+            f"SELECT vec_id, cl, dist_sq, row_number() OVER ("
+            f"PARTITION BY vec_id ORDER BY dist_sq, cl) AS rn FROM d{r}) "
+            f"WHERE rn = 1)"
+        )
+        prev = f"a{r}"
+    return ",\n".join(parts), prev, f"d{rounds}"
+
+
 def _minhash_sig_cte() -> str:
     """CTE computing the 16 affine-permutation minhashes per doc — the same
     (a, b) literals the Spark side derives from the fixed-seed LCG."""
@@ -99,70 +136,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry-per-round sweep (dict order = sweep
-    # order) re-validates what most needs it (VERDICT r5 #3, r6 #1, r7 #2).
-    # The round-8 window clears ALL remaining driver-row debt: the five
-    # never-green r7 additions first, then the 42 entries whose newest green
-    # row is r5 — 47 of 50 slots; the other 3 fall to the stalest r6 rows.
-    # Per the standing directive, NO new operator sits ahead of the sweep
-    # line; round-8 additions are parked at the very tail.
+    # order) re-validates what most needs it (VERDICT r5 #3, r6 #1, r7 #2,
+    # r8 #2). The round-9 window: the 10 never-driver-green r8 additions
+    # first (all pass the pytest oracle), then the 40 stalest of the 47
+    # entries whose newest green row is r6. After this sweep every
+    # registered entry's newest green row is r7-or-later. Per the standing
+    # directive, NO new operator sits ahead of the sweep line; round-9
+    # additions are parked at the very tail.
     return {
-        # --- never driver-green: the five r7 additions, fronting the r8
-        # window per VERDICT r7 #2 (all five pass the pytest oracle) ---
-        "simhash_bucket_audit": dedup.simhash_bucket_audit,
-        "lsh_recall_audit": dedup.lsh_recall_audit,
-        "source_mixture_weights": sampling.source_mixture_weights,
-        "packing_efficiency": sampling.packing_efficiency,
-        "incremental_dedup_report": dedup.incremental_dedup_report,
-        # --- last green r5: the 42 entries whose newest driver row
-        # predates r6 — with the five above they fill 47 of the 50
-        # sweep slots, clearing ALL remaining driver-row debt ---
-        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
-        "ann_lsh_indexed_topk": similarity.ann_lsh_indexed_topk,
-        "ann_lsh_multiprobe_topk": similarity.ann_lsh_multiprobe_topk,
-        "ann_lsh_topk": similarity.ann_lsh_topk,
-        "ann_mips_topk": similarity.ann_mips_topk,
-        "attribution_window_join": analytics.attribution_window_join,
-        "bucketed_join_agg": bucketed_join_agg,
-        "containment_pairs": dedup.containment_pairs,
-        "decontaminate_ngram_overlap": dedup.decontaminate_ngram_overlap,
-        "dedup_apply": dedup.dedup_apply,
-        "dedup_groups": dedup.dedup_groups,
-        "dedup_groups_lsh": dedup.dedup_groups_lsh,
-        "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
-        "events_hourly_anomaly": analytics.events_hourly_anomaly,
-        "events_trending_topk": analytics.events_trending_topk,
-        "exact_dedup": dedup.exact_dedup,
-        "grouping_sets_report": analytics.grouping_sets_report,
-        "interval_overlap_join": analytics.interval_overlap_join,
-        "knn_join_blocked": similarity.knn_join_blocked,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
-        "minhash_signatures": dedup.minhash_signatures_str,
-        "multimodal_audio_chunks": multimodal.audio_chunks,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "repetition_ratio": text.repetition_ratio,
-        "simhash_fingerprints": dedup.simhash_fingerprints,
-        "simhash_fingerprints_vectorized": dedup.simhash_fingerprints_vectorized,
-        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
-        "simhash_neardup_pairs_scale": dedup.simhash_neardup_pairs_scale,
-        "skew_join_salted": analytics.skew_join_salted,
-        "tpch_q11": analytics.tpch_q11_important_stock,
-        "tpch_q12": analytics.tpch_q12_shipping_priority_class,
-        "tpch_q13": analytics.tpch_q13_customer_distribution,
-        "tpch_q15": analytics.tpch_q15_top_supplier,
-        "tpch_q16": analytics.tpch_q16_parts_supplier_count,
-        "tpch_q19": analytics.tpch_q19_discounted_revenue,
-        "tpch_q2": analytics.tpch_q2_min_cost_supplier,
-        "tpch_q20": analytics.tpch_q20_part_promotion,
-        "tpch_q21": analytics.tpch_q21_suppliers_kept_waiting,
-        "tpch_q22": analytics.tpch_q22_global_sales_opportunity,
-        "tpch_q4": analytics.tpch_q4_order_priority,
-        "tpch_q9": analytics.tpch_q9_product_profit,
-        # --- sweep line (entry #50 is the 3rd r6 entry below) ---
-        # last green r6 (next-stalest after the r5 set)
-        "agg_avg": relational.agg_avg,
-        "agg_count": relational.agg_count,
-        "agg_min_max": relational.agg_min_max,
+        # --- never driver-green: the ten r8-tail additions (VERDICT r8 #2) ---
+        "percentile_prices_sketch": analytics.percentile_prices_sketch,
+        "ann_recall_audit": similarity.ann_recall_audit,
+        "duplicate_span_report": dedup.duplicate_span_report,
+        "split_leakage_audit": sampling.split_leakage_audit,
+        "dedup_keep_best": dedup.dedup_keep_best,
+        "ann_lsh_recall_audit": similarity.ann_lsh_recall_audit,
+        "ann_ivf_recall_audit": similarity.ann_ivf_recall_audit,
+        "vocab_coverage": text.vocab_coverage,
+        "source_length_quantiles": text.source_length_quantiles,
+        "staged_dedup_report": dedup.staged_dedup_report,
+        # --- last green r6: the 40 stalest of the 47 r6-green rows ---
         "agg_multi": relational.agg_multi,
         "agg_sum": relational.agg_sum,
         "agg_where": relational.agg_where,
@@ -203,6 +196,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": analytics.tpch_q18_large_volume_customer,
         "tpch_q3": analytics.tpch_q3_shipping_priority,
         "tpch_q7": analytics.tpch_q7_volume_shipping,
+        # --- sweep line (50 entries above) ---
+        # last green r6: the 7 that did not fit the r9 window (front of
+        # the r10 window, with the r7-green set behind them)
         "tpch_q8": analytics.tpch_q8_market_share,
         "unigram_lm_score": text.unigram_lm_score,
         "unpivot_metrics": analytics.unpivot_metrics,
@@ -210,7 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_merge": relational.upsert_merge,
         "window_frame_bounds": analytics.window_frame_bounds,
         "window_lag_delta": analytics.window_lag_delta,
-        # last green r7 (freshest rows in the repo)
+        # last green r7
         "anti_join": analytics.anti_join,
         "bm25_search": text.bm25_search,
         "case_bucketing": analytics.case_bucketing,
@@ -261,17 +257,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": sampling.train_test_split,
         "window_running_sum": analytics.window_running_sum,
         "window_topn_per_group": analytics.window_topn_per_group,
-        # --- round-8 additions (parked at the tail per VERDICT r6 #1) ---
-        "percentile_prices_sketch": analytics.percentile_prices_sketch,
-        "ann_recall_audit": similarity.ann_recall_audit,
-        "duplicate_span_report": dedup.duplicate_span_report,
-        "split_leakage_audit": sampling.split_leakage_audit,
-        "dedup_keep_best": dedup.dedup_keep_best,
-        "ann_lsh_recall_audit": similarity.ann_lsh_recall_audit,
-        "ann_ivf_recall_audit": similarity.ann_ivf_recall_audit,
-        "vocab_coverage": text.vocab_coverage,
-        "source_length_quantiles": text.source_length_quantiles,
-        "staged_dedup_report": dedup.staged_dedup_report,
+        # last green r8 (freshest rows in the repo)
+        "agg_avg": relational.agg_avg,
+        "agg_count": relational.agg_count,
+        "agg_min_max": relational.agg_min_max,
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_lsh_indexed_topk": similarity.ann_lsh_indexed_topk,
+        "ann_lsh_multiprobe_topk": similarity.ann_lsh_multiprobe_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_mips_topk": similarity.ann_mips_topk,
+        "attribution_window_join": analytics.attribution_window_join,
+        "bucketed_join_agg": bucketed_join_agg,
+        "containment_pairs": dedup.containment_pairs,
+        "decontaminate_ngram_overlap": dedup.decontaminate_ngram_overlap,
+        "dedup_apply": dedup.dedup_apply,
+        "dedup_groups": dedup.dedup_groups,
+        "dedup_groups_lsh": dedup.dedup_groups_lsh,
+        "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        "events_hourly_anomaly": analytics.events_hourly_anomaly,
+        "events_trending_topk": analytics.events_trending_topk,
+        "exact_dedup": dedup.exact_dedup,
+        "grouping_sets_report": analytics.grouping_sets_report,
+        "incremental_dedup_report": dedup.incremental_dedup_report,
+        "interval_overlap_join": analytics.interval_overlap_join,
+        "knn_join_blocked": similarity.knn_join_blocked,
+        "lsh_recall_audit": dedup.lsh_recall_audit,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "minhash_signatures": dedup.minhash_signatures_str,
+        "multimodal_audio_chunks": multimodal.audio_chunks,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "packing_efficiency": sampling.packing_efficiency,
+        "repetition_ratio": text.repetition_ratio,
+        "simhash_bucket_audit": dedup.simhash_bucket_audit,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        "simhash_fingerprints_vectorized": dedup.simhash_fingerprints_vectorized,
+        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
+        "simhash_neardup_pairs_scale": dedup.simhash_neardup_pairs_scale,
+        "skew_join_salted": analytics.skew_join_salted,
+        "source_mixture_weights": sampling.source_mixture_weights,
+        "tpch_q11": analytics.tpch_q11_important_stock,
+        "tpch_q12": analytics.tpch_q12_shipping_priority_class,
+        "tpch_q13": analytics.tpch_q13_customer_distribution,
+        "tpch_q15": analytics.tpch_q15_top_supplier,
+        "tpch_q16": analytics.tpch_q16_parts_supplier_count,
+        "tpch_q19": analytics.tpch_q19_discounted_revenue,
+        "tpch_q2": analytics.tpch_q2_min_cost_supplier,
+        "tpch_q20": analytics.tpch_q20_part_promotion,
+        "tpch_q21": analytics.tpch_q21_suppliers_kept_waiting,
+        "tpch_q22": analytics.tpch_q22_global_sales_opportunity,
+        "tpch_q4": analytics.tpch_q4_order_priority,
+        "tpch_q9": analytics.tpch_q9_product_profit,
+        # --- round-9 additions (parked at the tail per the directive) ---
+        "kmeans_iterate": similarity.kmeans_iterate,
+        "knn_join_ivf_blocked": similarity.knn_join_ivf_blocked,
     }
 
 
@@ -396,12 +435,42 @@ s AS (SELECT e.vec_id, {cos_q} AS cos FROM embeddings e, q WHERE e.vec_id != 0)
 SELECT vec_id, round(cos, 4) AS cos_sim FROM s
 ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
+    # IVF prune on the LEARNED kmeans cluster (r9 rebase — VERDICT r8 #4):
+    # the query searches only its own learned list; the oracle replays the
+    # identical fixed-round Lloyd iteration as unrolled CTEs.
+    km_cte, km_a, km_d = _kmeans_cte()
     ann_ivf = f"""
-WITH q AS (SELECT embedding::DOUBLE[] AS qe, label AS ql FROM embeddings WHERE vec_id = 0),
+WITH {km_cte},
+q AS (SELECT e.embedding::DOUBLE[] AS qe, a.cl AS qcl
+      FROM embeddings e JOIN {km_a} a ON a.vec_id = e.vec_id
+      WHERE e.vec_id = 0),
 s AS (SELECT e.vec_id, {cos_q} AS cos
-      FROM embeddings e, q WHERE e.vec_id != 0 AND e.label = q.ql)
+      FROM embeddings e JOIN {km_a} a ON a.vec_id = e.vec_id, q
+      WHERE e.vec_id != 0 AND a.cl = q.qcl)
 SELECT vec_id, round(cos, 4) AS cos_sim FROM s
 ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+    kmeans_iterate_sql = f"""
+WITH {km_cte}
+SELECT vec_id, cl AS cluster, dist_sq FROM {km_a}
+"""
+    knn_ivf = f"""
+WITH {km_cte},
+pr AS (SELECT vec_id AS src, cl AS probe FROM (
+         SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist_sq, cl) AS rn FROM {km_d})
+       WHERE rn <= 2),
+cand AS (SELECT p.src, h.vec_id AS nbr,
+                {_COS.format(a="sa.embedding::DOUBLE[]", b="sb.embedding::DOUBLE[]")} AS cos
+         FROM pr p
+         JOIN {km_a} h ON h.cl = p.probe AND h.vec_id != p.src
+         JOIN embeddings sa ON sa.vec_id = p.src
+         JOIN embeddings sb ON sb.vec_id = h.vec_id),
+r AS (SELECT src, nbr, cos,
+             CAST(row_number() OVER (PARTITION BY src
+                  ORDER BY cos DESC, nbr ASC) AS INT) AS rk
+      FROM cand)
+SELECT src, nbr, rk, round(cos, 4) AS cos_sim FROM r WHERE rk <= 3
 """
     from project_samanvay_a_true_hybrid_htap_database_spark.functions.hashing import (
         hyperplanes,
@@ -597,25 +666,19 @@ SELECT CAST(count(*) AS BIGINT) AS n_queries, 3 AS k,
        round(min(recall), 4) AS min_recall
 FROM perq
 """
-    # IVF centroid-probe quantizer recall: per-label centroids, rounded
-    # nearest-centroid assignment (ties to the lower cluster id — the
-    # kmeans_assign argmin contract), nprobe=1 / nprobe=2 candidate sets
-    # vs exact global kNN, identical (cos DESC, nbr ASC) tie-break.
+    # IVF centroid-probe quantizer recall — since r9 against the LEARNED
+    # fixed-round Lloyd centroids (unrolled kmeans CTEs), not the per-label
+    # means: rounded nearest-centroid assignment (ties to the lower cluster
+    # id — the kmeans_assign argmin contract), nprobe=1 / nprobe=2
+    # candidate sets vs exact global kNN, identical (cos DESC, nbr ASC)
+    # tie-break.
     ann_ivf_recall = f"""
-WITH c AS (SELECT label AS c_label, i, avg(embedding[i]::DOUBLE) AS c
-           FROM embeddings, generate_series(1, 64) t(i)
-           GROUP BY c_label, i),
-d AS (SELECT e.vec_id, c.c_label,
-             round(sum((e.embedding[c.i]::DOUBLE - c.c)
-                       * (e.embedding[c.i]::DOUBLE - c.c)), 6) AS dist_sq
-      FROM embeddings e, c GROUP BY e.vec_id, c.c_label),
-rnk AS (SELECT vec_id, c_label,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY dist_sq, c_label) AS rn
-        FROM d),
-a AS (SELECT vec_id, c_label AS cluster FROM rnk WHERE rn = 1),
-qp AS (SELECT vec_id AS qid, c_label AS probe_label, rn AS probe_rank
-       FROM rnk WHERE vec_id < 50 AND rn <= 2),
+WITH {km_cte},
+a AS (SELECT vec_id, cl AS cluster FROM {km_a}),
+qp AS (SELECT vec_id AS qid, cl AS probe_label, rn AS probe_rank
+       FROM (SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dist_sq, cl) AS rn FROM {km_d})
+       WHERE vec_id < 50 AND rn <= 2),
 q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
       FROM embeddings WHERE vec_id < 50),
 gp AS (SELECT q.qid, e.vec_id AS nbr,
@@ -1856,6 +1919,8 @@ GROUP BY label ORDER BY label
         "ann_projected_rerank_topk": proj_rerank,
         "cross_source_overlap": cross_source,
         "knn_join_blocked": knn,
+        "kmeans_iterate": kmeans_iterate_sql,
+        "knn_join_ivf_blocked": knn_ivf,
         # same oracle: the vectorized path must produce identical rows
         "knn_join_vectorized": knn,
         "ann_recall_audit": ann_recall,
@@ -2029,8 +2094,12 @@ SELECT CASE WHEN bk < 8000 THEN 'train'
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM b GROUP BY split ORDER BY split
 """,
+        # Stage 4 replays the STAGED near-dedup: the pair graph is built
+        # only over stage-3 survivors (exact-first ordering), then the
+        # same recursive-CC fixpoint the dedup oracles use.
         "pipeline_funnel": f"""
-WITH t AS (SELECT doc_id, text, {_TOKS} AS T FROM documents),
+WITH RECURSIVE
+t AS (SELECT doc_id, text, {_TOKS} AS T FROM documents),
 f AS (
   SELECT doc_id,
     greatest({", ".join(f"len(list_filter(T, t -> list_contains({m!r}, t)))" for m in text.LANG_MARKERS.values())}) > 0 AS lang_ok,
@@ -2040,6 +2109,26 @@ f AS (
         / length(text)) * 0.3) > 0.45 AS q_ok,
     doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS canon
   FROM t),
+surv AS (SELECT doc_id FROM f WHERE lang_ok AND q_ok AND canon),
+shl AS (SELECT t.doc_id, {_SHINGLES} AS S
+        FROM t JOIN surv ON surv.doc_id = t.doc_id),
+p AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         len(list_intersect(a.S, b.S)) AS inter,
+         len(a.S) + len(b.S) - len(list_intersect(a.S, b.S)) AS uni
+  FROM shl a JOIN shl b ON a.doc_id < b.doc_id),
+pr AS (SELECT d1, d2 FROM p WHERE inter / uni >= 0.5),
+edges AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+lbl AS (SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n),
+nr AS (SELECT CAST(coalesce(sum(CASE WHEN doc_id != group_id THEN 1
+                                     ELSE 0 END), 0) AS BIGINT)
+              AS n_near_removed
+       FROM lbl),
 agg AS (
   SELECT count(*) AS c0,
          CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS c1,
@@ -2050,6 +2139,7 @@ SELECT '0_total' AS stage, c0 AS n_docs FROM agg
 UNION ALL SELECT '1_lang_id', c1 FROM agg
 UNION ALL SELECT '2_quality', c2 FROM agg
 UNION ALL SELECT '3_dedup', c3 FROM agg
+UNION ALL SELECT '4_near_dedup', c3 - n_near_removed FROM agg, nr
 ORDER BY stage
 """,
         "pack_sequences": f"""

@@ -162,6 +162,36 @@ class TestSpanReportSinglePass:
         assert "Join" not in tree, "span stream joined back instead of windowed"
 
 
+class TestMinhashVerifyFloor:
+    def test_verify_joins_are_smj_and_no_corpus_broadcast(self, plans):
+        """VERDICT r8 #5: pin the verify-join shape instead of chasing the
+        sf0.1 wall-clock (the ~1 s floor is two exchange+sort stage
+        round-trips that amortize at scale — SCALE.md's measured
+        breakdown). BOTH verify joins must be SortMergeJoin: each side
+        (candidates AND the hashed-shingle table) grows with the corpus,
+        and a persisted in-memory shingle table under-reports its size to
+        the auto-broadcast planner — the 10× probe reproduced the driver
+        OOM when the merge hint was dropped. The only broadcast allowed
+        is the band-bucket self-join's tiny signature side; the exchange
+        count is pinned so a rewrite cannot silently add stage
+        round-trips back."""
+        tree = plans["minhash_lsh_pairs"].split("\n\n")[0]
+        assert tree.count("SortMergeJoin") == 2, (
+            "verify joins lost the SMJ shape (merge hint dropped?)"
+        )
+        assert tree.count("BroadcastExchange") <= 1, (
+            "a corpus-sized side is being broadcast — the measured 10× "
+            "OOM hazard"
+        )
+        assert tree.count("Exchange") <= 12, (
+            f"exchange count grew to {tree.count('Exchange')} (was 12) — "
+            "a stage round-trip crept back into the verify path"
+        )
+        assert "InMemoryRelation" in tree, (
+            "the shared shingle persist was dropped (second corpus scan)"
+        )
+
+
 class TestNoCartesian:
     @pytest.mark.parametrize(
         "name",
@@ -219,10 +249,11 @@ class TestIvfRecallAuditPlan:
     def test_candidate_join_is_broadcast_hash_equi(self, spark):
         """The probed-candidate join must be a broadcast hash EQUI-join on
         the assigned cluster (the tiny exploded probe list broadcast),
-        never a cartesian — and the persisted centroid row must actually
-        appear as an InMemoryRelation, bounding the number of times the
-        full-corpus centroid build recompiles per branch (26 parquet
-        scans without the pin)."""
+        never a cartesian. Since the r9 rebase the centroids are LEARNED
+        (similarity.learned_centroids) and enter the plan as LITERALS —
+        zero centroid scans, zero joins, no persist needed; the scan bound
+        tightens accordingly (pre-r9 the per-label centroid build needed
+        an InMemoryRelation pin to stay at 7 scans)."""
         import re
 
         df = similarity.ann_ivf_recall_audit(spark, SF_DIR)
@@ -230,16 +261,12 @@ class TestIvfRecallAuditPlan:
         assert "CartesianProduct" not in p
         assert "BroadcastHashJoin" in p, "candidate join lost its equi-key"
         assert "EvalPython" not in p, "fell back to Python row evaluation"
-        assert "InMemoryRelation" in p, "centroid-row persist was dropped"
-        # Distinct scan NODES (the formatted plan re-renders the cache
-        # definition — and its scan — inside every InMemoryRelation
-        # occurrence, so a raw substring count over-reports).
-        # 7 today: the audit's real independent passes (candidate ranks
-        # x2, probe sample, exact verifier, cached centroid definition);
-        # the guard is against the 26-scan per-branch centroid rebuild.
+        # The audit's real independent passes only: candidate ranks x2,
+        # probe sample, exact verifier — the centroid argmin is literal
+        # arithmetic inside each scan, never a scan of its own.
         scans = set(re.findall(r"Scan parquet\s+\((\d+)\)", p))
         assert len(scans) <= 7, (
-            f"centroid build recompiling per branch again: {len(scans)} "
+            f"centroid build re-entered the plan as scans: {len(scans)} "
             "distinct parquet scans"
         )
 
@@ -316,10 +343,12 @@ class TestMipsIndexPruning:
 
 class TestIvfIndexPruning:
     def test_ivf_indexed_scan_is_partition_pruned(self, spark):
+        # r9: the layout partitions by the LEARNED cluster id, and the
+        # query's cluster must reach the scan as a partition filter.
         df = similarity.ann_ivf_indexed_topk(spark, SF_DIR)
         p = plan(df)
         pf = p.split("PartitionFilters")[1][:200] if "PartitionFilters" in p else ""
-        assert "label" in pf, f"label not in PartitionFilters: {pf!r}"
+        assert "cluster" in pf, f"cluster not in PartitionFilters: {pf!r}"
 
     def test_indexed_matches_unindexed(self, spark):
         a = similarity.ann_ivf_topk(spark, SF_DIR).collect()

@@ -1,0 +1,85 @@
+"""Pin the committed quantizer-recall artifact (VERDICT r8 ADVICE #2).
+
+r8 cited recall figures (label 0.08, LSH 0.21/0.58, IVF 0.26/0.43) that
+lived only in prose — the same 'unrecorded measurements as fact' pattern
+the round's own verdict criticized. RECALL_r*.json (tools/recall_probe.py)
+is the committed record; these tests keep it honest:
+
+- schema + range checks on every committed figure;
+- the quantizer ORDERING the docstrings cite (learned IVF beats the random
+  label blocking; multiprobe beats single-probe) must hold in the artifact;
+- the cheapest audit (label blocking) is RE-DERIVED live and compared to
+  the committed row, so a code change that shifts the figures without
+  re-running the probe fails here instead of silently unpinning the record.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _latest_artifact() -> dict:
+    files = sorted(glob.glob(str(REPO / "RECALL_r*.json")))
+    assert files, "no RECALL_r*.json committed — run tools/recall_probe.py"
+    with open(files[-1]) as fh:
+        return json.load(fh)
+
+
+class TestRecallArtifact:
+    def test_schema_and_ranges(self):
+        doc = _latest_artifact()
+        for key, fields in [
+            ("label_blocking", ["mean_recall", "min_recall"]),
+            ("sign_lsh", ["recall_single_probe", "recall_multiprobe"]),
+            ("learned_ivf", ["recall_nprobe1", "recall_nprobe2"]),
+        ]:
+            assert key in doc, f"artifact missing {key}"
+            row = doc[key]
+            assert row["k"] == 3 and row["n_queries"] == 50
+            for f in fields:
+                assert 0.0 <= row[f] <= 1.0, f"{key}.{f} out of range"
+
+    def test_quantizer_ordering_claims(self):
+        """The orderings the docstrings and SCALE.md cite must be true of
+        the committed record: the learned-IVF probe beats the random label
+        blocking (the whole point of the r9 rebase — VERDICT r8 #3/#4),
+        and the second probe strictly helps."""
+        doc = _latest_artifact()
+        label = doc["label_blocking"]["mean_recall"]
+        ivf1 = doc["learned_ivf"]["recall_nprobe1"]
+        ivf2 = doc["learned_ivf"]["recall_nprobe2"]
+        lsh1 = doc["sign_lsh"]["recall_single_probe"]
+        lsh2 = doc["sign_lsh"]["recall_multiprobe"]
+        assert ivf1 > label and ivf2 > label
+        assert ivf2 > ivf1
+        assert lsh2 > lsh1
+        # the r9 Done criterion (VERDICT r8 #3): the learned quantizer's
+        # nprobe=2 recall must be at least the old label-derived 0.43
+        assert ivf2 >= 0.43
+
+    @pytest.mark.skipif(
+        not os.path.isdir(SF_DIR), reason="sf0.01 testdata not present"
+    )
+    def test_committed_matches_live(self, spark):
+        """Re-derive the cheapest audit and compare to the committed row —
+        the artifact must track the code, not a previous generation of it."""
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+            similarity,
+        )
+
+        doc = _latest_artifact()
+        live = similarity.ann_recall_audit(spark, SF_DIR).head().asDict()
+        committed = doc["label_blocking"]
+        assert live["mean_recall"] == pytest.approx(committed["mean_recall"])
+        assert live["min_recall"] == pytest.approx(committed["min_recall"])

@@ -1,0 +1,60 @@
+"""Run the quantizer recall audits and persist the figures (VERDICT r8
+ADVICE: recall numbers cited in prose must trace to a committed artifact).
+
+Writes RECALL_r{N}.json at the repo root: one entry per audit, each the
+audit's single output row verbatim. Every number in SCALE.md / docstrings
+about quantizer recall must cite this file; tests/test_recall_artifact.py
+asserts the committed artifact matches a live re-derivation so it cannot
+go stale silently.
+
+Usage:
+    python tools/recall_probe.py [sf_dir] [round_tag]
+    # defaults: /root/testdata/sf0.01, r09
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+AUDITS = [
+    # (key, module attr) — each returns a 1-row DataFrame of recall figures
+    ("label_blocking", "ann_recall_audit"),
+    ("sign_lsh", "ann_lsh_recall_audit"),
+    ("learned_ivf", "ann_ivf_recall_audit"),
+]
+
+
+def run(sf_dir: str) -> dict:
+    from project_samanvay_a_true_hybrid_htap_database_spark import get_spark
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+        similarity,
+    )
+
+    spark = get_spark(app_name="recall-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    out: dict = {"sf_dir": sf_dir}
+    for key, attr in AUDITS:
+        row = getattr(similarity, attr)(spark, sf_dir).head().asDict()
+        out[key] = {k: (float(v) if isinstance(v, float) else v) for k, v in row.items()}
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    tag = sys.argv[2] if len(sys.argv) > 2 else "r09"
+    doc = run(sf_dir)
+    path = os.path.join(REPO, f"RECALL_{tag}.json")
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(doc, sort_keys=True))
+    print(f"wrote {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
