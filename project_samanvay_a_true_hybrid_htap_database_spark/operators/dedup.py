@@ -890,7 +890,11 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def containment_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.8, max_df: int = 1000
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+    keep: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric shingle containment |A∩B| / |A|: catches a short doc
     embedded inside a longer one (quotes, boilerplate wrappers, partial
@@ -898,8 +902,17 @@ def containment_pairs(
     |B| >> |A| but containment of A hits 1.0. Same df-capped inverted
     index as ngram_jaccard_pairs (one shuffle on the shingle key, stop-
     shingles dropped before the self-join); emitted directed (contained
-    doc first)."""
+    doc first).
+
+    ``keep`` restricts the index to a doc_id allowlist BEFORE the
+    self-join — the staged exact-first composition (pass exact_dedup's
+    winners) that keeps the directed-pair output from going quadratic
+    inside wide exact-duplicate cliques (SCALE.md measured 978× output
+    at 10× unstaged; the staged 10× probe is the same scaling_probe
+    family)."""
     sh = _doc_shingles(spark, sf_dir)
+    if keep is not None:
+        sh = sh.join(keep.select("doc_id"), "doc_id")
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
     rare = (

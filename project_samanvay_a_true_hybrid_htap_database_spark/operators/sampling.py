@@ -118,12 +118,22 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end data-cleaning funnel: total → language-identified →
-    quality-passing → exact-dedup canonical. Composes the text operators'
-    expressions over ONE scan of documents: per-doc flags are plain column
-    expressions (plus one window for the canonical-duplicate flag), and the
-    four stage counts are conditional aggregates of those flags. Emitted as
-    one row per stage via posexplode of a 4-element literal array — NOT a
-    4-way union, which would clone the aggregate per branch."""
+    quality-passing → exact-dedup canonical → NEAR-dedup survivors.
+    The flag stages compose the text operators' expressions over ONE scan
+    of documents (per-doc flags are plain column expressions plus one
+    window for the canonical-duplicate flag; stage counts are conditional
+    aggregates). Emitted as one row per stage via explode of a literal
+    struct array — NOT an N-way union, which would clone the aggregate
+    per branch.
+
+    The near-dup stage (r9 — VERDICT r8 #6) runs in the STAGED order
+    staged_dedup_report established as the production composition: the
+    n-gram pair graph is restricted to the stage-3 survivors (lang-ok,
+    quality-ok, exact-canonical) BEFORE its quadratic self-join, so the
+    pair stage never sees a wide exact-duplicate clique — the measured
+    containment/jaccard clique blowup (SCALE.md: 978× output at 10×
+    unstaged) cannot occur in the default path. Near-duplicate groups
+    collapse via connected components; stage 4 counts what ships."""
     from .text import LANG_MARKERS
     from ..functions.textfns import tokens
 
@@ -156,10 +166,30 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     flagged = docs.select(
+        "doc_id",
         lang_ok.alias("lang_ok"),
         quality_ok.alias("q_ok"),
         canonical.alias("canon"),
     )
+
+    # Stage 4 (staged near-dedup): the pair graph sees ONLY stage-3
+    # survivors — the allowlist lands before ngram_jaccard_pairs'
+    # quadratic inverted-index self-join (exact-first staging).
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    survivors = flagged.filter(
+        F.col("lang_ok") & F.col("q_ok") & F.col("canon")
+    ).select("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir, keep=survivors).select("d1", "d2")
+    near_removed = connected_components(pairs).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("doc_id") != F.col("group_id"), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_near_removed")
+    )
+
     agg = flagged.agg(
         F.count("*").alias("c0"),
         F.sum(F.when(F.col("lang_ok"), 1).otherwise(0)).alias("c1"),
@@ -177,9 +207,14 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit("1_lang_id").alias("stage"), F.col("c1").alias("n_docs")),
         F.struct(F.lit("2_quality").alias("stage"), F.col("c2").alias("n_docs")),
         F.struct(F.lit("3_dedup").alias("stage"), F.col("c3").alias("n_docs")),
+        F.struct(
+            F.lit("4_near_dedup").alias("stage"),
+            (F.col("c3") - F.col("n_near_removed")).alias("n_docs"),
+        ),
     )
     return (
-        agg.select(F.explode(stages).alias("s"))
+        agg.crossJoin(F.broadcast(near_removed))
+        .select(F.explode(stages).alias("s"))
         .select(F.col("s.stage").alias("stage"), F.col("s.n_docs").alias("n_docs"))
         .orderBy("stage")
     )

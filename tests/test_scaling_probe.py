@@ -133,3 +133,40 @@ def test_cc_convergence_depth_stays_bounded(spark, scaled_dirs):
         assert 1 <= stats["iters"] <= bound, (
             f"CC took {stats['iters']} rounds on {d} (bound {bound})"
         )
+
+
+def test_staged_containment_collapses_exact_cliques(spark, tmp_path):
+    """The staged (exact-first) composition's central claim, measured on
+    the clique shape it targets (VERDICT r8 #6): on a corpus of 10-wide
+    EXACT-duplicate cliques, unstaged containment_pairs emits the
+    quadratic directed-pair blowup (every clique member contains every
+    other — ~90 pairs per clique), while the staged form — the default
+    composition in pipeline_funnel / staged_dedup_report — collapses each
+    clique to its winner BEFORE the pair self-join and must emit exactly
+    the 1x corpus's pairs. Row counts, not wall-clock: the blowup IS the
+    output, and counts cannot be jitter.
+
+    Corpus: a 500-doc slice x 10 exact copies (build_exact_dup_corpora,
+    the same builder tools/scaling_probe.py measures the full corpus
+    with), small enough that the quadratic side stays CI-cheap."""
+    from tools.scaling_probe import build_exact_dup_corpora, staged_containment
+
+    one_dir = str(tmp_path / "exact1x")
+    ten_dir = str(tmp_path / "exact10x")
+    os.makedirs(one_dir, exist_ok=True)
+    os.makedirs(ten_dir, exist_ok=True)
+    build_exact_dup_corpora(spark, one_dir, ten_dir, limit=500)
+
+    n1_staged = staged_containment(spark, one_dir).count()
+    n10_unstaged = dedup.containment_pairs(spark, ten_dir).count()
+    n10_staged = staged_containment(spark, ten_dir).count()
+
+    # the staged default path sees the 10x exact corpus as 1x work: the
+    # 10x winners are exactly the 1x winners (min doc_id per content hash
+    # lands on the original slice), so the pair set is IDENTICAL.
+    # (Compared staged-to-staged: the raw 1x corpus carries a few exact
+    # dups of its own, which staging also collapses.)
+    assert n10_staged == n1_staged, (n1_staged, n10_staged)
+    # and the hazard it removes is real on this corpus: every 10-wide
+    # clique contributes 10*9 directed pairs unstaged (500 cliques)
+    assert n10_unstaged >= 500 * 90, n10_unstaged

@@ -77,6 +77,42 @@ def build_embedding_corpora(spark, one_dir: str, ten_dir: str, scale: int = SCAL
     ).write.mode("overwrite").parquet(f"{ten_dir}/embeddings.parquet")
 
 
+def build_exact_dup_corpora(
+    spark, one_dir: str, ten_dir: str, scale: int = SCALE, limit: int | None = None
+) -> None:
+    """1x/10x documents tables where the copies are EXACT (ids differ,
+    text identical) — the mirror/boilerplate clique shape exact-first
+    staging exists to collapse. The near-dup 10x build (copy-token) probes
+    pair-generator growth; THIS one probes the staged composition's claim:
+    containment_pairs(keep=exact winners) must see the 10x exact corpus
+    as 1x work, because every 10-wide clique collapses to its winner
+    before the quadratic self-join (VERDICT r8 #6)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    if limit is not None:
+        docs = docs.filter(F.col("doc_id") < limit)
+    docs.write.mode("overwrite").parquet(f"{one_dir}/documents.parquet")
+    copies = spark.range(scale).select(F.col("id").alias("c"))
+    docs.crossJoin(copies).select(
+        (F.col("doc_id") + F.col("c") * 1_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    ).write.mode("overwrite").parquet(f"{ten_dir}/documents.parquet")
+
+
+def staged_containment(spark, sf_dir: str):
+    """containment_pairs composed in the production STAGED order: the
+    exact-dedup winner allowlist lands before the pair self-join (the
+    default composition pipeline_funnel / staged_dedup_report use)."""
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators import dedup
+
+    winners = dedup.exact_dedup(spark, sf_dir).select("doc_id")
+    return dedup.containment_pairs(spark, sf_dir, keep=winners)
+
+
 def _build(spark) -> tuple[str, str]:
     from pyspark.sql import functions as F
 
@@ -176,6 +212,7 @@ def main() -> None:
         "tpch",
         "events",
         "graph",
+        "staged",
         "text100",
         "embeddings100",
     }
@@ -239,6 +276,30 @@ def main() -> None:
         print(f"-- {fam} --")
         for name, fn in probes[fam]:
             _probe(spark, name, fn, one, ten)
+    if "staged" in families:
+        # Exact-dup clique corpus: unstaged containment goes quadratic in
+        # clique width (its contract); the staged form must measure the
+        # 10x exact corpus as ~1x work AND emit the same pairs as 1x.
+        print("-- staged (exact-dup cliques) --")
+        e1 = os.path.join(ROOT, "exact1x")
+        e10 = os.path.join(ROOT, "exact10x")
+        if not os.path.exists(os.path.join(e10, "_READY")):
+            os.makedirs(e1, exist_ok=True)
+            os.makedirs(e10, exist_ok=True)
+            build_exact_dup_corpora(spark, e1, e10)
+            open(os.path.join(e10, "_READY"), "w").close()
+        for name, fn in [
+            ("containment_unstaged", dedup.containment_pairs),
+            ("containment_staged", staged_containment),
+        ]:
+            _probe(spark, name, fn, e1, e10)
+        n1 = dedup.containment_pairs(spark, e1).count()
+        n10u = dedup.containment_pairs(spark, e10).count()
+        n10s = staged_containment(spark, e10).count()
+        print(
+            f"containment pair rows: 1x={n1}  10x_unstaged={n10u} "
+            f"({n10u / max(n1, 1):.0f}x)  10x_staged={n10s}"
+        )
     if "text100" in families:
         # Second measured decade (1x/10x/100x documents) for the
         # OUTPUT-BOUNDED text operators: decade2 ≈ 10 is linear-in-corpus,
