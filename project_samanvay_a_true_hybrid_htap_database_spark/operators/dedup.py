@@ -128,10 +128,16 @@ def ngram_jaccard_pairs(
     sh = _doc_shingles(spark, sf_dir)
     if keep is not None:
         # Restrict the index to a doc_id allowlist (one column) BEFORE
-        # the self-join — staged_dedup_report passes the exact-dedup
-        # winners here so the quadratic pair stage never sees a
-        # wide exact-duplicate clique (the mitigation SCALE.md names).
-        sh = sh.join(keep.select("doc_id"), "doc_id")
+        # the self-join — staged_dedup_report / pipeline_funnel pass the
+        # exact-dedup winners here so the quadratic pair stage never sees
+        # a wide exact-duplicate clique (the mitigation SCALE.md names).
+        # Persisted: with the allowlist join in the subtree, the
+        # no-persist recompute trade documented below inverts — the ~4
+        # plan references would each re-explode the FULL corpus and
+        # re-run the winner shuffle; the restricted table is winner-sized
+        # (containment_pairs measured the unpinned staged form at 109 s
+        # on the 10× exact-clique probe vs ~1× pinned).
+        sh = sh.join(keep.select("doc_id"), "doc_id").persist()
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
     rare = (
@@ -907,12 +913,17 @@ def containment_pairs(
     ``keep`` restricts the index to a doc_id allowlist BEFORE the
     self-join — the staged exact-first composition (pass exact_dedup's
     winners) that keeps the directed-pair output from going quadratic
-    inside wide exact-duplicate cliques (SCALE.md measured 978× output
-    at 10× unstaged; the staged 10× probe is the same scaling_probe
-    family)."""
+    inside wide exact-duplicate cliques (979× output at 10× unstaged vs
+    IDENTICAL-to-1× staged — scaling_probe's 'staged' family). The
+    restricted table is persisted: with the allowlist join in the
+    subtree, the recompute-over-materialize trade the unrestricted path
+    inherits from ngram_jaccard_pairs inverts — each of the ~4 plan
+    references would re-explode the FULL corpus and re-run the winner
+    shuffle, while the restricted table is only winner-sized (measured:
+    the staged 10× probe dropped 109 s → ~1× with the pin)."""
     sh = _doc_shingles(spark, sf_dir)
     if keep is not None:
-        sh = sh.join(keep.select("doc_id"), "doc_id")
+        sh = sh.join(keep.select("doc_id"), "doc_id").persist()
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
     rare = (

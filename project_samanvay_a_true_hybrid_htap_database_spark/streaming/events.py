@@ -268,7 +268,10 @@ def view_purchase_join_stream(
 
 
 def stream_into_engine(
-    events: DataFrame, engine, table: str = "events_live"
+    events: DataFrame,
+    engine,
+    table: str = "events_live",
+    checkpoint: str | None = None,
 ) -> "object":
     """HTAP ingestion loop: each micro-batch lands in the engine's DELTA
     layer for `table` (newest-pk-wins over prior segments, O(batch+delta),
@@ -277,14 +280,23 @@ def stream_into_engine(
     rows as they arrive — the Structured-Streaming replacement for the
     reference's WAL→memtable→flush write path (memtable.hpp:140-236).
 
-    Delivery contract: **at-least-once, deduplicated per batch_id within
-    this engine process**. foreachBatch may re-invoke a batch after a task
-    retry, so the sink tracks the applied batch_ids and skips re-deliveries
-    (idempotent append). Across a process restart the in-memory engine
-    state is gone while the stream checkpoint advances — true exactly-once
-    end-to-end needs a durable idempotent sink (parquet/Delta append keyed
-    by batch_id) that the engine's base reads back; that is the 100 TB
-    deployment shape.
+    Delivery contract: **at-least-once delivery, exactly-once CONTENTS per
+    pk**. foreachBatch may re-invoke a batch after a task retry, so the
+    sink tracks the applied batch_ids and skips same-process re-deliveries;
+    across a QUERY restart (new foreachBatch closure, same engine) a batch
+    that was applied but whose checkpoint commit did not land is re-
+    delivered with a fresh batch_id set — and append_batch absorbs it,
+    because the delta fold is keyed by pk (anti-join old delta vs batch
+    pks): re-applying a batch replaces its rows with identical content.
+    tests/test_streaming_e2e.py's kill/restart cycle asserts this across a
+    mid-stream kill AND a compaction boundary. For a restart that also
+    loses the engine process, durable mode (data_dir) persists the delta
+    generations the batches landed in; that is the 100 TB deployment
+    shape.
+
+    ``checkpoint`` enables recovery: without it a restarted query re-reads
+    the whole source (idempotent but O(history)); with it only
+    uncommitted batches replay.
 
     Returns the StreamingQuery (caller stops/awaits it)."""
     applied: set[int] = set()
@@ -300,11 +312,11 @@ def stream_into_engine(
         # threaded REST server (ADVICE r3).
         engine.append_batch(table, rows, pk="event_id")
         applied.add(batch_id)
-    return (
-        events.writeStream.foreachBatch(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
+
+    writer = events.writeStream.foreachBatch(sink)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(availableNow=True).start()
 
 
 def trending_topk_stream(

@@ -446,3 +446,94 @@ def test_stream_stream_join_checkpoint_kill_restart_exactly_once(
         f"join kill/restart diverged: {len(got)} stream pairs vs "
         f"{len(want)} batch pairs"
     )
+
+
+def test_foreachbatch_engine_ingest_kill_restart_exactly_once(
+    spark, chunked_events, tmp_path
+):
+    """The last recovery-sensitive streaming variant without a crash test
+    (VERDICT r8 #7): foreachBatch → SamanvayEngine.append_batch across a
+    clean stop, a mid-stream kill, AND a compaction boundary while the
+    query is down. The engine object survives query restarts (the
+    deployment shape: the serving process outlives stream restarts), but
+    each restart builds a FRESH foreachBatch closure — the in-memory
+    batch_id dedup set is gone, so an applied-but-uncommitted batch
+    re-delivers and the pk-keyed delta fold must absorb it: exactly-once
+    CONTENTS (count + per-pk payload set) vs the batch twin, with zero
+    duplicate pks, even though delivery is at-least-once."""
+    from project_samanvay_a_true_hybrid_htap_database_spark import SamanvayEngine
+    from project_samanvay_a_true_hybrid_htap_database_spark.streaming.events import (
+        stream_into_engine,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    engine = SamanvayEngine(spark)
+    table = "events_live"
+
+    def start():
+        return stream_into_engine(
+            stream_events(spark, src), engine, table=table, checkpoint=ckpt
+        )
+
+    # Phase A: first half, clean drain at a batch boundary
+    for c in chunked_events["chunks"][: N_CHUNKS // 2]:
+        shutil.copy2(c, src)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    n_phase_a = engine.table_df(table).count()
+    assert n_phase_a > 0
+
+    # Phase B: rest of the chunks; kill after the first micro-batch
+    # commits (maxFilesPerTrigger=1 → one file per batch, so the kill
+    # lands with batches still unprocessed)
+    for c in chunked_events["chunks"][N_CHUNKS // 2 :]:
+        shutil.copy2(c, src)
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+    # Compaction boundary while the stream is down: folds the streamed
+    # delta into the base (the LSM flush analog), so phase C's replayed
+    # batch dedups against a COMPACTED table, not the delta it landed in
+    engine.compact(table)
+
+    # Phase C: restart once more and drain to the end
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+
+    got = engine.table_df(table).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    want = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    # exactly-once contents: same count, zero duplicate pks
+    assert got.count() == want.count()
+    dups = (
+        got.groupBy("event_id").count().filter(F.col("count") > 1).count()
+    )
+    assert dups == 0, "a replayed batch double-applied a pk"
+    # and the same per-row payloads (order-insensitive content hash)
+    fp = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            "event_type",
+            F.col("value").cast("string"),
+        )
+    )
+    got_fps = {r["fp"] for r in got.select(fp.alias("fp")).collect()}
+    want_fps = {r["fp"] for r in want.select(fp.alias("fp")).collect()}
+    assert got_fps == want_fps
+    # the kill was real: phase A was a strict prefix of the final state
+    assert n_phase_a < want.count()
