@@ -311,6 +311,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-9 additions (parked at the tail per the directive) ---
         "kmeans_iterate": similarity.kmeans_iterate,
         "knn_join_ivf_blocked": similarity.knn_join_ivf_blocked,
+        "knn_join_ivf_vectorized": similarity.knn_join_ivf_vectorized,
+        "dedup_groups_twostar": dedup.dedup_groups_twostar,
     }
 
 
@@ -1848,6 +1850,21 @@ reach(n, m) AS (
   SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
 SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n ORDER BY n
 """,
+        # two-star CC over the SAME verified LSH pair set — the algorithm
+        # differs (large-star/small-star edge rewriting vs min-label
+        # propagation), the component labeling contract does not, so the
+        # oracle is shared verbatim
+        "dedup_groups_twostar": f"""
+WITH RECURSIVE
+pr AS ({lsh_pairs}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n ORDER BY n
+""",
         "embedding_centroids": """
 WITH c AS (
   SELECT label, i, avg(embedding[i]::DOUBLE) AS c
@@ -1921,6 +1938,9 @@ GROUP BY label ORDER BY label
         "knn_join_blocked": knn,
         "kmeans_iterate": kmeans_iterate_sql,
         "knn_join_ivf_blocked": knn_ivf,
+        # BLAS twin registered against the SAME oracle - the fast path
+        # must be row-identical to the HOF form
+        "knn_join_ivf_vectorized": knn_ivf,
         # same oracle: the vectorized path must produce identical rows
         "knn_join_vectorized": knn,
         "ann_recall_audit": ann_recall,

@@ -70,7 +70,9 @@ HEADLINE = [
         # LLM-data-pipeline
         "exact_dedup",
         "minhash_lsh_pairs",
-        # 4-stage cleaning funnel (lang → quality → dedup) over one scan
+        # 5-stage cleaning funnel (lang → quality → exact dedup → staged
+        # near-dedup): flag stages over one scan, the near stage's pair
+        # graph restricted to stage-3 survivors (r9 — the staged default)
         "pipeline_funnel",
         # BM25 retrieval: broadcast corpus stats + scan-side scoring
         "bm25_search",
@@ -124,6 +126,10 @@ HEADLINE = [
         # learning runs once in warm-up (memoized index-build cost); the
         # timed pass is the literal-centroid argmin scan, zero shuffles
         "kmeans_iterate",
+        # round-9: the learned-IVF kNN join, production (BLAS-cogroup)
+        # path — the HOF twin produces identical rows ~8x slower and
+        # stays oracle-checked off the bench (knn_join_blocked precedent)
+        "knn_join_ivf_vectorized",
     ]
 
 

@@ -776,9 +776,10 @@ def dedup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataF
     components are shallow — pairs share most shingles, so diameters are
     tiny). Each round is one shuffle on the edge key; lineage is cut per
     round with localCheckpoint so the plan doesn't snowball. The driver only
-    ever sees the one converged counter, never the data. At 100 TB the same
-    loop runs with the large-star/small-star optimization (alternating
-    conditional joins) — identical output, fewer skewed shuffles.
+    ever sees the one converged counter, never the data. At 100 TB run
+    connected_components_twostar instead (large-star/small-star edge
+    rewriting) — identical output, same oracle, O(log²) rounds on deep
+    components and no corpus-wide label join.
 
     Iterative fixpoint = genuinely non-SQL control flow on the Spark side;
     the DuckDB oracle expresses the same fixpoint as a recursive CTE."""
@@ -864,6 +865,124 @@ def connected_components(
     # sort here is a pure range-shuffle tax at scale.
     return labels.select(
         F.col("n").alias("doc_id"), F.col("lbl").alias("group_id")
+    )
+
+
+def connected_components_twostar(
+    pairs: DataFrame, max_iters: int = 30, stats: dict | None = None
+) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    billion-edge upgrade the min-label-propagation form documents: label
+    propagation shuffles a corpus-wide LABEL table every round and its
+    round count grows with component DIAMETER; two-star rewrites the EDGE
+    set itself (each round: point larger neighbors at the neighborhood
+    minimum, then fold smaller neighbors onto it), which (a) halves long
+    chains every round — O(log²) rounds on adversarial paths where label
+    prop needs O(diameter) — and (b) keeps per-round state at the
+    shrinking edge list, never a join against every node. High-degree
+    hubs flatten themselves: large-star turns a hub's neighborhood into
+    a star around the minimum in one round, which is exactly the skew
+    case that stalls label propagation.
+
+    Same contract as connected_components: input (d1, d2) undirected
+    pairs, output (doc_id, group_id = component minimum) for every node
+    that appears in some pair — the two forms are row-identical and
+    share oracles (CI-asserted in test_dedup_graph.py's twostar tests).
+
+    Convergence: the edge set is a fixpoint star (every node points at
+    its component min). Detected by a (count, checksum) compare — one
+    aggregate job per round over the edge list."""
+    # pointer form: (a, b) with b < a, distinct — self-loops dropped
+    edges = (
+        pairs.select(
+            F.greatest("d1", "d2").alias("a"), F.least("d1", "d2").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # every node ever seen: components' minima may stop appearing as
+    # sources once the star forms, but each must still label itself
+    all_nodes = (
+        edges.select(F.explode(F.array("a", "b")).alias("n"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sig(e: DataFrame) -> tuple:
+        # xor-fold, not sum: a sum of 2^63-range hashes overflows under
+        # ANSI arithmetic; xor is order-insensitive and never overflows
+        row = e.agg(
+            F.count("*").alias("c"),
+            F.coalesce(F.expr("bit_xor(xxhash64(a, b))"), F.lit(0)).alias("h"),
+        ).head()
+        return (row["c"], row["h"])
+
+    sig = _sig(edges)
+    iters = 0
+    for _ in range(max_iters):
+        iters += 1
+        # large-star: for each u, m = min(N(u) ∪ {u}); emit (v, m) for
+        # every strictly larger neighbor v
+        und = edges.select("a", "b").unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        m_all = und.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            und.join(m_all, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: over smaller-pointing edges, m = min(smaller
+        # neighborhood); fold every smaller neighbor AND u itself onto m
+        m_small = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(m_small, "a")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("b").alias("x"), F.col("m").alias("y")),
+                        F.struct(F.col("a").alias("x"), F.col("m").alias("y")),
+                    )
+                ).alias("e")
+            )
+            .select(
+                F.greatest("e.x", "e.y").alias("a"),
+                F.least("e.x", "e.y").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        new_sig = _sig(small)  # materializes the lazy checkpoint
+        edges = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    if stats is not None:
+        stats["iters"] = iters
+    # star fixpoint: every non-root points at its component min; roots
+    # label themselves via the all-nodes left join
+    return all_nodes.join(
+        edges, all_nodes.n == edges.a, "left"
+    ).select(
+        F.col("n").alias("doc_id"),
+        F.coalesce(F.col("b"), F.col("n")).alias("group_id"),
+    )
+
+
+def dedup_groups_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_groups_lsh's components computed by the two-star algorithm —
+    same verified LSH pair set, same (doc_id, group_id) output, same
+    oracle; registered so the billion-edge path is driver-checked, not
+    just documented."""
+    return connected_components_twostar(
+        minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
     )
 
 

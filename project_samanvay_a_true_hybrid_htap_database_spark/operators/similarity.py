@@ -806,6 +806,92 @@ def knn_join_ivf_blocked(
     )
 
 
+def knn_join_ivf_vectorized(
+    spark: SparkSession, sf_dir: str, k: int = 3, nprobe: int = 2
+) -> DataFrame:
+    """BLAS twin of knn_join_ivf_blocked — the production serving shape
+    for the learned-quantizer kNN join (same relationship
+    knn_join_vectorized has to knn_join_blocked: identical rows, one
+    Arrow batch + matmul per block instead of an element-at-a-time HOF
+    fold per pair).
+
+    Shape: cogroup the home-cluster members with the probe list on the
+    cluster id — one (home_block × probe_block) BLAS matmul per learned
+    list, so executor memory is bounded by the widest list, never the
+    corpus. Each block emits its LOCAL top-k per probing src; a src
+    probes nprobe lists, so a final (cos DESC, nbr ASC) window over the
+    ≤ nprobe·k survivors per src picks the global top-k — the block pass
+    does the heavy pruning, the merge window touches k·nprobe rows per
+    vector. Same float contract as knn_join_vectorized: BLAS float64
+    agrees with the HOF fold to ~1 ulp, rounding to 4 decimals happens
+    AFTER ranking, in Spark (F.round, half-up like the oracle).
+
+    Registered against the SAME oracle as knn_join_ivf_blocked — the
+    fast path must be row-identical, not approximately so."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    cents = learned_centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    home = emb.withColumn(
+        "cluster", _nearest_centroid(F.col("embedding"), cents)["l"]
+    )
+    probes = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("semb"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(_centroid_dist_structs(F.col("embedding"), cents)),
+                    1,
+                    nprobe,
+                ),
+                lambda s: s["l"],
+            )
+        ).alias("probe"),
+    )
+
+    def per_list(home_pdf: pd.DataFrame, probe_pdf: pd.DataFrame) -> pd.DataFrame:
+        if home_pdf.empty or probe_pdf.empty:
+            return pd.DataFrame({"src": [], "nbr": [], "cos": []}).astype(
+                {"src": "int64", "nbr": "int64", "cos": "float64"}
+            )
+        hid = home_pdf["vec_id"].to_numpy()
+        H = np.stack(home_pdf["embedding"].to_numpy()).astype(np.float64)
+        sid = probe_pdf["src"].to_numpy()
+        S = np.stack(probe_pdf["semb"].to_numpy()).astype(np.float64)
+        hn = np.sqrt((H * H).sum(axis=1))
+        sn = np.sqrt((S * S).sum(axis=1))
+        C = (S @ H.T) / np.outer(sn, hn)
+        # self-pairs: a src probing its own home list must not match itself
+        C[sid[:, None] == hid[None, :]] = -np.inf
+        kk = min(k, H.shape[0])
+        src, nbr, cos = [], [], []
+        for i in range(len(sid)):
+            idx = np.lexsort((hid, -C[i]))[:kk]
+            idx = idx[np.isfinite(C[i][idx])]
+            src.extend([sid[i]] * len(idx))
+            nbr.extend(hid[idx])
+            cos.extend(C[i][idx])
+        return pd.DataFrame({"src": src, "nbr": nbr, "cos": cos})
+
+    local = (
+        home.groupBy("cluster")
+        .cogroup(probes.groupBy("probe"))
+        .applyInPandas(per_list, schema="src long, nbr long, cos double")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("nbr").asc())
+    )
+    return (
+        local.withColumn("rk", rk)
+        .filter(F.col("rk") <= k)
+        .select("src", "nbr", "rk", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — the storage/
     serving compression step of a vector pipeline (4x smaller, SIMD-

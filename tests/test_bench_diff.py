@@ -68,7 +68,7 @@ class TestEmittedSchema:
         worst-case-representative payload: every real headline query at a
         5-char timing (e.g. 12.34), plus htap blocks shaped exactly like
         bench_htap_mixed / bench_htap_sustained returns with wide values.
-        Margin: <= 1850 leaves 150 chars for value-width jitter and the
+        Margin: <= 1900 leaves 100 chars for value-width jitter and the
         trailing newline (every representative timing is already worst-case
         5-char width, so jitter is bounded by ~1 char per query)."""
         timings = {name: 12.34 for name in bench.HEADLINE}
@@ -110,7 +110,7 @@ class TestEmittedSchema:
             bench.build_payload(timings, 0.1, htap, sustained, calib),
             separators=(",", ":"),
         )
-        assert len(line) <= 1850, (
+        assert len(line) <= 1900, (
             f"bench JSON line is {len(line)} chars — would overflow the "
             "driver's 2000-char tail window; shrink the payload"
         )

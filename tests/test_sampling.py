@@ -49,7 +49,9 @@ def test_fixed_k_per_stratum_caps(spark):
 def test_pipeline_funnel_monotone(spark):
     stages = sampling.pipeline_funnel(spark, SF_DIR).collect()
     counts = [r.n_docs for r in sorted(stages, key=lambda r: r.stage)]
-    assert len(counts) == 4
+    # 5 stages since r9: total → lang → quality → exact dedup → staged
+    # near-dedup (the pair graph sees only stage-3 survivors)
+    assert len(counts) == 5
     # Each stage can only drop documents.
     assert all(a >= b for a, b in zip(counts, counts[1:]))
     assert counts[0] > 0 and counts[-1] > 0
@@ -165,3 +167,49 @@ class TestStagedDedup:
         ).count()
         assert unstaged == 10 + 1
         assert staged == 1
+
+
+class TestTwoStarCC:
+    """connected_components_twostar is the billion-edge upgrade of the
+    min-label-propagation CC: same labeling contract, edge-rewriting
+    rounds that halve chains instead of walking them."""
+
+    def test_matches_label_propagation_on_real_pairs(self, spark):
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import dedup
+
+        pairs = dedup.minhash_lsh_pairs(spark, SF_DIR).select("d1", "d2")
+        a = {
+            (r["doc_id"], r["group_id"])
+            for r in dedup.connected_components(pairs).collect()
+        }
+        b = {
+            (r["doc_id"], r["group_id"])
+            for r in dedup.connected_components_twostar(pairs).collect()
+        }
+        assert a == b and len(a) > 0
+
+    def test_chain_graph_converges_logarithmically(self, spark):
+        """The case the upgrade exists for: a 64-node path graph has
+        diameter 63 — min-label propagation walks it one hop per round
+        (measured 64 rounds; its own stats prove it), while two-star
+        folds it logarithmically (measured 7 rounds). Both must still agree on the labels (everything reaches
+        component min 0)."""
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import dedup
+
+        n = 64
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "d1 long, d2 long"
+        )
+        ts_stats: dict = {}
+        labels = dedup.connected_components_twostar(
+            chain, stats=ts_stats
+        ).collect()
+        assert {(r["doc_id"], r["group_id"]) for r in labels} == {
+            (i, 0) for i in range(n)
+        }
+        lp_stats: dict = {}
+        dedup.connected_components(chain, max_iters=100, stats=lp_stats).count()
+        # label prop: one hop per round over a 63-diameter path; two-star:
+        # logarithmic folding. The margin is the point, not the constants.
+        assert ts_stats["iters"] <= 10, ts_stats
+        assert lp_stats["iters"] > 2 * ts_stats["iters"], (lp_stats, ts_stats)
