@@ -735,11 +735,18 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (both correctness gates compare order-insensitively)."""
     cents = learned_centroids(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    best = _nearest_centroid(F.col("embedding"), cents)
-    return emb.select(
-        "vec_id",
-        best["l"].alias("cluster"),
-        best["d"].alias("dist_sq"),
+    # argmin staged once, fields projected after — selecting both fields
+    # from the same select would inline the literal argmin expression
+    # twice per row
+    return (
+        emb.select(
+            "vec_id", _nearest_centroid(F.col("embedding"), cents).alias("b")
+        )
+        .select(
+            "vec_id",
+            F.col("b.l").alias("cluster"),
+            F.col("b.d").alias("dist_sq"),
+        )
     )
 
 
