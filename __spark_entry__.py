@@ -89,6 +89,51 @@ def _kmeans_cte(rounds: int = 5, k: int = 10) -> tuple[str, str, str]:
     return ",\n".join(parts), prev, f"d{rounds}"
 
 
+def _pii_chain_ctes() -> str:
+    """Sequential redaction CTEs s0..sN from text.PII_PATTERNS — the same
+    order and patterns the Spark operators apply, so counts taken on the
+    partially-redacted text agree across engines. DuckDB's RE2 needs the
+    'g' flag for global replace; counts via len(regexp_extract_all)."""
+    parts = ["s0 AS (SELECT doc_id, source, text AS t FROM documents)"]
+    carried: list[str] = []
+    for i, (name, pat, repl) in enumerate(text.PII_PATTERNS, start=1):
+        carry = ", ".join(carried) + (", " if carried else "")
+        parts.append(
+            f"s{i} AS (SELECT doc_id, source, {carry}"
+            f"CAST(len(regexp_extract_all(t, '{pat}')) AS INT) AS n_{name}, "
+            f"regexp_replace(t, '{pat}', '{repl}', 'g') AS t FROM s{i - 1})"
+        )
+        carried.append(f"n_{name}")
+    return ",\n".join(parts)
+
+
+def _pii_scrub_sql() -> str:
+    n = len(text.PII_PATTERNS)
+    cols = ", ".join(f"n_{name}" for name, _, _ in text.PII_PATTERNS)
+    return f"""
+WITH {_pii_chain_ctes()}
+SELECT doc_id, {cols}, t AS clean_text FROM s{n}
+"""
+
+
+def _pii_report_sql() -> str:
+    n = len(text.PII_PATTERNS)
+    names = [name for name, _, _ in text.PII_PATTERNS]
+    sums = ", ".join(
+        f"CAST(sum(n_{name}) AS BIGINT) AS total_{name}" for name in names
+    )
+    any_hit = " + ".join(f"n_{name}" for name in names)
+    return f"""
+WITH {_pii_chain_ctes()}
+SELECT source, count(*) AS n_docs, {sums},
+       CAST(sum(CASE WHEN {any_hit} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_affected,
+       floor(sum(CASE WHEN {any_hit} > 0 THEN 1 ELSE 0 END)
+             / count(*) * 1e6) / 1e6 AS affected_share
+FROM s{n} GROUP BY source ORDER BY source
+"""
+
+
 def _minhash_sig_cte() -> str:
     """CTE computing the 16 affine-permutation minhashes per doc — the same
     (a, b) literals the Spark side derives from the fixed-seed LCG."""
@@ -313,6 +358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_ivf_blocked": similarity.knn_join_ivf_blocked,
         "knn_join_ivf_vectorized": similarity.knn_join_ivf_vectorized,
         "dedup_groups_twostar": dedup.dedup_groups_twostar,
+        "pii_scrub": text.pii_scrub,
+        "pii_report": text.pii_report,
     }
 
 
@@ -1941,6 +1988,8 @@ GROUP BY label ORDER BY label
         # BLAS twin registered against the SAME oracle - the fast path
         # must be row-identical to the HOF form
         "knn_join_ivf_vectorized": knn_ivf,
+        "pii_scrub": _pii_scrub_sql(),
+        "pii_report": _pii_report_sql(),
         # same oracle: the vectorized path must produce identical rows
         "knn_join_vectorized": knn,
         "ann_recall_audit": ann_recall,

@@ -213,3 +213,67 @@ class TestTwoStarCC:
         # logarithmic folding. The margin is the point, not the constants.
         assert ts_stats["iters"] <= 10, ts_stats
         assert lp_stats["iters"] > 2 * ts_stats["iters"], (lp_stats, ts_stats)
+
+
+class TestPiiScrub:
+    """pii_scrub / pii_report on a corpus that actually CONTAINS PII (the
+    driver fixtures have none, so their oracle rows only pin the no-op
+    path): redaction must hit every category, counts must match a DuckDB
+    replay of the identical pattern sequence, and the clean text must
+    carry no residual matches."""
+
+    @pytest.fixture()
+    def corpus_dir(self, spark, tmp_path):
+        rows = [
+            (0, "contact alice at alice.smith+work@example.org today", "web"),
+            (1, "server 192.168.1.10 answered then 10.0.0.1 timed out", "logs"),
+            (2, "call +1 415 555 0199 or (08) 555-123456 for support", "web"),
+            (3, "mixed: bob@corp.io from 172.16.254.3 dialed 020 7946 0958", "logs"),
+            (4, "perfectly clean document with no identifiers at all", "web"),
+        ]
+        df = spark.createDataFrame(
+            [(i, t, "en", src, len(t)) for i, t, src in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+        return str(tmp_path)
+
+    def test_redacts_and_counts(self, spark, corpus_dir):
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import text
+
+        rows = {r.doc_id: r for r in text.pii_scrub(spark, corpus_dir).collect()}
+        assert rows[0].n_email == 1 and "<EMAIL>" in rows[0].clean_text
+        assert rows[1].n_ip == 2 and rows[1].clean_text.count("<IP>") == 2
+        assert rows[2].n_phone == 2 and rows[2].clean_text.count("<PHONE>") == 2
+        assert (rows[3].n_email, rows[3].n_ip, rows[3].n_phone) == (1, 1, 1)
+        assert (rows[4].n_email, rows[4].n_ip, rows[4].n_phone) == (0, 0, 0)
+        assert rows[4].clean_text.endswith("at all")
+        # no residual matches of any pattern survive in the clean text
+        import re
+
+        for r in rows.values():
+            for _name, pat, _repl in text.PII_PATTERNS:
+                assert not re.search(pat, r.clean_text), (r.doc_id, pat)
+
+    def test_matches_duckdb_on_pii_corpus(self, spark, corpus_dir):
+        """The cross-engine contract on text that exercises every branch —
+        the registered oracle only sees the PII-free fixtures."""
+        import duckdb
+
+        import __spark_entry__ as entrymod
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import text
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{corpus_dir}/documents.parquet/*.parquet')"
+        )
+        for name, fn in (
+            ("pii_scrub", text.pii_scrub),
+            ("pii_report", text.pii_report),
+        ):
+            want = sorted(
+                tuple(r) for r in con.execute(entrymod.oracle_sql()[name]).fetchall()
+            )
+            got = sorted(tuple(r) for r in fn(spark, corpus_dir).collect())
+            assert got == want, name
