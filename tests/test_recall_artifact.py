@@ -83,3 +83,33 @@ class TestRecallArtifact:
         committed = doc["label_blocking"]
         assert live["mean_recall"] == pytest.approx(committed["mean_recall"])
         assert live["min_recall"] == pytest.approx(committed["min_recall"])
+
+
+class TestLearnedQuantizer:
+    def test_lloyd_rounds_decrease_wcss(self, spark):
+        """The learning is real optimization, not churn: the k-means
+        objective (mean squared distance to the nearest centroid) must be
+        non-increasing across Lloyd rounds — the textbook monotonicity
+        guarantee — and strictly better after 5 rounds than after the
+        first (the random-partition init leaves plenty to optimize).
+        Tolerance 1e-6 absorbs the per-round centroid rounding the
+        cross-engine contract requires."""
+        from pyspark.sql import functions as F
+
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+            similarity,
+        )
+        from project_samanvay_a_true_hybrid_htap_database_spark.sources import (
+            load_table,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        emb = load_table(spark, sf, "embeddings").select("embedding")
+        wcss = []
+        for r in range(1, 6):
+            cents = similarity.learned_centroids(spark, sf, rounds=r)
+            d = similarity._nearest_centroid(F.col("embedding"), cents)["d"]
+            wcss.append(emb.agg(F.avg(d)).head()[0])
+        for a, b in zip(wcss, wcss[1:]):
+            assert b <= a + 1e-6, wcss
+        assert wcss[-1] < wcss[0] - 1e-6, wcss
