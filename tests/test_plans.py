@@ -244,6 +244,13 @@ class TestNoPresentationalSort:
             # probe measured ~100× pair growth); a trailing sort here is a
             # range-shuffle of the whole pair table
             "containment_pairs",
+            # r9 corpus-sized outputs: assignment table, kNN pair tables,
+            # CC label table, redacted corpus
+            "kmeans_iterate",
+            "knn_join_ivf_blocked",
+            "knn_join_ivf_vectorized",
+            "dedup_groups_twostar",
+            "pii_scrub",
         ],
     )
     def test_unbounded_output_has_no_global_sort(self, spark, name):
