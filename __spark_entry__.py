@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups_twostar": dedup.dedup_groups_twostar,
         "pii_scrub": text.pii_scrub,
         "pii_report": text.pii_report,
+        "token_count_min": text.token_count_min,
     }
 
 
@@ -1990,6 +1991,32 @@ GROUP BY label ORDER BY label
         "knn_join_ivf_vectorized": knn_ivf,
         "pii_scrub": _pii_scrub_sql(),
         "pii_report": _pii_report_sql(),
+        # Count-Min grid replayed with the same row-salted md5 buckets —
+        # CM is a deterministic function of the data, so the gate hashes
+        # estimates exactly (no tolerance form needed)
+        "token_count_min": f"""
+WITH toks AS (SELECT {_TOKS} AS T FROM documents),
+u AS (SELECT unnest(T) AS tok FROM toks),
+c AS (SELECT tok, count(*) AS freq FROM u GROUP BY tok),
+cells AS (SELECT tok, freq, r,
+                 ('0x' || substr(md5('cm' || r || '|' || tok), 1, 8))::BIGINT
+                   % 1024 AS bucket
+          FROM c, generate_series(0, 3) t(r)),
+grid AS (SELECT r, bucket, sum(freq) AS cell FROM cells GROUP BY r, bucket),
+topk AS (SELECT tok, freq,
+                CAST(row_number() OVER (ORDER BY freq DESC, tok ASC) AS INT)
+                  AS rank
+         FROM c ORDER BY freq DESC, tok ASC LIMIT 20),
+est AS (SELECT t.rank, t.tok, t.freq, min(g.cell) AS cm
+        FROM topk t
+        JOIN cells cl ON cl.tok = t.tok
+        JOIN grid g ON g.r = cl.r AND g.bucket = cl.bucket
+        GROUP BY t.rank, t.tok, t.freq)
+SELECT rank, tok AS token, CAST(freq AS BIGINT) AS exact_freq,
+       CAST(cm AS BIGINT) AS cm_estimate,
+       CAST(cm - freq AS BIGINT) AS overestimate
+FROM est ORDER BY rank
+""",
         # same oracle: the vectorized path must produce identical rows
         "knn_join_vectorized": knn,
         "ann_recall_audit": ann_recall,

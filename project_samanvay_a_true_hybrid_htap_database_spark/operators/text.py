@@ -779,3 +779,78 @@ def pii_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def token_count_min(
+    spark: SparkSession, sf_dir: str, d: int = 4, w: int = 1024, k: int = 20
+) -> DataFrame:
+    """Count-Min sketch token-frequency estimation, audited against exact
+    counts — the mergeable fixed-memory form of ngram_freq_topk's job. A
+    d × w counter grid (here 4 × 1024 = 4k cells, KBs) answers frequency
+    queries for ANY token with one-sided error (estimates never
+    undercount); at 100 TB the grid is built by map-side partial
+    aggregation and merged associatively — the property that lets a
+    frequency profile ride a streaming ingest or a multi-day batch without
+    holding the vocabulary.
+
+    Determinism contract: bucket hashes are the repo's portable md5
+    integers (row-salted), so the DuckDB oracle computes the identical
+    grid and the gate hashes estimates exactly — no tolerance form needed
+    (unlike the GK/HLL twins, CM is a deterministic function of the
+    data). The grid is built from the REDUCED (token, count) table —
+    summing counts per bucket equals counting occurrences per bucket, one
+    token-keyed shuffle total.
+
+    Output: the exact top-k tokens with exact count, CM estimate, and the
+    overestimate (>= 0 by construction — collisions only ever add);
+    pytest asserts the one-sided-error invariant on every row."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_long32
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    # d salted bucket ids per token, exploded to (row, bucket, freq)
+    buckets = F.array(
+        *[
+            (md5_long32(F.concat(F.lit(f"cm{r}|"), F.col("tok"))) % w).alias(
+                f"b{r}"
+            )
+            for r in range(d)
+        ]
+    )
+    cells = counts.select(
+        "tok", "freq", F.posexplode(buckets).alias("row", "bucket")
+    )
+    grid = cells.groupBy("row", "bucket").agg(F.sum("freq").alias("cell"))
+    topk = (
+        counts.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+            ),
+        )
+        .filter(F.col("rk") <= k)
+        .select("tok", "freq", "rk")
+    )
+    # estimate = min over the token's d cells; the grid is tiny (d*w rows)
+    # and broadcast onto the k-row probe side
+    probe = topk.select(
+        "tok", "freq", "rk", F.posexplode(buckets).alias("row", "bucket")
+    )
+    est = (
+        probe.join(F.broadcast(grid), ["row", "bucket"])
+        .groupBy("tok", "freq", "rk")
+        .agg(F.min("cell").alias("cm_estimate"))
+    )
+    return est.select(
+        F.col("rk").cast("int").alias("rank"),
+        F.col("tok").alias("token"),
+        F.col("freq").cast("long").alias("exact_freq"),
+        F.col("cm_estimate").cast("long").alias("cm_estimate"),
+        (F.col("cm_estimate") - F.col("freq")).cast("long").alias("overestimate"),
+    ).orderBy("rank")

@@ -277,3 +277,18 @@ class TestPiiScrub:
             )
             got = sorted(tuple(r) for r in fn(spark, corpus_dir).collect())
             assert got == want, name
+
+
+def test_count_min_one_sided_error(spark):
+    """Count-Min's defining invariant on every reported row: the estimate
+    never undercounts (collisions only add), and with 4x1024 cells over a
+    vocabulary this small the top tokens should estimate exactly."""
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators import text
+
+    rows = text.token_count_min(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cm_estimate >= r.exact_freq, r
+        assert r.overestimate == r.cm_estimate - r.exact_freq
+    # grid cells >> vocab here: expect mostly exact estimates
+    assert sum(1 for r in rows if r.overestimate == 0) >= 15
