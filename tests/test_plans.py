@@ -261,6 +261,75 @@ class TestNoPresentationalSort:
         )
 
 
+class TestNoUnboundedGlobalWindow:
+    """VERDICT r9 #1: a partitionless rank window (`row_number() OVER
+    (ORDER BY ...)` with no PARTITION BY) serializes its whole input
+    through ONE task — over a corpus-keyed table that's a single-partition
+    sort of the vocabulary/corpus. Corpus-keyed top-k must compile to
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver); a
+    partitionless window is only legal over an input that is already
+    bounded (under a GlobalLimit / TakeOrderedAndProject)."""
+
+    # first windowspecdefinition argument carries a sort direction ⇒ the
+    # partition-column list is empty ⇒ single-partition window
+    import re as _re
+
+    PARTITIONLESS = _re.compile(r"windowspecdefinition\([^,()]*\b(?:ASC|DESC)\b")
+
+    def _tree(self, spark, name):
+        return plan(entrymod.queries()[name](spark, SF_DIR)).split("\n\n")[0]
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            # corpus-keyed top-k family: heap-based, never a global window
+            "token_count_min",
+            "ngram_freq_topk",
+            "token_pmi_topk",
+            "top_orders",
+        ],
+    )
+    def test_topk_is_take_ordered(self, spark, name):
+        tree = self._tree(spark, name)
+        assert "TakeOrderedAndProject" in tree, (
+            f"{name} lost the TakeOrderedAndProject top-k shape"
+        )
+
+    def test_token_count_min_rank_window_input_is_bounded(self, spark):
+        tree = self._tree(spark, "token_count_min")
+        if "Window" in tree:
+            # formatted tree prints children below their parent: the rank
+            # window's TakeOrderedAndProject child (the k-row limit) must
+            # sit UNDER the Window, i.e. the window ranks k rows, not the
+            # vocabulary
+            assert tree.index("TakeOrderedAndProject") > tree.index("Window"), (
+                "rank window consumes the corpus-sized count table"
+            )
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            # corpus/pair-keyed plans whose windows must all be partitioned
+            "kmeans_iterate",
+            "knn_join_ivf_blocked",
+            "knn_join_ivf_vectorized",
+            "dedup_groups_twostar",
+            "pii_scrub",
+            "sessionize",
+            "duplicate_span_report",
+            "unigram_lm_score",
+            "tfidf_keywords",
+        ],
+    )
+    def test_corpus_keyed_windows_are_partitioned(self, spark, name):
+        # windowspecdefinition prints in the detail section, not the tree
+        p = plan(entrymod.queries()[name](spark, SF_DIR))
+        m = self.PARTITIONLESS.search(p)
+        assert m is None, (
+            f"{name} has a partitionless (single-task) window: {m.group(0)!r}"
+        )
+
+
 class TestIvfRecallAuditPlan:
     def test_candidate_join_is_broadcast_hash_equi(self, spark):
         """The probed-candidate join must be a broadcast hash EQUI-join on
