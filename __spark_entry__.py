@@ -182,68 +182,23 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's 50-entry-per-round sweep (dict order = sweep
     # order) re-validates what most needs it (VERDICT r5 #3, r6 #1, r7 #2,
-    # r8 #2). The round-9 window: the 10 never-driver-green r8 additions
-    # first (all pass the pytest oracle), then the 40 stalest of the 47
-    # entries whose newest green row is r6. After this sweep every
-    # registered entry's newest green row is r7-or-later. Per the standing
-    # directive, NO new operator sits ahead of the sweep line; round-9
-    # additions are parked at the very tail.
+    # r8 #2, r9 #1). The round-10 window: the 7 never-driver-green r9
+    # additions first (all pass the pytest oracle), then the 7 rows whose
+    # newest green is still r6, then the 36 stalest of the 50 r7-green
+    # rows. After this sweep zero entries are never-driver-green and the
+    # newest-green floor moves to r7. Per the standing directive, NO new
+    # operator sits ahead of the sweep line; round-10 additions are parked
+    # at the very tail.
     return {
-        # --- never driver-green: the ten r8-tail additions (VERDICT r8 #2) ---
-        "percentile_prices_sketch": analytics.percentile_prices_sketch,
-        "ann_recall_audit": similarity.ann_recall_audit,
-        "duplicate_span_report": dedup.duplicate_span_report,
-        "split_leakage_audit": sampling.split_leakage_audit,
-        "dedup_keep_best": dedup.dedup_keep_best,
-        "ann_lsh_recall_audit": similarity.ann_lsh_recall_audit,
-        "ann_ivf_recall_audit": similarity.ann_ivf_recall_audit,
-        "vocab_coverage": text.vocab_coverage,
-        "source_length_quantiles": text.source_length_quantiles,
-        "staged_dedup_report": dedup.staged_dedup_report,
-        # --- last green r6: the 40 stalest of the 47 r6-green rows ---
-        "agg_multi": relational.agg_multi,
-        "agg_sum": relational.agg_sum,
-        "agg_where": relational.agg_where,
-        "ann_ivf_indexed_topk": similarity.ann_ivf_indexed_topk,
-        "ann_mips_indexed_topk": similarity.ann_mips_indexed_topk,
-        "ann_projected_rerank_topk": similarity.ann_projected_rerank_topk,
-        "asof_join_events_orders": analytics.asof_join_events_orders,
-        "chunk_documents": text.chunk_documents,
-        "cross_source_overlap": dedup.cross_source_overlap,
-        "cube_report": analytics.cube_report,
-        "date_functions": analytics.date_functions,
-        "dedup_rate_by_source": dedup.dedup_rate_by_source,
-        "delete_projection": relational.delete_projection,
-        "embedding_neardup_pairs_vectorized": dedup.embedding_neardup_pairs_vectorized,
-        "embedding_random_projection": similarity.embedding_random_projection,
-        "events_hourly_rollup": analytics.events_hourly_rollup,
-        "full_scan": relational.full_scan,
-        "funnel_conversion": analytics.funnel_conversion,
-        "json_extraction": analytics.json_extraction,
-        "lang_id_confusion": text.lang_id_confusion,
-        "multimodal_blob_dedup": multimodal.multimodal_blob_dedup,
-        "ngram_novelty": dedup.ngram_novelty,
-        "point_lookup": relational.point_lookup,
-        "predicate_and_or": relational.predicate_and_or,
-        "predicate_neq": relational.predicate_neq,
-        "projection": relational.projection,
-        "quality_filter_flags": text.quality_filter_flags,
-        "range_between": relational.range_between,
-        "range_scan": relational.range_scan,
-        "retention_cohorts": analytics.retention_cohorts,
-        "revenue_by_nation": analytics.revenue_by_nation,
-        "semdedup_stats": dedup.semdedup_stats,
-        "sessionize": analytics.sessionize,
-        "token_pmi_topk": text.token_pmi_topk,
-        "tpch_q1": analytics.tpch_q1_pricing_summary,
-        "tpch_q10": analytics.tpch_q10_returned_items,
-        "tpch_q17": analytics.tpch_q17_small_quantity_revenue,
-        "tpch_q18": analytics.tpch_q18_large_volume_customer,
-        "tpch_q3": analytics.tpch_q3_shipping_priority,
-        "tpch_q7": analytics.tpch_q7_volume_shipping,
-        # --- sweep line (50 entries above) ---
-        # last green r6: the 7 that did not fit the r9 window (front of
-        # the r10 window, with the r7-green set behind them)
+        # --- never driver-green: the seven r9-tail additions (VERDICT r9 #1) ---
+        "kmeans_iterate": similarity.kmeans_iterate,
+        "knn_join_ivf_blocked": similarity.knn_join_ivf_blocked,
+        "knn_join_ivf_vectorized": similarity.knn_join_ivf_vectorized,
+        "dedup_groups_twostar": dedup.dedup_groups_twostar,
+        "pii_scrub": text.pii_scrub,
+        "pii_report": text.pii_report,
+        "token_count_min": text.token_count_min,
+        # --- last green r6: the 7 that did not fit the r9 window ---
         "tpch_q8": analytics.tpch_q8_market_share,
         "unigram_lm_score": text.unigram_lm_score,
         "unpivot_metrics": analytics.unpivot_metrics,
@@ -251,7 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_merge": relational.upsert_merge,
         "window_frame_bounds": analytics.window_frame_bounds,
         "window_lag_delta": analytics.window_lag_delta,
-        # last green r7
+        # --- last green r7: the 36 stalest of the 50 r7-green rows ---
         "anti_join": analytics.anti_join,
         "bm25_search": text.bm25_search,
         "case_bucketing": analytics.case_bucketing,
@@ -288,6 +243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_subquery": analytics.scalar_subquery,
         "semantic_outliers": similarity.semantic_outliers,
         "semi_join": analytics.semi_join,
+        # --- sweep line (50 entries above) ---
+        # last green r7: the 14 that did not fit (front of the r11 window)
         "set_ops": analytics.set_ops,
         "source_quality_report": text.source_quality_report,
         "stratified_sample": sampling.stratified_sample,
@@ -302,7 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": sampling.train_test_split,
         "window_running_sum": analytics.window_running_sum,
         "window_topn_per_group": analytics.window_topn_per_group,
-        # last green r8 (freshest rows in the repo)
+        # last green r8
         "agg_avg": relational.agg_avg,
         "agg_count": relational.agg_count,
         "agg_min_max": relational.agg_min_max,
@@ -353,14 +310,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": analytics.tpch_q22_global_sales_opportunity,
         "tpch_q4": analytics.tpch_q4_order_priority,
         "tpch_q9": analytics.tpch_q9_product_profit,
-        # --- round-9 additions (parked at the tail per the directive) ---
-        "kmeans_iterate": similarity.kmeans_iterate,
-        "knn_join_ivf_blocked": similarity.knn_join_ivf_blocked,
-        "knn_join_ivf_vectorized": similarity.knn_join_ivf_vectorized,
-        "dedup_groups_twostar": dedup.dedup_groups_twostar,
-        "pii_scrub": text.pii_scrub,
-        "pii_report": text.pii_report,
-        "token_count_min": text.token_count_min,
+        # last green r9 (freshest rows in the repo)
+        "percentile_prices_sketch": analytics.percentile_prices_sketch,
+        "ann_recall_audit": similarity.ann_recall_audit,
+        "duplicate_span_report": dedup.duplicate_span_report,
+        "split_leakage_audit": sampling.split_leakage_audit,
+        "dedup_keep_best": dedup.dedup_keep_best,
+        "ann_lsh_recall_audit": similarity.ann_lsh_recall_audit,
+        "ann_ivf_recall_audit": similarity.ann_ivf_recall_audit,
+        "vocab_coverage": text.vocab_coverage,
+        "source_length_quantiles": text.source_length_quantiles,
+        "staged_dedup_report": dedup.staged_dedup_report,
+        "agg_multi": relational.agg_multi,
+        "agg_sum": relational.agg_sum,
+        "agg_where": relational.agg_where,
+        "ann_ivf_indexed_topk": similarity.ann_ivf_indexed_topk,
+        "ann_mips_indexed_topk": similarity.ann_mips_indexed_topk,
+        "ann_projected_rerank_topk": similarity.ann_projected_rerank_topk,
+        "asof_join_events_orders": analytics.asof_join_events_orders,
+        "chunk_documents": text.chunk_documents,
+        "cross_source_overlap": dedup.cross_source_overlap,
+        "cube_report": analytics.cube_report,
+        "date_functions": analytics.date_functions,
+        "dedup_rate_by_source": dedup.dedup_rate_by_source,
+        "delete_projection": relational.delete_projection,
+        "embedding_neardup_pairs_vectorized": dedup.embedding_neardup_pairs_vectorized,
+        "embedding_random_projection": similarity.embedding_random_projection,
+        "events_hourly_rollup": analytics.events_hourly_rollup,
+        "full_scan": relational.full_scan,
+        "funnel_conversion": analytics.funnel_conversion,
+        "json_extraction": analytics.json_extraction,
+        "lang_id_confusion": text.lang_id_confusion,
+        "multimodal_blob_dedup": multimodal.multimodal_blob_dedup,
+        "ngram_novelty": dedup.ngram_novelty,
+        "point_lookup": relational.point_lookup,
+        "predicate_and_or": relational.predicate_and_or,
+        "predicate_neq": relational.predicate_neq,
+        "projection": relational.projection,
+        "quality_filter_flags": text.quality_filter_flags,
+        "range_between": relational.range_between,
+        "range_scan": relational.range_scan,
+        "retention_cohorts": analytics.retention_cohorts,
+        "revenue_by_nation": analytics.revenue_by_nation,
+        "semdedup_stats": dedup.semdedup_stats,
+        "sessionize": analytics.sessionize,
+        "token_pmi_topk": text.token_pmi_topk,
+        "tpch_q1": analytics.tpch_q1_pricing_summary,
+        "tpch_q10": analytics.tpch_q10_returned_items,
+        "tpch_q17": analytics.tpch_q17_small_quantity_revenue,
+        "tpch_q18": analytics.tpch_q18_large_volume_customer,
+        "tpch_q3": analytics.tpch_q3_shipping_priority,
+        "tpch_q7": analytics.tpch_q7_volume_shipping,
     }
 
 
