@@ -79,16 +79,19 @@ def ann_ivf_topk(
     ``label`` column the r8 recall audit measured at 0.08 (VERDICT r8 #3/#4).
     At scale the table is written partitioned by cluster id
     (build_ivf_index), so this is a partition-pruned scan of
-    ~1/n_clusters of the data. The centroids are literals folded into the
-    scan; each row's cluster is the standard rounded-L2 argmin."""
+    ~1/n_clusters of the data. Centroids enter via _dist_structs_col's
+    per-k strategy (literals at probe-scale k, broadcast data above);
+    each row's cluster is the standard rounded-L2 argmin."""
     qvec, _ = _query_vector(spark, sf_dir, vec_id)
     cents = learned_centroids(spark, sf_dir)
     qcluster = _query_cluster(spark, sf_dir, vec_id, cents)
     emb = load_table(spark, sf_dir, "embeddings")
     q = F.array(*[F.lit(float(x)) for x in qvec])
     scored = (
-        emb.filter(F.col("vec_id") != vec_id)
-        .filter(_nearest_centroid(F.col("embedding"), cents)["l"] == qcluster)
+        _with_nearest_centroid(
+            emb.filter(F.col("vec_id") != vec_id), cents, "embedding", "_b"
+        )
+        .filter(F.col("_b")["l"] == qcluster)
         .select("vec_id", cosine(F.col("embedding"), q).alias("cos"))
     )
     return (
@@ -106,9 +109,15 @@ def _query_cluster(spark: SparkSession, sf_dir: str, vec_id: int, cents: list) -
     Returns a plain int so the indexed path pushes a LITERAL cluster id
     into PartitionFilters."""
     row = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == vec_id)
-        .select(_nearest_centroid(F.col("embedding"), cents)["l"].alias("l"))
+        _with_nearest_centroid(
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") == vec_id
+            ),
+            cents,
+            "embedding",
+            "_b",
+        )
+        .select(F.col("_b")["l"].alias("l"))
         .head()
     )
     return int(row["l"])
@@ -287,9 +296,9 @@ def build_ivf_index(
     if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
         return out_dir
     cents = learned_centroids(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "cluster", _nearest_centroid(F.col("embedding"), cents)["l"]
-    )
+    emb = _with_nearest_centroid(
+        load_table(spark, sf_dir, "embeddings"), cents, "embedding", "_b"
+    ).select("*", F.col("_b")["l"].alias("cluster")).drop("_b")
     (
         emb.repartition("cluster")
         .write.partitionBy("cluster")
@@ -651,7 +660,10 @@ def learned_centroids(
     Scale shape: each round is ONE job — scan + partial-agg (cluster, dim)
     means; the k × dim centroid table collects to the driver (bounded by
     construction: 10 × 64 doubles here; k=4096 × dim=1024 at 100 TB is
-    still 32 MB) and re-enters the next round's plan as literals — the
+    still 32 MB) and re-enters the next round via _dist_structs_col's
+    per-k strategy — literals below IVF_LITERAL_K_MAX, a broadcast data
+    array above (VERDICT r9 #2: folding 4M literal nodes is analyzer
+    death; the data path keeps the plan O(1) nodes at any k) — the
     standard distributed-Lloyd shape (broadcast centroids, never a
     corpus-side shuffle). Memoized per table identity (size+mtime, same
     fingerprint discipline as _index_dir): learning is a one-time
@@ -676,7 +688,10 @@ def learned_centroids(
     from ..functions.hashing import md5_long32
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cluster = (md5_long32(F.col("vec_id").cast("string")) % k).cast("int")
+    assigned = emb.select(
+        (md5_long32(F.col("vec_id").cast("string")) % k).cast("int").alias("cl"),
+        "embedding",
+    )
     cents: list = []
     for _ in range(rounds):
         # Two selects, not one: placing the struct-field argmin (the
@@ -684,8 +699,7 @@ def learned_centroids(
         # generator trips a Spark analyzer quirk that rewrites the aliased
         # struct to default col1/col2 field names (FIELD_NOT_FOUND on `l`).
         rows = (
-            emb.select(cluster.alias("cl"), "embedding")
-            .select("cl", F.posexplode("embedding").alias("dim", "x"))
+            assigned.select("cl", F.posexplode("embedding").alias("dim", "x"))
             .groupBy("cl", "dim")
             .agg(F.round(F.avg("x"), 6).alias("c"))
             .groupBy("cl")
@@ -698,7 +712,9 @@ def learned_centroids(
             .collect()
         )
         cents = sorted((int(r["cl"]), [float(x) for x in r["centroid"]]) for r in rows)
-        cluster = _nearest_centroid(F.col("embedding"), cents)["l"]
+        assigned = _with_nearest_centroid(emb, cents, "embedding", "_b").select(
+            F.col("_b")["l"].alias("cl"), "embedding"
+        )
     _KMEANS_MEMO[key] = cents
     return cents
 
@@ -707,7 +723,11 @@ def _centroid_dist_structs(vec, cents: list):
     """(rounded squared L2, cluster id) struct per LITERAL centroid — the
     argmin/probe-ranking primitive over learned_centroids' output. All
     literals fold into the scan (no join, no extra shuffle); array_min /
-    array_sort on the struct give nearest-first with ties to the lower id."""
+    array_sort on the struct give nearest-first with ties to the lower id.
+
+    Literal folding is O(k·dim) ANALYZER nodes, so it is gated to
+    k <= IVF_LITERAL_K_MAX — production k goes through _dist_structs_col's
+    broadcast data path (VERDICT r9 #2)."""
     return F.array(
         *[
             F.struct(
@@ -726,6 +746,60 @@ def _nearest_centroid(vec, cents: list):
     return F.array_min(_centroid_dist_structs(vec, cents))
 
 
+# Above this k the centroids ship as broadcast DATA, not literal
+# expressions: one literal struct per centroid is O(k·dim) Catalyst nodes
+# per consumer — at the production k the docstrings advertise (k=4096 ×
+# dim=1024) that is ~4M expression nodes, analyzer/codegen death long
+# before the 32 MB of centroid bytes matter (VERDICT r9 #2).
+IVF_LITERAL_K_MAX = 64
+
+
+def _dist_structs_col(df: DataFrame, cents: list, vec_col: str, out: str) -> DataFrame:
+    """Attach an array<struct<d,l>> column of (rounded squared L2, cluster
+    id) — one entry per centroid — to every row: the argmin / probe-ranking
+    primitive at ANY k. Two physical strategies, ONE arithmetic contract
+    (the identical _sq_dist dim-order fold + F.round(…, 6), so the paths
+    are row-identical and share one oracle; test_ivf_centroid_paths pins
+    the parity):
+
+    - k <= IVF_LITERAL_K_MAX: centroids fold into the plan as literals —
+      zero joins, zero extra scans; the right call at probe-scale k.
+    - k > IVF_LITERAL_K_MAX: the centroid table rides as DATA — a
+      broadcast single-row crossJoin carrying array<struct<i, v>> (k·dim
+      doubles, bounded by construction, never corpus-sized) — and the same
+      distance fold runs as a higher-order transform over that array:
+      O(1) plan nodes, O(k·dim) runtime work per row (exactly the literal
+      path's cost), still no shuffle and no per-row join fan-out."""
+    if len(cents) <= IVF_LITERAL_K_MAX:
+        return df.withColumn(out, _centroid_dist_structs(F.col(vec_col), cents))
+    spark = df.sparkSession
+    one = spark.createDataFrame(
+        [([(int(cid), [float(x) for x in c]) for cid, c in cents],)],
+        "_cents array<struct<i:int,v:array<double>>>",
+    )
+    structs = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            F.round(_sq_dist(F.col(vec_col), c["v"]), 6).alias("d"),
+            c["i"].alias("l"),
+        ),
+    )
+    return df.crossJoin(F.broadcast(one)).withColumn(out, structs).drop("_cents")
+
+
+def _with_nearest_centroid(
+    df: DataFrame, cents: list, vec_col: str, out: str
+) -> DataFrame:
+    """df + struct column ``out`` = (d, l) argmin over the centroids —
+    strategy picked per k by _dist_structs_col."""
+    tmp = f"_{out}_cdl"
+    return (
+        _dist_structs_col(df, cents, vec_col, tmp)
+        .withColumn(out, F.array_min(F.col(tmp)))
+        .drop(tmp)
+    )
+
+
 def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final assignment of the fixed-round learned quantizer: each vector's
     nearest learned centroid after KMEANS_ROUNDS Lloyd rounds (vs
@@ -738,15 +812,10 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # argmin staged once, fields projected after — selecting both fields
     # from the same select would inline the literal argmin expression
     # twice per row
-    return (
-        emb.select(
-            "vec_id", _nearest_centroid(F.col("embedding"), cents).alias("b")
-        )
-        .select(
-            "vec_id",
-            F.col("b.l").alias("cluster"),
-            F.col("b.d").alias("dist_sq"),
-        )
+    return _with_nearest_centroid(emb, cents, "embedding", "b").select(
+        "vec_id",
+        F.col("b.l").alias("cluster"),
+        F.col("b.d").alias("dist_sq"),
     )
 
 
@@ -764,9 +833,11 @@ def knn_join_ivf_blocked(
     cluster id — never all-pairs. Pair count is ~nprobe·N²/k (same growth
     order as label blocking, 2× the candidates for ~6× the recall on the
     r9 audit record). The per-src top-k ranks with the standard
-    (cos DESC, nbr ASC) window. Centroids are literals folded into both
-    scans — no centroid join, no broadcast at risk of growing with the
-    corpus. At 100 TB the cluster equi-join co-partitions both sides on
+    (cos DESC, nbr ASC) window. Centroids enter both scans via
+    _dist_structs_col's per-k strategy: literals at probe-scale k (no
+    join, no broadcast), a bounded k·dim broadcast data array above
+    IVF_LITERAL_K_MAX — never a broadcast that grows with the corpus.
+    At 100 TB the cluster equi-join co-partitions both sides on
     the cluster id; k is the skew knob (10 here — production raises it
     with corpus size, bounding both block width and skew)."""
     from pyspark.sql import Window
@@ -775,20 +846,16 @@ def knn_join_ivf_blocked(
 
     cents = learned_centroids(spark, sf_dir)
     emb = _audit_emb(spark, sf_dir)
-    home = emb.withColumn(
-        "cluster", _nearest_centroid(F.col("embedding"), cents)["l"]
-    )
-    probes = emb.select(
+    home = _with_nearest_centroid(emb, cents, "embedding", "_b").select(
+        "*", F.col("_b")["l"].alias("cluster")
+    ).drop("_b")
+    probes = _dist_structs_col(emb, cents, "embedding", "_cdl").select(
         F.col("vec_id").alias("src"),
         F.col("embedding").alias("semb"),
         F.col("nrm").alias("snrm"),
         F.explode(
             F.transform(
-                F.slice(
-                    F.array_sort(_centroid_dist_structs(F.col("embedding"), cents)),
-                    1,
-                    nprobe,
-                ),
+                F.slice(F.array_sort(F.col("_cdl")), 1, nprobe),
                 lambda s: s["l"],
             )
         ).alias("probe"),
@@ -842,19 +909,15 @@ def knn_join_ivf_vectorized(
 
     cents = learned_centroids(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    home = emb.withColumn(
-        "cluster", _nearest_centroid(F.col("embedding"), cents)["l"]
-    )
-    probes = emb.select(
+    home = _with_nearest_centroid(emb, cents, "embedding", "_b").select(
+        "*", F.col("_b")["l"].alias("cluster")
+    ).drop("_b")
+    probes = _dist_structs_col(emb, cents, "embedding", "_cdl").select(
         F.col("vec_id").alias("src"),
         F.col("embedding").alias("semb"),
         F.explode(
             F.transform(
-                F.slice(
-                    F.array_sort(_centroid_dist_structs(F.col("embedding"), cents)),
-                    1,
-                    nprobe,
-                ),
+                F.slice(F.array_sort(F.col("_cdl")), 1, nprobe),
                 lambda s: s["l"],
             )
         ).alias("probe"),
@@ -1330,30 +1393,27 @@ def ann_ivf_recall_audit(
 
     emb = _audit_emb(spark, sf_dir)
     # Since r9 the centroids are the LEARNED fixed-round Lloyd output
-    # (learned_centroids) and enter the plan as LITERALS folded into each
-    # scan — the persist/crossJoin machinery the per-label-centroid form
-    # needed (to stop 26 per-branch centroid rebuilds) dissolves entirely:
-    # a literal costs zero scans in every branch.
+    # (learned_centroids), entering each scan via _dist_structs_col's
+    # per-k strategy (literals at this k) — the persist/crossJoin
+    # machinery the per-label-centroid form needed (to stop 26 per-branch
+    # centroid rebuilds) dissolves entirely: the centroid expression costs
+    # zero scans in every branch.
     cents = learned_centroids(spark, sf_dir)
-    embc = emb.withColumn(
-        "cluster", _nearest_centroid(F.col("embedding"), cents)["l"]
-    )
+    embc = _with_nearest_centroid(emb, cents, "embedding", "_b").select(
+        "*", F.col("_b")["l"].alias("cluster")
+    ).drop("_b")
     sample = _audit_sample(emb, n_queries)
     # The struct field access happens INSIDE the transform lambda (before
     # the generator): posexploding the struct array itself trips the same
     # analyzer quirk learned_centroids documents (field names stripped to
     # col1/col2 when a Generate shares the projection).
-    qprobes = sample.select(
+    qprobes = _dist_structs_col(sample, cents, "qemb", "_cdl").select(
         "qid",
         "qemb",
         "qnrm",
         F.posexplode(
             F.transform(
-                F.slice(
-                    F.array_sort(_centroid_dist_structs(F.col("qemb"), cents)),
-                    1,
-                    2,
-                ),
+                F.slice(F.array_sort(F.col("_cdl")), 1, 2),
                 lambda s: s["l"],
             )
         ).alias("pr0", "probe_label"),
