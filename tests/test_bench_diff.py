@@ -200,6 +200,23 @@ class TestDiffConsumesPayload:
         table = diff_table(old, new)
         assert "REGRESSION" in table and "norm" not in table.splitlines()[0]
 
+    def test_calibration_requires_both_probes_in_both_payloads(self):
+        """ADVICE r9: a payload missing one probe (or carrying a 0.0) must
+        disable normalization entirely, not silently compare jvm+scan
+        against scan alone."""
+        full = bench.build_payload(
+            {"q": 1.0}, 0.1, {}, {}, calib={"jvm": 1.0, "scan": 1.0}
+        )
+        for bad_calib in (
+            {"jvm": 1.0},                  # scan missing
+            {"jvm": 1.0, "scan": 0.0},     # scan rounded to zero
+            {"scan": 1.0},                 # jvm missing
+            {"jvm": None, "scan": 1.0},    # jvm null
+        ):
+            bad = bench.build_payload({"q": 1.0}, 0.1, {}, {}, calib=bad_calib)
+            assert calib_factor(full, bad) is None, bad_calib
+            assert calib_factor(bad, full) is None, bad_calib
+
     def test_repo_bench_history_still_parses(self):
         """The real recorded rounds keep satisfying the contract — if the
         driver's wrapper format shifts, this is the first alarm."""

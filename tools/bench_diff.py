@@ -47,10 +47,16 @@ def calib_factor(old_doc: dict, new_doc: dict) -> float | None:
     """
     oc = _payload(old_doc).get("calib") or {}
     nc = _payload(new_doc).get("calib") or {}
-    o = sum(v for v in (oc.get("jvm"), oc.get("scan")) if v)
-    n = sum(v for v in (nc.get("jvm"), nc.get("scan")) if v)
-    if o <= 0 or n <= 0:
-        return None
+    # BOTH probes must be present and positive in BOTH payloads: summing
+    # whatever happens to be there would silently compare mismatched probe
+    # sets (jvm+scan vs scan alone) and skew the normalization factor.
+    probes = []
+    for c in (oc, nc):
+        vals = [c.get("jvm"), c.get("scan")]
+        if not all(isinstance(v, (int, float)) and v > 0 for v in vals):
+            return None
+        probes.append(sum(vals))
+    o, n = probes
     return n / o
 
 
