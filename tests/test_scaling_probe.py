@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
     dedup,
+    sampling,
     text,
 )
 
@@ -81,6 +82,13 @@ def _warm_time(fn, spark, sf_dir):
         # at 10x — so its wall ratio measures result size, not plan shape.)
         ("cross_source_overlap", dedup.cross_source_overlap),
         ("dedup_groups_lsh", dedup.dedup_groups_lsh),
+        # r10 (VERDICT r9 #5): the full cleaning funnel and its sibling
+        # report — the most expensive bench query, composing four families;
+        # stage 4's staged pair graph over survivors measured ~1.0x at 10x
+        # min-of-3 (the steady-state repeated-invocation shape the bench
+        # loop sees, keep-path persist reuse included)
+        ("pipeline_funnel", sampling.pipeline_funnel),
+        ("staged_dedup_report", dedup.staged_dedup_report),
     ],
 )
 def test_corpus_operator_scales_subquadratically(spark, scaled_dirs, name, fn):

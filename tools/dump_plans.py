@@ -91,9 +91,11 @@ def main() -> None:
         "",
         "Known r9 scope change (not drift): pipeline_funnel gained the",
         "staged near-dedup stage 4 (pair graph over stage-3 survivors +",
-        "CC), so its BENCH_r09 wall-clock (5.26 s vs 0.96 s) includes",
-        "genuinely new work — a bench_diff REGRESSION flag on this one",
-        "query compares different operators.",
+        "CC), so its BENCH_r09 wall-clock (6.59 s vs BENCH_r08's 0.96 s)",
+        "includes genuinely new work — a bench_diff REGRESSION flag on",
+        "this one query compares different operators. The composed funnel",
+        "was 10x-probed in r10 (SCALE.md: 1.0x at 10x, min-of-3, CI row",
+        "in test_corpus_operator_scales_subquadratically).",
         "",
     ]
     for name, why in SHOWCASE:

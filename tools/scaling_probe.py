@@ -236,6 +236,12 @@ def main() -> None:
             ("duplicate_span_report", dedup.duplicate_span_report),
             ("vocab_coverage", text.vocab_coverage),
             ("source_length_quantiles", text.source_length_quantiles),
+            # r10 (VERDICT r9 #5): the full funnel — the most expensive
+            # bench query, composing lang/quality/exact/near-dedup; its
+            # stage 4 runs the staged pair graph over survivors, so the
+            # 10x near-dup corpus must grow ~linearly, never clique-quadratically
+            ("pipeline_funnel", sampling.pipeline_funnel),
+            ("staged_dedup_report", dedup.staged_dedup_report),
         ],
         "embeddings": [
             ("embedding_neardup_pairs_vectorized", dedup.embedding_neardup_pairs_vectorized),
