@@ -504,12 +504,19 @@ ORDER BY cos DESC, vec_id ASC LIMIT 10
 WITH {km_cte}
 SELECT vec_id, cl AS cluster, dist_sq FROM {km_a}
 """
+    # probe depth = the Spark side's IVF_JOIN_NPROBE constant (set by the
+    # measured nprobe curve in RECALL_r10.json) — interpolated, not
+    # duplicated, so the engines cannot probe at different depths
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators.similarity import (
+        IVF_JOIN_NPROBE,
+    )
+
     knn_ivf = f"""
 WITH {km_cte},
 pr AS (SELECT vec_id AS src, cl AS probe FROM (
          SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
                             ORDER BY dist_sq, cl) AS rn FROM {km_d})
-       WHERE rn <= 2),
+       WHERE rn <= {IVF_JOIN_NPROBE}),
 cand AS (SELECT p.src, h.vec_id AS nbr,
                 {_COS.format(a="sa.embedding::DOUBLE[]", b="sb.embedding::DOUBLE[]")} AS cos
          FROM pr p

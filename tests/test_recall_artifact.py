@@ -67,6 +67,16 @@ class TestRecallArtifact:
         # the r9 Done criterion (VERDICT r8 #3): the learned quantizer's
         # nprobe=2 recall must be at least the old label-derived 0.43
         assert ivf2 >= 0.43
+        # r10 curve (VERDICT r9 #8): the deeper probes must be monotone,
+        # and the nprobe=3 point must justify the raised IVF_JOIN_NPROBE
+        # default — it beats sign-LSH multiprobe at ~the same scanned
+        # fraction (3/10 vs 5/16). Measured r10: 0.6733 / 0.74.
+        if "learned_ivf_deep" in doc:
+            ivf3 = doc["learned_ivf_deep"]["recall_nprobe3"]
+            ivf4 = doc["learned_ivf_deep"]["recall_nprobe4"]
+            assert ivf2 < ivf3 < ivf4
+            assert ivf3 >= lsh2
+            assert ivf3 >= 0.60
 
     @pytest.mark.skipif(
         not os.path.isdir(SF_DIR), reason="sf0.01 testdata not present"

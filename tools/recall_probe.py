@@ -22,10 +22,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 AUDITS = [
-    # (key, module attr) — each returns a 1-row DataFrame of recall figures
-    ("label_blocking", "ann_recall_audit"),
-    ("sign_lsh", "ann_lsh_recall_audit"),
-    ("learned_ivf", "ann_ivf_recall_audit"),
+    # (key, module attr, kwargs) — each returns a 1-row DataFrame of
+    # recall figures
+    ("label_blocking", "ann_recall_audit", {}),
+    ("sign_lsh", "ann_lsh_recall_audit", {}),
+    ("learned_ivf", "ann_ivf_recall_audit", {}),
+    # the nprobe curve beyond the registered default (VERDICT r9 #8):
+    # the measured basis for whether knn_join_ivf_* should probe deeper
+    ("learned_ivf_deep", "ann_ivf_recall_audit", {"nprobes": (3, 4)}),
 ]
 
 
@@ -38,8 +42,8 @@ def run(sf_dir: str) -> dict:
     spark = get_spark(app_name="recall-probe")
     spark.sparkContext.setLogLevel("ERROR")
     out: dict = {"sf_dir": sf_dir}
-    for key, attr in AUDITS:
-        row = getattr(similarity, attr)(spark, sf_dir).head().asDict()
+    for key, attr, kwargs in AUDITS:
+        row = getattr(similarity, attr)(spark, sf_dir, **kwargs).head().asDict()
         out[key] = {k: (float(v) if isinstance(v, float) else v) for k, v in row.items()}
     return out
 
