@@ -361,6 +361,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": analytics.tpch_q18_large_volume_customer,
         "tpch_q3": analytics.tpch_q3_shipping_priority,
         "tpch_q7": analytics.tpch_q7_volume_shipping,
+        # --- round-10 additions (parked at the tail per the directive) ---
+        "pii_scrub_ner": text.pii_scrub_ner,
+        "temperature_resample": sampling.temperature_resample,
+        "decontaminate_semantic": dedup.decontaminate_semantic,
     }
 
 
@@ -2023,6 +2027,60 @@ SELECT rank, tok AS token, CAST(freq AS BIGINT) AS exact_freq,
        CAST(cm AS BIGINT) AS cm_estimate,
        CAST(cm - freq AS BIGINT) AS overestimate
 FROM est ORDER BY rank
+""",
+        # r10: the NER-model-pass plumbing — the hash-gazetteer stand-in
+        # (md5("ner|"+tok) % 17 == 0) is replayed token-for-token, so the
+        # gate hashes the full redacted corpus
+        "pii_scrub_ner": """
+WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+u AS (SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+      FROM t),
+m AS (SELECT doc_id, pos, tok,
+             tok != '' AND
+             ('0x' || substr(md5('ner|' || tok), 1, 8))::BIGINT % 17 = 0
+               AS hit
+      FROM u)
+SELECT doc_id,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_entities,
+       coalesce(string_agg(CASE WHEN hit THEN '<ENT>' ELSE tok END,
+                           ' ' ORDER BY pos), '') AS clean_text
+FROM m GROUP BY doc_id
+""",
+        # r10: temperature resampling — the mixture CTE is the
+        # source_mixture_weights oracle; the acceptance threshold lives as
+        # an integer ppm from the floor onward (matching the Spark side)
+        "temperature_resample": f"""
+WITH per AS (SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+             FROM documents GROUP BY source),
+t AS (SELECT source, n_tokens::DOUBLE / sum(n_tokens) OVER () AS nat,
+             pow(n_tokens::DOUBLE / sum(n_tokens) OVER (), 0.7) AS aw
+      FROM per),
+z AS (SELECT source, nat, aw / sum(aw) OVER () AS ash FROM t),
+b AS (SELECT source, floor(ash / nat * 1e6) / 1e6 AS boost FROM z),
+r AS (SELECT source,
+             least(1000000, CAST(floor(boost * 0.5 * 1e6) AS BIGINT))
+               AS thresh_ppm
+      FROM b)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r ON r.source = d.source
+WHERE ('0x' || substr(md5('tsamp|' || d.doc_id), 1, 8))::BIGINT % 1000000
+      < r.thresh_ppm
+""",
+        # r10: embedding-space decontamination — max cosine vs the eval
+        # split (vec_id % 100 = 7), rounded to 4 before the max like the
+        # kNN family
+        "decontaminate_semantic": f"""
+WITH ev AS (SELECT embedding::DOUBLE[] AS evec FROM embeddings
+            WHERE vec_id % 100 = 7),
+tr AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       WHERE vec_id % 100 != 7),
+c AS (SELECT tr.vec_id,
+             round({_COS.format(a="v", b="evec")}, 4) AS cos
+      FROM tr, ev)
+SELECT vec_id, max(cos) AS max_eval_cos,
+       max(cos) >= 0.9 AS contaminated
+FROM c GROUP BY vec_id
 """,
         # same oracle: the vectorized path must produce identical rows
         "knn_join_vectorized": knn,

@@ -803,6 +803,55 @@ def decontaminate_ngram_overlap(
     )
 
 
+def decontaminate_semantic(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.9,
+    eval_mod: int = 100,
+    eval_rem: int = 7,
+) -> DataFrame:
+    """Embedding-space decontamination (r10) — the semantic sibling of
+    decontaminate_ngram_overlap: paraphrased eval items share no 3-gram
+    but sit next to their source in embedding space, so the second pass a
+    careful pretraining pipeline runs is max-cosine-vs-eval-set. Here
+    ``vec_id % eval_mod == eval_rem`` stands in for the eval split (same
+    convention as the n-gram form's id split).
+
+    Scale shape: the eval set is SMALL by construction (eval sets are MBs
+    at 100 TB), so it rides as ONE collect_list row broadcast into the
+    corpus scan — each train vector computes its max cosine over the eval
+    structs with the same JVM higher-order fold every ANN operator uses
+    (eval norms precomputed once on the eval side; no corpus shuffle, no
+    join fan-out, no Python). Output is corpus-sized (train rows only,
+    eval rows excluded — they'd trivially self-match), no presentational
+    sort; cosines round to 4 decimals BEFORE the max, the cross-engine
+    contract the kNN family uses."""
+    from ..functions.vectors import dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_eval = (F.col("vec_id") % eval_mod) == eval_rem
+    evals = emb.filter(is_eval).agg(
+        F.collect_list(
+            F.struct(
+                F.col("embedding").alias("evec"),
+                norm(F.col("embedding")).alias("enrm"),
+            )
+        ).alias("evs")
+    )
+    train = emb.filter(~is_eval).withColumn("nrm", norm(F.col("embedding")))
+    cosines = F.transform(
+        F.col("evs"),
+        lambda e: F.round(
+            dot(F.col("embedding"), e["evec"]) / (F.col("nrm") * e["enrm"]), 4
+        ),
+    )
+    return (
+        train.crossJoin(F.broadcast(evals))
+        .select("vec_id", F.array_max(cosines).alias("max_eval_cos"))
+        .withColumn("contaminated", F.col("max_eval_cos") >= threshold)
+    )
+
+
 def dedup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
     """Near-duplicate clustering: connected components over the verified
     n-gram-Jaccard pair graph, each doc labeled with its component's min

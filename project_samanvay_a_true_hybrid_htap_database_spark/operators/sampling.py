@@ -298,6 +298,46 @@ def source_mixture_weights(
     )
 
 
+def temperature_resample(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = 0.7,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """APPLIES source_mixture_weights' temperature shares as an actual
+    resampling pass (r10): per-source acceptance rate
+    r_s = min(1, boost_s × target_frac) — up-weighted (small) feeds keep
+    up to all of their docs (capped at 1: no replication here; virtual
+    epochs are the loader's job), down-weighted feeds are thinned — and
+    membership is the repo's standard deterministic md5 threshold, so the
+    sample is reproducible, join-free per row, and decided INSIDE the scan
+    stage. Scale shape: one tiny per-source aggregate (bounded by feed
+    count) broadcast back onto one corpus scan; no corpus shuffle, no
+    sort. The rate lives as an INTEGER parts-per-million threshold from
+    the moment it is floored (never a float round-trip that could
+    truncate differently per engine) — the cross-engine contract every
+    hash-membership operator here uses.
+
+    Output: surviving (doc_id, source) — the resampled corpus manifest."""
+    from ..functions.hashing import md5_long32
+
+    shares = source_mixture_weights(spark, sf_dir, alpha=alpha).select(
+        "source",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.floor(F.col("boost") * target_frac * 1e6).cast("long"),
+        ).alias("thresh_ppm"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    keep = (
+        md5_long32(F.concat(F.lit("tsamp|"), F.col("doc_id").cast("string")))
+        % 1_000_000
+    ) < F.col("thresh_ppm")
+    return docs.join(F.broadcast(shares), "source").filter(keep).select(
+        "doc_id", "source"
+    )
+
+
 def packing_efficiency(
     spark: SparkSession, sf_dir: str, budget: int = 512, shards: int = 8
 ) -> DataFrame:
