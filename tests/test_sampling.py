@@ -347,3 +347,136 @@ def test_count_min_one_sided_error(spark):
         assert r.overestimate == r.cm_estimate - r.exact_freq
     # grid cells >> vocab here: expect mostly exact estimates
     assert sum(1 for r in rows if r.overestimate == 0) >= 15
+
+
+class TestNerScrub:
+    """pii_scrub_ner's plumbing invariants (the oracle sweep pins the
+    redacted corpus hash; these pin the properties a real NER swap-in
+    must preserve)."""
+
+    def test_counts_match_redactions_and_alignment(self, spark):
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import text
+        from project_samanvay_a_true_hybrid_htap_database_spark.sources import (
+            load_table,
+        )
+
+        out = {r.doc_id: r for r in text.pii_scrub_ner(spark, SF_DIR).collect()}
+        src = {
+            r.doc_id: r.text
+            for r in load_table(spark, SF_DIR, "documents")
+            .select("doc_id", "text")
+            .collect()
+        }
+        assert set(out) == set(src)
+        hit_any = 0
+        for did, r in out.items():
+            # entity count == placeholder count, token alignment preserved
+            assert r.n_entities == r.clean_text.split(" ").count("<ENT>")
+            assert len(r.clean_text.split(" ")) == len(src[did].split(" "))
+            hit_any += r.n_entities
+        # the hash-gazetteer labels ~1/17 of tokens: a silent no-op model
+        # (0 hits corpus-wide) means the seam broke
+        assert hit_any > 0
+
+    def test_determinism(self, spark):
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import text
+
+        a = sorted(tuple(r) for r in text.pii_scrub_ner(spark, SF_DIR).collect())
+        b = sorted(tuple(r) for r in text.pii_scrub_ner(spark, SF_DIR).collect())
+        assert a == b
+
+
+class TestTemperatureResample:
+    def test_membership_is_deterministic_subset(self, spark):
+        from project_samanvay_a_true_hybrid_htap_database_spark.sources import (
+            load_table,
+        )
+
+        all_ids = {
+            r.doc_id
+            for r in load_table(spark, SF_DIR, "documents")
+            .select("doc_id")
+            .collect()
+        }
+        a = sorted(
+            (r.doc_id, r.source)
+            for r in sampling.temperature_resample(spark, SF_DIR).collect()
+        )
+        b = sorted(
+            (r.doc_id, r.source)
+            for r in sampling.temperature_resample(spark, SF_DIR).collect()
+        )
+        assert a == b and 0 < len(a) < len(all_ids)
+        assert {d for d, _ in a} <= all_ids
+
+    def test_upweighted_sources_keep_everything_at_high_target(self, spark):
+        """target_frac >= 1/min(boost) caps every source at rate 1.0: the
+        resample must be the identity manifest."""
+        from project_samanvay_a_true_hybrid_htap_database_spark.sources import (
+            load_table,
+        )
+
+        n_all = load_table(spark, SF_DIR, "documents").count()
+        kept = sampling.temperature_resample(
+            spark, SF_DIR, target_frac=50.0
+        ).count()
+        assert kept == n_all
+
+    def test_thinning_monotone_in_target_frac(self, spark):
+        low = {
+            r.doc_id
+            for r in sampling.temperature_resample(
+                spark, SF_DIR, target_frac=0.25
+            ).collect()
+        }
+        high = {
+            r.doc_id
+            for r in sampling.temperature_resample(
+                spark, SF_DIR, target_frac=0.75
+            ).collect()
+        }
+        assert low <= high and len(low) < len(high)
+
+
+class TestSemanticDecontamination:
+    def test_flags_and_bounds(self, spark):
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import dedup
+        from project_samanvay_a_true_hybrid_htap_database_spark.sources import (
+            load_table,
+        )
+
+        emb_ids = {
+            r.vec_id
+            for r in load_table(spark, SF_DIR, "embeddings")
+            .select("vec_id")
+            .collect()
+        }
+        eval_ids = {v for v in emb_ids if v % 100 == 7}
+        rows = dedup.decontaminate_semantic(spark, SF_DIR).collect()
+        got_ids = {r.vec_id for r in rows}
+        assert got_ids == emb_ids - eval_ids
+        for r in rows:
+            assert -1.0001 <= r.max_eval_cos <= 1.0001, r
+            assert r.contaminated == (r.max_eval_cos >= 0.9), r
+
+    def test_planted_contamination_is_caught(self, spark, tmp_path):
+        """A train vector that IS an eval vector (id differs, embedding
+        identical) must flag at cosine 1.0."""
+        from pyspark.sql import functions as F
+
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import dedup
+
+        src = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        planted = src.filter(F.col("vec_id") == 7).select(
+            F.lit(9001).cast(src.schema["vec_id"].dataType).alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        src.unionByName(planted).write.mode("overwrite").parquet(
+            f"{tmp_path}/embeddings.parquet"
+        )
+        rows = {
+            r.vec_id: r
+            for r in dedup.decontaminate_semantic(spark, str(tmp_path)).collect()
+        }
+        assert rows[9001].contaminated and rows[9001].max_eval_cos == 1.0
