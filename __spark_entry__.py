@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_ner": text.pii_scrub_ner,
         "temperature_resample": sampling.temperature_resample,
         "decontaminate_semantic": dedup.decontaminate_semantic,
+        "ann_ivf_multiprobe_topk": similarity.ann_ivf_multiprobe_topk,
     }
 
 
@@ -515,6 +516,22 @@ SELECT vec_id, cl AS cluster, dist_sq FROM {km_a}
         IVF_JOIN_NPROBE,
     )
 
+    # r10: multi-probe IVF serving — the query's nprobe nearest learned
+    # lists (same probe ranking and depth constant as the kNN join), then
+    # the pruned scan
+    ann_ivf_multiprobe = f"""
+WITH {km_cte},
+pq AS (SELECT cl FROM (
+         SELECT cl, row_number() OVER (ORDER BY dist_sq, cl) AS rn
+         FROM {km_d} WHERE vec_id = 0)
+       WHERE rn <= {IVF_JOIN_NPROBE}),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id, {cos_q} AS cos
+      FROM embeddings e JOIN {km_a} a ON a.vec_id = e.vec_id, q
+      WHERE e.vec_id != 0 AND a.cl IN (SELECT cl FROM pq))
+SELECT vec_id, round(cos, 4) AS cos_sim FROM s
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
     knn_ivf = f"""
 WITH {km_cte},
 pr AS (SELECT vec_id AS src, cl AS probe FROM (
@@ -1996,6 +2013,7 @@ GROUP BY label ORDER BY label
         "cross_source_overlap": cross_source,
         "knn_join_blocked": knn,
         "kmeans_iterate": kmeans_iterate_sql,
+        "ann_ivf_multiprobe_topk": ann_ivf_multiprobe,
         "knn_join_ivf_blocked": knn_ivf,
         # BLAS twin registered against the SAME oracle - the fast path
         # must be row-identical to the HOF form

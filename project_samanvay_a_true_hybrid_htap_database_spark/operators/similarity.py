@@ -333,6 +333,71 @@ def ann_ivf_indexed_topk(
     )
 
 
+def _query_probe_clusters(
+    spark: SparkSession, sf_dir: str, vec_id: int, cents: list, nprobe: int
+) -> list[int]:
+    """The query vector's nprobe nearest learned clusters, by the SAME
+    Spark ranking expression every probe list uses (one-row job, the
+    _query_cluster convention). Plain ints, so the indexed path pushes a
+    LITERAL IN-list into PartitionFilters."""
+    from ..sources import load_table
+
+    row = (
+        _dist_structs_col(
+            load_table(spark, sf_dir, "embeddings").filter(
+                F.col("vec_id") == vec_id
+            ),
+            cents,
+            "embedding",
+            "_cdl",
+        )
+        .select(
+            F.transform(
+                F.slice(F.array_sort(F.col("_cdl")), 1, nprobe),
+                lambda s: s["l"],
+            ).alias("ls")
+        )
+        .head()
+    )
+    return [int(x) for x in row["ls"]]
+
+
+def ann_ivf_multiprobe_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Multi-probe IVF serving (r10): the single-query form of the probe
+    depth the measured curve endorses (RECALL_r10.json — nprobe=3 recalls
+    0.6733 vs single-list 0.2533). The query's nprobe nearest learned
+    lists become a literal IN-list over build_ivf_index's partitioned
+    layout, so the scan reads exactly nprobe partitions' FILES
+    (PartitionFilters, plan-asserted) — at 100 TB, nprobe IVF lists
+    instead of the table, the standard FAISS-style nprobe>1 serving
+    shape. Completes the multiprobe pair: ann_lsh_multiprobe_topk widens
+    by Hamming-1 buckets, this widens by centroid-distance rank."""
+    if nprobe is None:
+        nprobe = IVF_JOIN_NPROBE
+    index_dir = build_ivf_index(spark, sf_dir)
+    qvec, _ = _query_vector(spark, sf_dir, vec_id)
+    cents = learned_centroids(spark, sf_dir)
+    probes = _query_probe_clusters(spark, sf_dir, vec_id, cents, nprobe)
+    emb = spark.read.parquet(index_dir)
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    scored = (
+        emb.filter(F.col("cluster").isin(probes))  # nprobe-partition pruned
+        .filter(F.col("vec_id") != vec_id)
+        .select("vec_id", cosine(F.col("embedding"), q).alias("cos"))
+    )
+    return (
+        scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+        .select("vec_id", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
 PROJ_DIMS = 16
 PROJ_SEED = 11
 

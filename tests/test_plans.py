@@ -440,6 +440,25 @@ class TestIvfIndexPruning:
         b = similarity.ann_ivf_indexed_topk(spark, SF_DIR).collect()
         assert [tuple(r) for r in a] == [tuple(r) for r in b] and len(a) > 0
 
+    def test_multiprobe_scan_prunes_to_nprobe_partitions(self, spark):
+        """r10: the nprobe-nearest-list IN filter must reach the scan as a
+        partition filter (nprobe lists read, not the table), and widening
+        the probe set must only ADD candidates — the single-list top-k's
+        hits never disappear from a superset scan's candidate pool."""
+        df = similarity.ann_ivf_multiprobe_topk(spark, SF_DIR)
+        p = plan(df)
+        pf = p.split("PartitionFilters")[1][:300] if "PartitionFilters" in p else ""
+        assert "cluster" in pf and "IN" in pf.upper(), f"no IN prune: {pf!r}"
+        # superset property vs the single-list form
+        single = {r["vec_id"] for r in similarity.ann_ivf_indexed_topk(spark, SF_DIR).collect()}
+        multi_pool = {
+            r["vec_id"]
+            for r in similarity.ann_ivf_multiprobe_topk(
+                spark, SF_DIR, k=10_000
+            ).collect()
+        }
+        assert single <= multi_pool
+
 
 class TestTwoStageRetrieval:
     def test_stage1_reads_only_projected_column(self, spark):
