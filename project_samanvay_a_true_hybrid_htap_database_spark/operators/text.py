@@ -738,9 +738,10 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Recall caveat (documented, not hidden): these are structural
     patterns — names, addresses, and free-text identifiers need an NER
-    model pass, which would ride the same scan as an Arrow-batched
-    mapInPandas (the multimodal operators' shape) with the model
-    broadcast per executor."""
+    model pass riding the same scan as an Arrow-batched mapInPandas
+    with the model broadcast per executor. Since r10 that pass EXISTS:
+    pii_scrub_ner below implements the full plumbing with a
+    deterministic stand-in at the model seam."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     cur = F.col("text")
     counts = []
