@@ -130,6 +130,15 @@ HEADLINE = [
         # path — the HOF twin produces identical rows ~8x slower and
         # stays oracle-checked off the bench (knn_join_blocked precedent)
         "knn_join_ivf_vectorized",
+        # round-10 additions (pii_scrub_ner, temperature_resample,
+        # decontaminate_semantic, ann_ivf_multiprobe_topk) are NOT timed
+        # here: the JSON line sits ~90 chars under the driver's 2000-char
+        # tail window (the r7 overflow lost that round's record —
+        # test_serialized_line_fits_driver_tail_window pins it) and every
+        # cost shape they exercise is already represented (mapInPandas
+        # corpus pass: multimodal_audio_chunks; scan-stage hash filter:
+        # exact_dedup; broadcast HOF scan: ann_bruteforce_topk; pruned
+        # serving: ann_lsh_indexed_topk). They stay oracle-checked.
     ]
 
 

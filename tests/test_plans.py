@@ -251,6 +251,11 @@ class TestNoPresentationalSort:
             "knn_join_ivf_vectorized",
             "dedup_groups_twostar",
             "pii_scrub",
+            # r10 corpus-sized outputs: NER-redacted corpus, resample
+            # manifest, contamination report
+            "pii_scrub_ner",
+            "temperature_resample",
+            "decontaminate_semantic",
         ],
     )
     def test_unbounded_output_has_no_global_sort(self, spark, name):
