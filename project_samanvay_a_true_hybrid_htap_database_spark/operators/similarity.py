@@ -1457,16 +1457,17 @@ def ann_ivf_recall_audit(
     contract kmeans_assign established.
 
     Measured on the synthetic testdata (sf0.01, committed record
-    RECALL_r09.json, re-derivable via tools/recall_probe.py): recall@3 =
-    0.2533 at nprobe=1 and 0.4867 at nprobe=2 with the r9 LEARNED
+    RECALL_r10.json, re-derivable via tools/recall_probe.py): recall@3 =
+    0.2533 / 0.4867 / 0.6733 / 0.74 at nprobe 1–4 with the LEARNED
     centroids (the pre-r9 per-label means measured 0.26/0.43 — the Lloyd
     rounds buy +0.06 at nprobe=2 on vectors this uniform) — ~6x what the
     random label blocking retains (0.08) while scanning ~1/10 of the
     corpus per probe. On these near-uniform vectors the sign-LSH
-    multi-probe still wins absolute recall (0.58) but scans 5/16 of the
-    corpus to do it; the audit triad is exactly the evidence a curator
-    needs to pick a quantizer + probe budget before a 100 TB blocked
-    pass.
+    multi-probe wins at equal-2 probes (0.58) but nprobe=3 overtakes it
+    at the same scanned fraction (0.6733 at 3/10 vs 0.58 at 5/16) — the
+    basis for IVF_JOIN_NPROBE=3; the audit triad is exactly the evidence
+    a curator needs to pick a quantizer + probe budget before a 100 TB
+    blocked pass.
 
     ``nprobes`` generalizes the probe-depth sweep (r10, VERDICT r9 #8):
     the registered entry keeps the (1, 2) default and its oracle; the
