@@ -89,6 +89,11 @@ def _warm_time(fn, spark, sf_dir):
         # loop sees, keep-path persist reuse included)
         ("pipeline_funnel", sampling.pipeline_funnel),
         ("staged_dedup_report", dedup.staged_dedup_report),
+        # r10: the NER model pass must stay linear in the corpus
+        # (measured 5.0x at 10x — Python loop cost, Arrow-batched), and
+        # the eval-broadcast decontamination linear-in-train (0.8x)
+        ("pii_scrub_ner", text.pii_scrub_ner),
+        ("decontaminate_semantic", dedup.decontaminate_semantic),
     ],
 )
 def test_corpus_operator_scales_subquadratically(spark, scaled_dirs, name, fn):

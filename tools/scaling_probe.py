@@ -242,12 +242,18 @@ def main() -> None:
             # 10x near-dup corpus must grow ~linearly, never clique-quadratically
             ("pipeline_funnel", sampling.pipeline_funnel),
             ("staged_dedup_report", dedup.staged_dedup_report),
+            # r10 text-family additions
+            ("pii_scrub_ner", text.pii_scrub_ner),
+            ("temperature_resample", sampling.temperature_resample),
         ],
         "embeddings": [
             ("embedding_neardup_pairs_vectorized", dedup.embedding_neardup_pairs_vectorized),
             ("semdedup_stats", dedup.semdedup_stats),
             ("ann_lsh_recall_audit", similarity.ann_lsh_recall_audit),
             ("ann_ivf_recall_audit", similarity.ann_ivf_recall_audit),
+            # r10 vector-family additions
+            ("decontaminate_semantic", dedup.decontaminate_semantic),
+            ("ann_ivf_multiprobe_topk", similarity.ann_ivf_multiprobe_topk),
         ],
         "tpch": [
             ("tpch_q1", analytics.tpch_q1_pricing_summary),
