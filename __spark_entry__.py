@@ -30,6 +30,7 @@ from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
     similarity,
     text,
 )
+from project_samanvay_a_true_hybrid_htap_database_spark.sources import textio
 from project_samanvay_a_true_hybrid_htap_database_spark.sources.bucketing import (
     bucketed_join_agg,
 )
@@ -366,6 +367,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_resample": sampling.temperature_resample,
         "decontaminate_semantic": dedup.decontaminate_semantic,
         "ann_ivf_multiprobe_topk": similarity.ann_ivf_multiprobe_topk,
+        "documents_jsonl_roundtrip": textio.documents_jsonl_roundtrip,
+        "documents_csv_roundtrip": textio.documents_csv_roundtrip,
     }
 
 
@@ -2014,6 +2017,13 @@ GROUP BY label ORDER BY label
         "knn_join_blocked": knn,
         "kmeans_iterate": kmeans_iterate_sql,
         "ann_ivf_multiprobe_topk": ann_ivf_multiprobe,
+        # r10 round-trips: the re-ingested table must hash-equal parquet
+        "documents_jsonl_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "documents_csv_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
         "knn_join_ivf_blocked": knn_ivf,
         # BLAS twin registered against the SAME oracle - the fast path
         # must be row-identical to the HOF form
