@@ -54,6 +54,10 @@ SHOWCASE = [
     ("kmeans_iterate", "learned-quantizer assignment — literal-centroid argmin scan, zero shuffles"),
     ("knn_join_ivf_vectorized", "learned-IVF kNN join (BLAS cogroup) — per-list matmul, global merge window over nprobe*k survivors"),
     ("dedup_groups_twostar", "two-star CC — edge-rewriting rounds over the shrinking pair list, no corpus-wide label join"),
+    ("ann_ivf_multiprobe_topk", "nprobe=3 IVF serving — literal IN partition filter over the learned-list layout, nprobe lists read instead of the table"),
+    ("pii_scrub_ner", "NER model pass — one Arrow-batched mapInPandas inside the scan stage, no shuffle"),
+    ("temperature_resample", "alpha-temperature resample — feed-count-bounded rate table broadcast onto one scan, md5-threshold membership"),
+    ("decontaminate_semantic", "eval-set max-cosine flagging — single broadcast eval row, HOF fold per train vector, no corpus shuffle"),
 ]
 
 
