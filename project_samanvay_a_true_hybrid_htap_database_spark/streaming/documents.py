@@ -1,0 +1,83 @@
+"""Streaming documents ingest (r10): JSONL shards landing in a directory
+→ schema'd stream → content-hash dedup ON ARRIVAL → parquet corpus sink.
+
+This is the incremental form of the batch cleaning pipeline: a crawler
+drops `part-*.json` shards continuously, and the corpus grows
+exactly-once (file-sink manifest + checkpoint) with re-crawled duplicate
+content dropped in flight instead of by a later batch dedup pass. At
+100 TB/day the state that matters is bounded by the DEDUP HORIZON:
+`dropDuplicatesWithinWatermark` keys state on the content fingerprint and
+expires it with the watermark, so the state store holds one fingerprint
+per distinct document seen within the horizon — never the corpus. A
+duplicate recurring BEYOND the horizon is admitted (documented contract);
+the periodic batch pass (`staged_dedup_report`'s composition) catches
+those — streaming dedup narrows the window, batch dedup closes it.
+
+Schema posture matches sources/textio.py: explicit schema, DROPMALFORMED
+(a corrupt crawler line must never kill a continuous ingest; the paired
+batch audit `jsonl_corrupt_count` runs on the landed shards).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DOC_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+DEDUP_HORIZON = "1 hour"
+
+
+def stream_documents_jsonl(spark: SparkSession, src_dir: str) -> DataFrame:
+    """File-source stream of JSONL document shards. One file per
+    micro-batch keeps tests deterministic; `ingest_ts` is the arrival
+    event time the dedup watermark advances on (crawl dumps carry no
+    usable event time of their own); `fp` is the same normalized content
+    hash exact_dedup canonicalizes by, computed scan-side."""
+    raw = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("mode", "DROPMALFORMED")
+        .json(src_dir)
+    )
+    return raw.withColumn("ingest_ts", F.current_timestamp()).withColumn(
+        "fp", F.md5(F.trim(F.lower(F.col("text"))))
+    )
+
+
+def dedup_on_ingest_stream(docs: DataFrame) -> DataFrame:
+    """Content-level dedup on arrival: the first document carrying a
+    fingerprint within the horizon ships, later carriers are dropped
+    in-flight. State = one row per distinct fingerprint inside the
+    watermark, expired automatically — bounded by horizon throughput,
+    not corpus size."""
+    return docs.withWatermark("ingest_ts", DEDUP_HORIZON).dropDuplicatesWithinWatermark(
+        ["fp"]
+    )
+
+
+def ingest_documents_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, checkpoint: str
+):
+    """The wired pipeline: JSONL shards → dedup-on-arrival → parquet
+    corpus, exactly-once via the file-sink manifest + checkpoint (a
+    killed-and-restarted query neither loses nor double-lands a shard —
+    the events E2E suite pins the identical mechanism). Returns the
+    started StreamingQuery; callers own its lifecycle."""
+    clean = dedup_on_ingest_stream(stream_documents_jsonl(spark, src_dir))
+    return (
+        clean.drop("ingest_ts")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -311,3 +311,54 @@ def test_trending_topk_stream_matches_batch(spark, events_src):
         .collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_documents_jsonl_ingest_dedups_on_arrival(spark, tmp_path):
+    """r10 streaming documents ingest: JSONL shards -> schema'd stream ->
+    content-fingerprint dedup within the horizon -> parquet corpus sink.
+    Duplicate CONTENT across shards lands exactly once; corrupt lines are
+    dropped by the ingest posture, not fatal; the sink is readable
+    parquet with the corpus schema."""
+    import json as jsonlib
+    import os
+
+    from project_samanvay_a_true_hybrid_htap_database_spark.streaming.documents import (
+        ingest_documents_stream,
+    )
+
+    src = str(tmp_path / "shards")
+    os.makedirs(src)
+    doc = lambda i, t, s: jsonlib.dumps(  # noqa: E731
+        {"doc_id": i, "text": t, "lang": "en", "source": s, "n_chars": len(t)}
+    )
+    with open(os.path.join(src, "shard-000.json"), "w") as fh:
+        fh.write(doc(1, "alpha beta gamma", "crawl_a") + "\n")
+        fh.write(doc(2, "delta epsilon zeta", "crawl_a") + "\n")
+        fh.write("NOT JSON — a torn crawler line\n")
+    with open(os.path.join(src, "shard-001.json"), "w") as fh:
+        fh.write(doc(10, "ALPHA BETA GAMMA  ", "crawl_b") + "\n")  # dup content
+        fh.write(doc(11, "eta theta iota", "crawl_b") + "\n")
+
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    q = ingest_documents_stream(spark, src, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    landed = spark.read.parquet(out)
+    rows = {r.doc_id: r for r in landed.collect()}
+    # 4 clean lines, one duplicate content pair -> 3 land; the torn line
+    # is dropped, not fatal
+    assert len(rows) == 3
+    # both distinct docs land; exactly ONE carrier of the duplicate content
+    assert {2, 11} <= set(rows) and len(set(rows) & {1, 10}) == 1
+    assert len({r.fp for r in rows.values()}) == 3
+    # exactly-once across a restart over the same shards: nothing re-lands
+    q2 = ingest_documents_stream(spark, src, out, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(out).count() == 3
