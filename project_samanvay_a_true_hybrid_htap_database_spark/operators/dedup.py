@@ -990,10 +990,15 @@ def connected_components_twostar(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # every node ever seen: components' minima may stop appearing as
-    # sources once the star forms, but each must still label itself
+    # every node ever seen — from the RAW pairs, not the self-loop-filtered
+    # pointer edges: a node appearing only in a self-loop pair (degenerate
+    # input; the pair generators never emit one) must still label itself,
+    # exactly as label propagation does (hypothesis-caught divergence,
+    # tests/test_cc_property.py). Components' minima also stop appearing
+    # as sources once the star forms, so the filtered edge list alone
+    # under-covers.
     all_nodes = (
-        edges.select(F.explode(F.array("a", "b")).alias("n"))
+        pairs.select(F.explode(F.array("d1", "d2")).alias("n"))
         .distinct()
         .localCheckpoint(eager=True)
     )
