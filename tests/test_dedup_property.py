@@ -49,6 +49,37 @@ def _brute_pairs(corpus: list[str]) -> set[tuple[int, int, float]]:
 
 
 @settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(corpus=CORPUS)
+def test_minhash_lsh_precision_is_exact(spark, corpus):
+    """LSH banding is allowed to MISS a true pair (recall is the measured,
+    CI-floored number), but every pair it emits is exact-verified — so on
+    ANY corpus the emitted set must be a subset of the brute-force truth
+    with identical jaccard values. A false positive here means the verify
+    predicate itself broke."""
+    d = tempfile.mkdtemp(prefix="lshprop_")
+    try:
+        spark.createDataFrame(
+            [(i, t, "en", "src", len(t)) for i, t in enumerate(corpus)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "documents.parquet")
+        )
+        got = {
+            (r["d1"], r["d2"], float(r["jaccard"]))
+            for r in dedup.minhash_lsh_pairs(spark, d).collect()
+        }
+        assert got <= _brute_pairs(corpus), got - _brute_pairs(corpus)
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(
     max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
