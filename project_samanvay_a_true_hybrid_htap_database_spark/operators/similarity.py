@@ -895,7 +895,11 @@ IVF_JOIN_NPROBE = 3
 
 
 def knn_join_ivf_blocked(
-    spark: SparkSession, sf_dir: str, k: int = 3, nprobe: int = IVF_JOIN_NPROBE
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    nprobe: int = IVF_JOIN_NPROBE,
+    n_clusters: int = KMEANS_K,
 ) -> DataFrame:
     """Corpus-wide kNN join blocked on the LEARNED IVF clusters with
     nprobe=IVF_JOIN_NPROBE — closing the loop the r8 audit triad opened
@@ -920,7 +924,7 @@ def knn_join_ivf_blocked(
 
     from ..functions.vectors import dot
 
-    cents = learned_centroids(spark, sf_dir)
+    cents = learned_centroids(spark, sf_dir, k=n_clusters)
     emb = _audit_emb(spark, sf_dir)
     home = _with_nearest_centroid(emb, cents, "embedding", "_b").select(
         "*", F.col("_b")["l"].alias("cluster")
@@ -957,7 +961,11 @@ def knn_join_ivf_blocked(
 
 
 def knn_join_ivf_vectorized(
-    spark: SparkSession, sf_dir: str, k: int = 3, nprobe: int = IVF_JOIN_NPROBE
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    nprobe: int = IVF_JOIN_NPROBE,
+    n_clusters: int = KMEANS_K,
 ) -> DataFrame:
     """BLAS twin of knn_join_ivf_blocked — the production serving shape
     for the learned-quantizer kNN join (same relationship
@@ -983,7 +991,7 @@ def knn_join_ivf_vectorized(
 
     from pyspark.sql import Window
 
-    cents = learned_centroids(spark, sf_dir)
+    cents = learned_centroids(spark, sf_dir, k=n_clusters)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     home = _with_nearest_centroid(emb, cents, "embedding", "_b").select(
         "*", F.col("_b")["l"].alias("cluster")
