@@ -1155,19 +1155,23 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey")
     )
-    per_part = (
+    from ..functions.caching import bounded_persist
+
+    # Persist (bounded registry): both the threshold scalar and the filter
+    # join consume this — without it the fact join + aggregate evaluate
+    # twice (the plan showed the lineitem scan doubled). The persisted
+    # table is the already-reduced per-part sliver (spillable), not the
+    # fact.
+    per_part = bounded_persist(
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy("l_partkey")
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "value_raw"
             )
-        )
-        # Persist: both the threshold scalar and the filter join consume
-        # this — without it the fact join + aggregate evaluate twice (the
-        # plan showed the lineitem scan doubled). The persisted table is
-        # the already-reduced per-part sliver (spillable), not the fact.
-        .persist()
+        ),
+        "q11_per_part",
+        scope=sf_dir,
     )
     threshold = per_part.agg(
         (F.sum("value_raw") * F.lit(0.001)).alias("cut")

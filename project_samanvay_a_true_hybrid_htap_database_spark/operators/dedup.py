@@ -102,42 +102,26 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KEEP_SHINGLE_CACHE: dict[str, DataFrame] = {}
-_KEEP_SHINGLE_CACHE_MAX = 4
-
-
-def _persist_keep_restricted(sh: DataFrame, keep: DataFrame) -> DataFrame:
+def _persist_keep_restricted(
+    sh: DataFrame, keep: DataFrame, sf_dir: str
+) -> DataFrame:
     """Persist the allowlist-restricted shingle table with a BOUNDED
     lifetime (ADVICE r9 / VERDICT r9 #4): the bench loop runs the staged
     consumers min-of-3 and the driver sweep re-invokes them, and a bare
     per-call .persist() accumulates one cached winner-sized table per
-    invocation for the whole session. Keyed by the restriction's
-    normalized analyzed plan (expression ids stripped — each invocation
-    mints fresh ids, which would defeat reuse), so a repeated call gets
-    the ALREADY-persisted table back (the pin that the unpinned form
+    invocation for the whole session. Since r10 this delegates to the
+    shared registry (functions/caching.py), which also makes a repeated
+    call reuse the ALREADY-persisted table — the pin the unpinned form
     measured at 109 s on the 10x clique probe stays warm across bench
-    passes for free); when the registry exceeds its cap the oldest entry
-    is unpersisted before the new one is admitted."""
-    import re
+    passes for free."""
+    from ..functions.caching import bounded_persist
 
-    restricted = sh.join(keep.select("doc_id"), "doc_id")
-    # strip the two session-global counters: expression ids (#123) and
-    # higher-order-function lambda variable names (x_1, x_2, …)
-    key = re.sub(
-        r"#\d+|\bx_\d+",
-        "#",
-        str(restricted._jdf.queryExecution().analyzed()),  # noqa: SLF001
+    return bounded_persist(
+        sh.join(keep.select("doc_id"), "doc_id"),
+        "keep_shingles",
+        scope=sf_dir,
+        max_n=4,
     )
-    hit = _KEEP_SHINGLE_CACHE.pop(key, None)
-    if hit is not None:
-        _KEEP_SHINGLE_CACHE[key] = hit  # refresh recency order
-        return hit
-    if len(_KEEP_SHINGLE_CACHE) >= _KEEP_SHINGLE_CACHE_MAX:
-        oldest = next(iter(_KEEP_SHINGLE_CACHE))
-        _KEEP_SHINGLE_CACHE.pop(oldest).unpersist()
-    restricted = restricted.persist()
-    _KEEP_SHINGLE_CACHE[key] = restricted
-    return restricted
 
 
 def ngram_jaccard_pairs(
@@ -176,7 +160,7 @@ def ngram_jaccard_pairs(
         # re-run the winner shuffle; the restricted table is winner-sized
         # (containment_pairs measured the unpinned staged form at 109 s
         # on the 10× exact-clique probe vs ~1× pinned).
-        sh = _persist_keep_restricted(sh, keep)
+        sh = _persist_keep_restricted(sh, keep, sf_dir)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
     rare = (
@@ -290,17 +274,25 @@ def minhash_lsh_pairs(
     # shingle strings — the measured verify-join cost dropped ~2×; the
     # oracle hashes with the same md5 expression so Jaccard values stay
     # bit-identical.
-    sh = _shingle_hashes(spark, sf_dir).persist()
+    from ..functions.caching import bounded_persist
+
+    sh = bounded_persist(
+        _shingle_hashes(spark, sf_dir), "minhash_shingles", scope=sf_dir
+    )
     # Persist the signature table too: it is tiny (one row of k longs per
     # doc) and referenced from both sides of the bucket self-join — without
     # this, the shingle-explode + 16-way min aggregate runs once per plan
     # copy.
-    sig = _signatures_from_hashed(
-        sh.filter(F.size("hs") > 0).select(
-            "doc_id", F.explode("hs").alias("h")
+    sig = bounded_persist(
+        _signatures_from_hashed(
+            sh.filter(F.size("hs") > 0).select(
+                "doc_id", F.explode("hs").alias("h")
+            ),
+            bands * rows,
         ),
-        bands * rows,
-    ).persist()
+        "minhash_sigs",
+        scope=sf_dir,
+    )
     # One pass over sig: band keys as an array, posexplode to (band, bkey)
     # rows. A per-band union would clone the signature subtree per band.
     band_keys = F.array(
@@ -426,7 +418,13 @@ def simhash_neardup_pairs(
     # recompute the upstream. Fingerprints come from the vectorized
     # mapInPandas path (bit-identical to simhash_fingerprints, same oracle,
     # ~5x faster — integer-exact so the swap is observationally invisible).
-    fp = simhash_fingerprints_vectorized(spark, sf_dir, bits).persist()
+    from ..functions.caching import bounded_persist
+
+    fp = bounded_persist(
+        simhash_fingerprints_vectorized(spark, sf_dir, bits),
+        "simhash_fp",
+        scope=sf_dir,
+    )
     chunks = max_hamming + 1
     assert bits % chunks == 0, "chunk bucketing needs bits divisible by chunks"
     chunk_bits = bits // chunks
@@ -507,7 +505,13 @@ def simhash_bucket_audit(
     silent. Cost is one fingerprint pass plus a bucket-count aggregate
     bounded at chunks × 2^chunk_bits rows; at test SFs every chunk reports
     zero drops (occupancy is far below the floor)."""
-    fp = simhash_fingerprints_vectorized(spark, sf_dir, bits).persist()
+    from ..functions.caching import bounded_persist
+
+    fp = bounded_persist(
+        simhash_fingerprints_vectorized(spark, sf_dir, bits),
+        "simhash_fp",
+        scope=sf_dir,
+    )
     chunks = max_hamming + 1
     chunk_bits = bits // chunks
     chunk_keys = F.array(
@@ -787,7 +791,11 @@ def decontaminate_ngram_overlap(
     Output: contaminated doc_id + distinct shared-shingle count."""
     # Persist: both the benchmark and corpus branches read this — without
     # it the tokenize+shingle subtree computes once per branch.
-    sh = _doc_shingles(spark, sf_dir).persist()
+    from ..functions.caching import bounded_persist
+
+    sh = bounded_persist(
+        _doc_shingles(spark, sf_dir), "decon_shingles", scope=sf_dir
+    )
     bench = (
         sh.filter(F.col("doc_id") < bench_max_id)
         .select(F.explode("shingles").alias("s"))
@@ -1171,7 +1179,7 @@ def containment_pairs(
     the staged 10× probe dropped 109 s → ~1× with the pin)."""
     sh = _doc_shingles(spark, sf_dir)
     if keep is not None:
-        sh = _persist_keep_restricted(sh, keep)
+        sh = _persist_keep_restricted(sh, keep, sf_dir)
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", F.explode("shingles").alias("sh"))
     rare = (
@@ -1232,10 +1240,14 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.explode("shingles").alias("s"))
     )
     # Persist: both the sizes branch and the pairs branch read this.
-    grouped = (
-        inv.groupBy("s")
-        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
-        .persist()
+    from ..functions.caching import bounded_persist
+
+    grouped = bounded_persist(
+        inv.groupBy("s").agg(
+            F.array_sort(F.collect_set("source")).alias("srcs")
+        ),
+        "xsource_grouped",
+        scope=sf_dir,
     )
     sizes = (
         grouped.select(F.explode("srcs").alias("source"))

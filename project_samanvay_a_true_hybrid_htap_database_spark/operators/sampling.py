@@ -382,7 +382,13 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     label table and conditional aggregates — no new shuffle family."""
     from .dedup import connected_components, ngram_jaccard_pairs
 
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2").persist()
+    from ..functions.caching import bounded_persist
+
+    pairs = bounded_persist(
+        ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2"),
+        "leakage_pairs",
+        scope=sf_dir,
+    )
     labels = connected_components(pairs)
     lab = labels.select(
         "doc_id",

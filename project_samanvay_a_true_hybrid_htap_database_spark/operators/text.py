@@ -653,11 +653,14 @@ def vocab_coverage(spark: SparkSession, sf_dir: str, v: int = 200) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    vc = (
+    from ..functions.caching import bounded_persist
+
+    vc = bounded_persist(
         docs.select(F.explode(tokens("text")).alias("tok"))
         .groupBy("tok")
-        .agg(F.count("*").alias("freq"))
-        .persist()
+        .agg(F.count("*").alias("freq")),
+        "vocab_counts",
+        scope=sf_dir,
     )
     total = vc.agg(F.sum("freq").cast("double").alias("n"))
     order = [F.col("freq").desc(), F.col("tok").asc()]

@@ -176,24 +176,28 @@ class TestStagedDedup:
         unpersist the oldest entry instead of accumulating."""
         from pyspark.sql import functions as F
 
+        from project_samanvay_a_true_hybrid_htap_database_spark.functions import (
+            caching,
+        )
         from project_samanvay_a_true_hybrid_htap_database_spark.operators import dedup
 
-        for cached in dedup._KEEP_SHINGLE_CACHE.values():
+        reg = caching.registry("keep_shingles")
+        for cached in reg.values():
             cached.unpersist()
-        dedup._KEEP_SHINGLE_CACHE.clear()
+        reg.clear()
 
         keep = dedup.exact_dedup(spark, corpus_dir).select("doc_id")
         r1 = dedup.ngram_jaccard_pairs(spark, corpus_dir, keep=keep).count()
-        assert len(dedup._KEEP_SHINGLE_CACHE) == 1
+        assert len(reg) == 1
         # same logical restriction (fresh expression ids) → same entry
         keep2 = dedup.exact_dedup(spark, corpus_dir).select("doc_id")
         r2 = dedup.ngram_jaccard_pairs(spark, corpus_dir, keep=keep2).count()
-        assert len(dedup._KEEP_SHINGLE_CACHE) == 1
+        assert len(reg) == 1
         assert r1 == r2 == 1
 
         # distinct allowlists: the registry stays capped, evicted entries
         # are unpersisted (storage level drops to NONE)
-        evict_probe = next(iter(dedup._KEEP_SHINGLE_CACHE.values()))
+        evict_probe = next(iter(reg.values()))
         docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
         for m in (2, 3, 5, 7, 11):
             dedup.ngram_jaccard_pairs(
@@ -201,10 +205,29 @@ class TestStagedDedup:
                 corpus_dir,
                 keep=docs.select("doc_id").filter(F.col("doc_id") % m == 0),
             ).count()
-        assert len(dedup._KEEP_SHINGLE_CACHE) <= dedup._KEEP_SHINGLE_CACHE_MAX
+        assert len(reg) <= 4
         assert not evict_probe.storageLevel.useMemory, (
             "evicted keep-path table still persisted"
         )
+
+    def test_bounded_persist_survives_clear_cache(self, spark, corpus_dir):
+        """A registry hit whose blocks were dropped by clearCache must be
+        re-pinned, not served unpersisted while the registry believes it
+        holds (the clearCache-safety clause in functions/caching.py)."""
+        from project_samanvay_a_true_hybrid_htap_database_spark.functions import (
+            caching,
+        )
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import dedup
+
+        keep = dedup.exact_dedup(spark, corpus_dir).select("doc_id")
+        dedup.ngram_jaccard_pairs(spark, corpus_dir, keep=keep).count()
+        spark.catalog.clearCache()
+        dedup.ngram_jaccard_pairs(spark, corpus_dir, keep=keep).count()
+        reg = caching.registry("keep_shingles")
+        assert any(
+            df.storageLevel.useMemory or df.storageLevel.useDisk
+            for df in reg.values()
+        ), "registry hit served without re-pinning after clearCache"
 
 
 class TestTwoStarCC:
