@@ -90,6 +90,45 @@ def _kmeans_cte(rounds: int = 5, k: int = 10) -> tuple[str, str, str]:
     return ",\n".join(parts), prev, f"d{rounds}"
 
 
+def _pq_cte(rounds: int = 3, m: int = 16, ksub: int = 16, dim: int = 64) -> tuple[str, str, str]:
+    """Unrolled fixed-round product-quantizer training as DuckDB CTEs — the
+    oracle twin of similarity.learned_pq_codebooks: md5-bucket init per
+    (vector, subspace), per-round (s, code, dim) means ROUNDED to 1e-6 (the
+    cross-engine re-anchor), squared-L2 reassignment rounded to 1e-6 with
+    ties to the lower code. Returns (cte_sql, final_assign_table,
+    final_codebook_table): assign has (vec_id, s, code); the codebook
+    (s, code, j, c) with j in 1..subdim."""
+    subdim = dim // m
+    parts = [
+        f"pa0 AS (SELECT vec_id, s, CAST(('0x' || substr(md5(CAST(vec_id AS "
+        f"VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 8))::BIGINT % {ksub} "
+        f"AS INT) AS code FROM embeddings, generate_series(0, {m - 1}) t(s))"
+    ]
+    prev = "pa0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"pcb{r} AS (SELECT p.s, p.code, j.j, "
+            f"round(avg(e.embedding[p.s * {subdim} + j.j]::DOUBLE), 6) AS c "
+            f"FROM embeddings e JOIN {prev} p ON p.vec_id = e.vec_id, "
+            f"generate_series(1, {subdim}) j(j) GROUP BY p.s, p.code, j.j)"
+        )
+        parts.append(
+            f"pd{r} AS (SELECT e.vec_id, cb.s, cb.code, "
+            f"round(sum((e.embedding[cb.s * {subdim} + cb.j]::DOUBLE - cb.c) "
+            f"* (e.embedding[cb.s * {subdim} + cb.j]::DOUBLE - cb.c)), 6) AS d "
+            f"FROM embeddings e CROSS JOIN pcb{r} cb "
+            f"GROUP BY e.vec_id, cb.s, cb.code)"
+        )
+        parts.append(
+            f"pa{r} AS (SELECT vec_id, s, code FROM ("
+            f"SELECT vec_id, s, code, row_number() OVER ("
+            f"PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM pd{r}) "
+            f"WHERE rn = 1)"
+        )
+        prev = f"pa{r}"
+    return ",\n".join(parts), prev, f"pcb{rounds}"
+
+
 def _pii_chain_ctes() -> str:
     """Sequential redaction CTEs s0..sN from text.PII_PATTERNS — the same
     order and patterns the Spark operators apply, so counts taken on the
@@ -369,6 +408,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_multiprobe_topk": similarity.ann_ivf_multiprobe_topk,
         "documents_jsonl_roundtrip": textio.documents_jsonl_roundtrip,
         "documents_csv_roundtrip": textio.documents_csv_roundtrip,
+        "pq_encode": similarity.pq_encode,
+        "ann_pq_adc_topk": similarity.ann_pq_adc_topk,
+        "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
+        "ann_pq_recall_audit": similarity.ann_pq_recall_audit,
     }
 
 
@@ -552,6 +595,86 @@ r AS (SELECT src, nbr, cos,
                   ORDER BY cos DESC, nbr ASC) AS INT) AS rk
       FROM cand)
 SELECT src, nbr, rk, round(cos, 4) AS cos_sim FROM r WHERE rk <= 3
+"""
+    # --- r10: product quantization (PQ / IVF-PQ) ---
+    # The oracle replays the full sub-quantizer training as unrolled CTEs
+    # (_pq_cte), then: codes = final assignment; ADC = per-query lookup
+    # table of (subspace, code) -> rounded squared L2, summed over the m
+    # stored codes and rounded to 1e-4 BEFORE ranking (both engines rank
+    # the rounded value with ties to the lower vec_id, so the selected
+    # top-k is hash-identical).
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators.similarity import (
+        PQ_KSUB,
+        PQ_M,
+        PQ_ROUNDS,
+    )
+
+    pq_cte, pq_a, pq_cb = _pq_cte(rounds=PQ_ROUNDS, m=PQ_M, ksub=PQ_KSUB)
+    pq_subdim = 64 // PQ_M
+    pq_encode_sql = f"""
+WITH {pq_cte}
+SELECT vec_id, CAST(s AS INT) AS sub, CAST(code AS INT) AS code FROM {pq_a}
+"""
+    _pq_qlut = f"""qlut AS (SELECT cb.s, cb.code,
+           round(sum((e.embedding[cb.s * {pq_subdim} + cb.j]::DOUBLE - cb.c)
+                     * (e.embedding[cb.s * {pq_subdim} + cb.j]::DOUBLE - cb.c)),
+                 6) AS d
+         FROM embeddings e CROSS JOIN {pq_cb} cb
+         WHERE e.vec_id = 0 GROUP BY cb.s, cb.code)"""
+    ann_pq_adc = f"""
+WITH {pq_cte},
+{_pq_qlut},
+adc AS (SELECT p.vec_id, round(sum(l.d), 4) AS adc_dist
+        FROM {pq_a} p JOIN qlut l ON l.s = p.s AND l.code = p.code
+        WHERE p.vec_id != 0 GROUP BY p.vec_id)
+SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+"""
+    ann_ivfpq = f"""
+WITH {km_cte},
+{pq_cte},
+pqprobes AS (SELECT cl FROM (
+               SELECT cl, row_number() OVER (ORDER BY dist_sq, cl) AS rn
+               FROM {km_d} WHERE vec_id = 0)
+             WHERE rn <= {IVF_JOIN_NPROBE}),
+{_pq_qlut},
+adc AS (SELECT p.vec_id, round(sum(l.d), 4) AS adc_dist
+        FROM {pq_a} p
+        JOIN {km_a} a ON a.vec_id = p.vec_id
+        JOIN qlut l ON l.s = p.s AND l.code = p.code
+        WHERE p.vec_id != 0 AND a.cl IN (SELECT cl FROM pqprobes)
+        GROUP BY p.vec_id)
+SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+"""
+    ann_pq_recall = f"""
+WITH {pq_cte},
+qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+       FROM embeddings WHERE vec_id < 50),
+gp AS (SELECT q.qid, e.vec_id AS nbr,
+              {_COS.format(a="e.embedding::DOUBLE[]", b="q.qe")} AS cos
+       FROM embeddings e JOIN qs q ON e.vec_id != q.qid),
+gr AS (SELECT qid, nbr,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, nbr ASC) AS rk
+       FROM gp),
+exact AS (SELECT qid, nbr FROM gr WHERE rk <= 3),
+qluts AS (SELECT q.qid, cb.s, cb.code,
+            round(sum((q.qe[cb.s * {pq_subdim} + cb.j] - cb.c)
+                      * (q.qe[cb.s * {pq_subdim} + cb.j] - cb.c)), 6) AS d
+          FROM qs q CROSS JOIN {pq_cb} cb GROUP BY q.qid, cb.s, cb.code),
+adc AS (SELECT l.qid, p.vec_id, round(sum(l.d), 4) AS dist
+        FROM {pq_a} p JOIN qluts l ON l.s = p.s AND l.code = p.code
+        WHERE p.vec_id != l.qid GROUP BY l.qid, p.vec_id),
+ak AS (SELECT qid, nbr FROM (
+         SELECT qid, vec_id AS nbr, row_number() OVER (PARTITION BY qid
+                ORDER BY dist, vec_id) AS rk FROM adc)
+       WHERE rk <= 3),
+perq AS (SELECT e.qid, count(a.nbr) / 3.0 AS recall
+         FROM exact e LEFT JOIN ak a ON a.qid = e.qid AND a.nbr = e.nbr
+         GROUP BY e.qid)
+SELECT CAST(count(*) AS BIGINT) AS n_queries, 3 AS k,
+       round(avg(recall), 4) AS mean_recall,
+       round(min(recall), 4) AS min_recall
+FROM perq
 """
     from project_samanvay_a_true_hybrid_htap_database_spark.functions.hashing import (
         hyperplanes,
@@ -2028,6 +2151,10 @@ GROUP BY label ORDER BY label
         # BLAS twin registered against the SAME oracle - the fast path
         # must be row-identical to the HOF form
         "knn_join_ivf_vectorized": knn_ivf,
+        "pq_encode": pq_encode_sql,
+        "ann_pq_adc_topk": ann_pq_adc,
+        "ann_ivfpq_topk": ann_ivfpq,
+        "ann_pq_recall_audit": ann_pq_recall,
         "pii_scrub": _pii_scrub_sql(),
         "pii_report": _pii_report_sql(),
         # Count-Min grid replayed with the same row-salted md5 buckets —

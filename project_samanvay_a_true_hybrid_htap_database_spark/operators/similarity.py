@@ -1561,3 +1561,430 @@ def ann_ivf_recall_audit(
             for np_ in nprobes
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN (r10)
+#
+# The missing third leg of the production ANN stack: IVF prunes WHICH lists
+# a query scans, LSH/projection cheapen the CANDIDATE ranking, PQ compresses
+# the VECTORS themselves — m sub-quantizers of ksub codes each turn a
+# dim-double vector into m small ints (here 16 x 4-bit codes for a 64-dim
+# vector: 256 float32 bytes -> 8 bytes), and serving ranks candidates in
+# the compressed domain via an asymmetric-distance (ADC) lookup table built
+# once per query (Jégou et al., "Product Quantization for Nearest Neighbor
+# Search", TPAMI 2011 — public knowledge). At 100 TB this is the difference
+# between an index that fits in cluster memory and one that does not:
+# 1 B vectors x 64 dims of float = 256 GB raw, 8 GB as PQ codes. The m knob
+# trades compression for fidelity; the measured curve on THIS corpus
+# (RECALL_r10.json, tools/recall_probe.py, sf0.01) is recall@3 = 0.0733 /
+# 0.1667 / 0.34 / 0.4667 at m = 4 / 8 / 16 / 32 — near-uniform synthetic
+# vectors are PQ's worst case (concentration of measure: pairwise distances
+# cluster tightly, so quantization noise swamps the ranking margin); real
+# embedding corpora have low intrinsic dimension and retain far more. That
+# is exactly the decision the ann_pq_recall_audit instrument exists to make
+# per-corpus before a 100 TB serving rollout.
+#
+# Everything is deterministic and cross-engine reproducible by the same
+# construction as learned_centroids: md5-bucket init per (vector, subspace),
+# fixed Lloyd rounds with per-round 1e-6 re-anchoring, squared-L2 argmin
+# rounded to 1e-6 with ties to the lower code — so the DuckDB oracle replays
+# the identical training as unrolled SQL and the driver hash-checks codes,
+# ADC top-k, and the recall audit end-to-end.
+# ---------------------------------------------------------------------------
+
+PQ_M = 16       # subspaces (64-dim embedding -> 16 x 4-dim sub-vectors)
+PQ_KSUB = 16    # codes per subspace (4-bit sub-quantizers)
+PQ_ROUNDS = 3   # fixed Lloyd rounds per sub-quantizer
+_PQ_MEMO: dict[str, list] = {}
+
+
+def _pq_subs(emb: DataFrame, m: int, subdim: int) -> DataFrame:
+    """(vec_id, s, subvec): each embedding split into its m sub-vectors —
+    one posexplode over an array of slices, still a single scan."""
+    return emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("embedding", s * subdim + 1, subdim).cast(
+                        "array<double>"
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("s", "subvec"),
+    )
+
+
+def _pq_cb_df(spark: SparkSession, cb: list) -> DataFrame:
+    """The trained codebook as ONE broadcastable row of
+    array<struct<s,c,v>> — m·ksub·subdim doubles, bounded by construction
+    (4 KB here; m=16 x ksub=256 x subdim=64 at production scale is still
+    2 MB). Data, not literals, unconditionally: the codebook is consulted
+    via higher-order filter/transform, so the plan stays O(1) nodes at any
+    (m, ksub) — the lesson _dist_structs_col's k-gate encodes
+    (VERDICT r9 #2), applied from the start."""
+    return spark.createDataFrame(
+        [([(int(s), int(c), [float(x) for x in v]) for s, c, v in cb],)],
+        "_pqcb array<struct<s:int,c:int,v:array<double>>>",
+    )
+
+
+def _pq_assign(subs: DataFrame, cb: list) -> DataFrame:
+    """(vec_id, s, subvec, code): each sub-vector's nearest codebook entry
+    within its OWN subspace — squared L2 rounded to 1e-6, ties to the
+    lower code (the kmeans_assign argmin contract). One broadcast
+    single-row crossJoin, no shuffle."""
+    spark = subs.sparkSession
+    structs = F.transform(
+        F.filter(F.col("_pqcb"), lambda e: e["s"] == F.col("s")),
+        lambda e: F.struct(
+            F.round(_sq_dist(F.col("subvec"), e["v"]), 6).alias("d"),
+            e["c"].alias("l"),
+        ),
+    )
+    return (
+        subs.crossJoin(F.broadcast(_pq_cb_df(spark, cb)))
+        .withColumn("_dl", F.array_min(structs))
+        .select(
+            "vec_id", "s", "subvec", F.col("_dl")["l"].alias("code")
+        )
+    )
+
+
+def learned_pq_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    rounds: int = PQ_ROUNDS,
+) -> list:
+    """Fixed-round Lloyd training of the m sub-quantizers — ALL subspaces
+    in the same jobs (the subspace id is just another grouping key), so a
+    round costs one scan + one partial-agg shuffle regardless of m:
+
+    - init: code = md5(vec_id || ':' || s) % ksub — per-(vector, subspace)
+      md5 bucketing, the repo's portable seeding (row-order-free);
+    - round: per-(s, code, dim) mean ROUNDED to 1e-6 (the cross-engine
+      re-anchor learned_centroids established), then reassign every
+      sub-vector to its nearest code within its subspace.
+
+    The m·ksub x subdim codebook collects to the driver (bounded by
+    construction) and re-enters the next round as broadcast DATA via
+    _pq_assign. Dead codes stay dead — both engines replay the same
+    deaths. Memoized per table identity. Returns [(s, code, [floats])]
+    sorted."""
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        key = f"{src}|{st.st_size}|{st.st_mtime_ns}|{m}|{ksub}|{rounds}"
+    except OSError:
+        key = f"{src}|nostat|{m}|{ksub}|{rounds}"
+    if key in _PQ_MEMO:
+        return _PQ_MEMO[key]
+
+    from ..functions.hashing import md5_long32
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.select("embedding").head()["embedding"])
+    subdim = dim // m
+    subs = _pq_subs(emb, m, subdim)
+    assigned = subs.select(
+        "vec_id",
+        "s",
+        "subvec",
+        (
+            md5_long32(
+                F.concat(
+                    F.col("vec_id").cast("string"),
+                    F.lit(":"),
+                    F.col("s").cast("string"),
+                )
+            )
+            % ksub
+        ).cast("int").alias("code"),
+    )
+    cb: list = []
+    for _ in range(rounds):
+        # Two grouping stages, struct argmin kept OUT of the generator
+        # projection — the same analyzer quirk learned_centroids documents.
+        rows = (
+            assigned.select("s", "code", F.posexplode("subvec").alias("j", "x"))
+            .groupBy("s", "code", "j")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+            .groupBy("s", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "c"))),
+                    lambda t: t["c"],
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        cb = sorted(
+            (int(r["s"]), int(r["code"]), [float(x) for x in r["cvec"]])
+            for r in rows
+        )
+        assigned = _pq_assign(subs, cb)
+    _PQ_MEMO[key] = cb
+    return cb
+
+
+def pq_encode(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    rounds: int = PQ_ROUNDS,
+) -> DataFrame:
+    """The compressed corpus: every vector's m PQ codes, one (vec_id, sub,
+    code) row per subspace. One scan + the broadcast codebook — this is
+    the table a 100 TB deployment stores INSTEAD of raw embeddings for
+    serving (8 bytes/vector here vs 256 of float32)."""
+    cb = learned_pq_codebooks(spark, sf_dir, m=m, ksub=ksub, rounds=rounds)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.select("embedding").head()["embedding"])
+    subs = _pq_subs(emb, m, dim // m)
+    return _pq_assign(subs, cb).select(
+        "vec_id",
+        F.col("s").cast("int").alias("sub"),
+        F.col("code").cast("int").alias("code"),
+    )
+
+
+def build_pq_index(spark: SparkSession, sf_dir: str) -> str:
+    """One-time IVF-PQ layout: (vec_id, codes array<int>) partitioned by
+    the LEARNED coarse cluster (the same learned_centroids lists every IVF
+    operator probes). The serving scans below read ONLY this index — never
+    the raw embedding table — which is the entire point of PQ: at 100 TB
+    the codes table is ~250x smaller than the vectors, and a probe reads
+    nprobe partitions of it. Idempotent per table identity."""
+    import os
+
+    # the layout depends on the quantizer geometry, so the idempotence key
+    # carries (m, ksub, rounds) alongside the table identity — a constants
+    # change must rebuild, not silently serve codes of the old shape
+    out_dir = _index_dir(
+        f"ivfpq_index_m{PQ_M}k{PQ_KSUB}r{PQ_ROUNDS}", sf_dir
+    )
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir
+    cb = learned_pq_codebooks(spark, sf_dir)
+    cents = learned_centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.select("embedding").head()["embedding"])
+    codes = (
+        _pq_assign(_pq_subs(emb, PQ_M, dim // PQ_M), cb)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "code"))),
+                lambda t: t["code"],
+            ).alias("codes")
+        )
+    )
+    coarse = _with_nearest_centroid(emb, cents, "embedding", "_b").select(
+        "vec_id", F.col("_b")["l"].alias("cluster")
+    )
+    (
+        codes.join(coarse, "vec_id")
+        .repartition("cluster")
+        .write.partitionBy("cluster")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def _pq_query_lut(
+    spark: SparkSession, sf_dir: str, cb: list, vec_id: int, m: int, subdim: int
+) -> dict:
+    """The query's ADC lookup table {(s, code): rounded squared L2} —
+    computed by the SAME Spark fold (_sq_dist + F.round HALF_UP) that
+    trained the codebook, not driver-side Python (whose round() is
+    half-to-even — a real cross-engine hazard at exact .5e-7 boundaries).
+    One single-row job; m·ksub values out."""
+    qsubs = _pq_subs(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id),
+        m,
+        subdim,
+    )
+    rows = (
+        qsubs.crossJoin(F.broadcast(_pq_cb_df(spark, cb)))
+        .select(
+            "s",
+            "subvec",
+            F.explode(
+                F.filter(F.col("_pqcb"), lambda e: e["s"] == F.col("s"))
+            ).alias("e"),
+        )
+        .select(
+            "s",
+            F.col("e")["c"].alias("c"),
+            F.round(_sq_dist(F.col("subvec"), F.col("e")["v"]), 6).alias("d"),
+        )
+        .collect()
+    )
+    return {(int(r["s"]), int(r["c"])): float(r["d"]) for r in rows}
+
+
+def _adc_expr(lut: dict, m: int, ksub: int):
+    """ADC distance over a ``codes`` array column: sum over subspaces of
+    LUT[s][codes[s]] — the lut folds into the plan as m·ksub literal
+    doubles (64 here; 4096 at production m=16 x ksub=256 — constants, not
+    per-centroid structs, so no analyzer blowup), making the serving scan
+    pure whole-stage-codegen arithmetic with zero joins."""
+    lut_arr = F.array(
+        *[
+            F.array(*[F.lit(lut.get((s, c), float("inf"))) for c in range(ksub)])
+            for s in range(m)
+        ]
+    )
+    terms = [
+        F.element_at(F.element_at(lut_arr, s + 1), F.col("codes")[s] + 1)
+        for s in range(m)
+    ]
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return F.round(total, 4)
+
+
+def ann_pq_adc_topk(
+    spark: SparkSession, sf_dir: str, vec_id: int = QUERY_VEC_ID, k: int = TOP_K
+) -> DataFrame:
+    """Asymmetric-distance top-k over the FLAT compressed corpus: one scan
+    of the PQ codes index (never the raw vectors), ADC arithmetic from the
+    literal per-query LUT, TakeOrderedAndProject for the k rows. Both
+    engines rank by the ROUNDED distance (1e-4) with ties to the lower
+    vec_id, so the selected set is hash-identical. The exhaustive-ADC
+    baseline FAISS calls IndexPQ — ann_ivfpq_topk adds the list pruning."""
+    cb = learned_pq_codebooks(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.select("embedding").head()["embedding"])
+    lut = _pq_query_lut(spark, sf_dir, cb, vec_id, PQ_M, dim // PQ_M)
+    codes = spark.read.parquet(build_pq_index(spark, sf_dir))
+    scored = codes.filter(F.col("vec_id") != vec_id).select(
+        "vec_id", _adc_expr(lut, PQ_M, PQ_KSUB).alias("adc_dist")
+    )
+    return scored.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc()).limit(k)
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """IVF-PQ serving — the full production composition: the query's
+    nprobe nearest LEARNED coarse lists become a literal IN-list over the
+    partitioned codes index (PartitionFilters prune to nprobe lists), and
+    the surviving codes rank by ADC. At 100 TB a query touches
+    nprobe/n_lists of a table that is itself ~250x smaller than the
+    vectors — the standard FAISS IVFPQ shape, expressed as a pruned
+    parquet scan + codegen arithmetic + TakeOrderedAndProject."""
+    if nprobe is None:
+        nprobe = IVF_JOIN_NPROBE
+    cb = learned_pq_codebooks(spark, sf_dir)
+    cents = learned_centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.select("embedding").head()["embedding"])
+    lut = _pq_query_lut(spark, sf_dir, cb, vec_id, PQ_M, dim // PQ_M)
+    probes = _query_probe_clusters(spark, sf_dir, vec_id, cents, nprobe)
+    codes = spark.read.parquet(build_pq_index(spark, sf_dir))
+    scored = (
+        codes.filter(F.col("cluster").isin(probes))  # nprobe-partition pruned
+        .filter(F.col("vec_id") != vec_id)
+        .select("vec_id", _adc_expr(lut, PQ_M, PQ_KSUB).alias("adc_dist"))
+    )
+    return scored.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc()).limit(k)
+
+
+def ann_pq_recall_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    n_queries: int = 50,
+    m: int = PQ_M,
+) -> DataFrame:
+    """Measured recall@k of exhaustive-ADC ranking vs exact global kNN on
+    the audit sample — what quantization alone costs, BEFORE any list
+    pruning (compare ann_ivf_recall_audit, which measures pruning alone on
+    exact distances). The quartet {label 0.08, sign-LSH, learned-IVF, PQ}
+    is the complete quantizer decision kit for a 100 TB corpus pass.
+
+    Scale shape: per-query LUTs are a broadcast (sample x m·ksub) table —
+    the asymmetric trick means the corpus side never touches a raw vector,
+    only a broadcast-hash-join on (s, code) and a partial-agg sum over m
+    rows per (query, vector). Exact side is the shared _exact_knn
+    verifier. One row out."""
+    cb = learned_pq_codebooks(spark, sf_dir, m=m)
+    emb = _audit_emb(spark, sf_dir)
+    sample = _audit_sample(emb, n_queries)
+    exact = _exact_knn(emb, sample, k)
+    dim = len(emb.select("embedding").head()["embedding"])
+    ksub, subdim = PQ_KSUB, dim // m
+
+    # per-query LUT rows (qid, s, c, d) — sample x m·ksub, broadcast-sized
+    qsubs = sample.select(
+        F.col("qid"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice("qemb", s * subdim + 1, subdim).cast("array<double>")
+                    for s in range(m)
+                ]
+            )
+        ).alias("s", "subvec"),
+    )
+    luts = (
+        qsubs.crossJoin(F.broadcast(_pq_cb_df(spark, cb)))
+        .select(
+            "qid",
+            "s",
+            "subvec",
+            F.explode(
+                F.filter(F.col("_pqcb"), lambda e: e["s"] == F.col("s"))
+            ).alias("e"),
+        )
+        .select(
+            "qid",
+            "s",
+            F.col("e")["c"].alias("code"),
+            F.round(_sq_dist(F.col("subvec"), F.col("e")["v"]), 6).alias("d"),
+        )
+    )
+    codes = pq_encode(spark, sf_dir, m=m).withColumnRenamed("sub", "s")
+    adc = (
+        codes.join(F.broadcast(luts), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("d"), 4).alias("adc_dist"))
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("qid").orderBy(
+            F.col("adc_dist").asc(), F.col("vec_id").asc()
+        )
+    )
+    pq_top = (
+        adc.withColumn("rk", rk)
+        .filter(F.col("rk") <= k)
+        .select("qid", F.col("vec_id").alias("nbr"), F.lit(1).alias("hit"))
+    )
+    per_q = (
+        exact.join(pq_top, ["qid", "nbr"], "left")
+        .groupBy("qid")
+        .agg((F.count("hit") / F.lit(k)).alias("recall"))
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.lit(k).alias("k"),
+        F.round(F.avg("recall"), 4).alias("mean_recall"),
+        F.round(F.min("recall"), 4).alias("min_recall"),
+    )

@@ -679,3 +679,61 @@ class TestSingleScanTokenPipeline:
         assert "ReusedExchange" in p, (
             "the corpus-total branch no longer reuses the per-doc exchange"
         )
+
+
+class TestPQServing:
+    """r10: the IVF-PQ serving contract — queries rank COMPRESSED codes,
+    never raw vectors, and the coarse probe reaches the codes index as a
+    partition filter. At 100 TB the codes table is ~32x smaller than the
+    embeddings; a serving scan that still touches embeddings.parquet would
+    silently forfeit the entire compression win."""
+
+    def test_adc_scan_reads_codes_not_vectors(self, spark):
+        df = similarity.ann_pq_adc_topk(spark, SF_DIR)
+        p = plan(df)
+        assert "ivfpq_index" in p, "serving must scan the PQ codes index"
+        assert "embeddings.parquet" not in p, (
+            "ADC serving plan touches the raw vector table"
+        )
+        # ADC arithmetic stays in codegen: no Python eval in the scan
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    def test_adc_topk_is_take_ordered(self, spark):
+        p = plan(similarity.ann_pq_adc_topk(spark, SF_DIR))
+        assert "TakeOrderedAndProject" in p
+
+    def test_ivfpq_scan_prunes_to_nprobe_partitions(self, spark):
+        df = similarity.ann_ivfpq_topk(spark, SF_DIR)
+        p = plan(df)
+        pf = p.split("PartitionFilters")[1][:300] if "PartitionFilters" in p else ""
+        assert "cluster" in pf and "IN" in pf.upper(), f"no IN prune: {pf!r}"
+        assert "embeddings.parquet" not in p
+
+    def test_ivfpq_is_flat_adc_restricted(self, spark):
+        """List pruning must only REMOVE candidates: the IVF-PQ top-k is
+        exactly the flat-ADC ranking restricted to the probed lists, so
+        every IVF-PQ hit appears in the flat ADC pool with the same
+        rounded distance."""
+        flat = {
+            r["vec_id"]: r["adc_dist"]
+            for r in similarity.ann_pq_adc_topk(spark, SF_DIR, k=10_000).collect()
+        }
+        pruned = similarity.ann_ivfpq_topk(spark, SF_DIR).collect()
+        assert 0 < len(pruned) <= 10
+        for r in pruned:
+            assert flat[r["vec_id"]] == r["adc_dist"]
+
+    def test_codes_are_within_codebook_range(self, spark):
+        from pyspark.sql import functions as F
+
+        enc = similarity.pq_encode(spark, SF_DIR)
+        bad = enc.filter(
+            (F.col("code") < 0)
+            | (F.col("code") >= similarity.PQ_KSUB)
+            | (F.col("sub") < 0)
+            | (F.col("sub") >= similarity.PQ_M)
+        ).count()
+        assert bad == 0
+        # every vector carries exactly m codes
+        n_vec = enc.select("vec_id").distinct().count()
+        assert enc.count() == n_vec * similarity.PQ_M

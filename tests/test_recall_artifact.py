@@ -123,3 +123,23 @@ class TestLearnedQuantizer:
         for a, b in zip(wcss, wcss[1:]):
             assert b <= a + 1e-6, wcss
         assert wcss[-1] < wcss[0] - 1e-6, wcss
+
+    def test_pq_compression_curve(self):
+        """r10: the committed PQ figures must show the m-vs-recall
+        monotonicity the PQ_M=16 default and its docstring cite
+        (RECALL_r10.json: 0.0733 / 0.1667 / 0.34 / 0.4667 at m=4/8/16/32),
+        and the registered default must clear the floor that made 16 the
+        pick over 8."""
+        doc = _latest_artifact()
+        if "pq_adc" not in doc:
+            pytest.skip("artifact predates the PQ audits")
+        m4 = doc["pq_adc_m4"]["mean_recall"]
+        m8 = doc["pq_adc_m8"]["mean_recall"]
+        m16 = doc["pq_adc"]["mean_recall"]
+        m32 = doc["pq_adc_m32"]["mean_recall"]
+        assert m4 < m8 < m16 < m32
+        assert m16 >= 0.30
+        for key in ("pq_adc", "pq_adc_m4", "pq_adc_m8", "pq_adc_m32"):
+            row = doc[key]
+            assert row["k"] == 3 and row["n_queries"] == 50
+            assert 0.0 <= row["mean_recall"] <= 1.0

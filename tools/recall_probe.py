@@ -30,6 +30,13 @@ AUDITS = [
     # the nprobe curve beyond the registered default (VERDICT r9 #8):
     # the measured basis for whether knn_join_ivf_* should probe deeper
     ("learned_ivf_deep", "ann_ivf_recall_audit", {"nprobes": (3, 4)}),
+    # r10: exhaustive-ADC recall of the product quantizer at the registered
+    # m (16) plus the compression curve — the measured basis for the
+    # PQ_M default and the docstring's m-vs-recall tradeoff figures
+    ("pq_adc", "ann_pq_recall_audit", {}),
+    ("pq_adc_m4", "ann_pq_recall_audit", {"m": 4}),
+    ("pq_adc_m8", "ann_pq_recall_audit", {"m": 8}),
+    ("pq_adc_m32", "ann_pq_recall_audit", {"m": 32}),
 ]
 
 
