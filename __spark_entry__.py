@@ -412,6 +412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_adc_topk": similarity.ann_pq_adc_topk,
         "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
         "ann_pq_recall_audit": similarity.ann_pq_recall_audit,
+        "decontaminate_bloom": dedup.decontaminate_bloom,
+        "dsir_importance_weights": sampling.dsir_importance_weights,
     }
 
 
@@ -1938,6 +1940,59 @@ FROM j
         "embedding_neardup_pairs": emb_pairs,
         # BLAS twin — same oracle (row-identical; gates compare after round(4))
         "embedding_neardup_pairs_vectorized": emb_pairs,
+        # r10: Bloom-filter decontamination — the oracle replays the exact
+        # bitmap (same md5 positions, 32-bit words) so false positives
+        # reproduce bit-for-bit and the gate hashes the full output
+        "decontaminate_bloom": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+shl AS (SELECT doc_id, {_SHINGLES} AS S FROM toks),
+ev AS (SELECT DISTINCT unnest(S) AS s FROM shl WHERE doc_id < 50),
+pos AS (SELECT ('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || '|' || s),
+                1, 8))::BIGINT % {dedup.BLOOM_BITS} AS p
+        FROM ev, generate_series(0, {dedup.BLOOM_HASHES - 1}) t(i)),
+bm AS (SELECT CAST(p // 32 AS INT) AS w,
+              bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+       FROM pos GROUP BY 1),
+tr AS (SELECT doc_id, unnest(S) AS s FROM shl WHERE doc_id >= 50),
+tp AS (SELECT doc_id, s,
+              ('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || '|' || s),
+               1, 8))::BIGINT % {dedup.BLOOM_BITS} AS p
+       FROM tr, generate_series(0, {dedup.BLOOM_HASHES - 1}) t(i)),
+th AS (SELECT doc_id, s,
+              bool_and(coalesce((b.bits >> CAST(tp.p % 32 AS INT)) & 1, 0) = 1)
+                AS hit
+       FROM tp LEFT JOIN bm b ON b.w = CAST(tp.p // 32 AS INT)
+       GROUP BY doc_id, s)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0 AS flagged
+FROM th GROUP BY doc_id
+""",
+        # r10: DSIR — identical division tree inside ln() both engines;
+        # per-doc sums rounded to 1e-4 before output and flag
+        "dsir_importance_weights": f"""
+WITH tk AS (SELECT doc_id, source, unnest({_TOKS}) AS tok FROM documents),
+tb AS (SELECT doc_id, source,
+              CAST(('0x' || substr(md5('dsir|' || tok), 1, 8))::BIGINT
+                   % {sampling.DSIR_BUCKETS} AS INT) AS b
+       FROM tk),
+hist AS (SELECT b,
+                sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+                sum(CASE WHEN source != 'src0' THEN 1 ELSE 0 END) AS cr
+         FROM tb GROUP BY b),
+tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM hist),
+w AS (SELECT b, ln(((ct + {sampling.DSIR_SMOOTH})
+                    / (tt + {sampling.DSIR_SMOOTH} * {sampling.DSIR_BUCKETS}))
+                   / ((cr + {sampling.DSIR_SMOOTH})
+                      / (tr + {sampling.DSIR_SMOOTH} * {sampling.DSIR_BUCKETS})))
+               AS lw
+      FROM hist, tot),
+sc AS (SELECT t.doc_id, count(*) AS n_tokens, round(sum(w.lw), 4) AS log_weight
+       FROM tb t JOIN w USING (b) WHERE t.source != 'src0' GROUP BY t.doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, log_weight,
+       log_weight > 0 AS selected
+FROM sc
+""",
         "decontaminate_ngram_overlap": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
 shl AS (SELECT doc_id, {_SHINGLES} AS S FROM toks),

@@ -860,6 +860,92 @@ def decontaminate_semantic(
     )
 
 
+BLOOM_BITS = 65536   # filter size (8 KB) — fixed regardless of eval-set size
+BLOOM_HASHES = 3     # hash functions; fp rate ~(nh/m)^h, ~1e-9 at test load
+
+
+def decontaminate_bloom(
+    spark: SparkSession,
+    sf_dir: str,
+    bench_max_id: int = 50,
+    m_bits: int = BLOOM_BITS,
+    h: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Bloom-filter decontamination — the FIXED-MEMORY form of
+    decontaminate_ngram_overlap. The exact-join form broadcasts the eval
+    shingle SET (size grows with the eval corpus); this one compresses the
+    eval side into an m-bit Bloom bitmap (h md5-derived positions per
+    shingle, 32-bit words OR-ed by a partial agg) that stays 8 KB no
+    matter how large the blocklist grows — the shape you need when the
+    "eval" side is itself corpus-scale (every benchmark ever published, a
+    URL/content blocklist, another provider's training set). The probe is
+    pure bit arithmetic inside the corpus scan: no join against the
+    blocklist at all, one explode + one doc-keyed partial agg.
+
+    Bloom semantics are one-sided: n_hits can only OVERCOUNT n_shared
+    (false positives, never false negatives) — deterministic given the
+    hash family, so the DuckDB oracle reproduces the exact same bit
+    pattern and the gate hash-checks the full output (the same
+    replay-the-sketch discipline as token_count_min). Docs shorter than
+    one shingle carry no evidence and are excluded (both engines drop
+    them at the explode). Output: (doc_id, n_shingles, n_hits, flagged).
+    """
+    from ..functions.caching import bounded_persist
+    from ..functions.hashing import md5_long32
+
+    sh = bounded_persist(
+        _doc_shingles(spark, sf_dir), "bloom_shingles", scope=sf_dir
+    )
+
+    def _pos(i: int):
+        return md5_long32(F.concat(F.lit(f"bf{i}|"), F.col("s"))) % m_bits
+
+    # build: distinct eval shingles -> h positions -> 32-bit words OR-ed
+    ev = (
+        sh.filter(F.col("doc_id") < bench_max_id)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    words = (
+        ev.select(F.explode(F.array(*[_pos(i) for i in range(h)])).alias("p"))
+        .select(
+            (F.col("p") / 32).cast("int").alias("w"),
+            (F.col("p") % 32).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), b))").alias("bits"))
+        .collect()
+    )
+    got = {int(r["w"]): int(r["bits"]) for r in words}
+    bitmap = [got.get(w, 0) for w in range(m_bits // 32)]
+    one = spark.createDataFrame([(bitmap,)], "_bm array<bigint>")
+
+    # probe: h bit tests per corpus shingle, all inside the scan stage
+    probed = (
+        sh.filter(F.col("doc_id") >= bench_max_id)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .crossJoin(F.broadcast(one))
+    )
+    for i in range(h):
+        probed = probed.withColumn(f"p{i}", _pos(i))
+    hit = None
+    for i in range(h):
+        t = F.expr(
+            f"(shiftrightunsigned(element_at(_bm, cast(p{i} div 32 as int) + 1),"
+            f" cast(p{i} % 32 as int)) & 1) = 1"
+        )
+        hit = t if hit is None else (hit & t)
+    return (
+        probed.withColumn("hit", hit)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).alias("n_hits"),
+        )
+        .withColumn("flagged", F.col("n_hits") > 0)
+    )
+
+
 def dedup_groups(spark: SparkSession, sf_dir: str, max_iters: int = 20) -> DataFrame:
     """Near-duplicate clustering: connected components over the verified
     n-gram-Jaccard pair graph, each doc labeled with its component's min

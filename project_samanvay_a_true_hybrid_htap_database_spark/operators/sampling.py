@@ -338,6 +338,82 @@ def temperature_resample(
     )
 
 
+DSIR_BUCKETS = 1024  # hashed-feature dimensionality (fixed-size histograms)
+DSIR_SMOOTH = 0.5    # add-k smoothing so unseen buckets stay finite
+
+
+def dsir_importance_weights(
+    spark: SparkSession,
+    sf_dir: str,
+    target_source: str = "src0",
+    buckets: int = DSIR_BUCKETS,
+    smooth: float = DSIR_SMOOTH,
+) -> DataFrame:
+    """Data selection via importance resampling (DSIR — Xie et al. 2023,
+    public method): score every raw document by how target-like its
+    hashed-token features are, logw(doc) = sum over tokens of
+    ln(p_target[bucket] / p_raw[bucket]) with add-k smoothing — the
+    standard cheap proxy for "train on data that looks like the domain I
+    care about" (here ``target_source`` stands in for the target domain;
+    the published method hashes n-grams — unigrams keep the oracle exact
+    without changing the shape).
+
+    Scale shape: the feature space is FIXED at ``buckets`` cells, so both
+    domain histograms come out of ONE corpus-token pass as a single
+    bucket-keyed partial agg (a 1024-row table regardless of corpus
+    size), the log-ratio weight table broadcasts, and scoring is a
+    broadcast hash join + one doc-keyed partial agg over the exploded
+    tokens — no corpus-corpus join anywhere. At 100 TB this is two scans
+    (histogram, score) of the token stream and nothing else.
+
+    Cross-engine contract: bucket ids via the portable md5 hash; the ln
+    argument is assembled with the exact same division tree both sides
+    (IEEE-exact), and per-doc sums round to 1e-4 before the output and the
+    ``selected`` flag (libm ulp drift and summation order cannot flip a
+    digit). Output: (doc_id, n_tokens, log_weight, selected) for every
+    non-target doc."""
+    from ..functions.hashing import md5_long32
+    from ..functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    tb = docs.select(
+        "doc_id",
+        "source",
+        F.explode(tokens("text")).alias("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        (md5_long32(F.concat(F.lit("dsir|"), F.col("tok"))) % buckets)
+        .cast("int")
+        .alias("b"),
+    )
+    is_t = F.col("source") == target_source
+    hist = tb.groupBy("b").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).alias("cr"),
+    )
+    tot = hist.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    w = hist.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.log(
+            ((F.col("ct") + smooth) / (F.col("tt") + smooth * buckets))
+            / ((F.col("cr") + smooth) / (F.col("tr") + smooth * buckets))
+        ).alias("lw"),
+    )
+    scored = (
+        tb.filter(~is_t)
+        .join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("lw"), 4).alias("log_weight"),
+        )
+    )
+    return scored.withColumn("selected", F.col("log_weight") > 0)
+
+
 def packing_efficiency(
     spark: SparkSession, sf_dir: str, budget: int = 512, shards: int = 8
 ) -> DataFrame:

@@ -103,3 +103,31 @@ def test_ngram_jaccard_matches_bruteforce(spark, corpus):
         import shutil
 
         shutil.rmtree(d, ignore_errors=True)
+
+
+class TestBloomOneSided:
+    """decontaminate_bloom (r10): Bloom membership can only OVERCOUNT —
+    every doc the exact-join decontamination flags must be flagged by the
+    Bloom form with n_hits >= n_shared, and no doc the exact form sees as
+    sharing k shingles may report fewer than k Bloom hits."""
+
+    def test_bloom_dominates_exact_join(self, spark):
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+            dedup,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        exact = {
+            r["doc_id"]: r["n_shared"]
+            for r in dedup.decontaminate_ngram_overlap(spark, sf).collect()
+        }
+        bloom = {
+            r["doc_id"]: (r["n_hits"], r["flagged"])
+            for r in dedup.decontaminate_bloom(spark, sf).collect()
+        }
+        assert exact, "exact decontamination found nothing to compare"
+        for doc_id, n_shared in exact.items():
+            n_hits, flagged = bloom[doc_id]
+            assert flagged and n_hits >= n_shared, (
+                f"doc {doc_id}: bloom {n_hits} < exact {n_shared}"
+            )

