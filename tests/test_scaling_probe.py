@@ -94,6 +94,13 @@ def _warm_time(fn, spark, sf_dir):
         # the eval-broadcast decontamination linear-in-train (0.8x)
         ("pii_scrub_ner", text.pii_scrub_ner),
         ("decontaminate_semantic", dedup.decontaminate_semantic),
+        # r10: the fixed-memory Bloom probe is bit arithmetic in the scan
+        # (measured 1.0x at 10x) and DSIR is two token-stream scans against
+        # fixed 1024-bucket histograms (measured 4.7x at 10x min-of-3 —
+        # linear token volume; the PQ serving ops hold ~0.9x and live in
+        # the tool's embeddings family, index-build amortized)
+        ("decontaminate_bloom", dedup.decontaminate_bloom),
+        ("dsir_importance_weights", sampling.dsir_importance_weights),
     ],
 )
 def test_corpus_operator_scales_subquadratically(spark, scaled_dirs, name, fn):

@@ -245,6 +245,8 @@ def main() -> None:
             # r10 text-family additions
             ("pii_scrub_ner", text.pii_scrub_ner),
             ("temperature_resample", sampling.temperature_resample),
+            ("decontaminate_bloom", dedup.decontaminate_bloom),
+            ("dsir_importance_weights", sampling.dsir_importance_weights),
         ],
         "embeddings": [
             ("embedding_neardup_pairs_vectorized", dedup.embedding_neardup_pairs_vectorized),
@@ -254,6 +256,12 @@ def main() -> None:
             # r10 vector-family additions
             ("decontaminate_semantic", dedup.decontaminate_semantic),
             ("ann_ivf_multiprobe_topk", similarity.ann_ivf_multiprobe_topk),
+            # r10 PQ family: codebook training is index-build cost (memoized
+            # per table identity), so the probe measures train+encode at 1x
+            # vs 10x and the ADC serving scan separately
+            ("pq_encode", similarity.pq_encode),
+            ("ann_pq_adc_topk", similarity.ann_pq_adc_topk),
+            ("ann_ivfpq_topk", similarity.ann_ivfpq_topk),
         ],
         "tpch": [
             ("tpch_q1", analytics.tpch_q1_pricing_summary),
