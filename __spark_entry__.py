@@ -414,6 +414,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_recall_audit": similarity.ann_pq_recall_audit,
         "decontaminate_bloom": dedup.decontaminate_bloom,
         "dsir_importance_weights": sampling.dsir_importance_weights,
+        "bigram_lm_score": text.bigram_lm_score,
+        "token_budget_select": sampling.token_budget_select,
     }
 
 
@@ -1092,6 +1094,55 @@ FROM base JOIN sh USING (doc_id)
         # Mirrors the Spark decomposition exactly: ln(N) - Σc·ln(ctok)/Σc
         # (NOT the mathematically-equal -Σc·ln(ctok/N)/Σc — different float
         # sequence, different last bits under the 1e-6 floor).
+        # r10: bigram LM cross-entropy — window-sum counts (no vocab
+        # join-back), identical ln decomposition both engines, 1e-6 floor
+        "bigram_lm_score": f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+bg AS (SELECT doc_id,
+              unnest(list_transform(generate_series(1, len(T) - 1),
+                     i -> {{'w1': T[i], 'w2': T[i + 1]}})) AS p
+       FROM tk WHERE len(T) >= 2),
+pd AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS c
+       FROM bg GROUP BY 1, 2, 3),
+wc AS (SELECT doc_id, c,
+              sum(c) OVER (PARTITION BY w1, w2) AS c2,
+              sum(c) OVER (PARTITION BY w1) AS c1
+       FROM pd),
+v AS (SELECT count(DISTINCT tok) AS vs
+      FROM (SELECT unnest(T) AS tok FROM tk)),
+sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+              sum(c * (ln(c1 + 0.5 * vs) - ln(c2 + 0.5))) / sum(c) AS ce
+       FROM wc, v GROUP BY doc_id)
+SELECT doc_id, n_bigrams, floor(ce * 1e6) / 1e6 AS cross_entropy FROM sc
+""",
+        # r10: token-budget selection — the mixture CTE is the
+        # source_mixture_weights oracle; ranking on the ROUNDED quality
+        # with doc_id ties, prefix sum per source
+        "token_budget_select": f"""
+WITH tk AS (SELECT doc_id, source, text, {_TOKS} AS T FROM documents),
+q AS (SELECT doc_id, source, len(T) AS n_tokens,
+             round(least(len(T) / 100.0, 1.0) * 0.4
+                   + (len(list_distinct(T))::DOUBLE / len(T)) * 0.3
+                   + (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE
+                      / length(text)) * 0.3, 4) AS quality
+      FROM tk),
+per AS (SELECT source, CAST(sum(len(T)) AS BIGINT) AS src_tokens
+        FROM tk GROUP BY source),
+t AS (SELECT source, src_tokens::DOUBLE / sum(src_tokens) OVER () AS nat,
+             pow(src_tokens::DOUBLE / sum(src_tokens) OVER (), 0.7) AS aw
+      FROM per),
+z AS (SELECT source, floor(aw / sum(aw) OVER () * 1e6) / 1e6 AS ash FROM t),
+b AS (SELECT source, CAST(floor(ash * {sampling.TOKEN_BUDGET_DEFAULT}) AS BIGINT) AS budget FROM z),
+r AS (SELECT q.doc_id, q.source, q.n_tokens, q.quality,
+             CAST(sum(q.n_tokens) OVER (PARTITION BY q.source
+                  ORDER BY q.quality DESC, q.doc_id ASC
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM q)
+SELECT r.doc_id, r.source, CAST(r.n_tokens AS BIGINT) AS n_tokens,
+       r.quality, r.cum_tokens
+FROM r JOIN b ON b.source = r.source
+WHERE r.cum_tokens <= b.budget
+""",
         "unigram_lm_score": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
 cnt AS (SELECT doc_id, tok, count(*) AS c

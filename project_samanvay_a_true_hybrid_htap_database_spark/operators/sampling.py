@@ -338,6 +338,62 @@ def temperature_resample(
     )
 
 
+TOKEN_BUDGET_DEFAULT = 12_000  # sized so the cutoff BINDS on the test corpus
+# (~27k corpus tokens at either test SF — a budget above the corpus would
+# select everything and the admission boundary would go untested)
+
+
+def token_budget_select(
+    spark: SparkSession,
+    sf_dir: str,
+    budget_tokens: int = TOKEN_BUDGET_DEFAULT,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Quality-ranked selection under a per-source token budget — the
+    curation pass that turns \"we can afford N training tokens\" into a
+    manifest: each source gets floor(alpha_share x budget) tokens (the
+    temperature mixture deciding WHERE the budget goes), and within a
+    source, docs are taken best-quality-first (quality_score's composite,
+    rounded to 1e-4, ties to the lower doc_id) until the running token
+    sum exceeds the source's budget.
+
+    Shape: the budget table is feed-count-bounded and broadcast; the
+    prefix sum is a window per SOURCE (shuffle on source + within-source
+    sort) — exact and oracle-able, the right call up to partition-sized
+    sources. At 100 TB a hot source outgrows one partition; the
+    scale-out form keeps this operator's contract but finds the
+    per-source quality CUTOFF by quantile search (two scans, no sort)
+    and admits docs above it — same manifest up to boundary ties. The
+    exact windowed form IS the spec the approximate one is audited
+    against, which is why it is the registered operator.
+
+    Output: the selected manifest (doc_id, source, n_tokens, quality,
+    cum_tokens), cum_tokens <= the source's budget by construction."""
+    from pyspark.sql import Window as W
+
+    from .text import quality_score
+
+    shares = source_mixture_weights(spark, sf_dir, alpha=alpha).select(
+        "source",
+        F.floor(F.col("alpha_share") * budget_tokens)
+        .cast("long")
+        .alias("budget"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality")
+    ranked = docs.join(q, "doc_id").join(F.broadcast(shares), "source")
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        ranked.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "source", "n_tokens", "quality", "cum_tokens")
+    )
+
+
 DSIR_BUCKETS = 1024  # hashed-feature dimensionality (fixed-size histograms)
 DSIR_SMOOTH = 0.5    # add-k smoothing so unseen buckets stay finite
 

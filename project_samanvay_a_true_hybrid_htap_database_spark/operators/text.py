@@ -560,6 +560,65 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_lm_score(spark: SparkSession, sf_dir: str, smooth: float = 0.5) -> DataFrame:
+    """Per-document BIGRAM cross-entropy under the corpus's own bigram
+    model with add-k smoothing — the next LM rung above unigram_lm_score:
+    word-salad that happens to reuse common words (invisible to the
+    unigram model) still produces rare TRANSITIONS and scores high, which
+    is why perplexity-bucketing pipelines (CCNet-style) filter on an
+    n-gram LM rather than token frequencies.
+
+    Shape for 100 TB, following unigram_lm_score's rewrite: the corpus is
+    tokenized ONCE; bigrams come from an array transform inside the scan
+    (no positional self-join), the (doc, w1, w2) count table takes the
+    bigram counts c(w1,w2) and context counts c(w1·) as TWO window sums
+    over itself (no vocabulary join-back, nothing corpus-sized broadcast),
+    and the vocabulary size enters as a broadcast 1-row aggregate.
+    -ln p(w2|w1) = ln(c1 + k·V) - ln(c2 + k), averaged per doc weighted by
+    occurrence count. Docs with fewer than two tokens carry no bigrams and
+    are excluded (both engines drop them at the explode). Scores
+    floor-truncated at 1e-6 (the transcendental-output convention)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    inst = docs.select("doc_id", F.explode(bigrams).alias("bg")).select(
+        "doc_id", F.col("bg")["w1"].alias("w1"), F.col("bg")["w2"].alias("w2")
+    )
+    from pyspark.sql import Window as W
+
+    pd_ = inst.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("c"))
+    wc = pd_.withColumn("c2", F.sum("c").over(W.partitionBy("w1", "w2"))).withColumn(
+        "c1", F.sum("c").over(W.partitionBy("w1"))
+    )
+    vocab = (
+        docs.select(F.explode(toks).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vs"))
+    )
+    lnp = F.log(F.col("c1") + smooth * F.col("vs")) - F.log(F.col("c2") + smooth)
+    per_doc = (
+        wc.crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            (F.sum(F.col("c") * lnp) / F.sum("c")).alias("ce"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        (F.floor(F.col("ce") * 1e6) / 1e6).alias("cross_entropy"),
+    )
+
+
 def token_pmi_topk(
     spark: SparkSession, sf_dir: str, k: int = 20, min_count: int = 30
 ) -> DataFrame:

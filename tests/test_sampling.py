@@ -558,3 +558,60 @@ class TestDSIR:
         }
         got = {r["doc_id"]: r["n_tokens"] for r in scored.collect()}
         assert got == expect
+
+
+class TestTokenBudget:
+    """token_budget_select (r10): admission must respect every source's
+    budget and take a best-quality-first prefix."""
+
+    def test_budget_binds_and_prefix_is_top_quality(self, spark):
+        from pyspark.sql import functions as F
+
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+            sampling,
+        )
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators.text import (
+            quality_score,
+        )
+
+        sel = sampling.token_budget_select(spark, SF_DIR)
+        rows = sel.collect()
+        n_total = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        assert 0 < len(rows) < n_total, "cutoff must actually bind"
+        # per-source cum_tokens never exceeds the source budget
+        shares = {
+            r["source"]: r["budget"]
+            for r in sampling.source_mixture_weights(spark, SF_DIR)
+            .select(
+                "source",
+                F.floor(
+                    F.col("alpha_share") * sampling.TOKEN_BUDGET_DEFAULT
+                ).cast("long").alias("budget"),
+            )
+            .collect()
+        }
+        for r in rows:
+            assert r["cum_tokens"] <= shares[r["source"]], r
+        # prefix property: no rejected doc outranks an accepted one
+        # (quality desc, doc_id asc) within its source
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "source"
+        )
+        q = quality_score(spark, SF_DIR).select("doc_id", "quality")
+        allq = {
+            (r["source"], r["doc_id"]): r["quality"]
+            for r in docs.join(q, "doc_id").collect()
+        }
+        picked = {(r["source"], r["doc_id"]) for r in rows}
+        worst = {}
+        for r in rows:
+            key = r["source"]
+            cand = (r["quality"], -r["doc_id"])
+            worst[key] = min(worst.get(key, cand), cand)
+        for (src, did), qual in allq.items():
+            if (src, did) in picked or src not in worst:
+                continue
+            wq, wneg = worst[src]
+            assert (qual, -did) <= (wq, wneg) or qual < wq, (
+                f"rejected doc {did} outranks an accepted one in {src}"
+            )
