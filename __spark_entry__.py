@@ -416,6 +416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_weights": sampling.dsir_importance_weights,
         "bigram_lm_score": text.bigram_lm_score,
         "token_budget_select": sampling.token_budget_select,
+        "contrastive_pairs": sampling.contrastive_pairs,
+        "winnowing_fingerprints": text.winnowing_fingerprints,
+        "winnowing_overlap_report": text.winnowing_overlap_report,
     }
 
 
@@ -1096,6 +1099,53 @@ FROM base JOIN sh USING (doc_id)
         # sequence, different last bits under the 1e-6 floor).
         # r10: bigram LM cross-entropy — window-sum counts (no vocab
         # join-back), identical ln decomposition both engines, 1e-6 floor
+        # r10: winnowing — the same positional-hash + window-min selection
+        # replayed as list HOFs; sub-window docs keep min(H)
+        "winnowing_fingerprints": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+hs AS (SELECT doc_id,
+              CASE WHEN len(T) >= {text.WINNOW_K} THEN
+                list_transform(generate_series(1, len(T) - {text.WINNOW_K - 1}),
+                  i -> ('0x' || substr(md5('wfp|' ||
+                        array_to_string(list_slice(T, i, i + {text.WINNOW_K - 1}), ' ')),
+                        1, 8))::BIGINT)
+              ELSE [] END AS H
+       FROM toks),
+fp AS (SELECT doc_id,
+              CASE WHEN len(H) >= {text.WINNOW_W} THEN
+                list_distinct(list_transform(
+                  generate_series(1, len(H) - {text.WINNOW_W - 1}),
+                  j -> list_min(list_slice(H, j, j + {text.WINNOW_W - 1}))))
+              WHEN len(H) > 0 THEN [list_min(H)]
+              ELSE [] END AS FP
+       FROM hs)
+SELECT doc_id, unnest(FP) AS fp FROM fp
+""",
+        "winnowing_overlap_report": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+hs AS (SELECT doc_id,
+              CASE WHEN len(T) >= {text.WINNOW_K} THEN
+                list_transform(generate_series(1, len(T) - {text.WINNOW_K - 1}),
+                  i -> ('0x' || substr(md5('wfp|' ||
+                        array_to_string(list_slice(T, i, i + {text.WINNOW_K - 1}), ' ')),
+                        1, 8))::BIGINT)
+              ELSE [] END AS H
+       FROM toks),
+fpl AS (SELECT doc_id,
+              CASE WHEN len(H) >= {text.WINNOW_W} THEN
+                list_distinct(list_transform(
+                  generate_series(1, len(H) - {text.WINNOW_W - 1}),
+                  j -> list_min(list_slice(H, j, j + {text.WINNOW_W - 1}))))
+              WHEN len(H) > 0 THEN [list_min(H)]
+              ELSE [] END AS FP
+       FROM hs),
+inv0 AS (SELECT doc_id, unnest(FP) AS fp FROM fpl),
+rare AS (SELECT fp FROM inv0 GROUP BY fp HAVING count(*) <= 1000),
+inv AS (SELECT i.doc_id, i.fp FROM inv0 i JOIN rare USING (fp))
+SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+FROM inv a JOIN inv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+""",
         "bigram_lm_score": f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS T FROM documents),
 bg AS (SELECT doc_id,
@@ -1962,6 +2012,31 @@ SELECT md5(trim(lower(text))) AS fp, min(doc_id) AS doc_id,
 FROM documents GROUP BY 1
 """,
         "ngram_jaccard_pairs": jac_pairs,
+        # r10: contrastive triplet mining — positives from the exact pair
+        # graph, negatives from the md5 bucket-min table (replayed exactly)
+        "contrastive_pairs": f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+shl AS (SELECT doc_id, {_SHINGLES} AS S FROM toks),
+p AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         len(list_intersect(a.S, b.S)) AS inter,
+         len(a.S) + len(b.S) - len(list_intersect(a.S, b.S)) AS uni
+  FROM shl a JOIN shl b ON a.doc_id < b.doc_id),
+pr AS (SELECT d1, d2 FROM p WHERE inter / uni >= 0.5),
+bmin AS (SELECT CAST(('0x' || substr(md5('cbkt|' || CAST(doc_id AS VARCHAR)),
+                      1, 8))::BIGINT % {sampling.CONTRASTIVE_NEG_BUCKETS}
+                AS INT) AS bkt,
+                min(doc_id) AS negative
+         FROM documents GROUP BY 1),
+pb AS (SELECT d1 AS anchor, d2 AS positive, j,
+              CAST(('0x' || substr(md5('cneg|' || CAST(d1 AS VARCHAR) || '|'
+                    || CAST(j AS VARCHAR)), 1, 8))::BIGINT
+                   % {sampling.CONTRASTIVE_NEG_BUCKETS} AS INT) AS bkt
+       FROM pr, generate_series(0, {sampling.CONTRASTIVE_NEG_K - 1}) t(j))
+SELECT anchor, positive, CAST(j + 1 AS INT) AS neg_rank, negative
+FROM pb JOIN bmin USING (bkt)
+WHERE negative != anchor AND negative != positive
+""",
         "minhash_signatures": minhash_sig,
         "minhash_lsh_pairs": lsh_pairs,
         "simhash_fingerprints": simhash_fp,

@@ -338,6 +338,81 @@ def temperature_resample(
     )
 
 
+CONTRASTIVE_NEG_K = 3      # negatives mined per (anchor, positive) pair
+CONTRASTIVE_NEG_BUCKETS = 64
+
+
+def contrastive_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    k_neg: int = CONTRASTIVE_NEG_K,
+    buckets: int = CONTRASTIVE_NEG_BUCKETS,
+) -> DataFrame:
+    """Training-pair mining for embedding/reranker models: every verified
+    near-duplicate pair from the n-gram Jaccard graph becomes an
+    (anchor, positive), and each anchor draws ``k_neg`` deterministic
+    pseudo-random negatives — the (anchor, positive, negative) triplets a
+    contrastive loss consumes, reproducible run-over-run because nothing
+    here is RNG.
+
+    The negative draw is the scale-shaped part: a uniform "random doc"
+    per anchor would need either a global index (single-partition window
+    — banned) or an anchor x corpus join. Instead every doc hashes into
+    one of ``buckets`` md5 buckets once (a bucket-min table bounded by
+    the bucket count, broadcast), and anchor j probes bucket
+    md5(anchor, j) — one broadcast hash join, zero corpus shuffles
+    beyond the pair generator itself. In-batch duplicates (negative
+    colliding with the anchor or its positive) are dropped rather than
+    redrawn, so a probe can yield fewer than k_neg rows — both engines
+    drop the same rows. Output: (anchor, positive, neg_rank, negative)."""
+    from ..functions.hashing import md5_long32
+    from .dedup import ngram_jaccard_pairs
+
+    pos = ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("d1").alias("anchor"), F.col("d2").alias("positive")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bmin = docs.groupBy(
+        (
+            md5_long32(F.concat(F.lit("cbkt|"), F.col("doc_id").cast("string")))
+            % buckets
+        )
+        .cast("int")
+        .alias("bkt")
+    ).agg(F.min("doc_id").alias("negative"))
+    probes = pos.select(
+        "anchor",
+        "positive",
+        F.explode(F.array(*[F.lit(j) for j in range(k_neg)])).alias("j"),
+    ).withColumn(
+        "bkt",
+        (
+            md5_long32(
+                F.concat(
+                    F.lit("cneg|"),
+                    F.col("anchor").cast("string"),
+                    F.lit("|"),
+                    F.col("j").cast("string"),
+                )
+            )
+            % buckets
+        ).cast("int"),
+    )
+    return (
+        probes.join(F.broadcast(bmin), "bkt")
+        .filter(
+            (F.col("negative") != F.col("anchor"))
+            & (F.col("negative") != F.col("positive"))
+        )
+        .select(
+            "anchor",
+            "positive",
+            (F.col("j") + 1).cast("int").alias("neg_rank"),
+            "negative",
+        )
+    )
+
+
 TOKEN_BUDGET_DEFAULT = 12_000  # sized so the cutoff BINDS on the test corpus
 # (~27k corpus tokens at either test SF — a budget above the corpus would
 # select everything and the admission boundary would go untested)

@@ -619,6 +619,94 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str, smooth: float = 0.5) -> Da
     )
 
 
+WINNOW_K = 3  # fingerprint shingle width (words)
+WINNOW_W = 4  # winnowing window (consecutive shingle hashes)
+
+
+def _winnow_fp_col():
+    """array<long> of winnowing fingerprints for the ``text`` column:
+    positional 3-word shingle hashes, then the min hash of every
+    WINNOW_W-wide window, distinct. Docs with at least one shingle but
+    fewer than a full window keep min(H) (one fingerprint), so no
+    non-empty doc fingerprints to nothing — the standard winnowing
+    guarantee that any match of length >= k + w - 1 tokens is caught."""
+    from ..functions.hashing import md5_long32
+
+    toks = tokens("text")
+    k, w = WINNOW_K, WINNOW_W
+    hashes = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: md5_long32(
+                F.concat(F.lit("wfp|"), F.array_join(F.slice(toks, i, k), " "))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    m = F.size(F.col("_h"))
+    fps = (
+        F.when(
+            m >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), m - (w - 1)),
+                    lambda j: F.array_min(F.slice(F.col("_h"), j, w)),
+                )
+            ),
+        )
+        .when(m > 0, F.array(F.array_min(F.col("_h"))))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return hashes, fps
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm — public): select the MIN hash in every w-wide window
+    of positional k-gram hashes. Unlike MinHash (a similarity ESTIMATE)
+    or the md5 content fingerprint (exact-only), winnowing guarantees any
+    shared run of >= k + w - 1 tokens leaves at least one shared
+    fingerprint — position-robust plagiarism/overlap detection with a
+    density of ~2/(w+1) fingerprints per token, i.e. a fixed compression
+    of the corpus. Pure array HOFs inside the scan; the explode is the
+    only row growth. Output: (doc_id, fp) rows, distinct per doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hashes, fps = _winnow_fp_col()
+    return (
+        docs.withColumn("_h", hashes)
+        .select("doc_id", fps.alias("_fps"))
+        .select("doc_id", F.explode("_fps").alias("fp"))
+    )
+
+
+def winnowing_overlap_report(
+    spark: SparkSession, sf_dir: str, max_df: int = 1000, min_shared: int = 2
+) -> DataFrame:
+    """Cross-document overlap via the winnowing index: pairs sharing >=
+    ``min_shared`` fingerprints, with the same inverted-index hygiene as
+    ngram_jaccard_pairs — stop-fingerprints (df > max_df) leave the index
+    BEFORE the self-join, which is what keeps per-fingerprint fan-out
+    bounded at 100 TB (no fingerprint contributes more than max_df² join
+    rows). At test SF no fingerprint hits the cap, so results are exact.
+    Output: (d1, d2, n_shared)."""
+    inv = winnowing_fingerprints(spark, sf_dir)
+    rare = (
+        inv.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    inv = inv.join(rare, on="fp")
+    return (
+        inv.alias("a")
+        .join(inv.alias("b"), on="fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def token_pmi_topk(
     spark: SparkSession, sf_dir: str, k: int = 20, min_count: int = 30
 ) -> DataFrame:
