@@ -419,10 +419,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": sampling.contrastive_pairs,
         "winnowing_fingerprints": text.winnowing_fingerprints,
         "winnowing_overlap_report": text.winnowing_overlap_report,
+        "leakage_safe_split": sampling.leakage_safe_split,
+        "curriculum_stages": sampling.curriculum_stages,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    # unigram cross-entropy chain as a reusable CTE head (ulm) — the
+    # unigram_lm_score oracle body, consumed by curriculum_stages too
+    _ulm_cte = f"""toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+cnt AS (SELECT doc_id, tok, count(*) AS c
+        FROM (SELECT doc_id, unnest(T) AS tok FROM toks)
+        GROUP BY doc_id, tok),
+wc AS (SELECT doc_id, c, sum(c) OVER (PARTITION BY tok) AS ctok FROM cnt),
+per_doc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   sum(c * ln(ctok)) / sum(c) AS avg_ln_ctok
+            FROM wc GROUP BY doc_id),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS n_corpus FROM per_doc),
+ulm AS (SELECT doc_id,
+               floor((ln(n_corpus) - avg_ln_ctok) * 1e6) / 1e6
+                 AS cross_entropy
+        FROM per_doc, tot)"""
     jac_pairs = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
 shl AS (SELECT doc_id, {_SHINGLES} AS S FROM toks),
@@ -2130,6 +2147,49 @@ GROUP BY doc_id ORDER BY doc_id
 """,
         # The Spark side is an iterative min-label-propagation fixpoint;
         # the same fixpoint in SQL is a recursive CTE over the edge set.
+        # r10: leakage-safe split — the CC chain is the dedup_groups
+        # oracle; singletons represent themselves; same integer-ppm split
+        "leakage_safe_split": f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+shl AS (SELECT doc_id, {_SHINGLES} AS S FROM toks),
+p AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         len(list_intersect(a.S, b.S)) AS inter,
+         len(a.S) + len(b.S) - len(list_intersect(a.S, b.S)) AS uni
+  FROM shl a JOIN shl b ON a.doc_id < b.doc_id),
+pr AS (SELECT d1, d2 FROM p WHERE inter / uni >= 0.5),
+edges AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+grp AS (SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n),
+alld AS (SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id
+         FROM documents d LEFT JOIN grp g USING (doc_id))
+SELECT doc_id, group_id,
+       CASE WHEN ('0x' || substr(md5('lsplit|' || CAST(group_id AS VARCHAR)),
+                  1, 8))::BIGINT % 1000000 < {sampling.LEAKAGE_TEST_PPM}
+            THEN 'test' ELSE 'train' END AS split
+FROM alld
+""",
+        # r10: curriculum terciles — quantile_cont matches Spark's exact
+        # percentile bit-for-bit on doubles (the percentile_prices
+        # precedent); cuts rounded to 1e-6 before the comparisons
+        "curriculum_stages": f"""
+WITH {_ulm_cte}
+, cuts AS (SELECT round(quantile_cont(cross_entropy, 0.3333333333333333), 6)
+                    AS c1,
+                  round(quantile_cont(cross_entropy, 0.6666666666666666), 6)
+                    AS c2
+           FROM ulm)
+SELECT doc_id, cross_entropy,
+       CAST(1 + CASE WHEN cross_entropy > c1 THEN 1 ELSE 0 END
+              + CASE WHEN cross_entropy > c2 THEN 1 ELSE 0 END AS INT)
+         AS stage
+FROM ulm, cuts
+""",
         "dedup_groups": f"""
 WITH RECURSIVE
 toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),

@@ -338,6 +338,86 @@ def temperature_resample(
     )
 
 
+LEAKAGE_TEST_PPM = 200_000  # 20% test split, as integer ppm
+
+
+def leakage_safe_split(
+    spark: SparkSession, sf_dir: str, test_ppm: int = LEAKAGE_TEST_PPM
+) -> DataFrame:
+    """Train/test split that can NEVER leak a near-duplicate across the
+    boundary — the fix for what split_leakage_audit measures on the plain
+    hash split: membership is decided by the md5 of the doc's near-dup
+    GROUP representative (connected-component min doc_id over the exact
+    pair graph; singletons represent themselves), so an entire duplicate
+    cluster lands on one side by construction. The per-pair invariant is
+    pinned in pytest; the group machinery is dedup_groups (at 100 TB,
+    swap in dedup_groups_lsh — banded candidates instead of the exact
+    inverted index, identical downstream contract).
+
+    Shape: pair graph + CC (both 10x-probed), one doc-keyed left join to
+    attach representatives, split decided inside the scan — the same
+    integer-ppm md5 threshold every membership operator here uses.
+    Output: (doc_id, group_id, split)."""
+    from ..functions.hashing import md5_long32
+    from .dedup import dedup_groups
+
+    groups = dedup_groups(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    rep = docs.join(groups, "doc_id", "left").select(
+        "doc_id", F.coalesce("group_id", "doc_id").alias("group_id")
+    )
+    is_test = (
+        md5_long32(F.concat(F.lit("lsplit|"), F.col("group_id").cast("string")))
+        % 1_000_000
+    ) < test_ppm
+    return rep.withColumn(
+        "split", F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment: every doc bucketed into an easy/medium/hard
+    stage by corpus-relative unigram cross-entropy terciles — the
+    schedule a curriculum-learning loader consumes (train on
+    corpus-typical text first, feed the tail later). Difficulty is the
+    model-free unigram_lm_score; the tercile cuts are EXACT
+    linear-interpolation percentiles of the (already 1e-6-floored)
+    scores, computed in one 1-row aggregate, rounded to 1e-6 and
+    broadcast back onto the doc-sized score table — one comparison per
+    row, no sort of the corpus, no window. At 100 TB the cuts would come
+    from percentile_approx; the exact form is the spec and the oracle
+    (the percentile_prices precedent). Output: (doc_id, cross_entropy,
+    stage 1..3)."""
+    from .text import unigram_lm_score
+
+    ce = unigram_lm_score(spark, sf_dir).select("doc_id", "cross_entropy")
+    cuts = ce.agg(
+        F.round(
+            F.expr(
+                "percentile(cross_entropy, array(0.3333333333333333,"
+                " 0.6666666666666666))"
+            )[0],
+            6,
+        ).alias("c1"),
+        F.round(
+            F.expr(
+                "percentile(cross_entropy, array(0.3333333333333333,"
+                " 0.6666666666666666))"
+            )[1],
+            6,
+        ).alias("c2"),
+    )
+    return ce.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "cross_entropy",
+        (
+            F.lit(1)
+            + (F.col("cross_entropy") > F.col("c1")).cast("int")
+            + (F.col("cross_entropy") > F.col("c2")).cast("int")
+        ).alias("stage"),
+    )
+
+
 CONTRASTIVE_NEG_K = 3      # negatives mined per (anchor, positive) pair
 CONTRASTIVE_NEG_BUCKETS = 64
 

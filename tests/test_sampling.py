@@ -615,3 +615,43 @@ class TestTokenBudget:
             assert (qual, -did) <= (wq, wneg) or qual < wq, (
                 f"rejected doc {did} outranks an accepted one in {src}"
             )
+
+
+class TestLeakageSafeSplit:
+    """leakage_safe_split (r10): no near-duplicate pair may straddle the
+    train/test boundary — the property the plain hash split violates (and
+    split_leakage_audit exists to measure)."""
+
+    def test_no_pair_straddles_the_split(self, spark):
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+            dedup,
+            sampling,
+        )
+
+        split = {
+            r["doc_id"]: r["split"]
+            for r in sampling.leakage_safe_split(spark, SF_DIR).collect()
+        }
+        pairs = dedup.ngram_jaccard_pairs(spark, SF_DIR).collect()
+        assert pairs, "no near-dup pairs — the invariant would be vacuous"
+        for r in pairs:
+            assert split[r["d1"]] == split[r["d2"]], (r["d1"], r["d2"])
+        # both sides populated (the split actually splits)
+        assert {"train", "test"} == set(split.values())
+
+    def test_curriculum_stages_are_balanced_terciles(self, spark):
+        from collections import Counter
+
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+            sampling,
+        )
+
+        rows = sampling.curriculum_stages(spark, SF_DIR).collect()
+        stages = Counter(r["stage"] for r in rows)
+        assert set(stages) == {1, 2, 3}
+        n = len(rows)
+        for k in (1, 2, 3):
+            assert stages[k] >= n * 0.2, stages  # terciles, loosely balanced
+        # stage is monotone in cross_entropy
+        by_stage = {k: [r["cross_entropy"] for r in rows if r["stage"] == k] for k in (1, 2, 3)}
+        assert max(by_stage[1]) <= min(by_stage[3])
