@@ -129,6 +129,53 @@ def _pq_cte(rounds: int = 3, m: int = 16, ksub: int = 16, dim: int = 64) -> tupl
     return ",\n".join(parts), prev, f"pcb{rounds}"
 
 
+def _pq_res_cte(
+    km_assign: str,
+    km_cb: str,
+    rounds: int = 3,
+    m: int = 16,
+    ksub: int = 16,
+    dim: int = 64,
+) -> tuple[str, str, str]:
+    """_pq_cte retargeted at RESIDUAL space: a `res` element table
+    (vec_id, i, x = embedding[i] − coarse_centroid[home cluster][i]) feeds
+    the identical md5-init fixed-round training. ``km_assign``/``km_cb``
+    are the final assignment and centroid tables of _kmeans_cte, so the
+    residual chain composes with the coarse chain in one WITH. Returns
+    (cte_sql, final_assign_table, final_codebook_table)."""
+    subdim = dim // m
+    parts = [
+        f"res AS (SELECT e.vec_id, c.i, e.embedding[c.i]::DOUBLE - c.c AS x "
+        f"FROM embeddings e JOIN {km_assign} a ON a.vec_id = e.vec_id "
+        f"JOIN {km_cb} c ON c.cl = a.cl)",
+        f"rpa0 AS (SELECT vec_id, s, CAST(('0x' || substr(md5(CAST(vec_id AS "
+        f"VARCHAR) || ':' || CAST(s AS VARCHAR)), 1, 8))::BIGINT % {ksub} "
+        f"AS INT) AS code FROM embeddings, generate_series(0, {m - 1}) t(s))",
+    ]
+    prev = "rpa0"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"rpcb{r} AS (SELECT p.s, p.code, e.i - p.s * {subdim} AS j, "
+            f"round(avg(e.x), 6) AS c "
+            f"FROM res e JOIN {prev} p ON p.vec_id = e.vec_id "
+            f"AND p.s = (e.i - 1) // {subdim} GROUP BY 1, 2, 3)"
+        )
+        parts.append(
+            f"rpd{r} AS (SELECT e.vec_id, cb.s, cb.code, "
+            f"round(sum((e.x - cb.c) * (e.x - cb.c)), 6) AS d "
+            f"FROM res e JOIN rpcb{r} cb ON e.i = cb.s * {subdim} + cb.j "
+            f"GROUP BY 1, 2, 3)"
+        )
+        parts.append(
+            f"rpa{r} AS (SELECT vec_id, s, code FROM ("
+            f"SELECT vec_id, s, code, row_number() OVER ("
+            f"PARTITION BY vec_id, s ORDER BY d, code) AS rn FROM rpd{r}) "
+            f"WHERE rn = 1)"
+        )
+        prev = f"rpa{r}"
+    return ",\n".join(parts), prev, f"rpcb{rounds}"
+
+
 def _pii_chain_ctes() -> str:
     """Sequential redaction CTEs s0..sN from text.PII_PATTERNS — the same
     order and patterns the Spark operators apply, so counts taken on the
@@ -421,6 +468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_overlap_report": text.winnowing_overlap_report,
         "leakage_safe_split": sampling.leakage_safe_split,
         "curriculum_stages": sampling.curriculum_stages,
+        "ann_ivfpq_res_topk": similarity.ann_ivfpq_res_topk,
+        "ann_ivfpq_recall_audit": similarity.ann_ivfpq_recall_audit,
     }
 
 
@@ -648,7 +697,7 @@ SELECT vec_id, CAST(s AS INT) AS sub, CAST(code AS INT) AS code FROM {pq_a}
     ann_pq_adc = f"""
 WITH {pq_cte},
 {_pq_qlut},
-adc AS (SELECT p.vec_id, round(sum(l.d), 4) AS adc_dist
+adc AS (SELECT p.vec_id, round(list_reduce(list(l.d ORDER BY l.s), (acc, x) -> acc + x), 4) AS adc_dist
         FROM {pq_a} p JOIN qlut l ON l.s = p.s AND l.code = p.code
         WHERE p.vec_id != 0 GROUP BY p.vec_id)
 SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
@@ -661,7 +710,7 @@ pqprobes AS (SELECT cl FROM (
                FROM {km_d} WHERE vec_id = 0)
              WHERE rn <= {IVF_JOIN_NPROBE}),
 {_pq_qlut},
-adc AS (SELECT p.vec_id, round(sum(l.d), 4) AS adc_dist
+adc AS (SELECT p.vec_id, round(list_reduce(list(l.d ORDER BY l.s), (acc, x) -> acc + x), 4) AS adc_dist
         FROM {pq_a} p
         JOIN {km_a} a ON a.vec_id = p.vec_id
         JOIN qlut l ON l.s = p.s AND l.code = p.code
@@ -685,7 +734,7 @@ qluts AS (SELECT q.qid, cb.s, cb.code,
             round(sum((q.qe[cb.s * {pq_subdim} + cb.j] - cb.c)
                       * (q.qe[cb.s * {pq_subdim} + cb.j] - cb.c)), 6) AS d
           FROM qs q CROSS JOIN {pq_cb} cb GROUP BY q.qid, cb.s, cb.code),
-adc AS (SELECT l.qid, p.vec_id, round(sum(l.d), 4) AS dist
+adc AS (SELECT l.qid, p.vec_id, round(list_reduce(list(l.d ORDER BY l.s), (acc, x) -> acc + x), 4) AS dist
         FROM {pq_a} p JOIN qluts l ON l.s = p.s AND l.code = p.code
         WHERE p.vec_id != l.qid GROUP BY l.qid, p.vec_id),
 ak AS (SELECT qid, nbr FROM (
@@ -698,6 +747,101 @@ perq AS (SELECT e.qid, count(a.nbr) / 3.0 AS recall
 SELECT CAST(count(*) AS BIGINT) AS n_queries, 3 AS k,
        round(avg(recall), 4) AS mean_recall,
        round(min(recall), 4) AS min_recall
+FROM perq
+"""
+    # --- r10: residual IVF-PQ (true FAISS IVFPQ) ---
+    km_cb = "c" + km_a[1:]  # _kmeans_cte names: a{r}/c{r}/d{r} share the round
+    pqres_cte, rpa, rpcb = _pq_res_cte(
+        km_a, km_cb, rounds=PQ_ROUNDS, m=PQ_M, ksub=PQ_KSUB
+    )
+    _res_term = (
+        f"(e.embedding[cb.s * {pq_subdim} + cb.j]::DOUBLE - c.c - cb.c)"
+    )
+    ann_ivfpq_res = f"""
+WITH {km_cte},
+{pqres_cte},
+pqprobes AS (SELECT cl FROM (
+               SELECT cl, row_number() OVER (ORDER BY dist_sq, cl) AS rn
+               FROM {km_d} WHERE vec_id = 0)
+             WHERE rn <= {IVF_JOIN_NPROBE}),
+qlut AS (SELECT p.cl, cb.s, cb.code,
+                round(sum({_res_term} * {_res_term}), 6) AS d
+         FROM embeddings e
+         CROSS JOIN pqprobes p
+         CROSS JOIN {rpcb} cb
+         JOIN {km_cb} c ON c.cl = p.cl AND c.i = cb.s * {pq_subdim} + cb.j
+         WHERE e.vec_id = 0
+         GROUP BY 1, 2, 3),
+adc AS (SELECT p.vec_id, round(list_reduce(list(l.d ORDER BY l.s), (acc, x) -> acc + x), 4) AS adc_dist
+        FROM {rpa} p
+        JOIN {km_a} a ON a.vec_id = p.vec_id
+        JOIN qlut l ON l.cl = a.cl AND l.s = p.s AND l.code = p.code
+        WHERE p.vec_id != 0
+        GROUP BY 1)
+SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+"""
+    _rq_term = f"(q.qe[cb.s * {pq_subdim} + cb.j] - c.c - cb.c)"
+    _pq_term = f"(q.qe[cb.s * {pq_subdim} + cb.j] - cb.c)"
+    ann_ivfpq_recall = f"""
+WITH {km_cte},
+{pq_cte},
+{pqres_cte},
+qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+       FROM embeddings WHERE vec_id < 50),
+gp AS (SELECT q.qid, e.vec_id AS nbr,
+              {_COS.format(a="e.embedding::DOUBLE[]", b="q.qe")} AS cos
+       FROM embeddings e JOIN qs q ON e.vec_id != q.qid),
+gr AS (SELECT qid, nbr,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, nbr ASC) AS rk
+       FROM gp),
+exact AS (SELECT qid, nbr FROM gr WHERE rk <= 3),
+qpr AS (SELECT vec_id AS qid, cl FROM (
+          SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dist_sq, cl) AS rn FROM {km_d})
+        WHERE vec_id < 50 AND rn <= {IVF_JOIN_NPROBE}),
+cand AS (SELECT q.qid, a.vec_id, a.cl
+         FROM {km_a} a JOIN qpr q ON q.cl = a.cl
+         WHERE a.vec_id != q.qid),
+plut AS (SELECT q.qid, cb.s, cb.code,
+                round(sum({_pq_term} * {_pq_term}), 6) AS d
+         FROM qs q CROSS JOIN {pq_cb} cb GROUP BY 1, 2, 3),
+padc AS (SELECT c.qid, c.vec_id, round(list_reduce(list(l.d ORDER BY l.s), (acc, x) -> acc + x), 4) AS dist
+         FROM cand c
+         JOIN {pq_a} p ON p.vec_id = c.vec_id
+         JOIN plut l ON l.qid = c.qid AND l.s = p.s AND l.code = p.code
+         GROUP BY 1, 2),
+pk AS (SELECT qid, nbr FROM (
+         SELECT qid, vec_id AS nbr, row_number() OVER (PARTITION BY qid
+                ORDER BY dist, vec_id) AS rk FROM padc)
+       WHERE rk <= 3),
+rlut AS (SELECT q.qid, p.cl, cb.s, cb.code,
+                round(sum({_rq_term} * {_rq_term}), 6) AS d
+         FROM qs q
+         JOIN qpr p ON p.qid = q.qid
+         CROSS JOIN {rpcb} cb
+         JOIN {km_cb} c ON c.cl = p.cl AND c.i = cb.s * {pq_subdim} + cb.j
+         GROUP BY 1, 2, 3, 4),
+radc AS (SELECT c.qid, c.vec_id, round(list_reduce(list(l.d ORDER BY l.s), (acc, x) -> acc + x), 4) AS dist
+         FROM cand c
+         JOIN {rpa} p ON p.vec_id = c.vec_id
+         JOIN rlut l ON l.qid = c.qid AND l.cl = c.cl AND l.s = p.s
+                    AND l.code = p.code
+         GROUP BY 1, 2),
+rk2 AS (SELECT qid, nbr FROM (
+          SELECT qid, vec_id AS nbr, row_number() OVER (PARTITION BY qid
+                 ORDER BY dist, vec_id) AS rk FROM radc)
+        WHERE rk <= 3),
+perq AS (SELECT e.qid,
+                count(pp.nbr) / 3.0 AS rp,
+                count(rr.nbr) / 3.0 AS rr
+         FROM exact e
+         LEFT JOIN pk pp ON pp.qid = e.qid AND pp.nbr = e.nbr
+         LEFT JOIN rk2 rr ON rr.qid = e.qid AND rr.nbr = e.nbr
+         GROUP BY e.qid)
+SELECT CAST(count(*) AS BIGINT) AS n_queries, 3 AS k,
+       round(avg(rp), 4) AS recall_plain,
+       round(avg(rr), 4) AS recall_residual
 FROM perq
 """
     from project_samanvay_a_true_hybrid_htap_database_spark.functions.hashing import (
@@ -2393,6 +2537,8 @@ GROUP BY label ORDER BY label
         # must be row-identical to the HOF form
         "knn_join_ivf_vectorized": knn_ivf,
         "pq_encode": pq_encode_sql,
+        "ann_ivfpq_res_topk": ann_ivfpq_res,
+        "ann_ivfpq_recall_audit": ann_ivfpq_recall,
         "ann_pq_adc_topk": ann_pq_adc,
         "ann_ivfpq_topk": ann_ivfpq,
         "ann_pq_recall_audit": ann_pq_recall,

@@ -1583,7 +1583,10 @@ def ann_ivf_recall_audit(
 # cluster tightly, so quantization noise swamps the ranking margin); real
 # embedding corpora have low intrinsic dimension and retain far more. That
 # is exactly the decision the ann_pq_recall_audit instrument exists to make
-# per-corpus before a 100 TB serving rollout.
+# per-corpus before a 100 TB serving rollout. The residual variant
+# (learned_pq_res_codebooks / ann_ivfpq_res_topk — the true FAISS IVFPQ) is
+# measured by ann_ivfpq_recall_audit: plain 0.3067 vs residual 0.2667 at
+# nprobe=3 here (RECALL_r10.json), so plain stays this corpus's default.
 #
 # Everything is deterministic and cross-engine reproducible by the same
 # construction as learned_centroids: md5-bucket init per (vector, subspace),
@@ -1686,9 +1689,18 @@ def learned_pq_codebooks(
     if key in _PQ_MEMO:
         return _PQ_MEMO[key]
 
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = _train_pq(emb, m, ksub, rounds)
+    _PQ_MEMO[key] = cb
+    return cb
+
+
+def _train_pq(emb: DataFrame, m: int, ksub: int, rounds: int) -> list:
+    """The fixed-round sub-quantizer training loop over ANY (vec_id,
+    embedding) frame — the plain path trains on raw vectors, the
+    residual path (learned_pq_res_codebooks) on x − coarse_centroid."""
     from ..functions.hashing import md5_long32
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dim = len(emb.select("embedding").head()["embedding"])
     subdim = dim // m
     subs = _pq_subs(emb, m, subdim)
@@ -1729,7 +1741,6 @@ def learned_pq_codebooks(
             for r in rows
         )
         assigned = _pq_assign(subs, cb)
-    _PQ_MEMO[key] = cb
     return cb
 
 
@@ -1963,7 +1974,20 @@ def ann_pq_recall_audit(
         codes.join(F.broadcast(luts), ["s", "code"])
         .filter(F.col("vec_id") != F.col("qid"))
         .groupBy("qid", "vec_id")
-        .agg(F.round(F.sum("d"), 4).alias("adc_dist"))
+        # ordered fold, not sum(): both engines accumulate the m lut terms
+        # in subspace order, so a result landing exactly on a 1e-4 rounding
+        # boundary cannot flip between them (it did once at sf0.001)
+        .agg(F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "d"))),
+                    lambda t: t["d"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("adc_dist"))
     )
     from pyspark.sql import Window
 
@@ -1987,4 +2011,375 @@ def ann_pq_recall_audit(
         F.lit(k).alias("k"),
         F.round(F.avg("recall"), 4).alias("mean_recall"),
         F.round(F.min("recall"), 4).alias("min_recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ (r10): PQ over x − coarse_centroid — true FAISS IVFPQ
+# ---------------------------------------------------------------------------
+
+_PQ_RES_MEMO: dict[str, list] = {}
+
+
+def _coarse_cents_df(spark: SparkSession, cents: list) -> DataFrame:
+    """The coarse centroid table as ONE broadcastable row (same bounded
+    data-path discipline as _pq_cb_df / _dist_structs_col's large-k arm)."""
+    return spark.createDataFrame(
+        [([(int(cid), [float(x) for x in v]) for cid, v in cents],)],
+        "_cents array<struct<i:int,v:array<double>>>",
+    )
+
+
+def _residual_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster, embedding = x − coarse_centroid[cluster]): the
+    residual space the true IVFPQ quantizes. Residuals concentrate around
+    the origin with far less variance than raw vectors (the coarse
+    quantizer has already explained the cluster mean), so the SAME code
+    budget quantizes them more faithfully — the whole reason FAISS encodes
+    residuals. One scan: assignment argmin + a zip_with subtraction
+    against the broadcast centroid row, exact float arithmetic (the
+    centroids are already 1e-6-rounded, so both engines subtract
+    identical doubles)."""
+    cents = learned_centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = _with_nearest_centroid(emb, cents, "embedding", "_b").select(
+        "vec_id", "embedding", F.col("_b")["l"].alias("cluster")
+    )
+    cvec = F.element_at(
+        F.filter(F.col("_cents"), lambda c: c["i"] == F.col("cluster")), 1
+    )["v"]
+    res = F.zip_with(
+        F.col("embedding").cast("array<double>"), cvec, lambda a, b: a - b
+    )
+    return (
+        assigned.crossJoin(F.broadcast(_coarse_cents_df(spark, cents)))
+        .select("vec_id", "cluster", res.alias("embedding"))
+    )
+
+
+def learned_pq_res_codebooks(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    rounds: int = PQ_ROUNDS,
+) -> list:
+    """learned_pq_codebooks trained in RESIDUAL space — identical loop
+    (_train_pq), identical md5 init and rounding contract, different
+    input geometry. Memoized per table identity like the plain form."""
+    import os
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        key = f"{src}|{st.st_size}|{st.st_mtime_ns}|res|{m}|{ksub}|{rounds}"
+    except OSError:
+        key = f"{src}|nostat|res|{m}|{ksub}|{rounds}"
+    if key in _PQ_RES_MEMO:
+        return _PQ_RES_MEMO[key]
+    cb = _train_pq(
+        _residual_emb(spark, sf_dir).select("vec_id", "embedding"),
+        m,
+        ksub,
+        rounds,
+    )
+    _PQ_RES_MEMO[key] = cb
+    return cb
+
+
+def build_ivfpq_res_index(spark: SparkSession, sf_dir: str) -> str:
+    """The residual-coded IVF-PQ layout: (vec_id, codes) where codes
+    quantize x − centroid[home cluster], partitioned by that cluster.
+    Same 8 B/vector, geometry-keyed idempotence as build_pq_index."""
+    import os
+
+    out_dir = _index_dir(
+        f"ivfpqres_index_m{PQ_M}k{PQ_KSUB}r{PQ_ROUNDS}", sf_dir
+    )
+    if os.path.exists(os.path.join(out_dir, "_SUCCESS")):
+        return out_dir
+    cb = learned_pq_res_codebooks(spark, sf_dir)
+    res = _residual_emb(spark, sf_dir)
+    dim = len(res.select("embedding").head()["embedding"])
+    codes = (
+        _pq_assign(
+            _pq_subs(res.select("vec_id", "embedding"), PQ_M, dim // PQ_M), cb
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "code"))),
+                lambda t: t["code"],
+            ).alias("codes")
+        )
+    )
+    (
+        codes.join(res.select("vec_id", "cluster"), "vec_id")
+        .repartition("cluster")
+        .write.partitionBy("cluster")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def _pq_luts_for_vectors(
+    spark: SparkSession, rows: list, cb: list, m: int, subdim: int
+) -> dict:
+    """{(tag, s, code): rounded squared L2} for a small list of (tag,
+    vector) pairs — the multi-vector generalization of _pq_query_lut,
+    computed by the SAME Spark fold + HALF_UP rounding as training (never
+    driver-side Python round). Bounded: len(rows) x m·ksub values."""
+    df = spark.createDataFrame(
+        [(int(t), [float(x) for x in v]) for t, v in rows],
+        "tag int, vec array<double>",
+    )
+    subs = df.select(
+        "tag",
+        F.posexplode(
+            F.array(*[F.slice("vec", s * subdim + 1, subdim) for s in range(m)])
+        ).alias("s", "subvec"),
+    )
+    out = (
+        subs.crossJoin(F.broadcast(_pq_cb_df(spark, cb)))
+        .select(
+            "tag",
+            "s",
+            "subvec",
+            F.explode(
+                F.filter(F.col("_pqcb"), lambda e: e["s"] == F.col("s"))
+            ).alias("e"),
+        )
+        .select(
+            "tag",
+            "s",
+            F.col("e")["c"].alias("c"),
+            F.round(_sq_dist(F.col("subvec"), F.col("e")["v"]), 6).alias("d"),
+        )
+        .collect()
+    )
+    return {(int(r["tag"]), int(r["s"]), int(r["c"])): float(r["d"]) for r in out}
+
+
+def ann_ivfpq_res_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    vec_id: int = QUERY_VEC_ID,
+    k: int = TOP_K,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Residual IVF-PQ serving — the full FAISS IVFPQ contract: per probed
+    list L the query builds a lookup table against ITS residual q −
+    centroid[L] (the asymmetric trick now applied per list), candidates
+    rank by summed lut entries over their stored residual codes. The scan
+    is still exactly nprobe partitions of the 8 B/vector codes index with
+    the per-list luts folded as literals (nprobe x m·ksub doubles) and a
+    cluster CASE choosing the lut — zero joins, whole-stage codegen,
+    TakeOrderedAndProject. The residual geometry is what buys the recall:
+    see ann_ivfpq_recall_audit for the measured plain-vs-residual gap."""
+    if nprobe is None:
+        nprobe = IVF_JOIN_NPROBE
+    cents = learned_centroids(spark, sf_dir)
+    cb = learned_pq_res_codebooks(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(emb.select("embedding").head()["embedding"])
+    subdim = dim // PQ_M
+    qvec, _ = _query_vector(spark, sf_dir, vec_id)
+    q = [float(x) for x in qvec]
+    probes = _query_probe_clusters(spark, sf_dir, vec_id, cents, nprobe)
+    cmap = dict(cents)
+    # exact float subtraction (no rounding) — the centroids are already
+    # 1e-6-rounded doubles, so both engines build identical residuals
+    qres_rows = [(cl, [a - b for a, b in zip(q, cmap[cl])]) for cl in probes]
+    luts = _pq_luts_for_vectors(spark, qres_rows, cb, PQ_M, subdim)
+    codes = spark.read.parquet(build_ivfpq_res_index(spark, sf_dir))
+    adc = None
+    for cl in probes:
+        lut_cl = {
+            (s, c): d for (tag, s, c), d in luts.items() if tag == cl
+        }
+        branch = _adc_expr(lut_cl, PQ_M, PQ_KSUB)
+        adc = (
+            F.when(F.col("cluster") == cl, branch)
+            if adc is None
+            else adc.when(F.col("cluster") == cl, branch)
+        )
+    scored = (
+        codes.filter(F.col("cluster").isin(probes))
+        .filter(F.col("vec_id") != vec_id)
+        .select("vec_id", adc.alias("adc_dist"))
+    )
+    return scored.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc()).limit(k)
+
+
+def ann_ivfpq_recall_audit(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    n_queries: int = 50,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Plain vs RESIDUAL IVF-PQ recall@k in one row — the measured answer
+    to "does residual encoding pay for itself at the same code budget?",
+    completing the quantizer decision kit (label / sign-LSH / learned-IVF
+    / PQ / IVFPQ±residual). Both variants probe the same nprobe learned
+    lists and rank candidates purely in the compressed domain (the full
+    serving pipeline, pruning + quantization error together), against the
+    shared exact-cosine ground truth every audit here uses.
+
+    Scale shape: everything query-sided is sample-bounded and broadcast
+    (probe lists, per-query and per-(query, list) luts — nprobe x m·ksub
+    rows each); the corpus side contributes one codes pass per variant
+    and a broadcast-hash join per lut; candidate sets are list-pruned
+    BEFORE any distance work. One global row out."""
+    if nprobe is None:
+        nprobe = IVF_JOIN_NPROBE
+    from pyspark.sql import Window
+
+    cents = learned_centroids(spark, sf_dir)
+    cb_p = learned_pq_codebooks(spark, sf_dir)
+    cb_r = learned_pq_res_codebooks(spark, sf_dir)
+    emb = _audit_emb(spark, sf_dir)
+    sample = _audit_sample(emb, n_queries)
+    exact = _exact_knn(emb, sample, k)
+    dim = len(emb.select("embedding").head()["embedding"])
+    m, ksub, subdim = PQ_M, PQ_KSUB, dim // PQ_M
+
+    home = _with_nearest_centroid(
+        emb.select("vec_id", "embedding"), cents, "embedding", "_b"
+    ).select("vec_id", F.col("_b")["l"].alias("cl"))
+    qpr = _dist_structs_col(sample, cents, "qemb", "_cdl").select(
+        "qid",
+        "qemb",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(F.col("_cdl")), 1, nprobe),
+                lambda s: s["l"],
+            )
+        ).alias("cl"),
+    )
+    cand = (
+        home.join(qpr.select("qid", "cl"), "cl")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "cl")
+    )
+
+    def _sub_explode(df, vec_col, *keep):
+        return df.select(
+            *keep,
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(vec_col, s * subdim + 1, subdim).cast(
+                            "array<double>"
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("s", "subvec"),
+        )
+
+    def _lut_rows(subs_df, cb, *keys):
+        return (
+            subs_df.crossJoin(F.broadcast(_pq_cb_df(spark, cb)))
+            .select(
+                *keys,
+                "s",
+                "subvec",
+                F.explode(
+                    F.filter(F.col("_pqcb"), lambda e: e["s"] == F.col("s"))
+                ).alias("e"),
+            )
+            .select(
+                *keys,
+                "s",
+                F.col("e")["c"].alias("code"),
+                F.round(_sq_dist(F.col("subvec"), F.col("e")["v"]), 6).alias("d"),
+            )
+        )
+
+    def _topk_hits(adc, tag):
+        rk = F.row_number().over(
+            Window.partitionBy("qid").orderBy(
+                F.col("adc_dist").asc(), F.col("vec_id").asc()
+            )
+        )
+        return (
+            adc.withColumn("rk", rk)
+            .filter(F.col("rk") <= k)
+            .select("qid", F.col("vec_id").alias("nbr"), F.lit(1).alias(tag))
+        )
+
+    # plain: one lut per query against the raw-space codebook
+    luts_p = _lut_rows(_sub_explode(sample, F.col("qemb"), "qid"), cb_p, "qid")
+    codes_p = pq_encode(spark, sf_dir).withColumnRenamed("sub", "s")
+    adc_p = (
+        cand.join(codes_p, "vec_id")
+        .join(F.broadcast(luts_p), ["qid", "s", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "d"))),
+                    lambda t: t["d"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("adc_dist"))
+    )
+
+    # residual: one lut per (query, probed list) against the residual
+    # codebook, keyed additionally by the candidate's home list
+    cvec = F.element_at(
+        F.filter(F.col("_cents"), lambda c: c["i"] == F.col("cl")), 1
+    )["v"]
+    qres = (
+        qpr.crossJoin(F.broadcast(_coarse_cents_df(spark, cents)))
+        .select(
+            "qid",
+            "cl",
+            F.zip_with(
+                F.col("qemb").cast("array<double>"), cvec, lambda a, b: a - b
+            ).alias("qres"),
+        )
+    )
+    luts_r = _lut_rows(
+        _sub_explode(qres, F.col("qres"), "qid", "cl"), cb_r, "qid", "cl"
+    )
+    res = _residual_emb(spark, sf_dir)
+    codes_r = _pq_assign(
+        _pq_subs(res.select("vec_id", "embedding"), m, subdim), cb_r
+    ).select("vec_id", "s", "code")
+    adc_r = (
+        cand.join(codes_r, "vec_id")
+        .join(F.broadcast(luts_r), ["qid", "cl", "s", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "d"))),
+                    lambda t: t["d"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("adc_dist"))
+    )
+
+    joined = (
+        exact.join(_topk_hits(adc_p, "p_hit"), ["qid", "nbr"], "left")
+        .join(_topk_hits(adc_r, "r_hit"), ["qid", "nbr"], "left")
+    )
+    per_q = joined.groupBy("qid").agg(
+        (F.count("p_hit") / F.lit(k)).alias("rp"),
+        (F.count("r_hit") / F.lit(k)).alias("rr"),
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.lit(k).alias("k"),
+        F.round(F.avg("rp"), 4).alias("recall_plain"),
+        F.round(F.avg("rr"), 4).alias("recall_residual"),
     )

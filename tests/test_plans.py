@@ -737,3 +737,12 @@ class TestPQServing:
         # every vector carries exactly m codes
         n_vec = enc.select("vec_id").distinct().count()
         assert enc.count() == n_vec * similarity.PQ_M
+
+    def test_residual_serving_scan_is_pruned_and_codes_only(self, spark):
+        df = similarity.ann_ivfpq_res_topk(spark, SF_DIR)
+        p = plan(df)
+        assert "ivfpqres_index" in p
+        assert "embeddings.parquet" not in p
+        pf = p.split("PartitionFilters")[1][:300] if "PartitionFilters" in p else ""
+        assert "cluster" in pf and "IN" in pf.upper(), f"no IN prune: {pf!r}"
+        assert "TakeOrderedAndProject" in p

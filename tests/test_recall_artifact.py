@@ -143,3 +143,22 @@ class TestLearnedQuantizer:
             row = doc[key]
             assert row["k"] == 3 and row["n_queries"] == 50
             assert 0.0 <= row["mean_recall"] <= 1.0
+
+    def test_ivfpq_residual_decision_is_recorded(self):
+        """r10: the serving default (plain PQ codes, not residual) must
+        trace to the committed measurement: on this corpus residual
+        encoding recalls LESS (0.2667 vs 0.3067 at nprobe=3) — the coarse
+        centroids of near-uniform vectors sit close to the global mean,
+        so the residual rotation buys nothing and its codebook spends
+        budget re-learning noise. If a future corpus flips the ordering,
+        this test flips the default conversation, not silently."""
+        doc = _latest_artifact()
+        if "ivfpq_plain_vs_residual" not in doc:
+            pytest.skip("artifact predates the IVFPQ audit")
+        row = doc["ivfpq_plain_vs_residual"]
+        assert row["k"] == 3 and row["n_queries"] == 50
+        assert 0.0 <= row["recall_residual"] <= 1.0
+        assert 0.0 <= row["recall_plain"] <= 1.0
+        # plain must also not exceed the flat-ADC ceiling (pruning only
+        # removes candidates)
+        assert row["recall_plain"] <= doc["pq_adc"]["mean_recall"] + 1e-9

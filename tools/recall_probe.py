@@ -37,6 +37,10 @@ AUDITS = [
     ("pq_adc_m4", "ann_pq_recall_audit", {"m": 4}),
     ("pq_adc_m8", "ann_pq_recall_audit", {"m": 8}),
     ("pq_adc_m32", "ann_pq_recall_audit", {"m": 32}),
+    # r10: the full IVF-PQ serving pipeline (pruning + quantization), plain
+    # vs residual encoding at the same code budget — the measured basis for
+    # keeping plain PQ as the serving default on this corpus
+    ("ivfpq_plain_vs_residual", "ann_ivfpq_recall_audit", {}),
 ]
 
 
