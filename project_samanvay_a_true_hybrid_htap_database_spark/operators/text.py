@@ -579,7 +579,10 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str, smooth: float = 0.5) -> Da
     are excluded (both engines drop them at the explode). Scores
     floor-truncated at 1e-6 (the transcendental-output convention)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tokens("text")
+    # tokens staged as an attribute: a lambda closing over the tokenizer
+    # EXPRESSION re-splits the text once per position (the quadratic
+    # _winnow_fp_col documents)
+    toks = F.col("_t")
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -590,8 +593,12 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str, smooth: float = 0.5) -> Da
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    inst = docs.select("doc_id", F.explode(bigrams).alias("bg")).select(
-        "doc_id", F.col("bg")["w1"].alias("w1"), F.col("bg")["w2"].alias("w2")
+    inst = (
+        docs.withColumn("_t", tokens("text"))
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .select(
+            "doc_id", F.col("bg")["w1"].alias("w1"), F.col("bg")["w2"].alias("w2")
+        )
     )
     from pyspark.sql import Window as W
 
@@ -600,7 +607,7 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str, smooth: float = 0.5) -> Da
         "c1", F.sum("c").over(W.partitionBy("w1"))
     )
     vocab = (
-        docs.select(F.explode(toks).alias("tok"))
+        docs.select(F.explode(tokens("text")).alias("tok"))
         .agg(F.countDistinct("tok").alias("vs"))
     )
     lnp = F.log(F.col("c1") + smooth * F.col("vs")) - F.log(F.col("c2") + smooth)
@@ -623,59 +630,66 @@ WINNOW_K = 3  # fingerprint shingle width (words)
 WINNOW_W = 4  # winnowing window (consecutive shingle hashes)
 
 
-def _winnow_fp_col():
-    """array<long> of winnowing fingerprints for the ``text`` column:
-    positional 3-word shingle hashes, then the min hash of every
-    WINNOW_W-wide window, distinct. Docs with at least one shingle but
-    fewer than a full window keep min(H) (one fingerprint), so no
-    non-empty doc fingerprints to nothing — the standard winnowing
-    guarantee that any match of length >= k + w - 1 tokens is caught."""
-    from ..functions.hashing import md5_long32
-
-    toks = tokens("text")
-    k, w = WINNOW_K, WINNOW_W
-    hashes = F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: md5_long32(
-                F.concat(F.lit("wfp|"), F.array_join(F.slice(toks, i, k), " "))
-            ),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    m = F.size(F.col("_h"))
-    fps = (
-        F.when(
-            m >= w,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), m - (w - 1)),
-                    lambda j: F.array_min(F.slice(F.col("_h"), j, w)),
-                )
-            ),
-        )
-        .when(m > 0, F.array(F.array_min(F.col("_h"))))
-        .otherwise(F.array().cast("array<long>"))
-    )
-    return hashes, fps
-
-
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     MOSS algorithm — public): select the MIN hash in every w-wide window
     of positional k-gram hashes. Unlike MinHash (a similarity ESTIMATE)
     or the md5 content fingerprint (exact-only), winnowing guarantees any
     shared run of >= k + w - 1 tokens leaves at least one shared
-    fingerprint — position-robust plagiarism/overlap detection with a
-    density of ~2/(w+1) fingerprints per token, i.e. a fixed compression
-    of the corpus. Pure array HOFs inside the scan; the explode is the
-    only row growth. Output: (doc_id, fp) rows, distinct per doc."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    hashes, fps = _winnow_fp_col()
+    fingerprint — position-robust plagiarism/overlap detection at a fixed
+    ~2/(w+1) fingerprint density. Docs with at least one shingle but
+    fewer than a full window keep min(H) (one fingerprint).
+
+    Shape — and a measured Catalyst lesson: the all-HOF form (transform
+    over positions nested under transform over windows) looked like one
+    scan, but CollapseProject + filter pushdown INLINE the staged hash
+    array into every consumer, so the tokenizer and the md5 transform
+    re-ran per window — 110 s for 5000 docs, quadratic per doc. This form
+    explodes the shingle array once (a generator input is evaluated once
+    per doc), hashes per ROW, and takes the window minimum with a
+    doc-keyed WINDOW frame (rows current..w-1) — 5000 docs in ~2 s, and
+    at 100 TB it is one explode + one partition-local sort per doc (the
+    same (doc, token)-shuffle class as every text aggregate here), with
+    no expression whose cost depends on doc length squared.
+    Output: (doc_id, fp) rows, distinct per doc."""
+    from pyspark.sql import Window as W
+
+    from ..functions.hashing import md5_long32
+
+    k, w = WINNOW_K, WINNOW_W
+    t = F.col("_t")
+    sh_arr = F.when(
+        F.size(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.array_join(F.slice(t, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    inst = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("_t", tokens("text"))
+        .select("doc_id", F.posexplode(sh_arr).alias("pos", "sh"))
+        .select(
+            "doc_id",
+            "pos",
+            md5_long32(F.concat(F.lit("wfp|"), F.col("sh"))).alias("h"),
+        )
+    )
+    n = F.count("*").over(W.partitionBy("doc_id"))
+    wmin = F.min("h").over(
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.currentRow, w - 1)
+    )
+    per_pos = inst.select("doc_id", "pos", n.alias("n"), wmin.alias("f"))
     return (
-        docs.withColumn("_h", hashes)
-        .select("doc_id", fps.alias("_fps"))
-        .select("doc_id", F.explode("_fps").alias("fp"))
+        per_pos.filter(
+            (F.col("pos") <= F.col("n") - w)  # full windows (pos is 0-based)
+            | ((F.col("n") < w) & (F.col("pos") == 0))  # sub-window doc
+        )
+        .select("doc_id", F.col("f").alias("fp"))
+        .distinct()
     )
 
 

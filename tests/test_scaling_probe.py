@@ -101,6 +101,19 @@ def _warm_time(fn, spark, sf_dir):
         # the tool's embeddings family, index-build amortized)
         ("decontaminate_bloom", dedup.decontaminate_bloom),
         ("dsir_importance_weights", sampling.dsir_importance_weights),
+        # second r10 wave: bigram CE 6.9x (bigram volume), winnowing
+        # overlap 4.7x (window-min form — the all-HOF form measured 110 s
+        # at 1x from CollapseProject inlining, see the docstring),
+        # curriculum 10.6x (CE underneath), budget select 0.7x (floor).
+        # contrastive_pairs (23.6x) and leakage_safe_split (14.9x) live in
+        # the tool only: both ride the exact pair graph, whose OUTPUT on
+        # the 10-wide-clique corpus grows ~45x per cluster — their wall
+        # ratios measure result size, not plan shape (the containment /
+        # dedup_groups precedent).
+        ("bigram_lm_score", text.bigram_lm_score),
+        ("winnowing_overlap_report", text.winnowing_overlap_report),
+        ("curriculum_stages", sampling.curriculum_stages),
+        ("token_budget_select", sampling.token_budget_select),
     ],
 )
 def test_corpus_operator_scales_subquadratically(spark, scaled_dirs, name, fn):

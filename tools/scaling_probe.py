@@ -247,6 +247,14 @@ def main() -> None:
             ("temperature_resample", sampling.temperature_resample),
             ("decontaminate_bloom", dedup.decontaminate_bloom),
             ("dsir_importance_weights", sampling.dsir_importance_weights),
+            # second r10 text wave (contrastive/leakage are pair-graph-
+            # output-bound on this corpus — tool-only, like containment)
+            ("bigram_lm_score", text.bigram_lm_score),
+            ("winnowing_overlap_report", text.winnowing_overlap_report),
+            ("curriculum_stages", sampling.curriculum_stages),
+            ("token_budget_select", sampling.token_budget_select),
+            ("contrastive_pairs", sampling.contrastive_pairs),
+            ("leakage_safe_split", sampling.leakage_safe_split),
         ],
         "embeddings": [
             ("embedding_neardup_pairs_vectorized", dedup.embedding_neardup_pairs_vectorized),
@@ -262,6 +270,8 @@ def main() -> None:
             ("pq_encode", similarity.pq_encode),
             ("ann_pq_adc_topk", similarity.ann_pq_adc_topk),
             ("ann_ivfpq_topk", similarity.ann_ivfpq_topk),
+            ("ann_ivfpq_res_topk", similarity.ann_ivfpq_res_topk),
+            ("ann_ivfpq_recall_audit", similarity.ann_ivfpq_recall_audit),
         ],
         "tpch": [
             ("tpch_q1", analytics.tpch_q1_pricing_summary),
