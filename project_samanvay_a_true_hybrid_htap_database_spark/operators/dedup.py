@@ -86,8 +86,17 @@ def _docs_parallel(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _docs_parallel(spark, sf_dir).select(
-        "doc_id", word_shingles(tokens("text"), SHINGLE_N).alias("shingles")
+    # tokens staged as an attribute before the shingle transform: a HOF
+    # lambda re-evaluates closure sub-expressions PER ELEMENT, so passing
+    # the tokenizer expression itself re-splits the text once per shingle
+    # position — measured 30% of this primitive's cost (and the winnowing
+    # form of the same trap measured 90x, text.py:winnowing_fingerprints)
+    return (
+        _docs_parallel(spark, sf_dir)
+        .withColumn("_t", tokens("text"))
+        .select(
+            "doc_id", word_shingles(F.col("_t"), SHINGLE_N).alias("shingles")
+        )
     )
 
 
@@ -660,10 +669,10 @@ def incremental_dedup_report(
         .select("doc_id")
         .distinct()
     )
-    sh = tagged.select(
+    sh = tagged.withColumn("_t", tokens("text")).select(
         "doc_id",
         "is_new",
-        word_shingles(tokens("text"), SHINGLE_N).alias("shingles"),
+        word_shingles(F.col("_t"), SHINGLE_N).alias("shingles"),
     )
     sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     inv = sh.select("doc_id", "is_new", F.explode("shingles").alias("sh"))
