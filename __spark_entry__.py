@@ -470,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_stages": sampling.curriculum_stages,
         "ann_ivfpq_res_topk": similarity.ann_ivfpq_res_topk,
         "ann_ivfpq_recall_audit": similarity.ann_ivfpq_recall_audit,
+        "table_profile": analytics.table_profile,
     }
 
 
@@ -2279,6 +2280,19 @@ sc AS (SELECT t.doc_id, count(*) AS n_tokens, round(sum(w.lw), 4) AS log_weight
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, log_weight,
        log_weight > 0 AS selected
 FROM sc
+""",
+        # r10: per-column profile — exact stats, one row per column
+        "table_profile": """
+SELECT "column", n_rows, n_nulls, null_frac, n_distinct, min_value, max_value
+FROM (SELECT 'doc_id' AS "column", count(*) AS n_rows, CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, round(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS null_frac, count(DISTINCT doc_id) AS n_distinct, CAST(min(doc_id) AS VARCHAR) AS min_value, CAST(max(doc_id) AS VARCHAR) AS max_value FROM documents
+UNION ALL
+SELECT 'text' AS "column", count(*) AS n_rows, CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, round(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS null_frac, count(DISTINCT text) AS n_distinct, CAST(min(text) AS VARCHAR) AS min_value, CAST(max(text) AS VARCHAR) AS max_value FROM documents
+UNION ALL
+SELECT 'lang' AS "column", count(*) AS n_rows, CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, round(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS null_frac, count(DISTINCT lang) AS n_distinct, CAST(min(lang) AS VARCHAR) AS min_value, CAST(max(lang) AS VARCHAR) AS max_value FROM documents
+UNION ALL
+SELECT 'source' AS "column", count(*) AS n_rows, CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, round(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS null_frac, count(DISTINCT source) AS n_distinct, CAST(min(source) AS VARCHAR) AS min_value, CAST(max(source) AS VARCHAR) AS max_value FROM documents
+UNION ALL
+SELECT 'n_chars' AS "column", count(*) AS n_rows, CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, round(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS null_frac, count(DISTINCT n_chars) AS n_distinct, CAST(min(n_chars) AS VARCHAR) AS min_value, CAST(max(n_chars) AS VARCHAR) AS max_value FROM documents)
 """,
         "decontaminate_ngram_overlap": f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),

@@ -1685,3 +1685,44 @@ def window_frame_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("c_acctbal").over(w_frame), 2).alias("seg_max_bal"),
         F.dense_rank().over(w_rank).alias("bal_rank"),
     )
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of the documents corpus — the
+    first thing a pipeline runs against a new drop: row count, null
+    count/fraction, exact distinct cardinality, lexicographic min/max
+    (stringified so every column fits one schema). ONE scan: all the
+    per-column aggregates ride a single Expand-based aggregate (Spark's
+    multi-distinct rewrite), and the per-column rows come from a stack()
+    unpivot of the 1-row aggregate — the generator runs on one row, not
+    the corpus (the unpivot_metrics discipline). At 100 TB swap the exact
+    distinct counts for approx_count_distinct; the shape is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            # native-type extrema, stringified AFTER (lexicographic
+            # min of a stringified numeric would be nonsense)
+            F.min(F.col(c)).cast("string").alias(f"mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"mx_{c}"),
+        ]
+    one = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column, n_nulls, n_distinct, min_value, max_value)",
+    ).select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        F.round(F.col("n_nulls") / F.col("n_rows"), 6).alias("null_frac"),
+        "n_distinct",
+        "min_value",
+        "max_value",
+    )

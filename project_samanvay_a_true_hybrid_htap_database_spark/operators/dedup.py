@@ -873,6 +873,78 @@ BLOOM_BITS = 65536   # filter size (8 KB) — fixed regardless of eval-set size
 BLOOM_HASHES = 3     # hash functions; fp rate ~(nh/m)^h, ~1e-9 at test load
 
 
+def eval_bloom_bitmap(
+    spark: SparkSession,
+    sf_dir: str,
+    bench_max_id: int = 50,
+    m_bits: int = BLOOM_BITS,
+    h: int = BLOOM_HASHES,
+    sh: DataFrame | None = None,
+) -> list:
+    """Build the eval-set Bloom bitmap once (m_bits/32 longs, 8 KB) —
+    shared by the batch prober and the streaming decontaminate-on-ingest
+    filter, so both test the SAME bits. Distinct eval shingles -> h md5
+    positions -> 32-bit words OR-ed map-side; collect is bounded by
+    m_bits, never the eval set."""
+    from ..functions.hashing import md5_long32
+
+    if sh is None:
+        sh = _doc_shingles(spark, sf_dir)
+    ev = (
+        sh.filter(F.col("doc_id") < bench_max_id)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    pos = [
+        md5_long32(F.concat(F.lit(f"bf{i}|"), F.col("s"))) % m_bits
+        for i in range(h)
+    ]
+    words = (
+        ev.select(F.explode(F.array(*pos)).alias("p"))
+        .select(
+            (F.col("p") / 32).cast("int").alias("w"),
+            (F.col("p") % 32).cast("int").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), b))").alias("bits"))
+        .collect()
+    )
+    got = {int(r["w"]): int(r["bits"]) for r in words}
+    return [got.get(w, 0) for w in range(m_bits // 32)]
+
+
+def bloom_hit_expr(
+    shingles_col, bitmap: list, m_bits: int = BLOOM_BITS, h: int = BLOOM_HASHES
+):
+    """Stateless per-row Bloom membership: TRUE iff ANY shingle in the
+    array column hits all h bitmap bits. The bitmap folds in as m_bits/32
+    literal longs; the bit test inside the exists() lambda uses exact
+    power-of-two double division (floor(word / 2^bit) % 2 — every value
+    < 2^53, so the float path is exact) because Spark's shift functions
+    only take literal shift amounts and F.expr cannot see a lambda
+    variable. This is the form a STREAMING filter can run: no explode, no
+    aggregation, no state."""
+    from ..functions.hashing import md5_long32
+
+    bm = F.array(*[F.lit(int(wd)) for wd in bitmap])
+
+    def _bit_ok(s, i: int):
+        p = md5_long32(F.concat(F.lit(f"bf{i}|"), s)) % m_bits
+        word = F.element_at(bm, (p / 32).cast("int") + 1)
+        bit = (p % 32).cast("int")
+        return (
+            F.floor(word / F.pow(F.lit(2.0), bit)).cast("long") % 2
+        ) == 1
+
+    def _all_bits(s):
+        cond = _bit_ok(s, 0)
+        for i in range(1, h):
+            cond = cond & _bit_ok(s, i)
+        return cond
+
+    return F.exists(shingles_col, _all_bits)
+
+
 def decontaminate_bloom(
     spark: SparkSession,
     sf_dir: str,
@@ -905,29 +977,11 @@ def decontaminate_bloom(
     sh = bounded_persist(
         _doc_shingles(spark, sf_dir), "bloom_shingles", scope=sf_dir
     )
+    bitmap = eval_bloom_bitmap(spark, sf_dir, bench_max_id, m_bits, h, sh=sh)
+    one = spark.createDataFrame([(bitmap,)], "_bm array<bigint>")
 
     def _pos(i: int):
         return md5_long32(F.concat(F.lit(f"bf{i}|"), F.col("s"))) % m_bits
-
-    # build: distinct eval shingles -> h positions -> 32-bit words OR-ed
-    ev = (
-        sh.filter(F.col("doc_id") < bench_max_id)
-        .select(F.explode("shingles").alias("s"))
-        .distinct()
-    )
-    words = (
-        ev.select(F.explode(F.array(*[_pos(i) for i in range(h)])).alias("p"))
-        .select(
-            (F.col("p") / 32).cast("int").alias("w"),
-            (F.col("p") % 32).cast("int").alias("b"),
-        )
-        .groupBy("w")
-        .agg(F.expr("bit_or(shiftleft(cast(1 as bigint), b))").alias("bits"))
-        .collect()
-    )
-    got = {int(r["w"]): int(r["bits"]) for r in words}
-    bitmap = [got.get(w, 0) for w in range(m_bits // 32)]
-    one = spark.createDataFrame([(bitmap,)], "_bm array<bigint>")
 
     # probe: h bit tests per corpus shingle, all inside the scan stage
     probed = (

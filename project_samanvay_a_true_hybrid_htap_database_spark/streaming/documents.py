@@ -81,3 +81,25 @@ def ingest_documents_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def decontaminate_on_ingest_stream(docs: DataFrame, bitmap: list) -> DataFrame:
+    """Benchmark decontamination ON ARRIVAL: drop any incoming document
+    sharing a shingle with the eval-set Bloom bitmap (built once by
+    dedup.eval_bloom_bitmap, 8 KB regardless of eval-set size). Entirely
+    STATELESS — the bitmap folds into the filter expression and the probe
+    is an exists() over the doc's shingle array — so it composes freely
+    with the watermarked dedup stage and costs the state store nothing.
+    This is the in-flight twin of dedup.decontaminate_bloom's flag: the
+    same bits, pinned equal in tests/test_streaming.py."""
+    from ..functions.textfns import tokens, word_shingles
+    from ..operators.dedup import SHINGLE_N, bloom_hit_expr
+
+    shingled = docs.withColumn("_t", tokens("text")).withColumn(
+        "_sh", word_shingles(F.col("_t"), SHINGLE_N)
+    )
+    return (
+        shingled.withColumn("contaminated", bloom_hit_expr(F.col("_sh"), bitmap))
+        .filter(~F.col("contaminated"))
+        .drop("_t", "_sh", "contaminated")
+    )

@@ -362,3 +362,63 @@ def test_documents_jsonl_ingest_dedups_on_arrival(spark, tmp_path):
     finally:
         q2.stop()
     assert spark.read.parquet(out).count() == 3
+
+
+def test_decontaminate_on_ingest_matches_batch_bloom(spark, tmp_path):
+    """r10 streaming decontamination: the stateless Bloom filter stage
+    drops exactly the docs the BATCH prober flags — same bitmap, same
+    bits — and passes everything else through. Run the real documents
+    corpus through a file-source stream and compare survivor sets."""
+    import json as jsonlib
+    import os
+
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators.dedup import (
+        decontaminate_bloom,
+        eval_bloom_bitmap,
+    )
+    from project_samanvay_a_true_hybrid_htap_database_spark.streaming.documents import (
+        decontaminate_on_ingest_stream,
+        stream_documents_jsonl,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    train = docs.filter("doc_id >= 50")
+    batch = {
+        r["doc_id"]: r["flagged"]
+        for r in decontaminate_bloom(spark, sf).collect()
+    }
+    # ship the train split as two JSONL shards
+    src = str(tmp_path / "shards")
+    os.makedirs(src)
+    rows = train.select("doc_id", "text", "lang", "source", "n_chars").collect()
+    half = len(rows) // 2
+    for tag, chunk in (("000", rows[:half]), ("001", rows[half:])):
+        with open(os.path.join(src, f"shard-{tag}.json"), "w") as fh:
+            for r in chunk:
+                fh.write(jsonlib.dumps(r.asDict()) + "\n")
+
+    bitmap = eval_bloom_bitmap(spark, sf)
+    clean = decontaminate_on_ingest_stream(
+        stream_documents_jsonl(spark, src), bitmap
+    )
+    q = (
+        clean.writeStream.format("memory")
+        .queryName("decon_ingest")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    survived = {
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM decon_ingest").collect()
+    }
+    # batch-flagged docs are dropped in flight; everything else passes.
+    # docs shorter than one shingle never appear in the batch report (no
+    # evidence either way) — the stream PASSES them, matching flagged=False
+    expected_dropped = {d for d, f in batch.items() if f}
+    train_ids = {r["doc_id"] for r in rows}
+    assert survived == train_ids - expected_dropped
+    assert expected_dropped, "nothing flagged — the comparison is vacuous"
