@@ -448,7 +448,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": analytics.tpch_q18_large_volume_customer,
         "tpch_q3": analytics.tpch_q3_shipping_priority,
         "tpch_q7": analytics.tpch_q7_volume_shipping,
-        # --- round-10 additions (parked at the tail per the directive) ---
+        # --- round-10 additions (parked at the tail per the directive;
+        # 20 entries this round: IO round-trips, PII-NER, resampling,
+        # the PQ/IVF-PQ family incl. the residual variant + audits,
+        # Bloom/DSIR/bigram/budget/contrastive/winnowing/leakage/
+        # curriculum/profile — front of the r11 window) ---
         "pii_scrub_ner": text.pii_scrub_ner,
         "temperature_resample": sampling.temperature_resample,
         "decontaminate_semantic": dedup.decontaminate_semantic,

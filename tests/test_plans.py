@@ -256,6 +256,15 @@ class TestNoPresentationalSort:
             "pii_scrub_ner",
             "temperature_resample",
             "decontaminate_semantic",
+            # second r10 wave of corpus-sized outputs
+            "pq_encode",
+            "winnowing_fingerprints",
+            "dsir_importance_weights",
+            "decontaminate_bloom",
+            "bigram_lm_score",
+            "leakage_safe_split",
+            "curriculum_stages",
+            "contrastive_pairs",
         ],
     )
     def test_unbounded_output_has_no_global_sort(self, spark, name):
