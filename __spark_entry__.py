@@ -475,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_res_topk": similarity.ann_ivfpq_res_topk,
         "ann_ivfpq_recall_audit": similarity.ann_ivfpq_recall_audit,
         "table_profile": analytics.table_profile,
+        "embedding_quality_report": similarity.embedding_quality_report,
     }
 
 
@@ -2555,6 +2556,26 @@ GROUP BY label ORDER BY label
         # must be row-identical to the HOF form
         "knn_join_ivf_vectorized": knn_ivf,
         "pq_encode": pq_encode_sql,
+        # r10: vector hygiene gate — norms via the same element-order dot
+        "embedding_quality_report": """
+WITH d AS (SELECT len(embedding) AS dd, count(*) AS c FROM embeddings
+           GROUP BY 1 ORDER BY c DESC, dd ASC LIMIT 1),
+s AS (SELECT CASE WHEN len(list_filter(embedding,
+                       x -> isnan(x::DOUBLE))) > 0 THEN 1 ELSE 0 END AS has_nan,
+             CASE WHEN len(embedding) != d.dd THEN 1 ELSE 0 END AS bad_dim,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS nrm
+      FROM embeddings, d)
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST((SELECT dd FROM d) AS INT) AS dim,
+       CAST(sum(has_nan) AS BIGINT) AS n_nan,
+       CAST(sum(bad_dim) AS BIGINT) AS n_bad_dim,
+       CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_norm,
+       round(quantile_cont(nrm, 0.5), 6) AS norm_p50,
+       round(quantile_cont(nrm, 0.99), 6) AS norm_p99
+FROM s
+""",
         "ann_ivfpq_res_topk": ann_ivfpq_res,
         "ann_ivfpq_recall_audit": ann_ivfpq_recall,
         "ann_pq_adc_topk": ann_pq_adc,

@@ -2383,3 +2383,38 @@ def ann_ivfpq_recall_audit(
         F.round(F.avg("rp"), 4).alias("recall_plain"),
         F.round(F.avg("rr"), 4).alias("recall_residual"),
     )
+
+
+def embedding_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hygiene gate — run BEFORE building any index: counts of
+    NaN-carrying, zero-norm, and off-dimension vectors (each silently
+    poisons cosine/IVF math: NaN propagates through every distance,
+    zero-norm divides by zero, a short vector breaks the zip), plus exact
+    norm percentiles (p50/p99 — a norm distribution with a wild tail says
+    the embedder mixed checkpoints; MIPS norm-augmentation needs the max
+    anyway). One scan, one global aggregate row; the percentile is the
+    exact interpolated form at test SF (the percentile_prices precedent —
+    swap approx at 100 TB, same shape)."""
+    from ..functions.vectors import norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim_mode = emb.select(F.size("embedding").alias("d")).groupBy("d").count()
+    top_dim = (
+        dim_mode.orderBy(F.col("count").desc(), F.col("d").asc())
+        .limit(1)
+        .collect()[0]["d"]
+    )
+    scored = emb.select(
+        F.exists("embedding", F.isnan).cast("int").alias("has_nan"),
+        (F.size("embedding") != top_dim).cast("int").alias("bad_dim"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.lit(int(top_dim)).alias("dim"),
+        F.sum("has_nan").alias("n_nan"),
+        F.sum("bad_dim").alias("n_bad_dim"),
+        F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0)).alias("n_zero_norm"),
+        F.round(F.expr("percentile(nrm, 0.5)"), 6).alias("norm_p50"),
+        F.round(F.expr("percentile(nrm, 0.99)"), 6).alias("norm_p99"),
+    )
