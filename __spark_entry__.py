@@ -476,6 +476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_recall_audit": similarity.ann_ivfpq_recall_audit,
         "table_profile": analytics.table_profile,
         "embedding_quality_report": similarity.embedding_quality_report,
+        "dedup_cluster_histogram": dedup.dedup_cluster_histogram,
     }
 
 
@@ -2312,6 +2313,33 @@ GROUP BY doc_id ORDER BY doc_id
         # the same fixpoint in SQL is a recursive CTE over the edge set.
         # r10: leakage-safe split — the CC chain is the dedup_groups
         # oracle; singletons represent themselves; same integer-ppm split
+        # r10: dup-mass histogram — CC chain + singleton self-representation
+        "dedup_cluster_histogram": f"""
+WITH RECURSIVE
+toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+shl AS (SELECT doc_id, {_SHINGLES} AS S FROM toks),
+p AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         len(list_intersect(a.S, b.S)) AS inter,
+         len(a.S) + len(b.S) - len(list_intersect(a.S, b.S)) AS uni
+  FROM shl a JOIN shl b ON a.doc_id < b.doc_id),
+pr AS (SELECT d1, d2 FROM p WHERE inter / uni >= 0.5),
+edges AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+grp AS (SELECT n AS doc_id, min(m) AS group_id FROM reach GROUP BY n),
+rep AS (SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id
+        FROM documents d LEFT JOIN grp g USING (doc_id)),
+sz AS (SELECT group_id, count(*) AS cluster_size FROM rep GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM documents)
+SELECT cluster_size, count(*) AS n_clusters,
+       cluster_size * count(*) AS n_docs,
+       round(CAST(cluster_size * count(*) AS DOUBLE) / tot.n, 6) AS doc_share
+FROM sz, tot GROUP BY cluster_size, tot.n
+""",
         "leakage_safe_split": f"""
 WITH RECURSIVE
 toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),

@@ -1784,3 +1784,33 @@ def staged_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_surviving"),
         )
     )
+
+
+def dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-mass distribution — the one-page answer to "how
+    duplicated is this corpus?": cluster-size histogram over the near-dup
+    components (singletons included via self-representation, so doc
+    shares sum to 1). The number a curator reads before choosing between
+    exact-only dedup (mass in size-2 clusters) and the staged near-dup
+    pass (fat clusters). Pair graph + CC (both 10x-probed) + two
+    bounded-size aggregates; the histogram itself is at most
+    |distinct sizes| rows."""
+    groups = dedup_groups(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    rep = docs.join(groups, "doc_id", "left").select(
+        "doc_id", F.coalesce("group_id", "doc_id").alias("group_id")
+    )
+    sizes = rep.groupBy("group_id").agg(F.count("*").alias("cluster_size"))
+    total = docs.count()
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            F.round(
+                (F.col("cluster_size") * F.col("n_clusters")) / F.lit(total), 6
+            ).alias("doc_share"),
+        )
+    )
