@@ -477,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": analytics.table_profile,
         "embedding_quality_report": similarity.embedding_quality_report,
         "dedup_cluster_histogram": dedup.dedup_cluster_histogram,
+        "virtual_epochs": sampling.virtual_epochs,
     }
 
 
@@ -2655,6 +2656,30 @@ SELECT doc_id,
        coalesce(string_agg(CASE WHEN hit THEN '<ENT>' ELSE tok END,
                            ' ' ORDER BY pos), '') AS clean_text
 FROM m GROUP BY doc_id
+""",
+        # r10: virtual-epoch expansion — whole epochs from ppm div 1e6,
+        # the fractional copy from the salted ppm draw; fan-out via
+        # unnest(generate_series), 0-copy docs dropped both engines
+        "virtual_epochs": f"""
+WITH per AS (SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+             FROM documents GROUP BY source),
+t AS (SELECT source, n_tokens::DOUBLE / sum(n_tokens) OVER () AS nat,
+             pow(n_tokens::DOUBLE / sum(n_tokens) OVER (), 0.7) AS aw
+      FROM per),
+z AS (SELECT source, nat, aw / sum(aw) OVER () AS ash FROM t),
+b AS (SELECT source, floor(ash / nat * 1e6) / 1e6 AS boost FROM z),
+r AS (SELECT source,
+             CAST(floor(boost * 1.0 * 1e6) AS BIGINT) AS rppm
+      FROM b),
+c AS (SELECT d.doc_id, d.source,
+             (r.rppm // 1000000)
+             + (CASE WHEN ('0x' || substr(md5('vepoch|' ||
+                    CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+                    < r.rppm % 1000000 THEN 1 ELSE 0 END) AS n
+      FROM documents d JOIN r ON r.source = d.source)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(1, CAST(n AS INT))) - 1 AS INT) AS epoch
+FROM c WHERE n >= 1
 """,
         # r10: temperature resampling — the mixture CTE is the
         # source_mixture_weights oracle; the acceptance threshold lives as

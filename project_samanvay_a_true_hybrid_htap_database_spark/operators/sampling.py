@@ -720,3 +720,50 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs_moved",
     )
     return out
+
+
+def virtual_epochs(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.7, target_frac: float = 1.0
+) -> DataFrame:
+    """The UP-sampling half of temperature mixing — temperature_resample
+    thins over-represented feeds (acceptance capped at 1); this emits the
+    replication manifest for under-represented ones: each doc appears
+    floor(rate) times plus one more with probability frac(rate), where
+    rate = boost_s x target_frac — "virtual epochs" as an actual
+    (doc_id, source, epoch) roster a loader can shuffle and stream,
+    deterministic because the fractional copy is the standard salted-md5
+    ppm draw, not RNG.
+
+    Shape: the per-source rate table is feed-count-bounded and broadcast;
+    the copy count is decided inside the scan and the fan-out is an
+    explode of a 1..n_copies sequence — output size is exactly the token
+    budget the mixture dictates, and nothing shuffles. The rate lives as
+    integer ppm from the floor onward (the temperature_resample
+    contract), split into whole epochs (ppm div 1e6) and the fractional
+    ppm remainder."""
+    from ..functions.hashing import md5_long32
+
+    shares = source_mixture_weights(spark, sf_dir, alpha=alpha).select(
+        "source",
+        F.floor(F.col("boost") * target_frac * 1e6).cast("long").alias("rppm"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    extra = (
+        (
+            md5_long32(F.concat(F.lit("vepoch|"), F.col("doc_id").cast("string")))
+            % 1_000_000
+        )
+        < (F.col("rppm") % 1_000_000)
+    ).cast("int")
+    n_copies = (F.col("rppm") / 1_000_000).cast("long") + extra
+    return (
+        docs.join(F.broadcast(shares), "source")
+        .withColumn("_n", n_copies)
+        .filter(F.col("_n") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("_e"),
+        )
+        .select("doc_id", "source", F.col("_e").cast("int").alias("epoch"))
+    )
