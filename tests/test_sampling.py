@@ -655,3 +655,48 @@ class TestLeakageSafeSplit:
         # stage is monotone in cross_entropy
         by_stage = {k: [r["cross_entropy"] for r in rows if r["stage"] == k] for k in (1, 2, 3)}
         assert max(by_stage[1]) <= min(by_stage[3])
+
+
+class TestVirtualEpochs:
+    """virtual_epochs (r10): multiplicity must be floor(rate) or
+    floor(rate)+1 per doc, epochs must be dense 0..n-1, and the realized
+    per-source expansion must track the mixture rate."""
+
+    def test_multiplicity_and_density(self, spark):
+        from collections import Counter
+
+        from pyspark.sql import functions as F
+
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+            sampling,
+        )
+
+        rows = sampling.virtual_epochs(spark, SF_DIR).collect()
+        assert rows
+        per_doc = Counter((r["source"], r["doc_id"]) for r in rows)
+        rates = {
+            r["source"]: r["rppm"]
+            for r in sampling.source_mixture_weights(spark, SF_DIR)
+            .select(
+                "source",
+                F.floor(F.col("boost") * 1e6).cast("long").alias("rppm"),
+            )
+            .collect()
+        }
+        for (src, did), n in per_doc.items():
+            lo = rates[src] // 1_000_000
+            assert n in (lo, lo + 1), (src, did, n, rates[src])
+        # epochs dense per doc
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault((r["source"], r["doc_id"]), []).append(r["epoch"])
+        for key, es in by_doc.items():
+            assert sorted(es) == list(range(len(es))), (key, es)
+        # realized expansion tracks the rate within the fractional draw's
+        # tolerance (each doc contributes ±1): per source,
+        # |copies - docs*rate| <= docs * 1 (loose) and sign-correct on avg
+        docs_per_src = Counter(k[0] for k in per_doc)
+        for src, n_docs in docs_per_src.items():
+            copies = sum(n for k, n in per_doc.items() if k[0] == src)
+            expect = n_docs * rates[src] / 1_000_000
+            assert abs(copies - expect) <= n_docs, (src, copies, expect)
