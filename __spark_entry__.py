@@ -267,71 +267,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so the driver's 50-entry-per-round sweep (dict order = sweep
-    # order) re-validates what most needs it (VERDICT r5 #3, r6 #1, r7 #2,
-    # r8 #2, r9 #1). The round-10 window: the 7 never-driver-green r9
-    # additions first (all pass the pytest oracle), then the 7 rows whose
-    # newest green is still r6, then the 36 stalest of the 50 r7-green
-    # rows. After this sweep zero entries are never-driver-green and the
-    # newest-green floor moves to r7. Per the standing directive, NO new
-    # operator sits ahead of the sweep line; round-10 additions are parked
-    # at the very tail.
     return {
-        # --- never driver-green: the seven r9-tail additions (VERDICT r9 #1) ---
-        "kmeans_iterate": similarity.kmeans_iterate,
-        "knn_join_ivf_blocked": similarity.knn_join_ivf_blocked,
-        "knn_join_ivf_vectorized": similarity.knn_join_ivf_vectorized,
-        "dedup_groups_twostar": dedup.dedup_groups_twostar,
-        "pii_scrub": text.pii_scrub,
-        "pii_report": text.pii_report,
-        "token_count_min": text.token_count_min,
-        # --- last green r6: the 7 that did not fit the r9 window ---
-        "tpch_q8": analytics.tpch_q8_market_share,
-        "unigram_lm_score": text.unigram_lm_score,
-        "unpivot_metrics": analytics.unpivot_metrics,
-        "update_projection": relational.update_projection,
-        "upsert_merge": relational.upsert_merge,
-        "window_frame_bounds": analytics.window_frame_bounds,
-        "window_lag_delta": analytics.window_lag_delta,
-        # --- last green r7: the 36 stalest of the 50 r7-green rows ---
-        "anti_join": analytics.anti_join,
-        "bm25_search": text.bm25_search,
-        "case_bucketing": analytics.case_bucketing,
-        "cluster_quality_report": similarity.cluster_quality_report,
-        "corr_stats": analytics.corr_stats,
-        "distinct_count_agg": analytics.distinct_count_agg,
-        "distinct_count_approx": analytics.distinct_count_approx,
-        "distinct_values": analytics.distinct_values,
-        "embedding_centroids": similarity.embedding_centroids,
-        "embedding_quantize": similarity.embedding_quantize,
-        "except_op": analytics.except_op,
-        "fingerprints": text.fingerprints,
-        "fixed_k_per_stratum": sampling.fixed_k_per_stratum,
-        "group_having": analytics.group_having,
-        "hash_sample": sampling.hash_sample,
-        "join_agg_orders_lineitem": analytics.join_agg_orders_lineitem,
-        "kmeans_assign": similarity.kmeans_assign,
-        "knn_join_vectorized": similarity.knn_join_vectorized,
-        "lang_distribution": text.lang_distribution,
-        "lang_id": text.lang_id,
-        "multimodal_frames": multimodal.frame_sample,
-        "multimodal_resize": multimodal.image_resize,
-        "multimodal_summary": multimodal.multimodal_summary,
-        "ngram_freq_topk": text.ngram_freq_topk,
-        "ntile_quartiles": analytics.ntile_quartiles,
-        "pack_sequences": sampling.pack_sequences,
-        "percentile_prices": analytics.percentile_prices,
-        "percentile_prices_approx": analytics.percentile_prices_approx,
-        "pipeline_funnel": sampling.pipeline_funnel,
-        "pivot_status_by_priority": analytics.pivot_status_by_priority,
-        "quality_score": text.quality_score,
-        "rollup_agg": analytics.rollup_agg,
-        "salted_agg": analytics.salted_agg,
-        "scalar_subquery": analytics.scalar_subquery,
-        "semantic_outliers": similarity.semantic_outliers,
-        "semi_join": analytics.semi_join,
-        # --- sweep line (50 entries above) ---
-        # last green r7: the 14 that did not fit (front of the r11 window)
+        # --- r11 sweep window (dict order = driver sweep order). First the 25
+        # r10 additions that have never been driver-checked plus the rows-only
+        # percentile_prices_sketch (VERDICT r10 #1), then the 14 rows whose
+        # newest green is still r7, then the 10 stalest r8 rows. After this
+        # sweep zero entries are never-driver-green and the newest-green floor
+        # moves to r8. Per the standing directive, NO new operator sits ahead
+        # of the sweep line; round-11 additions are parked at the very tail. ---
+        # never driver-green: the 25 r10 additions
+        "pii_scrub_ner": text.pii_scrub_ner,
+        "temperature_resample": sampling.temperature_resample,
+        "decontaminate_semantic": dedup.decontaminate_semantic,
+        "ann_ivf_multiprobe_topk": similarity.ann_ivf_multiprobe_topk,
+        "documents_jsonl_roundtrip": textio.documents_jsonl_roundtrip,
+        "documents_csv_roundtrip": textio.documents_csv_roundtrip,
+        "pq_encode": similarity.pq_encode,
+        "ann_pq_adc_topk": similarity.ann_pq_adc_topk,
+        "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
+        "ann_pq_recall_audit": similarity.ann_pq_recall_audit,
+        "decontaminate_bloom": dedup.decontaminate_bloom,
+        "dsir_importance_weights": sampling.dsir_importance_weights,
+        "bigram_lm_score": text.bigram_lm_score,
+        "token_budget_select": sampling.token_budget_select,
+        "contrastive_pairs": sampling.contrastive_pairs,
+        "winnowing_fingerprints": text.winnowing_fingerprints,
+        "winnowing_overlap_report": text.winnowing_overlap_report,
+        "leakage_safe_split": sampling.leakage_safe_split,
+        "curriculum_stages": sampling.curriculum_stages,
+        "ann_ivfpq_res_topk": similarity.ann_ivfpq_res_topk,
+        "ann_ivfpq_recall_audit": similarity.ann_ivfpq_recall_audit,
+        "table_profile": analytics.table_profile,
+        "embedding_quality_report": similarity.embedding_quality_report,
+        "dedup_cluster_histogram": dedup.dedup_cluster_histogram,
+        "virtual_epochs": sampling.virtual_epochs,
+        # never driver-green: rows-only sketch form (no SQL oracle)
+        "percentile_prices_sketch": analytics.percentile_prices_sketch,
+        # last green r7: the 14 that did not fit the r10 window
         "set_ops": analytics.set_ops,
         "source_quality_report": text.source_quality_report,
         "stratified_sample": sampling.stratified_sample,
@@ -346,7 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": sampling.train_test_split,
         "window_running_sum": analytics.window_running_sum,
         "window_topn_per_group": analytics.window_topn_per_group,
-        # last green r8
+        # last green r8: the 10 stalest
         "agg_avg": relational.agg_avg,
         "agg_count": relational.agg_count,
         "agg_min_max": relational.agg_min_max,
@@ -357,6 +329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_mips_topk": similarity.ann_mips_topk,
         "attribution_window_join": analytics.attribution_window_join,
+        # --- sweep line (50 entries above) ---
+        # last green r8: the remaining 40
         "bucketed_join_agg": bucketed_join_agg,
         "containment_pairs": dedup.containment_pairs,
         "decontaminate_ngram_overlap": dedup.decontaminate_ngram_overlap,
@@ -397,8 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22": analytics.tpch_q22_global_sales_opportunity,
         "tpch_q4": analytics.tpch_q4_order_priority,
         "tpch_q9": analytics.tpch_q9_product_profit,
-        # last green r9 (freshest rows in the repo)
-        "percentile_prices_sketch": analytics.percentile_prices_sketch,
+        # last green r9
         "ann_recall_audit": similarity.ann_recall_audit,
         "duplicate_span_report": dedup.duplicate_span_report,
         "split_leakage_audit": sampling.split_leakage_audit,
@@ -448,36 +421,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": analytics.tpch_q18_large_volume_customer,
         "tpch_q3": analytics.tpch_q3_shipping_priority,
         "tpch_q7": analytics.tpch_q7_volume_shipping,
-        # --- round-10 additions (parked at the tail per the directive;
-        # 20 entries this round: IO round-trips, PII-NER, resampling,
-        # the PQ/IVF-PQ family incl. the residual variant + audits,
-        # Bloom/DSIR/bigram/budget/contrastive/winnowing/leakage/
-        # curriculum/profile — front of the r11 window) ---
-        "pii_scrub_ner": text.pii_scrub_ner,
-        "temperature_resample": sampling.temperature_resample,
-        "decontaminate_semantic": dedup.decontaminate_semantic,
-        "ann_ivf_multiprobe_topk": similarity.ann_ivf_multiprobe_topk,
-        "documents_jsonl_roundtrip": textio.documents_jsonl_roundtrip,
-        "documents_csv_roundtrip": textio.documents_csv_roundtrip,
-        "pq_encode": similarity.pq_encode,
-        "ann_pq_adc_topk": similarity.ann_pq_adc_topk,
-        "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
-        "ann_pq_recall_audit": similarity.ann_pq_recall_audit,
-        "decontaminate_bloom": dedup.decontaminate_bloom,
-        "dsir_importance_weights": sampling.dsir_importance_weights,
-        "bigram_lm_score": text.bigram_lm_score,
-        "token_budget_select": sampling.token_budget_select,
-        "contrastive_pairs": sampling.contrastive_pairs,
-        "winnowing_fingerprints": text.winnowing_fingerprints,
-        "winnowing_overlap_report": text.winnowing_overlap_report,
-        "leakage_safe_split": sampling.leakage_safe_split,
-        "curriculum_stages": sampling.curriculum_stages,
-        "ann_ivfpq_res_topk": similarity.ann_ivfpq_res_topk,
-        "ann_ivfpq_recall_audit": similarity.ann_ivfpq_recall_audit,
-        "table_profile": analytics.table_profile,
-        "embedding_quality_report": similarity.embedding_quality_report,
-        "dedup_cluster_histogram": dedup.dedup_cluster_histogram,
-        "virtual_epochs": sampling.virtual_epochs,
+        # last green r10 (freshest rows in the repo)
+        "kmeans_iterate": similarity.kmeans_iterate,
+        "knn_join_ivf_blocked": similarity.knn_join_ivf_blocked,
+        "knn_join_ivf_vectorized": similarity.knn_join_ivf_vectorized,
+        "dedup_groups_twostar": dedup.dedup_groups_twostar,
+        "pii_scrub": text.pii_scrub,
+        "pii_report": text.pii_report,
+        "token_count_min": text.token_count_min,
+        "tpch_q8": analytics.tpch_q8_market_share,
+        "unigram_lm_score": text.unigram_lm_score,
+        "unpivot_metrics": analytics.unpivot_metrics,
+        "update_projection": relational.update_projection,
+        "upsert_merge": relational.upsert_merge,
+        "window_frame_bounds": analytics.window_frame_bounds,
+        "window_lag_delta": analytics.window_lag_delta,
+        "anti_join": analytics.anti_join,
+        "bm25_search": text.bm25_search,
+        "case_bucketing": analytics.case_bucketing,
+        "cluster_quality_report": similarity.cluster_quality_report,
+        "corr_stats": analytics.corr_stats,
+        "distinct_count_agg": analytics.distinct_count_agg,
+        "distinct_count_approx": analytics.distinct_count_approx,
+        "distinct_values": analytics.distinct_values,
+        "embedding_centroids": similarity.embedding_centroids,
+        "embedding_quantize": similarity.embedding_quantize,
+        "except_op": analytics.except_op,
+        "fingerprints": text.fingerprints,
+        "fixed_k_per_stratum": sampling.fixed_k_per_stratum,
+        "group_having": analytics.group_having,
+        "hash_sample": sampling.hash_sample,
+        "join_agg_orders_lineitem": analytics.join_agg_orders_lineitem,
+        "kmeans_assign": similarity.kmeans_assign,
+        "knn_join_vectorized": similarity.knn_join_vectorized,
+        "lang_distribution": text.lang_distribution,
+        "lang_id": text.lang_id,
+        "multimodal_frames": multimodal.frame_sample,
+        "multimodal_resize": multimodal.image_resize,
+        "multimodal_summary": multimodal.multimodal_summary,
+        "ngram_freq_topk": text.ngram_freq_topk,
+        "ntile_quartiles": analytics.ntile_quartiles,
+        "pack_sequences": sampling.pack_sequences,
+        "percentile_prices": analytics.percentile_prices,
+        "percentile_prices_approx": analytics.percentile_prices_approx,
+        "pipeline_funnel": sampling.pipeline_funnel,
+        "pivot_status_by_priority": analytics.pivot_status_by_priority,
+        "quality_score": text.quality_score,
+        "rollup_agg": analytics.rollup_agg,
+        "salted_agg": analytics.salted_agg,
+        "scalar_subquery": analytics.scalar_subquery,
+        "semantic_outliers": similarity.semantic_outliers,
+        "semi_join": analytics.semi_join,
+        # --- round-11 additions (parked at the tail per the directive) ---
+        "token_budget_select_scaled": sampling.token_budget_select_scaled,
     }
 
 
@@ -1223,7 +1219,7 @@ b AS (SELECT unnest(list_transform(generate_series(1, len(T) - 1),
 SELECT bigram, count(*) AS freq FROM b GROUP BY bigram
 ORDER BY freq DESC, bigram ASC LIMIT 20
 """
-    return {
+    sqls = {
         # --- round-6 additions ---
         "multimodal_blob_dedup": """
 SELECT md5(text) AS digest, min(doc_id) AS keeper, count(*) AS n_copies,
@@ -2242,8 +2238,15 @@ FROM j
 WITH toks AS (SELECT doc_id, {_TOKS} AS T FROM documents),
 shl AS (SELECT doc_id, {_SHINGLES} AS S FROM toks),
 ev AS (SELECT DISTINCT unnest(S) AS s FROM shl WHERE doc_id < 50),
+-- honest sizing twin of dedup.bloom_m_bits: next pow2 >=
+-- max(BLOOM_M_MIN, BLOOM_BITS_PER_KEY*h*n) — integer-only, no libm
+msel AS (SELECT min(1::BIGINT << e) AS m
+         FROM generate_series(10, 62) t(e), (SELECT count(*) AS n FROM ev)
+         WHERE (1::BIGINT << e) >= greatest(
+            {dedup.BLOOM_M_MIN},
+            {dedup.BLOOM_BITS_PER_KEY * dedup.BLOOM_HASHES} * n)),
 pos AS (SELECT ('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || '|' || s),
-                1, 8))::BIGINT % {dedup.BLOOM_BITS} AS p
+                1, 8))::BIGINT % (SELECT m FROM msel) AS p
         FROM ev, generate_series(0, {dedup.BLOOM_HASHES - 1}) t(i)),
 bm AS (SELECT CAST(p // 32 AS INT) AS w,
               bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
@@ -2251,7 +2254,7 @@ bm AS (SELECT CAST(p // 32 AS INT) AS w,
 tr AS (SELECT doc_id, unnest(S) AS s FROM shl WHERE doc_id >= 50),
 tp AS (SELECT doc_id, s,
               ('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || '|' || s),
-               1, 8))::BIGINT % {dedup.BLOOM_BITS} AS p
+               1, 8))::BIGINT % (SELECT m FROM msel) AS p
        FROM tr, generate_series(0, {dedup.BLOOM_HASHES - 1}) t(i)),
 th AS (SELECT doc_id, s,
               bool_and(coalesce((b.bits >> CAST(tp.p % 32 AS INT)) & 1, 0) = 1)
@@ -3137,3 +3140,8 @@ SELECT group_id,
 FROM r GROUP BY group_id ORDER BY group_id
 """,
     }
+    # r11: the scaled rewrite has the identical output contract as the
+    # windowed spec — one oracle serves both (exactness also pinned by
+    # tests/test_sampling.py::TestTokenBudgetScaledDifferential).
+    sqls["token_budget_select_scaled"] = sqls["token_budget_select"]
+    return sqls

@@ -515,12 +515,12 @@ def token_budget_select(
     Shape: the budget table is feed-count-bounded and broadcast; the
     prefix sum is a window per SOURCE (shuffle on source + within-source
     sort) — exact and oracle-able, the right call up to partition-sized
-    sources. At 100 TB a hot source outgrows one partition; the
-    scale-out form keeps this operator's contract but finds the
-    per-source quality CUTOFF by quantile search (two scans, no sort)
-    and admits docs above it — same manifest up to boundary ties. The
-    exact windowed form IS the spec the approximate one is audited
-    against, which is why it is the registered operator.
+    sources. At 100 TB a hot source outgrows one partition; use
+    ``token_budget_select_scaled`` there — a two-level prefix sum over
+    the bounded (source, quality) tier table that produces the
+    IDENTICAL manifest (differential-pinned in test_sampling.py) with
+    no per-source corpus sort. This windowed form stays the executable
+    spec the scaled twin is audited against.
 
     Output: the selected manifest (doc_id, source, n_tokens, quality,
     cum_tokens), cum_tokens <= the source's budget by construction."""
@@ -544,6 +544,88 @@ def token_budget_select(
     )
     return (
         ranked.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "source", "n_tokens", "quality", "cum_tokens")
+    )
+
+
+def token_budget_select_scaled(
+    spark: SparkSession,
+    sf_dir: str,
+    budget_tokens: int = TOKEN_BUDGET_DEFAULT,
+    alpha: float = 0.7,
+) -> DataFrame:
+    """The 100 TB form of ``token_budget_select`` — same contract, same
+    manifest, no per-source corpus sort (VERDICT r10 #1 / next-round #2).
+
+    The windowed spec's scale hazard is its per-source window: one hot
+    source (a CommonCrawl-style feed that is most of the corpus) funnels
+    every doc through a single task's sort. The fix exploits that
+    ``quality`` is rounded to 1e-4 in [0, 1], so a source has at most
+    10,001 distinct quality TIERS no matter how many docs it has. The
+    per-source running sum decomposes exactly into
+
+        cum_tokens(doc) = tokens_before_tier(source, quality)
+                        + within_tier_prefix(doc)            (doc_id asc)
+
+    because (quality desc, doc_id asc) is a total order refined by tiers.
+
+    Plan: (1) one partial-agg scan builds the (source, quality,
+    tier_tokens) table — bounded at sources x 10,001 rows; (2) the
+    tier-prefix window runs over THAT table (per-source input <= 10,001
+    rows — driver-safe at any corpus size); (3) tiers that start at or
+    past the budget are dropped BEFORE rejoining docs (broadcast join —
+    the tier table is bounded), so the surviving doc set is already
+    budget-bounded-ish; (4) the only corpus-side window partitions by
+    (source, quality) — granularity 1e-4, so the hot-source key is split
+    ~10,000 ways. Exact equality with the windowed spec (not merely "up
+    to boundary ties") is pinned by the differential test; the driver
+    also hash-checks this form against the same DuckDB oracle as the
+    spec."""
+    from .text import quality_score
+
+    shares = source_mixture_weights(spark, sf_dir, alpha=alpha).select(
+        "source",
+        F.floor(F.col("alpha_share") * budget_tokens)
+        .cast("long")
+        .alias("budget"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    q = quality_score(spark, sf_dir).select("doc_id", "n_tokens", "quality")
+    ranked = docs.join(q, "doc_id").join(F.broadcast(shares), "source")
+
+    # (1) bounded tier table: <= 10,001 rows per source regardless of corpus
+    tiers = ranked.groupBy("source", "quality", "budget").agg(
+        F.sum("n_tokens").cast("long").alias("tier_tokens")
+    )
+    # (2) tier prefix over the BOUNDED table (tokens strictly before tier)
+    tw = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tiers = tiers.withColumn(
+        "tier_prefix", F.coalesce(F.sum("tier_tokens").over(tw), F.lit(0)).cast("long")
+    )
+    # (3) tiers starting at/past the budget cannot admit any doc with
+    # n_tokens >= 1; keep tier_prefix <= budget so zero-token docs at the
+    # exact boundary survive identically to the spec.
+    live = tiers.filter(F.col("tier_prefix") <= F.col("budget")).select(
+        "source", "quality", "tier_prefix"
+    )
+    # (4) within-tier prefix: partition key carries quality too, so a hot
+    # source's docs spread across its ~10k tiers instead of one task.
+    dw = (
+        Window.partitionBy("source", "quality")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranked.join(F.broadcast(live), ["source", "quality"])
+        .withColumn(
+            "cum_tokens",
+            (F.col("tier_prefix") + F.sum("n_tokens").over(dw)).cast("long"),
+        )
         .filter(F.col("cum_tokens") <= F.col("budget"))
         .select("doc_id", "source", "n_tokens", "quality", "cum_tokens")
     )

@@ -86,7 +86,8 @@ def ingest_documents_stream(
 def decontaminate_on_ingest_stream(docs: DataFrame, bitmap: list) -> DataFrame:
     """Benchmark decontamination ON ARRIVAL: drop any incoming document
     sharing a shingle with the eval-set Bloom bitmap (built once by
-    dedup.eval_bloom_bitmap, 8 KB regardless of eval-set size). Entirely
+    dedup.eval_bloom_bitmap, auto-sized to 12-24 bits per distinct eval
+    shingle — see bloom_m_bits' FPR contract). Entirely
     STATELESS — the bitmap folds into the filter expression and the probe
     is an exists() over the doc's shingle array — so it composes freely
     with the watermarked dedup stage and costs the state store nothing.

@@ -131,3 +131,60 @@ class TestBloomOneSided:
             assert flagged and n_hits >= n_shared, (
                 f"doc {doc_id}: bloom {n_hits} < exact {n_shared}"
             )
+
+
+class TestBloomHonestSizing:
+    """VERDICT r10 #3: the filter must size itself from the blocklist's
+    cardinality (integer rule, oracle-reproducible), refuse to serve a
+    saturated filter, and keep the bitmap off the driver above the
+    broadcast threshold — with the distributed probe returning the
+    identical answer."""
+
+    def test_m_bits_rule_is_integer_next_pow2(self):
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+            dedup,
+        )
+
+        assert dedup.bloom_m_bits(0) == dedup.BLOOM_M_MIN
+        assert dedup.bloom_m_bits(1) == dedup.BLOOM_M_MIN
+        # 4*3*100 = 1200 -> 2048; 4*3*10_000 = 120_000 -> 131072
+        assert dedup.bloom_m_bits(100) == 2048
+        assert dedup.bloom_m_bits(10_000) == 131072
+        # monotone, always a power of two, always >= 4*h*n
+        prev = 0
+        for n in (1, 7, 50, 999, 12_345, 10**6, 10**9):
+            m = dedup.bloom_m_bits(n)
+            assert m >= max(dedup.BLOOM_M_MIN, 12 * n)
+            assert m & (m - 1) == 0
+            assert m >= prev
+            prev = m
+
+    def test_saturated_filter_raises_not_lies(self, spark):
+        import pytest as _pytest
+
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+            dedup,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        with _pytest.raises(ValueError, match="saturated"):
+            dedup.decontaminate_bloom(spark, sf, m_bits=dedup.BLOOM_M_MIN)
+
+    def test_distributed_probe_matches_broadcast_probe(self, spark):
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+            dedup,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        lit_rows = sorted(
+            map(tuple, dedup.decontaminate_bloom(spark, sf).collect())
+        )
+        dist = dedup.decontaminate_bloom(spark, sf, broadcast_bytes_max=0)
+        # the word table must not be a driver-side literal in this plan
+        phys = dist._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            dist._jdf.queryExecution(), "formatted"
+        )
+        assert "LocalTableScan" not in phys.split("\n\n")[0], (
+            "distributed path still materializes the bitmap on the driver"
+        )
+        assert sorted(map(tuple, dist.collect())) == lit_rows

@@ -344,6 +344,38 @@ class TestNoUnboundedGlobalWindow:
         )
 
 
+class TestTokenBudgetScaledPlan:
+    """VERDICT r10 #1: the spec form's per-source window (partition
+    `source`, order `quality DESC, doc_id ASC`) serializes a hot source
+    through one task's sort. The scaled twin must carry NO such window:
+    its only corpus-side window partitions by (source, quality) — the
+    1e-4 tier key — and the source-alone window runs over the bounded
+    tier table (ordered by quality only, never doc_id)."""
+
+    import re as _re
+
+    # a window partitioned by source ALONE whose ORDER BY reaches doc_id —
+    # the exact skewed-sort shape being banned from the corpus path
+    SOURCE_SORT = _re.compile(
+        r"windowspecdefinition\(source#\d+, quality#\d+ DESC[^)]*doc_id#\d+"
+    )
+
+    def test_spec_has_the_hazard_and_scaled_does_not(self, spark):
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+            sampling,
+        )
+
+        spec_plan = plan(sampling.token_budget_select(spark, SF_DIR))
+        scaled_plan = plan(sampling.token_budget_select_scaled(spark, SF_DIR))
+        # regex stays honest: it must FIND the hazard in the spec form
+        assert self.SOURCE_SORT.search(spec_plan), (
+            "hazard regex no longer matches the spec plan — rewrite it"
+        )
+        assert not self.SOURCE_SORT.search(scaled_plan), (
+            "scaled form regressed to a per-source corpus sort"
+        )
+
+
 class TestIvfRecallAuditPlan:
     def test_candidate_join_is_broadcast_hash_equi(self, spark):
         """The probed-candidate join must be a broadcast hash EQUI-join on

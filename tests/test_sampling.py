@@ -617,6 +617,34 @@ class TestTokenBudget:
             )
 
 
+class TestTokenBudgetScaledDifferential:
+    """token_budget_select_scaled (r11, VERDICT r10 #2): the two-level
+    prefix-sum rewrite must reproduce the windowed spec's manifest
+    EXACTLY — every row, including cum_tokens — not merely up to
+    boundary ties. Tight budgets force mid-tier cutoffs so the
+    within-tier boundary path is actually exercised."""
+
+    @pytest.mark.parametrize(
+        "budget", [None, 50_000, 7_000, 999]
+    )
+    def test_exact_manifest_parity(self, spark, budget):
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+            sampling,
+        )
+
+        kw = {} if budget is None else {"budget_tokens": budget}
+        spec = sampling.token_budget_select(spark, SF_DIR, **kw)
+        scaled = sampling.token_budget_select_scaled(spark, SF_DIR, **kw)
+        a = sorted(map(tuple, spec.collect()), key=lambda t: (t[1], t[0]))
+        b = sorted(map(tuple, scaled.collect()), key=lambda t: (t[1], t[0]))
+        assert a == b, (
+            f"scaled manifest diverges from spec at budget={budget}: "
+            f"{len(a)} vs {len(b)} rows"
+        )
+        if budget is None:
+            assert a, "default budget selected nothing — vacuous parity"
+
+
 class TestLeakageSafeSplit:
     """leakage_safe_split (r10): no near-duplicate pair may straddle the
     train/test boundary — the property the plain hash split violates (and

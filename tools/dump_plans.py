@@ -59,7 +59,7 @@ SHOWCASE = [
     ("temperature_resample", "alpha-temperature resample — feed-count-bounded rate table broadcast onto one scan, md5-threshold membership"),
     ("decontaminate_semantic", "eval-set max-cosine flagging — single broadcast eval row, HOF fold per train vector, no corpus shuffle"),
     ("ann_ivfpq_topk", "IVF-PQ serving — nprobe IN partition filter over the 8 B/vector codes index, per-query LUT folded as literals, raw vectors never scanned"),
-    ("decontaminate_bloom", "Bloom decontamination — 8 KB bitmap broadcast, h bit tests inside the scan, no blocklist join"),
+    ("decontaminate_bloom", "Bloom decontamination — cardinality-sized bitmap broadcast, h bit tests inside the scan, no blocklist join"),
     ("dsir_importance_weights", "DSIR scoring — fixed 1024-bucket log-ratio table broadcast onto the token stream, doc-keyed partial agg"),
     ("winnowing_fingerprints", "MOSS winnowing — shingles exploded once, hash per row, doc-keyed window-min frame (the all-HOF form re-ran the tokenizer per window: 110s -> 1.2s)"),
     ("ann_ivfpq_res_topk", "residual IVF-PQ serving — per-list LUTs behind a cluster CASE, nprobe partition prune, codes index only"),
