@@ -1690,8 +1690,8 @@ def window_frame_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column data-quality profile of the documents corpus — the
     first thing a pipeline runs against a new drop: row count, null
-    count/fraction, exact distinct cardinality, lexicographic min/max
-    (stringified so every column fits one schema). ONE scan: all the
+    count/fraction, exact distinct cardinality, native-ordered min/max
+    (stringified AFTER the comparison so every column fits one schema). ONE scan: all the
     per-column aggregates ride a single Expand-based aggregate (Spark's
     multi-distinct rewrite), and the per-column rows come from a stack()
     unpivot of the 1-row aggregate — the generator runs on one row, not

@@ -444,7 +444,13 @@ def contrastive_pairs(
     beyond the pair generator itself. In-batch duplicates (negative
     colliding with the anchor or its positive) are dropped rather than
     redrawn, so a probe can yield fewer than k_neg rows — both engines
-    drop the same rows. Output: (anchor, positive, neg_rank, negative)."""
+    drop the same rows. Two disclosed draw biases (ADVICE r10): two j
+    draws for one anchor can hash to the SAME bucket, so a triplet can
+    repeat under different neg_rank (kept — the oracle keeps it too);
+    and the negative pool is the <= ``buckets`` bucket-min docs
+    corpus-wide (biased toward low doc_ids). Raise ``buckets`` to widen
+    the pool; a per-epoch salt in the bucket hash rotates it. Output:
+    (anchor, positive, neg_rank, negative)."""
     from ..functions.hashing import md5_long32
     from .dedup import ngram_jaccard_pairs
 

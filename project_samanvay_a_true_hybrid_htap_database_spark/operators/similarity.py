@@ -1771,7 +1771,7 @@ def build_pq_index(spark: SparkSession, sf_dir: str) -> str:
     the LEARNED coarse cluster (the same learned_centroids lists every IVF
     operator probes). The serving scans below read ONLY this index — never
     the raw embedding table — which is the entire point of PQ: at 100 TB
-    the codes table is ~250x smaller than the vectors, and a probe reads
+    the codes table is ~32x smaller than the vectors, and a probe reads
     nprobe partitions of it. Idempotent per table identity."""
     import os
 
@@ -1895,7 +1895,7 @@ def ann_ivfpq_topk(
     nprobe nearest LEARNED coarse lists become a literal IN-list over the
     partitioned codes index (PartitionFilters prune to nprobe lists), and
     the surviving codes rank by ADC. At 100 TB a query touches
-    nprobe/n_lists of a table that is itself ~250x smaller than the
+    nprobe/n_lists of a table that is itself ~32x smaller than the
     vectors — the standard FAISS IVFPQ shape, expressed as a pruned
     parquet scan + codegen arithmetic + TakeOrderedAndProject."""
     if nprobe is None:

@@ -577,7 +577,15 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str, smooth: float = 0.5) -> Da
     -ln p(w2|w1) = ln(c1 + k·V) - ln(c2 + k), averaged per doc weighted by
     occurrence count. Docs with fewer than two tokens carry no bigrams and
     are excluded (both engines drop them at the explode). Scores
-    floor-truncated at 1e-6 (the transcendental-output convention)."""
+    floor-truncated at 1e-6 (the transcendental-output convention).
+
+    Disclosed skew caveat (ADVICE r10): c1 is a window sum partitioned
+    by w1 ALONE, so a hot context word (a stopword like "the") funnels
+    every (doc, "the", w2) row through one partition. Input rows are
+    the doc-deduplicated (doc, w1, w2) counts — far smaller than token
+    instances — but at 100 TB the swap is a salted two-stage aggregate:
+    c1 as its own groupBy(w1) table (partial aggs absorb the skew),
+    broadcast-joined back; identical math, one extra bounded join."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # tokens staged as an attribute: a lambda closing over the tokenizer
     # EXPRESSION re-splits the text once per position (the quadratic

@@ -93,7 +93,30 @@ def chunked_events(spark, tmp_path_factory):
     return {"chunks": chunks, "sentinel": sent_dest, "root": root}
 
 
-def _drain(df, sink: str, ckpt: str) -> None:
+def _interrupted(exc: BaseException) -> bool:
+    """True for the one tolerated flake shape (VERDICT r10 #4): a bare
+    java.lang.InterruptedException surfacing as STREAM_FAILED when a
+    stop() races an in-flight micro-batch under full-suite load. The
+    exactly-once logic is not implicated — the checkpoint holds — so the
+    harness may re-invoke the plan factory from the checkpoint ONCE
+    instead of failing on harness timing."""
+    return "InterruptedException" in str(exc)
+
+
+def _stop_tolerating_interrupt(q) -> None:
+    """Stop a query, tolerating only the interrupted-termination flake —
+    used where the surrounding phase re-drains from the checkpoint (or
+    has already processAllAvailable'd), so data assertions never rest on
+    this stop's cleanliness."""
+    try:
+        q.stop()
+        q.awaitTermination(60)
+    except Exception as e:
+        if not _interrupted(e):
+            raise
+
+
+def _drain(df_or_factory, sink: str, ckpt: str, retries: int = 1) -> None:
     """Run the stream over everything currently in the source, then stop.
 
     processAllAvailable + stop instead of awaitTermination: a stateful
@@ -101,7 +124,14 @@ def _drain(df, sink: str, ckpt: str) -> None:
     under availableNow — it keeps firing empty micro-batches to evaluate
     timeouts — so waiting for termination hangs forever. processAllAvailable
     returns once every posted input is committed, which is the property the
-    tests need; for self-terminating queries the two are equivalent."""
+    tests need; for self-terminating queries the two are equivalent.
+
+    Accepts either a DataFrame or a zero-arg factory; given a factory, an
+    InterruptedException-terminated query is retried exactly once by
+    rebuilding the plan from the SAME checkpoint (exactly-once sinks make
+    the re-drain idempotent), so the final sink assertion still runs —
+    any other failure, or a second interruption, propagates."""
+    df = df_or_factory() if callable(df_or_factory) else df_or_factory
     q = (
         df.writeStream.format("parquet")
         .option("path", sink)
@@ -112,9 +142,17 @@ def _drain(df, sink: str, ckpt: str) -> None:
     )
     try:
         q.processAllAvailable()
-    finally:
         q.stop()
         q.awaitTermination(60)
+    except Exception as e:
+        try:
+            q.stop()
+        except Exception:
+            pass
+        if retries > 0 and callable(df_or_factory) and _interrupted(e):
+            _drain(df_or_factory, sink, ckpt, retries=retries - 1)
+        else:
+            raise
 
 
 def test_rollup_checkpoint_kill_restart_exactly_once(spark, chunked_events, tmp_path):
@@ -147,11 +185,11 @@ def test_rollup_checkpoint_kill_restart_exactly_once(spark, chunked_events, tmp_
     deadline = time.time() + 120
     while time.time() < deadline and not q.recentProgress:
         time.sleep(0.5)
-    q.stop()  # kill mid-stream: committed batches are nondeterministic
-    q.awaitTermination(60)
+    # kill mid-stream: committed batches are nondeterministic
+    _stop_tolerating_interrupt(q)
 
     # Phase C: restart once more from the checkpoint and drain to the end.
-    _drain(hourly_rollup_stream(stream_events(spark, src)), sink, ckpt)
+    _drain(lambda: hourly_rollup_stream(stream_events(spark, src)), sink, ckpt)
 
     got = {
         (r["hour_epoch"], r["event_type"]): (r["n_events"], r["total_value"])
@@ -242,7 +280,7 @@ def _kill_restart_cycle(spark, df_factory, src, sink, ckpt, chunked, extra=None)
     # Phase A: first half, clean drain
     for c in chunked["chunks"][: N_CHUNKS // 2]:
         shutil.copy2(c, src)
-    _drain(df_factory(), sink, ckpt)
+    _drain(df_factory, sink, ckpt)
     # Phase B: rest (+ any extra sentinel files), kill after first progress
     for c in chunked["chunks"][N_CHUNKS // 2 :]:
         shutil.copy2(c, src)
@@ -260,10 +298,17 @@ def _kill_restart_cycle(spark, df_factory, src, sink, ckpt, chunked, extra=None)
     deadline = time.time() + 120
     while time.time() < deadline and not q.recentProgress:
         time.sleep(0.5)
-    q.stop()  # kill mid-stream: committed batches are nondeterministic
-    q.awaitTermination(60)
+    # kill mid-stream: committed batches are nondeterministic, and the
+    # stop may race an in-flight micro-batch (the tolerated flake shape —
+    # Phase C's checkpoint re-drain is what asserts the data)
+    try:
+        q.stop()
+        q.awaitTermination(60)
+    except Exception as e:
+        if not _interrupted(e):
+            raise
     # Phase C: restart once more and drain to the end
-    _drain(df_factory(), sink, ckpt)
+    _drain(df_factory, sink, ckpt)
 
 
 def test_sessionize_checkpoint_kill_restart_exactly_once(
@@ -482,8 +527,7 @@ def test_foreachbatch_engine_ingest_kill_restart_exactly_once(
         shutil.copy2(c, src)
     q = start()
     q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(60)
+    _stop_tolerating_interrupt(q)
     n_phase_a = engine.table_df(table).count()
     assert n_phase_a > 0
 
@@ -496,8 +540,7 @@ def test_foreachbatch_engine_ingest_kill_restart_exactly_once(
     deadline = time.time() + 120
     while time.time() < deadline and not q.recentProgress:
         time.sleep(0.5)
-    q.stop()
-    q.awaitTermination(60)
+    _stop_tolerating_interrupt(q)
 
     # Compaction boundary while the stream is down: folds the streamed
     # delta into the base (the LSM flush analog), so phase C's replayed
@@ -507,8 +550,7 @@ def test_foreachbatch_engine_ingest_kill_restart_exactly_once(
     # Phase C: restart once more and drain to the end
     q = start()
     q.processAllAvailable()
-    q.stop()
-    q.awaitTermination(60)
+    _stop_tolerating_interrupt(q)
 
     got = engine.table_df(table).select(
         "event_id", "user_id", "event_type", "value"

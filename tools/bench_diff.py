@@ -143,8 +143,38 @@ def latest_bench_files(repo_root: str, n: int = 2) -> list[str]:
     return files[-n:]
 
 
+def write_md(old_path: str, new_path: str, out_path: str) -> None:
+    """Persist the full normalized diff table as a committed markdown
+    artifact (VERDICT r10 #6): the driver's transcript tail guard
+    truncates long stdout, so the adjudication table must live in the
+    repo, not the transport."""
+    with open(old_path) as fh:
+        old = json.load(fh)
+    with open(new_path) as fh:
+        new = json.load(fh)
+    ol = os.path.basename(old_path).replace(".json", "")
+    nl = os.path.basename(new_path).replace(".json", "")
+    table = diff_table(old, new, old_label=ol, new_label=nl)
+    with open(out_path, "w") as fh:
+        fh.write(
+            f"# Bench diff: {ol} -> {nl}\n\n"
+            f"Generated by `python tools/bench_diff.py --md {out_path} "
+            f"{old_path} {new_path}`. Ratios are per-query new/old; the\n"
+            f"`norm` column divides out the machine-speed ratio measured\n"
+            f"by the fixed-work calibration probes carried in both\n"
+            f"payloads, so flags mean plan drift, not sandbox load.\n\n"
+            f"```\n{table}\n```\n"
+        )
+
+
 def main(argv: list[str]) -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if argv[:1] == ["--md"]:
+        out = argv[1]
+        paths = argv[2:] if len(argv) == 4 else latest_bench_files(root)
+        write_md(paths[0], paths[1], out)
+        print(f"wrote {out}")
+        return 0
     if len(argv) == 2:
         paths = argv
     else:

@@ -99,6 +99,12 @@ def main() -> None:
         "(RECALL_r*.json, tools/scaling_probe.py outputs in SCALE.md), or a",
         "pytest assertion.",
         "",
+        "The full per-query normalized diff table for each adjudicated",
+        "round pair is committed as `BENCHDIFF_r{N}.md` (r11, VERDICT r10",
+        "#6 — the driver's transcript tail guard truncates long stdout, so",
+        "the table lives in the repo): `python tools/bench_diff.py --md",
+        "BENCHDIFF_rN.md OLD.json NEW.json` regenerates it.",
+        "",
         "Known r9 scope change (not drift): pipeline_funnel gained the",
         "staged near-dedup stage 4 (pair graph over stage-3 survivors +",
         "CC), so its BENCH_r09 wall-clock (6.59 s vs BENCH_r08's 0.96 s)",
