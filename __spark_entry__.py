@@ -474,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": analytics.semi_join,
         # --- round-11 additions (parked at the tail per the directive) ---
         "token_budget_select_scaled": sampling.token_budget_select_scaled,
+        "ann_ivfpq_rerank_topk": similarity.ann_ivfpq_rerank_topk,
     }
 
 
@@ -721,6 +722,37 @@ adc AS (SELECT p.vec_id, round(list_reduce(list(l.d ORDER BY l.s), (acc, x) -> a
         WHERE p.vec_id != 0 AND a.cl IN (SELECT cl FROM pqprobes)
         GROUP BY p.vec_id)
 SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+"""
+    # r11: ADC shortlist -> exact rerank (VERDICT r10 #8) — shortlist of
+    # PQ_RERANK_MULT*k by rounded ADC with vec_id ties, then exact cosine
+    # over only those rows
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators.similarity import (
+        PQ_RERANK_MULT,
+    )
+
+    ann_ivfpq_rerank = f"""
+WITH {km_cte},
+{pq_cte},
+pqprobes AS (SELECT cl FROM (
+               SELECT cl, row_number() OVER (ORDER BY dist_sq, cl) AS rn
+               FROM {km_d} WHERE vec_id = 0)
+             WHERE rn <= {IVF_JOIN_NPROBE}),
+{_pq_qlut},
+adc AS (SELECT p.vec_id, round(list_reduce(list(l.d ORDER BY l.s), (acc, x) -> acc + x), 4) AS adc_dist
+        FROM {pq_a} p
+        JOIN {km_a} a ON a.vec_id = p.vec_id
+        JOIN qlut l ON l.s = p.s AND l.code = p.code
+        WHERE p.vec_id != 0 AND a.cl IN (SELECT cl FROM pqprobes)
+        GROUP BY p.vec_id),
+short AS (SELECT vec_id FROM (
+            SELECT vec_id, row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+            FROM adc)
+          WHERE rn <= {PQ_RERANK_MULT * 10}),
+q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id, {cos_q} AS cos
+      FROM embeddings e JOIN short USING (vec_id), q)
+SELECT vec_id, round(cos, 4) AS cos_sim FROM s
+ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
     ann_pq_recall = f"""
 WITH {pq_cte},
@@ -2612,6 +2644,7 @@ FROM s
         "ann_ivfpq_recall_audit": ann_ivfpq_recall,
         "ann_pq_adc_topk": ann_pq_adc,
         "ann_ivfpq_topk": ann_ivfpq,
+        "ann_ivfpq_rerank_topk": ann_ivfpq_rerank,
         "ann_pq_recall_audit": ann_pq_recall,
         "pii_scrub": _pii_scrub_sql(),
         "pii_report": _pii_report_sql(),

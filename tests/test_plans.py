@@ -301,6 +301,9 @@ class TestNoUnboundedGlobalWindow:
             "ngram_freq_topk",
             "token_pmi_topk",
             "top_orders",
+            # r11: both stages (ADC shortlist AND exact re-rank) must be
+            # heap-based — a global sort of either would defeat the design
+            "ann_ivfpq_rerank_topk",
         ],
     )
     def test_topk_is_take_ordered(self, spark, name):

@@ -408,6 +408,91 @@ class TestNerScrub:
         b = sorted(tuple(r) for r in text.pii_scrub_ner(spark, SF_DIR).collect())
         assert a == b
 
+    def test_linear_model_path_carries_real_weights(self, spark):
+        """VERDICT r10 #5: the flagged path must run genuinely LEARNED
+        weights through the broadcast -> per-task unpack -> Arrow batch
+        lifecycle. Pins: (a) training is deterministic and actually
+        learned something (separates its train set); (b) the corpus pass
+        redacts email/phone-shaped tokens the hash-gazetteer only hits
+        by luck; (c) same alignment invariants as the default path; (d)
+        run-to-run determinism."""
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import text
+        from project_samanvay_a_true_hybrid_htap_database_spark.sources import (
+            load_table,
+        )
+
+        w1, b1 = text._train_tiny_ner()
+        w2, b2 = text._train_tiny_ner()
+        assert (w1, b1) == (w2, b2), "training is not deterministic"
+
+        def score(tok):
+            x = text._ner_token_features(tok)
+            return sum(wi * xi for wi, xi in zip(w1, x)) + b1
+
+        # the optimizer separated the classes (not a zero/constant model)
+        assert score("bob@corp.io") > 0 > score("the")
+        assert score("555-867-5309") > 0 > score("query")
+        # generalizes beyond the literal train set: unseen email/phone
+        assert score("carol@newdomain.com") > 0
+        assert score("917-555-0000") > 0
+
+        # alignment invariants hold on the real corpus (which carries no
+        # PII-shaped tokens — the pii_scrub regexes count 0 there too)
+        out = {
+            r.doc_id: r
+            for r in text.pii_scrub_ner(spark, SF_DIR, model="linear").collect()
+        }
+        src = {
+            r.doc_id: r.text
+            for r in load_table(spark, SF_DIR, "documents")
+            .select("doc_id", "text")
+            .collect()
+        }
+        assert set(out) == set(src)
+        for did, r in out.items():
+            assert r.n_entities == r.clean_text.split(" ").count("<ENT>")
+            assert len(r.clean_text.split(" ")) == len(src[did].split(" "))
+        again = {
+            r.doc_id: r
+            for r in text.pii_scrub_ner(spark, SF_DIR, model="linear").collect()
+        }
+        assert {k: tuple(v) for k, v in out.items()} == {
+            k: tuple(v) for k, v in again.items()
+        }
+
+    def test_linear_model_redacts_pii_laden_table(self, spark, tmp_path):
+        """The full operator (broadcast weights -> mapInPandas) against a
+        synthetic documents table that actually CONTAINS emails and
+        phone-shaped tokens: every one must come out redacted, plain
+        prose must survive."""
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import text
+
+        rows = [
+            (1, "contact carol@newdomain.com for the quarterly report",
+             "en", "src0", 50),
+            (2, "call 917-555-0000 or 646-555-0199 before friday",
+             "en", "src0", 48),
+            (3, "the quick brown fox jumps over the lazy dog",
+             "en", "src1", 44),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars int"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        out = {
+            r.doc_id: r
+            for r in text.pii_scrub_ner(
+                spark, str(tmp_path), model="linear"
+            ).collect()
+        }
+        assert "carol@newdomain.com" not in out[1].clean_text
+        assert out[1].n_entities >= 1
+        toks2 = out[2].clean_text.split(" ")
+        assert "917-555-0000" not in toks2 and "646-555-0199" not in toks2
+        assert out[2].n_entities >= 2
+        # prose-only doc: the tiny model may clip a word or two, but it
+        # must not nuke the document
+        assert out[3].clean_text.split(" ").count("<ENT>") <= 2
+
 
 class TestTemperatureResample:
     def test_membership_is_deterministic_subset(self, spark):

@@ -132,6 +132,42 @@ def test_corpus_operator_scales_subquadratically(spark, scaled_dirs, name, fn):
     )
 
 
+@pytest.mark.parametrize(
+    "name,fn",
+    [
+        ("contrastive_pairs", sampling.contrastive_pairs),
+        ("leakage_safe_split", sampling.leakage_safe_split),
+    ],
+)
+def test_output_bound_operator_per_row_cost_stays_flat(
+    spark, scaled_dirs, name, fn
+):
+    """VERDICT r10 #7: both operators consume the exact pair graph, whose
+    OUTPUT on the 10-wide-clique probe corpus grows ~45x per cluster, so
+    their raw wall ratios (23.6x / 14.9x in the tool) measure result
+    size, not plan shape — a raw MAX_RATIO bound would be either vacuous
+    or flaky. The CI-floorable invariant is per-OUTPUT-row cost: time
+    per emitted row must stay ~flat from 1x to 10x (a plan that went
+    quadratic BEYOND its output — e.g. the negative-draw bucket join
+    degrading to anchor x corpus — blows this immediately)."""
+    one_dir, ten_dir = scaled_dirs
+    fn(spark, one_dir).count()  # warm: JIT, codegen, file listing
+    t0 = time.perf_counter()
+    rows1 = fn(spark, one_dir).count()
+    t1 = time.perf_counter() - t0
+    fn(spark, ten_dir).count()
+    t0 = time.perf_counter()
+    rows10 = fn(spark, ten_dir).count()
+    t10 = time.perf_counter() - t0
+    assert rows1 > 0 and rows10 > rows1, (name, rows1, rows10)
+    # same 0.5 s denominator floor rationale as the raw-ratio test
+    per_row = (t10 / max(t1, 0.5)) / max(rows10 / rows1, 1.0)
+    assert per_row < 3.5, (
+        f"{name}: per-output-row cost grew {per_row:.2f}x at 10x "
+        f"({t1:.2f}s/{rows1} rows -> {t10:.2f}s/{rows10} rows)"
+    )
+
+
 def test_lsh_recall_floor_at_10x(spark, scaled_dirs):
     """The r7 observability operator turned into a guarded number
     (VERDICT r7 #7): measured recall of the (4 bands × 4 rows) LSH config

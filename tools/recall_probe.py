@@ -41,6 +41,10 @@ AUDITS = [
     # vs residual encoding at the same code budget — the measured basis for
     # keeping plain PQ as the serving default on this corpus
     ("ivfpq_plain_vs_residual", "ann_ivfpq_recall_audit", {}),
+    # r11 (VERDICT r10 #8): the rerank curve — ADC shortlist sizes 1x/5x/
+    # 10x of k against the nprobe pruning ceiling; the measured basis for
+    # adopting ann_ivfpq_rerank_topk (recall recovers to ~the ceiling)
+    ("ivfpq_rerank", "ann_ivfpq_rerank_recall_audit", {}),
 ]
 
 
