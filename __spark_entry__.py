@@ -475,6 +475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-11 additions (parked at the tail per the directive) ---
         "token_budget_select_scaled": sampling.token_budget_select_scaled,
         "ann_ivfpq_rerank_topk": similarity.ann_ivfpq_rerank_topk,
+        "global_shuffle_order": sampling.global_shuffle_order,
+        "quality_classifier_score": text.quality_classifier_score,
+        "contrastive_hard_negatives": sampling.contrastive_hard_negatives,
     }
 
 
@@ -674,6 +677,46 @@ r AS (SELECT src, nbr, cos,
       FROM cand)
 SELECT src, nbr, rk, round(cos, 4) AS cos_sim FROM r WHERE rk <= 3
 """
+
+    # r11: hard-negative mining — jaccard pair graph (anchors/partners) +
+    # learned-IVF candidate lists + exact-cosine ranking, partners
+    # anti-joined out
+    hard_negs = f"""
+WITH {km_cte},
+toksh AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+shlh AS (SELECT doc_id, {_SHINGLES} AS S FROM toksh),
+ph AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2
+  FROM shlh a JOIN shlh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.S, b.S))
+        / (len(a.S) + len(b.S) - len(list_intersect(a.S, b.S))) >= 0.5),
+anch AS (SELECT DISTINCT d1 AS anchor FROM ph),
+part AS (SELECT d1 AS anchor, d2 AS partner FROM ph
+         UNION SELECT d2, d1 FROM ph),
+qpr AS (SELECT vec_id AS anchor, cl FROM (
+          SELECT vec_id, cl, row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dist_sq, cl) AS rn FROM {km_d}
+          WHERE vec_id IN (SELECT anchor FROM anch))
+        WHERE rn <= {IVF_JOIN_NPROBE}),
+cnd AS (SELECT q.anchor, h.vec_id AS negative
+        FROM qpr q JOIN {km_a} h ON h.cl = q.cl AND h.vec_id != q.anchor
+        WHERE NOT EXISTS (SELECT 1 FROM part p2
+                          WHERE p2.anchor = q.anchor
+                            AND p2.partner = h.vec_id)),
+sch AS (SELECT c.anchor, c.negative,
+               {_COS.format(a="ea.embedding::DOUBLE[]", b="en.embedding::DOUBLE[]")} AS cos
+        FROM cnd c
+        JOIN embeddings ea ON ea.vec_id = c.anchor
+        JOIN embeddings en ON en.vec_id = c.negative),
+rh AS (SELECT anchor, negative, cos,
+              row_number() OVER (PARTITION BY anchor
+                                 ORDER BY cos DESC, negative ASC) AS rk
+       FROM sch)
+SELECT anchor, CAST(rk AS INT) AS neg_rank, negative,
+       round(cos, 4) AS cos_sim
+FROM rh WHERE rk <= {sampling.HARD_NEG_K}
+"""
+
     # --- r10: product quantization (PQ / IVF-PQ) ---
     # The oracle replays the full sub-quantizer training as unrolled CTEs
     # (_pq_cte), then: codes = final assignment; ADC = per-query lookup
@@ -3177,4 +3220,39 @@ FROM r GROUP BY group_id ORDER BY group_id
     # windowed spec — one oracle serves both (exactness also pinned by
     # tests/test_sampling.py::TestTokenBudgetScaledDifferential).
     sqls["token_budget_select_scaled"] = sqls["token_budget_select"]
+    # r11: deterministic training-order shuffle (bucket hash + in-bucket
+    # order hash — both md5, replayed exactly)
+    sqls["global_shuffle_order"] = f"""
+WITH k AS (SELECT doc_id,
+    CAST(('0x' || substr(md5('shuf|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % {sampling.SHUFFLE_BUCKETS} AS INT) AS bucket,
+    ('0x' || substr(md5('ord|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS o
+  FROM documents)
+SELECT doc_id, bucket,
+       CAST(row_number() OVER (PARTITION BY bucket ORDER BY o, doc_id) AS INT) AS pos
+FROM k
+"""
+    # r11: learned quality classifier — the SAME deterministic trainer
+    # supplies the 6-dp weight literals both engines fold into their
+    # plans; decision on the polynomial logit, probability
+    # floor-truncated (transcendental convention)
+    qw, qb = text._train_tiny_quality()
+    stoplist = ", ".join(f"'{s}'" for s in text.QC_STOPWORDS)
+    qz = (f"({qb} + {qw[0]} * least(len(T) / 100.0, 1.0)"
+          f" + {qw[1]} * (len(list_distinct(T))::DOUBLE / len(T))"
+          f" + {qw[2]} * (length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE"
+          f" / length(text))"
+          f" + {qw[3]} * least((length(regexp_replace(text, ' ', '', 'g'))::DOUBLE"
+          f" / len(T)) / 10.0, 1.0)"
+          f" + {qw[4]} * (len(list_filter(T, t -> list_contains([{stoplist}], t)))::DOUBLE"
+          f" / len(T)))")
+    sqls["quality_classifier_score"] = f"""
+WITH tk AS (SELECT doc_id, text, {_TOKS} AS T FROM documents),
+z AS (SELECT doc_id, {qz} AS z FROM tk)
+SELECT doc_id, round(z, 4) AS q_logit,
+       floor((1.0 / (1.0 + exp(-z))) * 1e6) / 1e6 AS q_prob,
+       z >= 0 AS accept
+FROM z
+"""
+    sqls["contrastive_hard_negatives"] = hard_negs
     return sqls

@@ -855,3 +855,163 @@ def virtual_epochs(
         )
         .select("doc_id", "source", F.col("_e").cast("int").alias("epoch"))
     )
+
+
+SHUFFLE_BUCKETS = 64  # training-order shards; scale to ~cluster partitions
+
+
+def global_shuffle_order(
+    spark: SparkSession, sf_dir: str, buckets: int = SHUFFLE_BUCKETS
+) -> DataFrame:
+    """Deterministic corpus-wide training-order shuffle — the step that
+    turns a curated corpus into the (shard, position) order a data loader
+    consumes. A true global random sort of 100 TB is a full-corpus
+    single-ordering shuffle; the standard decomposition (terasort-style)
+    is hash-bucket THEN sort within bucket: every doc hashes to one of
+    ``buckets`` shards (scan-stage filterless map), and positions are a
+    row_number over the bucket ordered by an independent second hash — so
+    the expensive sort is per-shard (corpus/buckets rows), shards are
+    written in parallel, and the loader reads shard files in bucket order
+    for a full pass whose order is indistinguishable-from-random for any
+    content-correlated property (both keys are md5 of salted doc_id, so
+    no locality of source/lang/time survives). Reproducible end-to-end:
+    re-running yields byte-identical order (the epoch salt rotates it —
+    pass a different salt per epoch via the bucket/order strings).
+
+    Output: (doc_id, bucket, pos) — pos is 1-based within bucket; the
+    total order is (bucket, pos)."""
+    from ..functions.hashing import md5_long32
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        (
+            md5_long32(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string")))
+            % buckets
+        ).cast("int").alias("bucket"),
+        md5_long32(
+            F.concat(F.lit("ord|"), F.col("doc_id").cast("string"))
+        ).alias("_ord"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("_ord").asc(), F.col("doc_id").asc())
+    return keyed.select(
+        "doc_id", "bucket", F.row_number().over(w).alias("pos")
+    )
+
+
+HARD_NEG_K = 3  # hard negatives per anchor
+
+
+def contrastive_hard_negatives(
+    spark: SparkSession,
+    sf_dir: str,
+    k_neg: int = HARD_NEG_K,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """HARD-negative mining for contrastive training — the upgrade over
+    contrastive_pairs' uniform bucket draw: for each anchor (a doc with a
+    verified near-duplicate positive), the negatives are its most
+    SIMILAR non-duplicate neighbors in embedding space — the examples a
+    contrastive loss actually learns from (random negatives are trivially
+    separable after the first epochs; hard-negative mining is standard in
+    dense-retriever training, e.g. DPR/ANCE — public methods).
+
+    Composition, all existing machinery: anchors come from the exact
+    n-gram-Jaccard pair graph (anchor = d1, the contrastive_pairs
+    convention); candidates from the anchor's nprobe nearest LEARNED IVF
+    lists (the measured probe depth, never all-pairs); the anchor's OWN
+    near-dup partners (either orientation) are anti-joined out — a
+    near-duplicate is a positive, mining it as a negative would poison
+    the loss; survivors rank by exact cosine (desc, vec_id asc) and the
+    top k_neg ship. Embeddings and documents share the id space in the
+    test corpora (vec_id == doc_id).
+
+    Scale shape: anchors are pair-graph-bounded; the candidate join is
+    the same cluster equi-join as knn_join_ivf_blocked (co-partitioned
+    on cluster id at 100 TB); the anti-join keys on (anchor, partner) —
+    pair-graph-sized, not corpus-sized; the rank window partitions by
+    anchor over nprobe-list-bounded candidate sets.
+
+    Output: (anchor, neg_rank, negative, cos_sim)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.vectors import dot
+    from .dedup import ngram_jaccard_pairs
+    from .similarity import (
+        IVF_JOIN_NPROBE,
+        _audit_emb,
+        _dist_structs_col,
+        _with_nearest_centroid,
+        learned_centroids,
+    )
+
+    if nprobe is None:
+        nprobe = IVF_JOIN_NPROBE
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    anchors = pairs.select(F.col("d1").alias("anchor")).distinct()
+    partners = (
+        pairs.select(F.col("d1").alias("anchor"), F.col("d2").alias("partner"))
+        .union(
+            pairs.select(F.col("d2").alias("anchor"), F.col("d1").alias("partner"))
+        )
+        .distinct()
+    )
+    cents = learned_centroids(spark, sf_dir)
+    emb = _audit_emb(spark, sf_dir)
+    home = (
+        _with_nearest_centroid(emb, cents, "embedding", "_b")
+        .select("*", F.col("_b")["l"].alias("cluster"))
+        .drop("_b")
+    )
+    aemb = anchors.join(emb, anchors["anchor"] == emb["vec_id"]).select(
+        "anchor",
+        F.col("embedding").alias("aemb"),
+        F.col("nrm").alias("anrm"),
+    )
+    probes = _dist_structs_col(aemb, cents, "aemb", "_cdl").select(
+        "anchor",
+        "aemb",
+        "anrm",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(F.col("_cdl")), 1, nprobe),
+                lambda s: s["l"],
+            )
+        ).alias("probe"),
+    )
+    cand = (
+        home.join(
+            probes,
+            (F.col("cluster") == F.col("probe"))
+            & (F.col("vec_id") != F.col("anchor")),
+        )
+        .join(
+            partners,
+            (home["vec_id"] == partners["partner"])
+            & (probes["anchor"] == partners["anchor"]),
+            "left_anti",
+        )
+        .select(
+            "anchor",
+            F.col("vec_id").alias("negative"),
+            (
+                dot(F.col("embedding"), F.col("aemb"))
+                / (F.col("nrm") * F.col("anrm"))
+            ).alias("cos"),
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("anchor").orderBy(
+            F.col("cos").desc(), F.col("negative").asc()
+        )
+    )
+    return (
+        cand.withColumn("rk", rk)
+        .filter(F.col("rk") <= k_neg)
+        .select(
+            "anchor",
+            F.col("rk").cast("int").alias("neg_rank"),
+            "negative",
+            F.round("cos", 4).alias("cos_sim"),
+        )
+    )

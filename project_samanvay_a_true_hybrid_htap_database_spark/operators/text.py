@@ -1202,3 +1202,135 @@ def token_count_min(
         F.col("cm_estimate").cast("long").alias("cm_estimate"),
         (F.col("cm_estimate") - F.col("freq")).cast("long").alias("overestimate"),
     ).orderBy("rank")
+
+
+# fixed stoplist for the learned quality classifier's stopword-ratio
+# feature — a literal constant so the oracle embeds the same list
+QC_STOPWORDS = ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+
+def _quality_features_py(text_: str) -> list:
+    """Python twin of quality_classifier_score's five column expressions —
+    used ONLY to train the tiny model; serving computes the identical
+    features as Catalyst expressions (and the oracle as DuckDB SQL), so
+    any drift between the three definitions shows up as an oracle hash
+    mismatch, not a silent model skew."""
+    toks = [t for t in text_.strip().lower().split(" ") if t != ""] or [""]
+    n = len(toks)
+    nchars = len(text_) or 1
+    alpha = sum(c.isalpha() and c.isascii() and c.lower() == c for c in text_.lower())
+    nospace = len(text_.replace(" ", ""))
+    stop = sum(t in QC_STOPWORDS for t in toks)
+    return [
+        min(n / 100.0, 1.0),
+        len(set(toks)) / n,
+        alpha / nchars,
+        min((nospace / n) / 10.0, 1.0),
+        stop / n,
+    ]
+
+
+def _train_tiny_quality() -> tuple[list, float]:
+    """Deterministic logistic-regression weights for the learned quality
+    filter (the fasttext-classifier rung of a curation pipeline, DCLM/
+    FineWeb-style, scaled to what ships in this container): full-batch
+    gradient descent, zero init, fixed lr/epochs, no RNG — bit-identical
+    weights every call, which is what lets the ORACLE embed the same
+    literals and hash-check the scored corpus. Weak labels: fluent
+    multi-clause prose positive; repetition, symbol soup, digit soup,
+    and fragments negative."""
+    positives = [
+        "the committee reviewed the proposal and decided that further "
+        "analysis of the data is required before it can be approved",
+        "a distributed query engine compiles the logical plan into "
+        "stages that exchange data only when an aggregation demands it",
+        "researchers published a detailed study of language model "
+        "training data and the effect of deduplication on quality",
+        "in the morning the harbor was quiet and the boats moved "
+        "slowly out toward the open water under a pale sky",
+        "the library catalog lists every edition of the novel along "
+        "with notes about the translation and the printing history",
+    ]
+    negatives = [
+        "buy buy buy buy buy buy buy buy buy buy buy buy",
+        "$$$ !!! ### @@@ %%% ^^^ &&& *** ((( ))) ___ +++",
+        "click here click here click here click here click here",
+        "8912 4471 0038 5521 9034 1187 6652 3309 7741 2208",
+        "ok",
+        "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+        "w w w w w w w w w w w w w w w w w w w w",
+    ]
+    rows = [(_quality_features_py(t), 1.0) for t in positives] + [
+        (_quality_features_py(t), 0.0) for t in negatives
+    ]
+    import math
+
+    dim = len(rows[0][0])
+    w = [0.0] * dim
+    b = 0.0
+    lr = 0.8
+    for _ in range(600):
+        gw = [0.0] * dim
+        gb = 0.0
+        for x, y in rows:
+            z = sum(wi * xi for wi, xi in zip(w, x)) + b
+            p = 1.0 / (1.0 + math.exp(-max(min(z, 30.0), -30.0)))
+            err = p - y
+            for i in range(dim):
+                gw[i] += err * x[i]
+            gb += err
+        n = len(rows)
+        for i in range(dim):
+            w[i] -= lr * gw[i] / n
+        b -= lr * gb / n
+    # 6-dp decimals: the literal BOTH engines fold into their plans
+    return [round(x, 6) for x in w], round(b, 6)
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED quality filtering — the classifier rung above the
+    hand-weighted quality_score heuristic (production pipelines train a
+    fasttext/linear model on labeled pages; the hand weights are just a
+    prior). The model is the deterministic tiny logistic regression from
+    _train_tiny_quality; its 6-dp weight literals fold into the plan, so
+    scoring is FIVE column expressions + a dot product inside the scan —
+    whole-stage codegen, zero Python, zero shuffles, the cheapest
+    possible corpus pass at 100 TB (same cost class as quality_score).
+
+    Cross-engine contract: the decision rides the POLYNOMIAL logit
+    (accept = logit >= 0 — no transcendental at the boundary); the
+    probability is reported floor-truncated at 1e-6 (the
+    transcendental-output convention); the logit rounds at 1e-4. The
+    oracle calls the same trainer for the same literals.
+
+    Output: (doc_id, q_logit, q_prob, accept) for every doc."""
+    from ..functions.textfns import tokens
+
+    w, b = _train_tiny_quality()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens("text")
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in QC_STOPWORDS])
+    feats = [
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)),
+        F.size(F.array_distinct(toks)) / n_tokens,
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+        / F.length("text"),
+        F.least(
+            (F.length(F.regexp_replace("text", " ", "")) / n_tokens)
+            / F.lit(10.0),
+            F.lit(1.0),
+        ),
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        / n_tokens,
+    ]
+    z = F.lit(float(b))
+    for wi, xi in zip(w, feats):
+        z = z + F.lit(float(wi)) * xi
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.select(
+        "doc_id",
+        F.round(z, 4).alias("q_logit"),
+        (F.floor(prob * 1e6) / 1e6).alias("q_prob"),
+        (z >= 0).alias("accept"),
+    )
