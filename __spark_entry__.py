@@ -478,6 +478,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle_order": sampling.global_shuffle_order,
         "quality_classifier_score": text.quality_classifier_score,
         "contrastive_hard_negatives": sampling.contrastive_hard_negatives,
+        "contrastive_hard_negatives_vectorized": (
+            sampling.contrastive_hard_negatives_vectorized
+        ),
+        "boilerplate_segments_report": text.boilerplate_segments_report,
+        "boilerplate_scrub": text.boilerplate_scrub,
+        "dedup_segments_within_doc": text.dedup_segments_within_doc,
+        "char_entropy_score": text.char_entropy_score,
+        "source_token_kl": text.source_token_kl,
     }
 
 
@@ -3255,4 +3263,91 @@ SELECT doc_id, round(z, 4) AS q_logit,
 FROM z
 """
     sqls["contrastive_hard_negatives"] = hard_negs
+    # the BLAS cogroup twin must be row-identical (knn_join precedent)
+    sqls["contrastive_hard_negatives_vectorized"] = hard_negs
+    # r11: segment-level cleaning — the "line" unit is the aligned 8-token
+    # window (token_segments; no newline structure in this corpus), exactly
+    # mirrored by the generate_series/list_slice expression here.
+    seg8 = ("list_transform(generate_series(1, greatest(len(T), 1), 8), "
+            "i -> array_to_string(list_slice(T, i, i + 7), ' '))")
+    seg4 = ("list_transform(generate_series(1, greatest(len(T), 1), 4), "
+            "i -> array_to_string(list_slice(T, i, i + 3), ' '))")
+    sqls["boilerplate_segments_report"] = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS T FROM documents),
+s AS (SELECT doc_id, source, list_distinct({seg8}) AS segs FROM t),
+e AS (SELECT source, unnest(segs) AS segment FROM s),
+g AS (SELECT source, segment, count(*)::BIGINT AS n_docs FROM e GROUP BY 1, 2),
+tot AS (SELECT source, count(*)::BIGINT AS src_docs FROM documents GROUP BY 1)
+SELECT g.source, segment, n_docs, src_docs,
+       round(n_docs / src_docs::DOUBLE, 6) AS doc_frac
+FROM g JOIN tot ON g.source = tot.source
+WHERE n_docs >= {text.BOILERPLATE_MIN_DOCS}
+"""
+    sqls["boilerplate_scrub"] = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS T FROM documents),
+s AS (SELECT doc_id, source, {seg8} AS segs FROM t),
+e AS (SELECT source, unnest(list_distinct(segs)) AS segment FROM s),
+fl AS (SELECT source, segment FROM e GROUP BY 1, 2
+       HAVING count(*) >= {text.BOILERPLATE_MIN_DOCS}),
+bs AS (SELECT source, list(segment) AS bset FROM fl GROUP BY 1)
+SELECT doc_id, len(segs)::INT AS n_segments,
+       (len(segs) - len(kept))::INT AS n_dropped,
+       coalesce(array_to_string(kept, ' '), '') AS clean_text
+FROM (SELECT doc_id, segs,
+        CASE WHEN bset IS NULL THEN segs
+             ELSE list_filter(segs, x -> NOT list_contains(bset, x)) END AS kept
+      FROM s LEFT JOIN bs ON s.source = bs.source)
+"""
+    sqls["dedup_segments_within_doc"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+s AS (SELECT doc_id, {seg4} AS segs FROM t)
+SELECT doc_id, len(segs)::INT AS n_segments, len(kept)::INT AS n_kept,
+       coalesce(array_to_string(kept, ' '), '') AS clean_text
+FROM (SELECT doc_id, segs,
+        list_transform(
+          list_filter(generate_series(1, len(segs)),
+                      i -> list_position(segs, segs[i]) = i),
+          i -> segs[i]) AS kept
+      FROM s)
+"""
+    # r11: fixed-alphabet char entropy — 37 length(replace()) counts + one
+    # OTHER bucket; entropy floor-truncated (transcendental convention)
+    ent_counts = ", ".join(
+        f"length(s) - length(replace(s, '{ch}', '')) AS c{i}"
+        for i, ch in enumerate(text.ENTROPY_ALPHABET)
+    )
+    ent_csum = " + ".join(f"c{i}" for i in range(len(text.ENTROPY_ALPHABET)))
+    ent_terms = " + ".join(
+        f"CASE WHEN c{i} > 0 THEN -(c{i}/L)*log2(c{i}/L) ELSE 0.0 END"
+        for i in range(len(text.ENTROPY_ALPHABET))
+    )
+    sqls["char_entropy_score"] = f"""
+WITH b AS (SELECT doc_id, length(s)::DOUBLE AS L, {ent_counts}
+           FROM (SELECT doc_id, lower(text) AS s FROM documents)),
+b2 AS (SELECT *, L - ({ent_csum}) AS c_other FROM b),
+e AS (SELECT doc_id, L,
+        CASE WHEN L > 0 THEN {ent_terms}
+             + CASE WHEN c_other > 0 THEN -(c_other/L)*log2(c_other/L)
+                    ELSE 0.0 END
+        ELSE 0.0 END AS ent FROM b2)
+SELECT doc_id, L::BIGINT AS n_chars_eval,
+       floor(ent * 1e6) / 1e6 AS entropy_bits,
+       ent < {text.LOW_ENTROPY_BITS} AS low_entropy
+FROM e
+"""
+    # r11: per-source unigram KL vs corpus — same ln-decomposition as the
+    # Spark plan (window corpus counts, no vocab join)
+    sqls["source_token_kl"] = f"""
+WITH i AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+g AS (SELECT source, tok, count(*)::DOUBLE AS c FROM i GROUP BY 1, 2),
+w AS (SELECT source, c, sum(c) OVER (PARTITION BY tok) AS ctok FROM g),
+p AS (SELECT source, sum(c)::BIGINT AS n_tokens,
+             sum(c * ln(c)) AS a, sum(c * ln(ctok)) AS b
+      FROM w GROUP BY 1),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS n_corpus FROM p)
+SELECT source, n_tokens,
+  floor((((a - b) / n_tokens - ln(n_tokens::DOUBLE) + ln(n_corpus))
+         / 0.6931471805599453) * 1e6) / 1e6 AS kl_bits
+FROM p, tot
+"""
     return sqls

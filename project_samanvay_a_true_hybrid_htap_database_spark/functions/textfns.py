@@ -79,3 +79,31 @@ def dup_ngram_ratio(tokens_col: Column, n: int = 3) -> Column:
         F.size(g) > 0,
         1.0 - F.size(F.array_distinct(g)) / F.size(g),
     ).otherwise(F.lit(0.0))
+
+
+def token_segments(tokens_col: Column, seg: int = 8) -> Column:
+    """NON-overlapping aligned token windows that COVER the token list —
+    the "line" unit for boilerplate / intra-doc scrubbing on corpora
+    without newline structure (on newline-delimited corpora the same
+    operators run with split('\\n') in place of this). The final partial
+    window is kept (slice clamps at the end), so
+    ``concat_ws(' ', token_segments(T))`` reconstructs the tokenized text
+    exactly — the reassembly invariant the scrub operators rely on.
+
+    DuckDB: list_transform(generate_series(1, greatest(len(t),1), seg),
+    i -> array_to_string(list_slice(t, i, i+seg-1), ' ')).
+    """
+    return F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(tokens_col), F.lit(1)), F.lit(seg)
+        ),
+        lambda i: F.concat_ws(" ", F.slice(tokens_col, i, seg)),
+    )
+
+
+def duckdb_token_segments(tokens_expr: str, seg: int = 8) -> str:
+    """DuckDB SQL matching token_segments() (list_slice is inclusive)."""
+    return (
+        f"list_transform(generate_series(1, greatest(len({tokens_expr}), 1), {seg}), "
+        f"i -> array_to_string(list_slice({tokens_expr}, i, i + {seg - 1}), ' '))"
+    )

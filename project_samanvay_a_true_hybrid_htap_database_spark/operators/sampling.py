@@ -1015,3 +1015,137 @@ def contrastive_hard_negatives(
             F.round("cos", 4).alias("cos_sim"),
         )
     )
+
+
+def contrastive_hard_negatives_vectorized(
+    spark: SparkSession,
+    sf_dir: str,
+    k_neg: int = HARD_NEG_K,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """BLAS twin of contrastive_hard_negatives — the production mining
+    shape (the knn_join_ivf_vectorized relationship): instead of the
+    anchor×list equi-join + corpus-wide rank window (candidate volume =
+    anchors × probed-list width, all of it shuffled to one window), the
+    home lists COGROUP with the anchor probes on the cluster id — one
+    (anchors × list) float64 matmul per learned list, partner/self
+    masking inside the block, LOCAL top-k_neg per anchor per block — and
+    the final merge window ranks <= nprobe·k_neg survivors per anchor.
+    Executor memory is bounded by the widest list; the big candidate set
+    never crosses a shuffle.
+
+    Per-anchor cost is the probed-list width — at fixed n_lists that
+    grows with the corpus, which is why production scales n_lists with
+    corpus size (k ~ sqrt(N) up to 4096; learned_centroids' documented
+    discipline) keeping list width ~constant. Same float contract as
+    knn_join_ivf_vectorized: BLAS float64 agrees with the HOF fold to
+    ~1 ulp; rounding to 4 decimals happens AFTER ranking, in Spark.
+
+    Registered against the SAME oracle as the spec form — row-identical,
+    not approximately so. Output: (anchor, neg_rank, negative, cos_sim).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+
+    from .dedup import ngram_jaccard_pairs
+    from .similarity import (
+        IVF_JOIN_NPROBE,
+        _audit_emb,
+        _dist_structs_col,
+        _with_nearest_centroid,
+        learned_centroids,
+    )
+
+    if nprobe is None:
+        nprobe = IVF_JOIN_NPROBE
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    anchors = pairs.select(F.col("d1").alias("anchor")).distinct()
+    partners = (
+        pairs.select(F.col("d1").alias("anchor"), F.col("d2").alias("partner"))
+        .union(
+            pairs.select(F.col("d2").alias("anchor"), F.col("d1").alias("partner"))
+        )
+        .distinct()
+    )
+    # per-anchor partner arrays: pair-graph bounded (an anchor's near-dup
+    # group), so they ride the probe rows into the cogroup
+    plists = partners.groupBy("anchor").agg(
+        F.collect_set("partner").alias("plist")
+    )
+    cents = learned_centroids(spark, sf_dir)
+    emb = _audit_emb(spark, sf_dir)
+    home = (
+        _with_nearest_centroid(emb, cents, "embedding", "_b")
+        .select("vec_id", "embedding", F.col("_b")["l"].alias("cluster"))
+    )
+    aemb = anchors.join(emb, anchors["anchor"] == emb["vec_id"]).select(
+        "anchor", F.col("embedding").alias("aemb")
+    )
+    probes = (
+        _dist_structs_col(aemb, cents, "aemb", "_cdl")
+        .select(
+            "anchor",
+            "aemb",
+            F.explode(
+                F.transform(
+                    F.slice(F.array_sort(F.col("_cdl")), 1, nprobe),
+                    lambda s: s["l"],
+                )
+            ).alias("probe"),
+        )
+        .join(plists, "anchor", "left")
+    )
+
+    def per_list(home_pdf: pd.DataFrame, probe_pdf: pd.DataFrame) -> pd.DataFrame:
+        if home_pdf.empty or probe_pdf.empty:
+            return pd.DataFrame({"anchor": [], "negative": [], "cos": []}).astype(
+                {"anchor": "int64", "negative": "int64", "cos": "float64"}
+            )
+        hid = home_pdf["vec_id"].to_numpy()
+        H = np.stack(home_pdf["embedding"].to_numpy()).astype(np.float64)
+        aid = probe_pdf["anchor"].to_numpy()
+        A = np.stack(probe_pdf["aemb"].to_numpy()).astype(np.float64)
+        hn = np.sqrt((H * H).sum(axis=1))
+        an = np.sqrt((A * A).sum(axis=1))
+        C = (A @ H.T) / np.outer(an, hn)
+        # self must not be its own negative
+        C[aid[:, None] == hid[None, :]] = -np.inf
+        # a near-dup partner is a POSITIVE — mask it out of the negatives
+        hpos = {v: i for i, v in enumerate(hid)}
+        for r, pl in enumerate(probe_pdf["plist"]):
+            if pl is None:
+                continue
+            for p in pl:
+                i = hpos.get(p)
+                if i is not None:
+                    C[r, i] = -np.inf
+        kk = min(k_neg, H.shape[0])
+        anc, neg, cos = [], [], []
+        for i in range(len(aid)):
+            idx = np.lexsort((hid, -C[i]))[:kk]
+            idx = idx[np.isfinite(C[i][idx])]
+            anc.extend([aid[i]] * len(idx))
+            neg.extend(hid[idx])
+            cos.extend(C[i][idx])
+        return pd.DataFrame({"anchor": anc, "negative": neg, "cos": cos})
+
+    local = (
+        home.groupBy("cluster")
+        .cogroup(probes.groupBy("probe"))
+        .applyInPandas(per_list, schema="anchor long, negative long, cos double")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("anchor").orderBy(F.col("cos").desc(), F.col("negative").asc())
+    )
+    return (
+        local.withColumn("rk", rk)
+        .filter(F.col("rk") <= k_neg)
+        .select(
+            "anchor",
+            F.col("rk").cast("int").alias("neg_rank"),
+            "negative",
+            F.round("cos", 4).alias("cos_sim"),
+        )
+    )

@@ -1334,3 +1334,245 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(prob * 1e6) / 1e6).alias("q_prob"),
         (z >= 0).alias("accept"),
     )
+
+
+# --- Boilerplate / segment-level cleaning (r11) ---------------------------
+# The "line" unit on this corpus (no newline structure) is the aligned
+# 8-token window from token_segments(); on newline-delimited web text the
+# same operators run with split('\n') as the segment function — nothing
+# else changes. CCNet/RefinedWeb-style cleaning, public methods.
+
+BOILERPLATE_SEG_TOKENS = 8
+BOILERPLATE_MIN_DOCS = 2  # test-SF floor; production uses doc_frac gates
+INTRADOC_SEG_TOKENS = 4
+
+
+def _doc_segments(spark: SparkSession, sf_dir: str, seg: int):
+    from ..functions.textfns import token_segments
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        token_segments(tokens("text"), seg).alias("segs"),
+    )
+
+
+def _flagged_segments(spark: SparkSession, sf_dir: str, seg: int, min_docs: int):
+    """(source, segment, n_docs) for segments appearing in >= min_docs
+    distinct docs of the same source. Each doc contributes a segment once
+    (array_distinct before the explode), so count(*) IS the distinct-doc
+    count — no count-distinct shuffle."""
+    segs = _doc_segments(spark, sf_dir, seg)
+    ex = segs.select(
+        "source", F.explode(F.array_distinct("segs")).alias("segment")
+    )
+    return (
+        ex.groupBy("source", "segment")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_segments_report(
+    spark: SparkSession,
+    sf_dir: str,
+    seg_tokens: int = BOILERPLATE_SEG_TOKENS,
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+) -> DataFrame:
+    """CCNet-style boilerplate detection: segments (aligned 8-token
+    windows, the no-newline analog of lines) that recur across >= min_docs
+    DISTINCT documents of the same source are boilerplate candidates —
+    headers, footers, navigation chrome, license banners. Output carries
+    the per-source doc total and the doc fraction so a production run can
+    gate on frac instead of an absolute count.
+
+    100 TB shape: one scan -> (source, segment)-keyed aggregate (the only
+    shuffle; partial aggregation halves it map-side) -> broadcast join of
+    the source-cardinality-bounded doc totals. The report is by
+    construction ~1/min_docs of the segment space, and real boilerplate
+    is far sparser. Output: (source, segment, n_docs, src_docs, doc_frac).
+    """
+    flagged = _flagged_segments(spark, sf_dir, seg_tokens, min_docs)
+    totals = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("src_docs"))
+    )
+    return flagged.join(F.broadcast(totals), "source").select(
+        "source",
+        "segment",
+        "n_docs",
+        "src_docs",
+        F.round(F.col("n_docs") / F.col("src_docs"), 6).alias("doc_frac"),
+    )
+
+
+def boilerplate_scrub(
+    spark: SparkSession,
+    sf_dir: str,
+    seg_tokens: int = BOILERPLATE_SEG_TOKENS,
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+) -> DataFrame:
+    """Remove boilerplate segments (boilerplate_segments_report's flagged
+    set, ALL occurrences) from every document and reassemble the cleaned
+    text in original segment order. The flagged set is grouped to one
+    array per source and BROADCAST-joined — the corpus is never shuffled:
+    the scrub is a higher-order filter inside the scan stage. Boilerplate
+    is bounded (<= segments/min_docs rows, sparser in practice); above
+    broadcast budget the swap is a sort-merge anti-join on
+    (source, segment) with positional reassembly — same result, one
+    corpus shuffle (docstring contract, same trade as dedup's verify
+    join). Output: (doc_id, n_segments, n_dropped, clean_text)."""
+    segs = _doc_segments(spark, sf_dir, seg_tokens)
+    bset = (
+        _flagged_segments(spark, sf_dir, seg_tokens, min_docs)
+        .groupBy("source")
+        .agg(F.collect_set("segment").alias("bset"))
+    )
+    joined = segs.join(F.broadcast(bset), "source", "left")
+    kept = F.when(
+        F.col("bset").isNull(), F.col("segs")
+    ).otherwise(
+        F.filter(
+            F.col("segs"), lambda s: ~F.array_contains(F.col("bset"), s)
+        )
+    )
+    return joined.select(
+        "doc_id",
+        F.size("segs").cast("int").alias("n_segments"),
+        (F.size("segs") - F.size(kept)).cast("int").alias("n_dropped"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
+
+
+def dedup_segments_within_doc(
+    spark: SparkSession, sf_dir: str, seg_tokens: int = INTRADOC_SEG_TOKENS
+) -> DataFrame:
+    """Intra-document repetition SCRUB — the fix-it twin of the
+    repetition_ratio signal: within each document, repeated segments
+    (aligned 4-token windows) keep their FIRST occurrence only, and the
+    cleaned text reassembles in original order. Catches copy-paste loops,
+    chorus/refrain spam, and extraction glitches that repeat whole blocks.
+
+    100 TB shape: ZERO shuffles — the keep-first rule is
+    array_position(segs, segs[i]) == i evaluated per row inside the scan
+    (whole-stage codegen, no explode, no window). Per-doc cost is
+    O(k^2) on k = n_tokens/seg segments with tiny constants — a 10k-token
+    doc is k=2500, ~6M char-compares, still microseconds; docs are
+    length-capped upstream in any real pipeline (quality_filter_flags).
+    Output: (doc_id, n_segments, n_kept, clean_text)."""
+    from ..functions.textfns import token_segments
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    segs = token_segments(tokens("text"), seg_tokens)
+    docs = docs.select("doc_id", segs.alias("segs"))
+    idx = F.sequence(F.lit(1), F.size("segs"))
+    kept = F.filter(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.get(F.col("segs"), i - 1).alias("seg"),
+                (
+                    F.array_position(
+                        F.col("segs"), F.get(F.col("segs"), i - 1)
+                    )
+                    == i
+                ).alias("first"),
+            ),
+        ),
+        lambda s: s["first"],
+    )
+    return docs.select(
+        "doc_id",
+        F.size("segs").cast("int").alias("n_segments"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(kept, lambda s: s["seg"]), " "
+        ).alias("clean_text"),
+    )
+
+
+# --- Character entropy + per-source distribution drift (r11) --------------
+
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+LOW_ENTROPY_BITS = 3.0
+
+
+def char_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy (bits/char) over a fixed 37-symbol
+    alphabet (a-z, 0-9, space; everything else pools into one OTHER
+    bucket) — the classic gibberish/binary-spill detector: natural text
+    sits near 4.1 bits, single-char runs and base64/hex blobs fall
+    outside, so low entropy flags degenerate docs the token-level signals
+    miss. Fixed alphabet (not per-doc distinct chars) keeps the expression
+    a CLOSED FORM: 37 length(replace(...)) counts + the entropy sum, all
+    inside the scan — one pass, zero shuffles, whole-stage codegen, and
+    exactly reproducible in the oracle. Entropy floor-truncated at 1e-6
+    (transcendental-output convention). Output: (doc_id, n_chars_eval,
+    entropy_bits, low_entropy)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    s = F.lower("text")
+    L = F.length(s).cast("double")
+    counts = [
+        (L - F.length(F.replace(s, F.lit(ch)))).alias(f"c{i}")
+        for i, ch in enumerate(ENTROPY_ALPHABET)
+    ]
+    base = docs.select("doc_id", L.alias("L"), *counts)
+    csum = sum(F.col(f"c{i}") for i in range(len(ENTROPY_ALPHABET)))
+    base = base.withColumn("c_other", F.col("L") - csum)
+    term = lambda c: F.when(  # noqa: E731
+        c > 0, -(c / F.col("L")) * F.log2(c / F.col("L"))
+    ).otherwise(F.lit(0.0))
+    ent = sum(
+        [term(F.col(f"c{i}")) for i in range(len(ENTROPY_ALPHABET))],
+        term(F.col("c_other")),
+    )
+    ent = F.when(F.col("L") > 0, ent).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id",
+        F.col("L").cast("bigint").alias("n_chars_eval"),
+        (F.floor(ent * 1e6) / 1e6).alias("entropy_bits"),
+        (ent < LOW_ENTROPY_BITS).alias("low_entropy"),
+    )
+
+
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence (bits) of the source's unigram token
+    distribution from the corpus distribution — the drift/contamination
+    dashboard number: a source whose vocabulary departs from the corpus
+    (spam feed, wrong-language crawl, template farm) shows a high KL long
+    before any per-doc filter fires. Same decomposition discipline as
+    unigram_lm_score: KL(p_s||p_c) = [Σ c·ln c − Σ c·ln c_tok]/n_s −
+    ln n_s + ln N, so the plan is one scan → (source, token) aggregate →
+    token-keyed window for the corpus counts (no vocab join or broadcast)
+    → source-sized rollup × 1-row total. Every source is a handful of
+    output rows regardless of corpus size. KL floor-truncated at 1e-6.
+    Output: (source, n_tokens, kl_bits)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    inst = docs.select("source", F.explode(tokens("text")).alias("tok"))
+    per_src_tok = inst.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    with_ctok = per_src_tok.withColumn(
+        "ctok", F.sum("c").over(W.partitionBy("tok"))
+    )
+    per_src = with_ctok.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("c") * F.log("c")).alias("a"),
+        F.sum(F.col("c") * F.log("ctok")).alias("b"),
+    )
+    total = per_src.agg(F.sum("n_tokens").cast("double").alias("n_corpus"))
+    ln2 = 0.6931471805599453
+    kl = (
+        (F.col("a") - F.col("b")) / F.col("n_tokens")
+        - F.log(F.col("n_tokens").cast("double"))
+        + F.log("n_corpus")
+    ) / ln2
+    return per_src.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_tokens",
+        (F.floor(kl * 1e6) / 1e6).alias("kl_bits"),
+    )

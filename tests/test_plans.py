@@ -8,6 +8,8 @@ but is the difference between hours and minutes at scale.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 import __spark_entry__ as entrymod
@@ -790,3 +792,50 @@ class TestPQServing:
         pf = p.split("PartitionFilters")[1][:300] if "PartitionFilters" in p else ""
         assert "cluster" in pf and "IN" in pf.upper(), f"no IN prune: {pf!r}"
         assert "TakeOrderedAndProject" in p
+
+
+class TestSegmentCleaningPlans:
+    """r11 segment-level cleaning: the scrub ops must stay inside the scan
+    stage (zero corpus shuffle), and the boilerplate set must broadcast."""
+
+    def test_intradoc_scrub_is_zero_shuffle_single_scan(self, spark):
+        p = plan(text.dedup_segments_within_doc(spark, SF_DIR))
+        assert "Exchange" not in p
+        assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+    def test_char_entropy_is_zero_shuffle_single_scan(self, spark):
+        p = plan(text.char_entropy_score(spark, SF_DIR))
+        assert "Exchange" not in p
+        assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p
+
+    def test_char_entropy_scan_prunes_to_two_columns(self, spark):
+        p = plan(text.char_entropy_score(spark, SF_DIR))
+        rs = p.split("ReadSchema")[1].split("\n")[0]
+        assert "doc_id" in rs and "text" in rs
+        assert "embedding" not in rs and "source" not in rs
+
+    def test_boilerplate_scrub_corpus_side_joins_broadcast(self, spark):
+        p = plan(text.boilerplate_scrub(spark, SF_DIR))
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+        # the corpus is scanned once to build the flagged set and once to
+        # scrub — never more
+        assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2
+
+    def test_boilerplate_report_totals_join_broadcasts(self, spark):
+        p = plan(text.boilerplate_segments_report(spark, SF_DIR))
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+
+
+class TestSourceKlPlan:
+    def test_kl_has_no_vocab_join(self, spark):
+        """Corpus token counts come from a window over the (source, token)
+        aggregate — a vocab-sized join or broadcast must never appear."""
+        p = plan(text.source_token_kl(spark, SF_DIR))
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
+        # the only broadcast is the 1-row corpus total
+        assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 1

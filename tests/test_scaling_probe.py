@@ -114,6 +114,17 @@ def _warm_time(fn, spark, sf_dir):
         ("winnowing_overlap_report", text.winnowing_overlap_report),
         ("curriculum_stages", sampling.curriculum_stages),
         ("token_budget_select", sampling.token_budget_select),
+        # r11 segment-cleaning wave: the two scrub ops are zero-shuffle
+        # closed forms inside the scan (plan-asserted), boilerplate adds
+        # one (source,segment) aggregate + broadcast; entropy/KL are
+        # single-scan closed forms / bounded rollups. All corpus-linear
+        # by construction — the probe pins it.
+        ("boilerplate_scrub", text.boilerplate_scrub),
+        ("dedup_segments_within_doc", text.dedup_segments_within_doc),
+        ("char_entropy_score", text.char_entropy_score),
+        ("source_token_kl", text.source_token_kl),
+        ("global_shuffle_order", sampling.global_shuffle_order),
+        ("quality_classifier_score", text.quality_classifier_score),
     ],
 )
 def test_corpus_operator_scales_subquadratically(spark, scaled_dirs, name, fn):
@@ -137,6 +148,12 @@ def test_corpus_operator_scales_subquadratically(spark, scaled_dirs, name, fn):
     [
         ("contrastive_pairs", sampling.contrastive_pairs),
         ("leakage_safe_split", sampling.leakage_safe_split),
+        # contrastive_hard_negatives is NOT here: its per-anchor cost is
+        # the probed-list width (grows with corpus at fixed n_lists), so
+        # neither raw-ratio nor per-row-flat is its invariant — exactly
+        # the kNN-join situation, and like the kNN joins it is probed in
+        # the tool (embeddings family, vectorized form) with the
+        # k-scaling discipline documented in its docstring.
     ],
 )
 def test_output_bound_operator_per_row_cost_stays_flat(

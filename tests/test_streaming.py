@@ -422,3 +422,57 @@ def test_decontaminate_on_ingest_matches_batch_bloom(spark, tmp_path):
     train_ids = {r["doc_id"] for r in rows}
     assert survived == train_ids - expected_dropped
     assert expected_dropped, "nothing flagged — the comparison is vacuous"
+
+
+def test_embeddings_ingest_assigns_ivf_on_arrival(spark, tmp_path):
+    """r11 streaming embeddings ingest: JSONL vector shards -> stateless
+    nearest-learned-centroid assignment -> cluster-partitioned parquet
+    sink. The streamed layout must (a) agree row-for-row with the batch
+    assignment (kmeans_iterate), (b) land as a cluster=<id> partitioned
+    directory a pruned serving scan can read, and (c) be exactly-once
+    across a restart over the same shards."""
+    import os
+
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators.similarity import (
+        kmeans_iterate,
+        learned_centroids,
+    )
+    from project_samanvay_a_true_hybrid_htap_database_spark.streaming.embeddings import (
+        ingest_embeddings_stream,
+    )
+
+    # shard the sf0.001 embeddings table into JSONL arrival files
+    src = str(tmp_path / "vec_shards")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    emb.repartition(3).write.json(src)
+
+    cents = learned_centroids(spark, SF_DIR)
+    out = str(tmp_path / "ivf_layout")
+    ckpt = str(tmp_path / "ckpt_emb")
+    q = ingest_embeddings_stream(spark, src, out, ckpt, cents)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    landed = spark.read.parquet(out)
+    got = {r.vec_id: r.cluster for r in landed.select("vec_id", "cluster").collect()}
+    want = {
+        r.vec_id: r.cluster
+        for r in kmeans_iterate(spark, SF_DIR).select("vec_id", "cluster").collect()
+    }
+    assert got == want
+    # the sink IS the IVF layout: hive-partitioned by cluster
+    parts = [d for d in os.listdir(out) if d.startswith("cluster=")]
+    assert len(parts) == len({*got.values()})
+    # a cluster-filtered serving scan prunes to the partition
+    pruned = landed.filter(F.col("cluster") == sorted(got.values())[0])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cluster" in plan
+    # exactly-once across restart: nothing re-lands
+    q2 = ingest_embeddings_stream(spark, src, out, ckpt, cents)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(out).count() == len(want)

@@ -64,6 +64,13 @@ SHOWCASE = [
     ("winnowing_fingerprints", "MOSS winnowing — shingles exploded once, hash per row, doc-keyed window-min frame (the all-HOF form re-ran the tokenizer per window: 110s -> 1.2s)"),
     ("ann_ivfpq_res_topk", "residual IVF-PQ serving — per-list LUTs behind a cluster CASE, nprobe partition prune, codes index only"),
     ("table_profile", "one-scan column profile — Expand multi-distinct aggregate, stack() on the 1-row result"),
+    ("ann_ivfpq_rerank_topk", "ADC shortlist -> exact re-rank — pruned codes scan feeds a bounded exact-cosine pass over shortlist ids only"),
+    ("global_shuffle_order", "training-order shuffle — hash-bucket then per-bucket row_number (terasort decomposition, no global sort)"),
+    ("quality_classifier_score", "learned quality filter — 6-dp weight literals folded into five scan expressions, zero shuffles"),
+    ("boilerplate_scrub", "CCNet-style boilerplate removal — flagged-set broadcast, higher-order filter inside the scan, corpus never shuffled"),
+    ("dedup_segments_within_doc", "intra-doc repetition scrub — keep-first via array_position, zero shuffles, single scan"),
+    ("char_entropy_score", "fixed-alphabet char entropy — 37 replace-counts + closed-form entropy sum, single scan"),
+    ("source_token_kl", "per-source unigram KL — token-keyed window for corpus counts (no vocab join), source-sized rollup"),
 ]
 
 

@@ -255,6 +255,13 @@ def main() -> None:
             ("token_budget_select", sampling.token_budget_select),
             ("contrastive_pairs", sampling.contrastive_pairs),
             ("leakage_safe_split", sampling.leakage_safe_split),
+            # r11 segment-cleaning wave
+            ("boilerplate_scrub", text.boilerplate_scrub),
+            ("dedup_segments_within_doc", text.dedup_segments_within_doc),
+            ("char_entropy_score", text.char_entropy_score),
+            ("source_token_kl", text.source_token_kl),
+            ("global_shuffle_order", sampling.global_shuffle_order),
+            ("quality_classifier_score", text.quality_classifier_score),
         ],
         "embeddings": [
             ("embedding_neardup_pairs_vectorized", dedup.embedding_neardup_pairs_vectorized),
@@ -272,6 +279,14 @@ def main() -> None:
             ("ann_ivfpq_topk", similarity.ann_ivfpq_topk),
             ("ann_ivfpq_res_topk", similarity.ann_ivfpq_res_topk),
             ("ann_ivfpq_recall_audit", similarity.ann_ivfpq_recall_audit),
+            ("ann_ivfpq_rerank_topk", similarity.ann_ivfpq_rerank_topk),
+            # hard-negative mining: the cogroup-BLAS production form (the
+            # spec HOF-join form shuffles anchors x list-width candidates
+            # into one window — measured minutes at 10x; tool-only note)
+            (
+                "contrastive_hard_negatives_vec",
+                sampling.contrastive_hard_negatives_vectorized,
+            ),
         ],
         "tpch": [
             ("tpch_q1", analytics.tpch_q1_pricing_summary),
