@@ -1304,20 +1304,34 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle calls the same trainer for the same literals.
 
     Output: (doc_id, q_logit, q_prob, accept) for every doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    z = quality_logit_expr("text")
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.select(
+        "doc_id",
+        F.round(z, 4).alias("q_logit"),
+        (F.floor(prob * 1e6) / 1e6).alias("q_prob"),
+        (z >= 0).alias("accept"),
+    )
+
+
+def quality_logit_expr(text_col: str = "text"):
+    """The learned quality logit as a reusable Column expression — shared
+    by the batch scorer and the streaming ingest gate so the two paths
+    cannot drift (the same weight literals, the same five features)."""
     from ..functions.textfns import tokens
 
     w, b = _train_tiny_quality()
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tokens("text")
+    toks = tokens(text_col)
     n_tokens = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in QC_STOPWORDS])
     feats = [
         F.least(n_tokens / F.lit(100.0), F.lit(1.0)),
         F.size(F.array_distinct(toks)) / n_tokens,
-        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
-        / F.length("text"),
+        F.length(F.regexp_replace(F.lower(text_col), "[^a-z]", ""))
+        / F.length(text_col),
         F.least(
-            (F.length(F.regexp_replace("text", " ", "")) / n_tokens)
+            (F.length(F.regexp_replace(text_col, " ", "")) / n_tokens)
             / F.lit(10.0),
             F.lit(1.0),
         ),
@@ -1327,13 +1341,7 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.lit(float(b))
     for wi, xi in zip(w, feats):
         z = z + F.lit(float(wi)) * xi
-    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    return docs.select(
-        "doc_id",
-        F.round(z, 4).alias("q_logit"),
-        (F.floor(prob * 1e6) / 1e6).alias("q_prob"),
-        (z >= 0).alias("accept"),
-    )
+    return z
 
 
 # --- Boilerplate / segment-level cleaning (r11) ---------------------------

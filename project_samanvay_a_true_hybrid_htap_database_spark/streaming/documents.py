@@ -104,3 +104,19 @@ def decontaminate_on_ingest_stream(docs: DataFrame, bitmap: list) -> DataFrame:
         .filter(~F.col("contaminated"))
         .drop("_t", "_sh", "contaminated")
     )
+
+
+def quality_gate_on_ingest_stream(docs: DataFrame) -> DataFrame:
+    """Learned quality filtering ON ARRIVAL: score each incoming document
+    with the SAME logistic-regression logit expression the batch scorer
+    uses (text.quality_logit_expr — one shared expression, so the
+    streaming gate and the batch scorer cannot drift) and drop rejects
+    in-flight. Entirely STATELESS — the 6-dp weight literals fold into
+    the stream's filter, costing the state store nothing — so it composes
+    freely before the watermarked dedup stage (cheap gate first: a
+    rejected doc never pays for dedup state). Accept = logit >= 0, the
+    polynomial-boundary contract; batch/stream parity is pinned in
+    tests/test_streaming.py."""
+    from ..operators.text import quality_logit_expr
+
+    return docs.filter(quality_logit_expr("text") >= 0)

@@ -813,3 +813,45 @@ class TestVirtualEpochs:
             copies = sum(n for k, n in per_doc.items() if k[0] == src)
             expect = n_docs * rates[src] / 1_000_000
             assert abs(copies - expect) <= n_docs, (src, copies, expect)
+
+
+class TestHardNegativesVectorizedParity:
+    """r11: the cogroup-BLAS production form must be row-identical to the
+    spec HOF-join form (the knn_join_ivf_vectorized relationship — same
+    oracle, but this differential catches a drift even between driver
+    sweeps)."""
+
+    def test_vectorized_matches_spec(self, spark):
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators.sampling import (
+            contrastive_hard_negatives,
+            contrastive_hard_negatives_vectorized,
+        )
+
+        spec = {
+            tuple(r)
+            for r in contrastive_hard_negatives(spark, SF_DIR).collect()
+        }
+        vec = {
+            tuple(r)
+            for r in contrastive_hard_negatives_vectorized(
+                spark, SF_DIR
+            ).collect()
+        }
+        assert len(spec) > 0
+        assert vec == spec
+
+    def test_vectorized_plan_shape(self, spark):
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators.sampling import (
+            contrastive_hard_negatives_vectorized,
+        )
+
+        df = contrastive_hard_negatives_vectorized(spark, SF_DIR)
+        p = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+        # the candidate scoring is the cogroup block pass, and the window
+        # input is its (<= nprobe * k_neg per anchor) output — never the
+        # raw anchors x list-width join
+        assert "FlatMapCoGroupsInPandas" in p
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p

@@ -476,3 +476,44 @@ def test_embeddings_ingest_assigns_ivf_on_arrival(spark, tmp_path):
     finally:
         q2.stop()
     assert spark.read.parquet(out).count() == len(want)
+
+
+def test_quality_gate_on_ingest_matches_batch_classifier(spark, tmp_path):
+    """r11 streaming quality gate: the stateless learned-classifier filter
+    on the ingest stream must admit exactly the doc_ids the batch scorer
+    accepts (shared logit expression — parity is structural, this pins
+    it)."""
+    import os
+
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators.text import (
+        quality_classifier_score,
+    )
+    from project_samanvay_a_true_hybrid_htap_database_spark.streaming.documents import (
+        quality_gate_on_ingest_stream,
+        stream_documents_jsonl,
+    )
+
+    src = str(tmp_path / "qshards")
+    load_table(spark, SF_DIR, "documents").repartition(2).write.json(src)
+
+    gated = quality_gate_on_ingest_stream(stream_documents_jsonl(spark, src))
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("quality_gated")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.doc_id for r in spark.sql("SELECT doc_id FROM quality_gated").collect()
+    }
+    want = {
+        r.doc_id
+        for r in quality_classifier_score(spark, SF_DIR)
+        .filter(F.col("accept"))
+        .collect()
+    }
+    assert got == want and 0 < len(got) < 500
