@@ -486,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_segments_within_doc": text.dedup_segments_within_doc,
         "char_entropy_score": text.char_entropy_score,
         "source_token_kl": text.source_token_kl,
+        "diversity_sample": sampling.diversity_sample,
     }
 
 
@@ -3349,5 +3350,18 @@ SELECT source, n_tokens,
   floor((((a - b) / n_tokens - ln(n_tokens::DOUBLE) + ln(n_corpus))
          / 0.6931471805599453) * 1e6) / 1e6 AS kl_bits
 FROM p, tot
+"""
+    # r11: cluster-balanced diversity sample — learned-cluster quotas,
+    # salted-md5 in-cluster order (same kmeans CTE replay as the IVF ops)
+    km_cte2, km_a2, _km_d2 = _kmeans_cte()
+    sqls["diversity_sample"] = f"""
+WITH {km_cte2},
+r AS (SELECT vec_id, cl AS cluster,
+        row_number() OVER (PARTITION BY cl ORDER BY
+          ('0x' || substr(md5('divs|' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT,
+          vec_id) AS pick_rank
+      FROM {km_a2})
+SELECT CAST(cluster AS INT) AS cluster, CAST(pick_rank AS INT) AS pick_rank, vec_id
+FROM r WHERE pick_rank <= {sampling.DIVERSITY_PER_CLUSTER}
 """
     return sqls

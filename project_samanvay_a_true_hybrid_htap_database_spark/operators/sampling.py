@@ -1149,3 +1149,50 @@ def contrastive_hard_negatives_vectorized(
             F.round("cos", 4).alias("cos_sim"),
         )
     )
+
+
+DIVERSITY_PER_CLUSTER = 5
+
+
+def diversity_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    per_cluster: int = DIVERSITY_PER_CLUSTER,
+) -> DataFrame:
+    """Cluster-balanced DIVERSITY sampling — equal quota per LEARNED
+    embedding cluster instead of a uniform corpus draw: a uniform sample
+    of a skewed corpus is mostly the dominant mode, while per-cluster
+    quotas guarantee every semantic region is represented (the standard
+    seed-set/eval-set construction when you need coverage, not
+    proportionality; fixed_k_per_stratum's cross-modal sibling — strata
+    here are learned geometry, not a metadata column).
+
+    Within each cluster the pick is the usual salted-md5 order (h asc,
+    vec_id asc) — deterministic, replayable, and independent of any
+    content property. Shape: one assignment scan (literal centroids, no
+    join) + ONE cluster-keyed shuffle whose per-partition width is the
+    list width — bounded in production by scaling n_lists with the corpus
+    (learned_centroids' discipline), exactly the IVF-list partitioning
+    the serving layout already relies on. Clusters smaller than the quota
+    contribute all their members.
+
+    Output: (cluster, pick_rank, vec_id)."""
+    from .similarity import _with_nearest_centroid, learned_centroids
+
+    cents = learned_centroids(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    home = _with_nearest_centroid(emb, cents, "embedding", "_b").select(
+        "vec_id", F.col("_b")["l"].cast("int").alias("cluster")
+    )
+    keyed = home.withColumn(
+        "_h",
+        md5_long32(F.concat(F.lit("divs|"), F.col("vec_id").cast("string"))),
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("_h").asc(), F.col("vec_id").asc()
+    )
+    return (
+        keyed.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= per_cluster)
+        .select("cluster", F.col("pick_rank").cast("int").alias("pick_rank"), "vec_id")
+    )

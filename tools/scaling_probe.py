@@ -287,6 +287,7 @@ def main() -> None:
                 "contrastive_hard_negatives_vec",
                 sampling.contrastive_hard_negatives_vectorized,
             ),
+            ("diversity_sample", sampling.diversity_sample),
         ],
         "tpch": [
             ("tpch_q1", analytics.tpch_q1_pricing_summary),
