@@ -487,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy_score": text.char_entropy_score,
         "source_token_kl": text.source_token_kl,
         "diversity_sample": sampling.diversity_sample,
+        "dedup_segments_across_docs": text.dedup_segments_across_docs,
     }
 
 
@@ -3363,5 +3364,24 @@ r AS (SELECT vec_id, cl AS cluster,
       FROM {km_a2})
 SELECT CAST(cluster AS INT) AS cluster, CAST(pick_rank AS INT) AS pick_rank, vec_id
 FROM r WHERE pick_rank <= {sampling.DIVERSITY_PER_CLUSTER}
+"""
+    # r11: cross-doc keep-first segment dedup (Lee et al. substring-dedup
+    # shape on the aligned-window segment unit) — first occurrence by
+    # (doc_id, pos) survives, every other occurrence is cut
+    sqls["dedup_segments_across_docs"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS T FROM documents),
+s AS (SELECT doc_id, {seg8} AS segs FROM t),
+o AS (SELECT doc_id, i - 1 AS pos, segs[i] AS segment
+      FROM s, unnest(generate_series(1, len(segs))) AS u(i)),
+f AS (SELECT segment, min(ROW(doc_id, pos)) AS first_occ FROM o GROUP BY 1),
+k AS (SELECT o.doc_id, o.pos, o.segment FROM o JOIN f ON o.segment = f.segment
+      WHERE ROW(o.doc_id, o.pos) = f.first_occ),
+r AS (SELECT doc_id, count(*)::INT AS n_kept,
+             string_agg(segment, ' ' ORDER BY pos) AS clean_text
+      FROM k GROUP BY doc_id)
+SELECT s.doc_id, len(s.segs)::INT AS n_segments,
+       (len(s.segs) - coalesce(n_kept, 0))::INT AS n_dropped,
+       coalesce(clean_text, '') AS clean_text
+FROM s LEFT JOIN r ON s.doc_id = r.doc_id
 """
     return sqls

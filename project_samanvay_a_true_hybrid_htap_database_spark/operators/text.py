@@ -1584,3 +1584,66 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.floor(kl * 1e6) / 1e6).alias("kl_bits"),
     )
+
+
+def dedup_segments_across_docs(
+    spark: SparkSession, sf_dir: str, seg_tokens: int = BOILERPLATE_SEG_TOKENS
+) -> DataFrame:
+    """CROSS-document segment dedup — the fix-it twin of
+    duplicate_span_report and the corpus-level sibling of
+    dedup_segments_within_doc (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better": repeated substrings are removed
+    from all but one carrier, not whole documents): every occurrence of a
+    segment (aligned 8-token window) EXCEPT the corpus-wide first — by
+    (doc_id, position), the deterministic carrier rule — is cut, and each
+    doc reassembles in original order. Unlike boilerplate_scrub (which
+    drops ALL occurrences of per-source recurring segments), exactly one
+    copy of every segment survives corpus-wide.
+
+    100 TB shape: two linear, key-balanced shuffles — (1) the exploded
+    (segment, doc_id, pos) stream min-reduces per segment key (partial
+    agg first: ~unique-segments rows cross the wire, not occurrences),
+    the keep decision joins back on the segment key (sort-merge, both
+    sides segment-hashed); (2) the kept occurrences re-group per doc for
+    ordered reassembly. No windows over the corpus, no broadcast of
+    anything unbounded. Output: (doc_id, n_segments, n_dropped,
+    clean_text)."""
+    from ..functions.textfns import token_segments
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    segs = docs.select(
+        "doc_id", token_segments(tokens("text"), seg_tokens).alias("segs")
+    )
+    occ = segs.select(
+        "doc_id",
+        F.posexplode("segs").alias("pos", "segment"),
+    )
+    first = occ.groupBy("segment").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first_occ")
+    )
+    kept = occ.join(first, "segment").filter(
+        (F.col("doc_id") == F.col("first_occ.doc_id"))
+        & (F.col("pos") == F.col("first_occ.pos"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "segment"))),
+                lambda s: s["segment"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        segs.select("doc_id", F.size("segs").cast("int").alias("n_segments"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segments",
+            (
+                F.col("n_segments") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("int").alias("n_dropped"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -125,6 +125,10 @@ def _warm_time(fn, spark, sf_dir):
         ("source_token_kl", text.source_token_kl),
         ("global_shuffle_order", sampling.global_shuffle_order),
         ("quality_classifier_score", text.quality_classifier_score),
+        # cross-doc keep-first segment dedup: two linear key-balanced
+        # shuffles (segment min-reduce + doc reassembly), output corpus-
+        # sized — CI-floorable unlike the pair-graph family
+        ("dedup_segments_across_docs", text.dedup_segments_across_docs),
     ],
 )
 def test_corpus_operator_scales_subquadratically(spark, scaled_dirs, name, fn):

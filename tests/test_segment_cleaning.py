@@ -187,3 +187,43 @@ class TestEntropyAndKl:
             nt, klb = got[src]
             assert nt == n_s
             assert abs(klb - kl) < 2e-6, src
+
+
+class TestCrossDocScrub:
+    def test_keep_first_corpus_wide_matches_bruteforce(self, spark, docs):
+        got = {
+            r["doc_id"]: r
+            for r in text.dedup_segments_across_docs(spark, SF_DIR).collect()
+        }
+        seen: set[str] = set()
+        for did in sorted(docs):  # first occurrence by (doc_id, pos)
+            txt, _ = docs[did]
+            segs = _py_segments(txt, text.BOILERPLATE_SEG_TOKENS)
+            kept = []
+            for s in segs:
+                if s not in seen:
+                    seen.add(s)
+                    kept.append(s)
+            r = got[did]
+            assert r["n_segments"] == len(segs), did
+            assert r["n_dropped"] == len(segs) - len(kept), did
+            assert r["clean_text"] == " ".join(kept), did
+
+    def test_every_segment_survives_exactly_once(self, spark):
+        """The operator's contract: one copy of every distinct segment
+        corpus-wide — total kept == distinct segments in the corpus."""
+        out = text.dedup_segments_across_docs(spark, SF_DIR)
+        kept_total = out.agg(
+            F.sum(F.col("n_segments") - F.col("n_dropped"))
+        ).collect()[0][0]
+        distinct = (
+            load_table(spark, SF_DIR, "documents")
+            .select(
+                F.explode(
+                    token_segments(tokens("text"), text.BOILERPLATE_SEG_TOKENS)
+                ).alias("s")
+            )
+            .agg(F.countDistinct("s"))
+            .collect()[0][0]
+        )
+        assert kept_total == distinct

@@ -262,6 +262,7 @@ def main() -> None:
             ("source_token_kl", text.source_token_kl),
             ("global_shuffle_order", sampling.global_shuffle_order),
             ("quality_classifier_score", text.quality_classifier_score),
+            ("dedup_segments_across_docs", text.dedup_segments_across_docs),
         ],
         "embeddings": [
             ("embedding_neardup_pairs_vectorized", dedup.embedding_neardup_pairs_vectorized),
