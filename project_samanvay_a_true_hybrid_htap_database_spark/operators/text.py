@@ -1418,6 +1418,22 @@ def boilerplate_segments_report(
     )
 
 
+def boilerplate_flagged_sets(
+    spark: SparkSession,
+    sf_dir: str,
+    seg_tokens: int = BOILERPLATE_SEG_TOKENS,
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+) -> DataFrame:
+    """(source, bset array<string>) — the per-source flagged-segment
+    arrays, shared by the batch scrub and the streaming ingest gate so
+    the two paths apply the identical set."""
+    return (
+        _flagged_segments(spark, sf_dir, seg_tokens, min_docs)
+        .groupBy("source")
+        .agg(F.collect_set("segment").alias("bset"))
+    )
+
+
 def boilerplate_scrub(
     spark: SparkSession,
     sf_dir: str,
@@ -1435,11 +1451,7 @@ def boilerplate_scrub(
     corpus shuffle (docstring contract, same trade as dedup's verify
     join). Output: (doc_id, n_segments, n_dropped, clean_text)."""
     segs = _doc_segments(spark, sf_dir, seg_tokens)
-    bset = (
-        _flagged_segments(spark, sf_dir, seg_tokens, min_docs)
-        .groupBy("source")
-        .agg(F.collect_set("segment").alias("bset"))
-    )
+    bset = boilerplate_flagged_sets(spark, sf_dir, seg_tokens, min_docs)
     joined = segs.join(F.broadcast(bset), "source", "left")
     kept = F.when(
         F.col("bset").isNull(), F.col("segs")

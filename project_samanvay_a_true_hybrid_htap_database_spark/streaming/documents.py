@@ -120,3 +120,55 @@ def quality_gate_on_ingest_stream(docs: DataFrame) -> DataFrame:
     from ..operators.text import quality_logit_expr
 
     return docs.filter(quality_logit_expr("text") >= 0)
+
+
+def boilerplate_scrub_on_ingest_stream(
+    docs: DataFrame, flagged_sets: DataFrame
+) -> DataFrame:
+    """Boilerplate removal ON ARRIVAL — the periodic-model/streaming-apply
+    pattern: the flagged-segment sets come from a BATCH pass
+    (text.boilerplate_segments_report's aggregate, refreshed on whatever
+    cadence the corpus owner runs it), grouped to one array per source
+    and broadcast-joined onto the stream; the scrub itself is the same
+    higher-order filter the batch scrub runs inside the scan — entirely
+    STATELESS, nothing in the state store, composable before the dedup
+    stage. A segment that becomes boilerplate only after the batch set
+    was built is admitted until the next refresh (documented contract —
+    the same narrowing-vs-closing split as dedup-on-arrival vs the
+    periodic batch dedup).
+
+    ``flagged_sets``: (source, bset array<string>) — a STATIC DataFrame
+    (stream-static broadcast joins are supported; the set is boilerplate-
+    sized, bounded by construction). Output: the input columns with
+    ``text`` replaced by the scrubbed text, plus n_dropped_segments.
+    Batch/stream row parity is pinned in tests/test_streaming.py."""
+    from ..functions.textfns import token_segments, tokens
+    from ..operators.text import BOILERPLATE_SEG_TOKENS
+
+    segs = token_segments(tokens("text"), BOILERPLATE_SEG_TOKENS)
+    joined = docs.withColumn("_segs", segs).join(
+        F.broadcast(flagged_sets), "source", "left"
+    )
+    kept = F.when(F.col("bset").isNull(), F.col("_segs")).otherwise(
+        F.filter(
+            F.col("_segs"), lambda s: ~F.array_contains(F.col("bset"), s)
+        )
+    )
+    return joined.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.array_join(kept, " ").alias("text"),
+        (F.size("_segs") - F.size(kept)).cast("int").alias(
+            "n_dropped_segments"
+        ),
+    )
+
+
+def boilerplate_flagged_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch half of the pattern — re-exported from
+    text.boilerplate_flagged_sets (ONE shared builder, so the streaming
+    gate and the batch scrub cannot apply different sets)."""
+    from ..operators.text import boilerplate_flagged_sets as _bfs
+
+    return _bfs(spark, sf_dir)

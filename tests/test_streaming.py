@@ -517,3 +517,48 @@ def test_quality_gate_on_ingest_matches_batch_classifier(spark, tmp_path):
         .collect()
     }
     assert got == want and 0 < len(got) < 500
+
+
+def test_boilerplate_gate_on_ingest_matches_batch_scrub(spark, tmp_path):
+    """r11 streaming boilerplate gate: the stateless stream-static
+    broadcast scrub must produce the same cleaned text and drop counts
+    as the batch scrub for every doc (shared flagged-set builder +
+    shared filter expression — this pins the parity)."""
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators.text import (
+        boilerplate_scrub,
+    )
+    from project_samanvay_a_true_hybrid_htap_database_spark.streaming.documents import (
+        boilerplate_flagged_sets,
+        boilerplate_scrub_on_ingest_stream,
+        stream_documents_jsonl,
+    )
+
+    src = str(tmp_path / "bshards")
+    load_table(spark, SF_DIR, "documents").repartition(2).write.json(src)
+
+    flagged = boilerplate_flagged_sets(spark, SF_DIR)
+    gated = boilerplate_scrub_on_ingest_stream(
+        stream_documents_jsonl(spark, src), flagged
+    )
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("bp_gated")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.doc_id: (r.text, r.n_dropped_segments)
+        for r in spark.sql(
+            "SELECT doc_id, text, n_dropped_segments FROM bp_gated"
+        ).collect()
+    }
+    want = {
+        r.doc_id: (r.clean_text, r.n_dropped)
+        for r in boilerplate_scrub(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert sum(n for _, n in got.values()) > 0  # the gate actually fired

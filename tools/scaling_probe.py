@@ -362,6 +362,11 @@ def main() -> None:
             ("duplicate_span_report", dedup.duplicate_span_report),
             ("vocab_coverage", text.vocab_coverage),
             ("source_length_quantiles", text.source_length_quantiles),
+            # r11 closed-form scans + the cross-doc keep-first dedup
+            ("char_entropy_score", text.char_entropy_score),
+            ("dedup_segments_within_doc", text.dedup_segments_within_doc),
+            ("quality_classifier_score", text.quality_classifier_score),
+            ("dedup_segments_across_docs", text.dedup_segments_across_docs),
         ]:
             _probe(spark, name, fn, one, ten, hundred)
     if "embeddings100" in families:
