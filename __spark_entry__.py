@@ -488,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_kl": text.source_token_kl,
         "diversity_sample": sampling.diversity_sample,
         "dedup_segments_across_docs": text.dedup_segments_across_docs,
+        "shard_manifest": sampling.shard_manifest,
     }
 
 
@@ -3383,5 +3384,20 @@ SELECT s.doc_id, len(s.segs)::INT AS n_segments,
        (len(s.segs) - coalesce(n_kept, 0))::INT AS n_dropped,
        coalesce(clean_text, '') AS clean_text
 FROM s LEFT JOIN r ON s.doc_id = r.doc_id
+"""
+    # r11: per-shard manifest of the training-order shuffle (same md5
+    # bucket expression as global_shuffle_order)
+    sqls["shard_manifest"] = f"""
+WITH k AS (SELECT
+    CAST(('0x' || substr(md5('shuf|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         % {sampling.SHUFFLE_BUCKETS} AS INT) AS bucket,
+    len({_TOKS}) AS n_tok
+  FROM documents),
+p AS (SELECT bucket, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+      FROM k GROUP BY 1),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM p)
+SELECT bucket, n_docs, n_tokens,
+       round(n_tokens / tot, 6) AS token_share
+FROM p, tot
 """
     return sqls

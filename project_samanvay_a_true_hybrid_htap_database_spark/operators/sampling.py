@@ -1196,3 +1196,40 @@ def diversity_sample(
         .filter(F.col("pick_rank") <= per_cluster)
         .select("cluster", F.col("pick_rank").cast("int").alias("pick_rank"), "vec_id")
     )
+
+
+def shard_manifest(
+    spark: SparkSession, sf_dir: str, buckets: int = SHUFFLE_BUCKETS
+) -> DataFrame:
+    """Loader-facing manifest of the training-order shuffle's shards: per
+    bucket (the shard global_shuffle_order assigns), the document count
+    and token mass a data loader uses to plan epoch passes, plus each
+    shard's share of the corpus token budget — also the hash-balance
+    audit (md5 bucketing should land every shard within a few percent of
+    corpus/buckets; a skewed manifest means the salt or the bucket count
+    needs attention BEFORE a 100 TB shuffle is materialized). One scan,
+    one bucket-keyed aggregate (bucket-count-sized output).
+
+    Output: (bucket, n_docs, n_tokens, token_share)."""
+    from ..functions.hashing import md5_long32
+    from ..functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    keyed = docs.select(
+        (
+            md5_long32(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string")))
+            % buckets
+        ).cast("int").alias("bucket"),
+        F.size(tokens("text")).alias("n_tok"),
+    )
+    per = keyed.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    total = per.agg(F.sum("n_tokens").cast("double").alias("tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("tot"), 6).alias("token_share"),
+    )
