@@ -855,3 +855,42 @@ class TestHardNegativesVectorizedParity:
         assert "FlatMapCoGroupsInPandas" in p
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+class TestShardManifest:
+    def test_manifest_consistent_with_shuffle_order(self, spark):
+        """The manifest's per-bucket doc counts must equal the max pos of
+        global_shuffle_order per bucket (same hash expression), and token
+        shares must sum to 1."""
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators.sampling import (
+            global_shuffle_order,
+            shard_manifest,
+        )
+
+        from pyspark.sql import functions as F
+
+        man = {
+            r.bucket: r for r in shard_manifest(spark, SF_DIR).collect()
+        }
+        order = (
+            global_shuffle_order(spark, SF_DIR)
+            .groupBy("bucket")
+            .agg(F.max("pos").alias("n"))
+            .collect()
+        )
+        assert {r.bucket: r.n for r in order} == {
+            b: r.n_docs for b, r in man.items()
+        }
+        assert abs(sum(r.token_share for r in man.values()) - 1.0) < 1e-3
+
+    def test_md5_bucketing_is_balanced(self, spark):
+        """The hash-balance audit the manifest exists for: with 500 docs
+        over 64 buckets no shard should be empty-heavy or hot beyond
+        what a uniform multinomial allows (loose 4x mean bound)."""
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators.sampling import (
+            shard_manifest,
+        )
+
+        rows = shard_manifest(spark, SF_DIR).collect()
+        mean = sum(r.n_docs for r in rows) / len(rows)
+        assert max(r.n_docs for r in rows) < 4 * mean
