@@ -55,9 +55,12 @@ def scaled_dirs(spark, tmp_path_factory):
 
 
 def _warm_time(fn, spark, sf_dir):
-    fn(spark, sf_dir).count()  # warm: JIT, codegen, file listing
+    # noop-sink materialization, NOT count(): count() lets Catalyst prune
+    # output-only columns, so projection-heavy operators measured a gutted
+    # plan (see tools/scaling_probe.py warm_time — same fix).
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
     t0 = time.perf_counter()
-    fn(spark, sf_dir).count()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 

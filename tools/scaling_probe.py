@@ -179,9 +179,18 @@ def _build_hundred(spark, table: str = "documents") -> str:
 
 def _probe(spark, name, fn, one, ten, hundred=None) -> None:
     def warm_time(d):
-        fn(spark, d).count()
+        # noop-sink materialization, NOT count(): count() lets Catalyst
+        # prune every output-only column, so projection-heavy operators
+        # (entropy sums, scrub reassembly, window ranks) measured a
+        # gutted plan — dedup_segments_across_docs "ran" 500k docs in
+        # 0.25 s before this fix. The noop sink computes every column
+        # (the bench.py convention).
+        def run(d_):
+            fn(spark, d_).write.format("noop").mode("overwrite").save()
+
+        run(d)
         t0 = time.perf_counter()
-        fn(spark, d).count()
+        run(d)
         return time.perf_counter() - t0
 
     t1, t10 = warm_time(one), warm_time(ten)
