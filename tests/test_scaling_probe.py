@@ -96,7 +96,10 @@ def _warm_time(fn, spark, sf_dir):
         # (measured 5.0x at 10x — Python loop cost, Arrow-batched), and
         # the eval-broadcast decontamination linear-in-train (0.8x)
         ("pii_scrub_ner", text.pii_scrub_ner),
-        ("decontaminate_semantic", dedup.decontaminate_semantic),
+        # decontaminate_semantic is probed separately below: its id-split
+        # eval stand-in grows WITH the corpus, so the raw ratio here is
+        # train x eval growth (~40x at 10x post-harness-fix), not plan
+        # shape — production eval sets are fixed-size benchmarks.
         # r10: the fixed-memory Bloom probe is bit arithmetic in the scan
         # (measured 1.0x at 10x) and DSIR is two token-stream scans against
         # fixed 1024-bucket histograms (measured 4.7x at 10x min-of-3 —
@@ -189,6 +192,33 @@ def test_output_bound_operator_per_row_cost_stays_flat(
     assert per_row < 3.5, (
         f"{name}: per-output-row cost grew {per_row:.2f}x at 10x "
         f"({t1:.2f}s/{rows1} rows -> {t10:.2f}s/{rows10} rows)"
+    )
+
+
+def test_semantic_decontamination_linear_in_train_at_fixed_eval(
+    spark, scaled_dirs
+):
+    """The operator's documented contract is linear-in-train at a FIXED
+    eval set (eval suites are MBs at 100 TB; cost = train x eval x dim).
+    The id-split stand-in grows the eval side with the corpus, so the
+    plain raw-ratio probe measures eval growth. Hold the eval COUNT
+    fixed by scaling eval_mod with the corpus (100 -> 1000 at 10x): the
+    run must then scale ~linearly in train."""
+    one_dir, ten_dir = scaled_dirs
+    t1 = _warm_time(
+        lambda s, d: dedup.decontaminate_semantic(s, d, eval_mod=100),
+        spark,
+        one_dir,
+    )
+    t10 = _warm_time(
+        lambda s, d: dedup.decontaminate_semantic(s, d, eval_mod=1000),
+        spark,
+        ten_dir,
+    )
+    ratio = t10 / max(t1, 0.5)
+    assert ratio < MAX_RATIO, (
+        f"decontaminate_semantic (fixed eval): {ratio:.1f}x "
+        f"({t1:.2f}s -> {t10:.2f}s)"
     )
 
 
