@@ -204,9 +204,12 @@ def main() -> None:
         if prior:
             with open(prior[0]) as fh:
                 old_doc = json.load(fh)
+            # carry this run's calib block so diff_table judges drift on the
+            # calibration-NORMALIZED column (VERDICT r11 #2: the raw-only
+            # tail read 1.36x sandbox load as "31 flagged" regressions)
             table = diff_table(
                 old_doc,
-                {"queries": timings},
+                {"queries": timings, "calib": calib},
                 old_label=os.path.basename(prior[0]).replace(".json", ""),
                 new_label="this-run",
             )
