@@ -268,69 +268,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- r11 sweep window (dict order = driver sweep order). First the 25
-        # r10 additions that have never been driver-checked plus the rows-only
-        # percentile_prices_sketch (VERDICT r10 #1), then the 14 rows whose
-        # newest green is still r7, then the 10 stalest r8 rows. After this
-        # sweep zero entries are never-driver-green and the newest-green floor
-        # moves to r8. Per the standing directive, NO new operator sits ahead
-        # of the sweep line; round-11 additions are parked at the very tail. ---
-        # never driver-green: the 25 r10 additions
-        "pii_scrub_ner": text.pii_scrub_ner,
-        "temperature_resample": sampling.temperature_resample,
-        "decontaminate_semantic": dedup.decontaminate_semantic,
-        "ann_ivf_multiprobe_topk": similarity.ann_ivf_multiprobe_topk,
-        "documents_jsonl_roundtrip": textio.documents_jsonl_roundtrip,
-        "documents_csv_roundtrip": textio.documents_csv_roundtrip,
-        "pq_encode": similarity.pq_encode,
-        "ann_pq_adc_topk": similarity.ann_pq_adc_topk,
-        "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
-        "ann_pq_recall_audit": similarity.ann_pq_recall_audit,
-        "decontaminate_bloom": dedup.decontaminate_bloom,
-        "dsir_importance_weights": sampling.dsir_importance_weights,
-        "bigram_lm_score": text.bigram_lm_score,
-        "token_budget_select": sampling.token_budget_select,
-        "contrastive_pairs": sampling.contrastive_pairs,
-        "winnowing_fingerprints": text.winnowing_fingerprints,
-        "winnowing_overlap_report": text.winnowing_overlap_report,
-        "leakage_safe_split": sampling.leakage_safe_split,
-        "curriculum_stages": sampling.curriculum_stages,
-        "ann_ivfpq_res_topk": similarity.ann_ivfpq_res_topk,
-        "ann_ivfpq_recall_audit": similarity.ann_ivfpq_recall_audit,
-        "table_profile": analytics.table_profile,
-        "embedding_quality_report": similarity.embedding_quality_report,
-        "dedup_cluster_histogram": dedup.dedup_cluster_histogram,
-        "virtual_epochs": sampling.virtual_epochs,
-        # never driver-green: rows-only sketch form (no SQL oracle)
-        "percentile_prices_sketch": analytics.percentile_prices_sketch,
-        # last green r7: the 14 that did not fit the r10 window
-        "set_ops": analytics.set_ops,
-        "source_quality_report": text.source_quality_report,
-        "stratified_sample": sampling.stratified_sample,
-        "string_functions": analytics.string_functions,
-        "tfidf_keywords": text.tfidf_keywords,
-        "token_counts": text.token_counts,
-        "token_histogram": text.token_histogram,
-        "top_orders": analytics.top_orders,
-        "tpch_q14": analytics.tpch_q14_promo_revenue,
-        "tpch_q5": analytics.tpch_q5_supplier_volume,
-        "tpch_q6": analytics.tpch_q6_forecast_revenue,
-        "train_test_split": sampling.train_test_split,
-        "window_running_sum": analytics.window_running_sum,
-        "window_topn_per_group": analytics.window_topn_per_group,
-        # last green r8: the 10 stalest
-        "agg_avg": relational.agg_avg,
-        "agg_count": relational.agg_count,
-        "agg_min_max": relational.agg_min_max,
-        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
-        "ann_lsh_indexed_topk": similarity.ann_lsh_indexed_topk,
-        "ann_lsh_multiprobe_topk": similarity.ann_lsh_multiprobe_topk,
-        "ann_lsh_topk": similarity.ann_lsh_topk,
-        "ann_mips_topk": similarity.ann_mips_topk,
-        "attribution_window_join": analytics.attribution_window_join,
-        # --- sweep line (50 entries above) ---
-        # last green r8: the remaining 40
+        # --- r12 sweep window (dict order = driver sweep order). First the 14
+        # round-11 additions that have never been driver-checked (VERDICT r11
+        # "What's missing" #1), then the 36 stalest last-green-r8 rows. After
+        # this sweep zero checkable entries are never-driver-green; 4 r8 rows
+        # (tpch_q21/q22/q4/q9) did not fit and lead the r13 window. Per the
+        # standing directive, NO new operator sits ahead of the sweep line;
+        # round-12 additions are parked at the very tail. ---
+        # never driver-green: the 14 r11 additions
+        "token_budget_select_scaled": sampling.token_budget_select_scaled,
+        "ann_ivfpq_rerank_topk": similarity.ann_ivfpq_rerank_topk,
+        "global_shuffle_order": sampling.global_shuffle_order,
+        "quality_classifier_score": text.quality_classifier_score,
+        "contrastive_hard_negatives": sampling.contrastive_hard_negatives,
+        "contrastive_hard_negatives_vectorized": (
+            sampling.contrastive_hard_negatives_vectorized
+        ),
+        "boilerplate_segments_report": text.boilerplate_segments_report,
+        "boilerplate_scrub": text.boilerplate_scrub,
+        "dedup_segments_within_doc": text.dedup_segments_within_doc,
+        "char_entropy_score": text.char_entropy_score,
+        "source_token_kl": text.source_token_kl,
+        "diversity_sample": sampling.diversity_sample,
+        "dedup_segments_across_docs": text.dedup_segments_across_docs,
+        "shard_manifest": sampling.shard_manifest,
+        # last green r8: the 36 stalest
         "bucketed_join_agg": bucketed_join_agg,
         "containment_pairs": dedup.containment_pairs,
         "decontaminate_ngram_overlap": dedup.decontaminate_ngram_overlap,
@@ -367,6 +329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19": analytics.tpch_q19_discounted_revenue,
         "tpch_q2": analytics.tpch_q2_min_cost_supplier,
         "tpch_q20": analytics.tpch_q20_part_promotion,
+        # --- sweep line (50 entries above) ---
+        # last green r8: the 4 that did not fit — first in the r13 window
         "tpch_q21": analytics.tpch_q21_suppliers_kept_waiting,
         "tpch_q22": analytics.tpch_q22_global_sales_opportunity,
         "tpch_q4": analytics.tpch_q4_order_priority,
@@ -421,7 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18": analytics.tpch_q18_large_volume_customer,
         "tpch_q3": analytics.tpch_q3_shipping_priority,
         "tpch_q7": analytics.tpch_q7_volume_shipping,
-        # last green r10 (freshest rows in the repo)
+        # last green r10
         "kmeans_iterate": similarity.kmeans_iterate,
         "knn_join_ivf_blocked": similarity.knn_join_ivf_blocked,
         "knn_join_ivf_vectorized": similarity.knn_join_ivf_vectorized,
@@ -472,23 +436,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_subquery": analytics.scalar_subquery,
         "semantic_outliers": similarity.semantic_outliers,
         "semi_join": analytics.semi_join,
-        # --- round-11 additions (parked at the tail per the directive) ---
-        "token_budget_select_scaled": sampling.token_budget_select_scaled,
-        "ann_ivfpq_rerank_topk": similarity.ann_ivfpq_rerank_topk,
-        "global_shuffle_order": sampling.global_shuffle_order,
-        "quality_classifier_score": text.quality_classifier_score,
-        "contrastive_hard_negatives": sampling.contrastive_hard_negatives,
-        "contrastive_hard_negatives_vectorized": (
-            sampling.contrastive_hard_negatives_vectorized
-        ),
-        "boilerplate_segments_report": text.boilerplate_segments_report,
-        "boilerplate_scrub": text.boilerplate_scrub,
-        "dedup_segments_within_doc": text.dedup_segments_within_doc,
-        "char_entropy_score": text.char_entropy_score,
-        "source_token_kl": text.source_token_kl,
-        "diversity_sample": sampling.diversity_sample,
-        "dedup_segments_across_docs": text.dedup_segments_across_docs,
-        "shard_manifest": sampling.shard_manifest,
+        # last green r11 (freshest rows in the repo; sketch row is rows-only)
+        "pii_scrub_ner": text.pii_scrub_ner,
+        "temperature_resample": sampling.temperature_resample,
+        "decontaminate_semantic": dedup.decontaminate_semantic,
+        "ann_ivf_multiprobe_topk": similarity.ann_ivf_multiprobe_topk,
+        "documents_jsonl_roundtrip": textio.documents_jsonl_roundtrip,
+        "documents_csv_roundtrip": textio.documents_csv_roundtrip,
+        "pq_encode": similarity.pq_encode,
+        "ann_pq_adc_topk": similarity.ann_pq_adc_topk,
+        "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
+        "ann_pq_recall_audit": similarity.ann_pq_recall_audit,
+        "decontaminate_bloom": dedup.decontaminate_bloom,
+        "dsir_importance_weights": sampling.dsir_importance_weights,
+        "bigram_lm_score": text.bigram_lm_score,
+        "token_budget_select": sampling.token_budget_select,
+        "contrastive_pairs": sampling.contrastive_pairs,
+        "winnowing_fingerprints": text.winnowing_fingerprints,
+        "winnowing_overlap_report": text.winnowing_overlap_report,
+        "leakage_safe_split": sampling.leakage_safe_split,
+        "curriculum_stages": sampling.curriculum_stages,
+        "ann_ivfpq_res_topk": similarity.ann_ivfpq_res_topk,
+        "ann_ivfpq_recall_audit": similarity.ann_ivfpq_recall_audit,
+        "table_profile": analytics.table_profile,
+        "embedding_quality_report": similarity.embedding_quality_report,
+        "dedup_cluster_histogram": dedup.dedup_cluster_histogram,
+        "virtual_epochs": sampling.virtual_epochs,
+        "percentile_prices_sketch": analytics.percentile_prices_sketch,
+        "set_ops": analytics.set_ops,
+        "source_quality_report": text.source_quality_report,
+        "stratified_sample": sampling.stratified_sample,
+        "string_functions": analytics.string_functions,
+        "tfidf_keywords": text.tfidf_keywords,
+        "token_counts": text.token_counts,
+        "token_histogram": text.token_histogram,
+        "top_orders": analytics.top_orders,
+        "tpch_q14": analytics.tpch_q14_promo_revenue,
+        "tpch_q5": analytics.tpch_q5_supplier_volume,
+        "tpch_q6": analytics.tpch_q6_forecast_revenue,
+        "train_test_split": sampling.train_test_split,
+        "window_running_sum": analytics.window_running_sum,
+        "window_topn_per_group": analytics.window_topn_per_group,
+        "agg_avg": relational.agg_avg,
+        "agg_count": relational.agg_count,
+        "agg_min_max": relational.agg_min_max,
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_lsh_indexed_topk": similarity.ann_lsh_indexed_topk,
+        "ann_lsh_multiprobe_topk": similarity.ann_lsh_multiprobe_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_mips_topk": similarity.ann_mips_topk,
+        "attribution_window_join": analytics.attribution_window_join,
     }
 
 
