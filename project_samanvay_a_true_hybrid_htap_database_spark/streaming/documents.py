@@ -37,6 +37,14 @@ DOC_STREAM_SCHEMA = T.StructType(
 DEDUP_HORIZON = "1 hour"
 
 
+def content_fp(col):
+    """Normalized content fingerprint — the same canonical form
+    exact_dedup keys on (dedup.py's md5(trim(lower(text)))). One shared
+    expression so the ingest stream and any text-rewriting gate that must
+    RECOMPUTE it (boilerplate scrub) cannot drift."""
+    return F.md5(F.trim(F.lower(col)))
+
+
 def stream_documents_jsonl(spark: SparkSession, src_dir: str) -> DataFrame:
     """File-source stream of JSONL document shards. One file per
     micro-batch keeps tests deterministic; `ingest_ts` is the arrival
@@ -50,7 +58,7 @@ def stream_documents_jsonl(spark: SparkSession, src_dir: str) -> DataFrame:
         .json(src_dir)
     )
     return raw.withColumn("ingest_ts", F.current_timestamp()).withColumn(
-        "fp", F.md5(F.trim(F.lower(F.col("text"))))
+        "fp", content_fp(F.col("text"))
     )
 
 
@@ -139,9 +147,14 @@ def boilerplate_scrub_on_ingest_stream(
 
     ``flagged_sets``: (source, bset array<string>) — a STATIC DataFrame
     (stream-static broadcast joins are supported; the set is boilerplate-
-    sized, bounded by construction). Output: the input columns with
-    ``text`` replaced by the scrubbed text, plus n_dropped_segments.
-    Batch/stream row parity is pinned in tests/test_streaming.py."""
+    sized, bounded by construction). Output: ALL input columns preserved,
+    with ``text`` replaced by the scrubbed text, plus n_dropped_segments;
+    content-derived columns are RECOMPUTED from the scrubbed text when
+    present (``fp`` via the shared content_fp expression, ``n_chars`` as
+    length) — a pre-scrub fp would stop scrubbed duplicates from
+    dedup'ing, so this gate composes correctly BEFORE
+    dedup_on_ingest_stream. Batch/stream row parity and the
+    scrub-then-dedup composition are pinned in tests/test_streaming.py."""
     from ..functions.textfns import token_segments, tokens
     from ..operators.text import BOILERPLATE_SEG_TOKENS
 
@@ -154,14 +167,71 @@ def boilerplate_scrub_on_ingest_stream(
             F.col("_segs"), lambda s: ~F.array_contains(F.col("bset"), s)
         )
     )
-    return joined.select(
-        "doc_id",
-        "source",
-        "lang",
-        F.array_join(kept, " ").alias("text"),
-        (F.size("_segs") - F.size(kept)).cast("int").alias(
-            "n_dropped_segments"
-        ),
+    scrubbed = (
+        joined.withColumn(
+            "n_dropped_segments",
+            (F.size("_segs") - F.size(kept)).cast("int"),
+        )
+        .withColumn("text", F.array_join(kept, " "))
+        .drop("_segs", "bset")
+    )
+    if "n_chars" in docs.columns:
+        scrubbed = scrubbed.withColumn(
+            "n_chars", F.length("text").cast("long")
+        )
+    if "fp" in docs.columns:
+        scrubbed = scrubbed.withColumn("fp", content_fp(F.col("text")))
+    return scrubbed
+
+
+def cleaned_ingest_stream(
+    docs: DataFrame, flagged_sets: DataFrame, bitmap: list
+) -> DataFrame:
+    """The COMPOSED production ingest pipeline — the four gates wired into
+    one stream, in the order a production ingest runs them:
+
+        quality gate → boilerplate scrub → Bloom decontaminate
+                     → dedup-on-arrival
+
+    Ordering rationale: the quality gate is the cheapest (a folded-weight
+    filter inside the scan) and runs first so rejected docs pay for
+    nothing downstream; the scrub runs BEFORE decontamination and dedup so
+    both operate on the text that will actually land (the scrub recomputes
+    ``fp`` from the scrubbed text — see boilerplate_scrub_on_ingest_stream
+    — so re-crawled duplicates whose only difference was boilerplate
+    chrome still collapse); dedup runs LAST because it is the only
+    STATEFUL stage — every upstream gate is stateless, so the state store
+    holds one fingerprint per distinct ADMITTED document within the
+    horizon, never per raw arrival. Admit-set parity against the staged
+    batch pipeline and kill/restart exactly-once on this composed form are
+    pinned in tests/test_streaming.py."""
+    gated = quality_gate_on_ingest_stream(docs)
+    scrubbed = boilerplate_scrub_on_ingest_stream(gated, flagged_sets)
+    decontaminated = decontaminate_on_ingest_stream(scrubbed, bitmap)
+    return dedup_on_ingest_stream(decontaminated)
+
+
+def ingest_cleaned_documents_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    flagged_sets: DataFrame,
+    bitmap: list,
+):
+    """cleaned_ingest_stream wired end-to-end: JSONL shards → the four
+    composed gates → parquet corpus, exactly-once via the file-sink
+    manifest + checkpoint (same mechanism as ingest_documents_stream).
+    Returns the started StreamingQuery; callers own its lifecycle."""
+    clean = cleaned_ingest_stream(
+        stream_documents_jsonl(spark, src_dir), flagged_sets, bitmap
+    )
+    return (
+        clean.drop("ingest_ts")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint)
+        .start()
     )
 
 

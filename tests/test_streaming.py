@@ -562,3 +562,102 @@ def test_boilerplate_gate_on_ingest_matches_batch_scrub(spark, tmp_path):
     }
     assert got == want
     assert sum(n for _, n in got.values()) > 0  # the gate actually fired
+
+
+def test_composed_ingest_pipeline_matches_staged_batch(spark, tmp_path):
+    """r12 composed ingest: quality gate -> boilerplate scrub -> Bloom
+    decontaminate -> dedup-on-arrival wired into ONE stream (the form a
+    production ingest runs), admit-set parity pinned against the staged
+    BATCH pipeline built from the batch operators, plus kill/restart
+    exactly-once on the composed form. The corpus ships TWICE (second
+    copy with offset doc_ids) so the stateful dedup stage provably fires
+    on re-crawled content after the stateless gates."""
+    import json as jsonlib
+    import os
+
+    from project_samanvay_a_true_hybrid_htap_database_spark.functions.textfns import (
+        tokens,
+        word_shingles,
+    )
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators.dedup import (
+        SHINGLE_N,
+        bloom_hit_expr,
+        eval_bloom_bitmap,
+    )
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators.text import (
+        boilerplate_scrub,
+        quality_classifier_score,
+    )
+    from project_samanvay_a_true_hybrid_htap_database_spark.streaming.documents import (
+        boilerplate_flagged_sets,
+        ingest_cleaned_documents_stream,
+    )
+
+    # --- staged batch pipeline (the oracle for the admit set) ---
+    accept = (
+        quality_classifier_score(spark, SF_DIR)
+        .filter(F.col("accept"))
+        .select("doc_id")
+    )
+    scrubbed = boilerplate_scrub(spark, SF_DIR).select("doc_id", "clean_text")
+    staged = accept.join(scrubbed, "doc_id")
+    bitmap = eval_bloom_bitmap(spark, SF_DIR)
+    survivors = (
+        staged.withColumn("_t", tokens("clean_text"))
+        .withColumn("_sh", word_shingles(F.col("_t"), SHINGLE_N))
+        .filter(~bloom_hit_expr(F.col("_sh"), bitmap))
+        .withColumn("fp", F.md5(F.trim(F.lower(F.col("clean_text")))))
+    )
+    want = {}
+    for r in survivors.select("fp", "clean_text").collect():
+        want.setdefault(r.fp, set()).add(r.clean_text)
+    n_accept = accept.count()
+    assert 0 < n_accept < 500, "quality gate vacuous"
+
+    # --- ship the corpus twice as JSONL shards (dup content, new ids) ---
+    src = str(tmp_path / "cshards")
+    os.makedirs(src)
+    rows = [
+        r.asDict()
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .collect()
+    ]
+    half = len(rows) // 2
+    shards = {
+        "000": rows[:half],
+        "001": rows[half:],
+        "002": [{**r, "doc_id": r["doc_id"] + 10_000} for r in rows[:half]],
+    }
+    for tag, chunk in shards.items():
+        with open(os.path.join(src, f"shard-{tag}.json"), "w") as fh:
+            for r in chunk:
+                fh.write(jsonlib.dumps(r) + "\n")
+
+    out = str(tmp_path / "clean_corpus")
+    ckpt = str(tmp_path / "clean_ckpt")
+    flagged = boilerplate_flagged_sets(spark, SF_DIR)
+    q = ingest_cleaned_documents_stream(spark, src, out, ckpt, flagged, bitmap)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    landed = spark.read.parquet(out).select("doc_id", "fp", "text").collect()
+    # admit-set parity: exactly the staged pipeline's fingerprints, one
+    # carrier each, and every landed text is a clean_text of its fp
+    assert {r.fp for r in landed} == set(want)
+    assert len(landed) == len(want)
+    for r in landed:
+        assert r.text in want[r.fp]
+    # the dedup stage provably fired: shard-002 re-shipped half the corpus
+    # as new doc_ids, yet no fp landed twice
+    assert len(landed) < n_accept + half
+
+    # kill/restart exactly-once on the composed form: nothing re-lands
+    q2 = ingest_cleaned_documents_stream(spark, src, out, ckpt, flagged, bitmap)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert spark.read.parquet(out).count() == len(want)
