@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from project_samanvay_a_true_hybrid_htap_database_spark.functions import textfns
 from project_samanvay_a_true_hybrid_htap_database_spark.functions.hashing import (
     MERSENNE31,
     permutation_params,
@@ -3267,12 +3268,11 @@ FROM z
     # the BLAS cogroup twin must be row-identical (knn_join precedent)
     sqls["contrastive_hard_negatives_vectorized"] = hard_negs
     # r11: segment-level cleaning — the "line" unit is the aligned 8-token
-    # window (token_segments; no newline structure in this corpus), exactly
-    # mirrored by the generate_series/list_slice expression here.
-    seg8 = ("list_transform(generate_series(1, greatest(len(T), 1), 8), "
-            "i -> array_to_string(list_slice(T, i, i + 7), ' '))")
-    seg4 = ("list_transform(generate_series(1, greatest(len(T), 1), 4), "
-            "i -> array_to_string(list_slice(T, i, i + 3), ' '))")
+    # window (token_segments; no newline structure in this corpus). The
+    # SQL mirror is built by the SAME helper the Spark side documents
+    # (textfns.duckdb_token_segments) so oracle and engine cannot drift.
+    seg8 = textfns.duckdb_token_segments("T", 8)
+    seg4 = textfns.duckdb_token_segments("T", 4)
     sqls["boilerplate_segments_report"] = f"""
 WITH t AS (SELECT doc_id, source, {_TOKS} AS T FROM documents),
 s AS (SELECT doc_id, source, list_distinct({seg8}) AS segs FROM t),

@@ -1022,6 +1022,7 @@ def contrastive_hard_negatives_vectorized(
     sf_dir: str,
     k_neg: int = HARD_NEG_K,
     nprobe: int | None = None,
+    n_clusters: int | None = None,
 ) -> DataFrame:
     """BLAS twin of contrastive_hard_negatives — the production mining
     shape (the knn_join_ivf_vectorized relationship): instead of the
@@ -1037,7 +1038,10 @@ def contrastive_hard_negatives_vectorized(
     Per-anchor cost is the probed-list width — at fixed n_lists that
     grows with the corpus, which is why production scales n_lists with
     corpus size (k ~ sqrt(N) up to 4096; learned_centroids' documented
-    discipline) keeping list width ~constant. Same float contract as
+    discipline) keeping list width ~constant; ``n_clusters`` exposes
+    that contract directly (the knn_join_ivf_vectorized precedent) and
+    the scaled-n_lists 10x probe in tests/test_scaling_probe.py /
+    SCALE.md measures it. Same float contract as
     knn_join_ivf_vectorized: BLAS float64 agrees with the HOF fold to
     ~1 ulp; rounding to 4 decimals happens AFTER ranking, in Spark.
 
@@ -1074,7 +1078,11 @@ def contrastive_hard_negatives_vectorized(
     plists = partners.groupBy("anchor").agg(
         F.collect_set("partner").alias("plist")
     )
-    cents = learned_centroids(spark, sf_dir)
+    cents = (
+        learned_centroids(spark, sf_dir)
+        if n_clusters is None
+        else learned_centroids(spark, sf_dir, k=n_clusters)
+    )
     emb = _audit_emb(spark, sf_dir)
     home = (
         _with_nearest_centroid(emb, cents, "embedding", "_b")
@@ -1169,8 +1177,11 @@ def diversity_sample(
 
     Within each cluster the pick is the usual salted-md5 order (h asc,
     vec_id asc) — deterministic, replayable, and independent of any
-    content property. Shape: one assignment scan (literal centroids, no
-    join) + ONE cluster-keyed shuffle whose per-partition width is the
+    content property. Shape: one assignment scan via
+    _with_nearest_centroid (literal centroids folded into the scan up to
+    IVF_LITERAL_K_MAX lists; the broadcast-DATA join path above that —
+    the production strategy at scaled n_lists) + ONE cluster-keyed
+    shuffle whose per-partition width is the
     list width — bounded in production by scaling n_lists with the corpus
     (learned_centroids' discipline), exactly the IVF-list partitioning
     the serving layout already relies on. Clusters smaller than the quota

@@ -1586,7 +1586,14 @@ def ann_ivf_recall_audit(
 # per-corpus before a 100 TB serving rollout. The residual variant
 # (learned_pq_res_codebooks / ann_ivfpq_res_topk — the true FAISS IVFPQ) is
 # measured by ann_ivfpq_recall_audit: plain 0.3067 vs residual 0.2667 at
-# nprobe=3 here (RECALL_r10.json), so plain stays this corpus's default.
+# nprobe=3, and residual still loses one probe deeper (RECALL_r12.json,
+# both operating points). VERDICT (r12): the DEFAULT serving path on this
+# corpus is plain PQ + exact re-rank (ann_ivfpq_rerank_topk — 0.6267 at
+# mult=10, 93% of the nprobe=3 pruning ceiling); residual encoding is
+# EXPERIMENTAL here — kept because its advantage is corpus-dependent
+# (it pays when vectors cluster tightly around their coarse centroids,
+# which these near-uniform synthetics don't), and the audit exists to
+# re-make that call per corpus.
 #
 # Everything is deterministic and cross-engine reproducible by the same
 # construction as learned_centroids: md5-bucket init per (vector, subspace),
@@ -2175,8 +2182,12 @@ def ann_ivfpq_res_topk(
     is still exactly nprobe partitions of the 8 B/vector codes index with
     the per-list luts folded as literals (nprobe x m·ksub doubles) and a
     cluster CASE choosing the lut — zero joins, whole-stage codegen,
-    TakeOrderedAndProject. The residual geometry is what buys the recall:
-    see ann_ivfpq_recall_audit for the measured plain-vs-residual gap."""
+    TakeOrderedAndProject. EXPERIMENTAL on this corpus: the measured gap
+    runs the OTHER way here (plain 0.3067 vs residual 0.2667 at nprobe=3,
+    still behind at nprobe=4 — RECALL_r12.json), so the default serving
+    path is plain PQ + exact re-rank (ann_ivfpq_rerank_topk); residual
+    pays only when vectors concentrate around their coarse centroids,
+    and ann_ivfpq_recall_audit exists to re-make that call per corpus."""
     if nprobe is None:
         nprobe = IVF_JOIN_NPROBE
     cents = learned_centroids(spark, sf_dir)

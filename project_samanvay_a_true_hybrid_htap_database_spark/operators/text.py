@@ -1546,9 +1546,14 @@ def char_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = lambda c: F.when(  # noqa: E731
         c > 0, -(c / F.col("L")) * F.log2(c / F.col("L"))
     ).otherwise(F.lit(0.0))
+    # OTHER-bucket term appended LAST to match the oracle's accumulation
+    # order exactly — float addition is non-associative, and a last-ulp
+    # divergence can cross the 1e-6 floor-truncation boundary (the
+    # fixed-accumulation-order cross-engine contract; _sq_dist precedent)
     ent = sum(
-        [term(F.col(f"c{i}")) for i in range(len(ENTROPY_ALPHABET))],
-        term(F.col("c_other")),
+        [term(F.col(f"c{i}")) for i in range(len(ENTROPY_ALPHABET))]
+        + [term(F.col("c_other"))],
+        F.lit(0.0),
     )
     ent = F.when(F.col("L") > 0, ent).otherwise(F.lit(0.0))
     return base.select(
@@ -1615,11 +1620,19 @@ def dedup_segments_across_docs(
     100 TB shape: two linear, key-balanced shuffles — (1) the exploded
     (segment, doc_id, pos) stream min-reduces per segment key (partial
     agg first: ~unique-segments rows cross the wire, not occurrences),
-    the keep decision joins back on the segment key (sort-merge, both
-    sides segment-hashed); (2) the kept occurrences re-group per doc for
-    ordered reassembly. No windows over the corpus, no broadcast of
-    anything unbounded. Output: (doc_id, n_segments, n_dropped,
-    clean_text)."""
+    the keep decision joins back (sort-merge); (2) the kept occurrences
+    re-group per doc for ordered reassembly. No windows over the corpus,
+    no broadcast of anything unbounded.
+
+    Hot-segment skew (one segment in half the corpus) is structurally
+    absent from the join: Catalyst folds the first-occurrence equality
+    filter into the join condition, so the occurrence<->first join
+    shuffles on the COMPOSITE (doc_id, pos, segment) key and a hot
+    segment spreads across its distinct (doc_id, pos) carriers; the
+    min-reduce itself is map-side partial, so the reduce key sees one
+    partial per task. Both pinned (plan + correctness under a seeded
+    50%-hot corpus) in tests/test_skew_salting.py. Output: (doc_id,
+    n_segments, n_dropped, clean_text)."""
     from ..functions.textfns import token_segments
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -157,7 +157,9 @@ def test_corpus_operator_scales_subquadratically(spark, scaled_dirs, name, fn):
     "name,fn",
     [
         ("contrastive_pairs", sampling.contrastive_pairs),
-        ("leakage_safe_split", sampling.leakage_safe_split),
+        # leakage_safe_split is NOT here: its output is doc-sized while
+        # its cost driver is the pair graph, so per-OUTPUT-row is the
+        # wrong anchor — it has its own per-EDGE test below (r11 #1).
         # contrastive_hard_negatives is NOT here: its per-anchor cost is
         # the probed-list width (grows with corpus at fixed n_lists), so
         # neither raw-ratio nor per-row-flat is its invariant — exactly
@@ -169,14 +171,15 @@ def test_corpus_operator_scales_subquadratically(spark, scaled_dirs, name, fn):
 def test_output_bound_operator_per_row_cost_stays_flat(
     spark, scaled_dirs, name, fn
 ):
-    """VERDICT r10 #7: both operators consume the exact pair graph, whose
+    """VERDICT r10 #7: the operator consumes the exact pair graph, whose
     OUTPUT on the 10-wide-clique probe corpus grows ~45x per cluster, so
-    their raw wall ratios (23.6x / 14.9x in the tool) measure result
-    size, not plan shape — a raw MAX_RATIO bound would be either vacuous
-    or flaky. The CI-floorable invariant is per-OUTPUT-row cost: time
-    per emitted row must stay ~flat from 1x to 10x (a plan that went
-    quadratic BEYOND its output — e.g. the negative-draw bucket join
-    degrading to anchor x corpus — blows this immediately)."""
+    its raw wall ratio (23.6x in the tool) measures result size, not
+    plan shape — a raw MAX_RATIO bound would be either vacuous or flaky.
+    The CI-floorable invariant is per-OUTPUT-row cost (valid here
+    because the output IS pair-graph-sized): time per emitted row must
+    stay ~flat from 1x to 10x (a plan that went quadratic BEYOND its
+    output — e.g. the negative-draw bucket join degrading to
+    anchor x corpus — blows this immediately)."""
     one_dir, ten_dir = scaled_dirs
     fn(spark, one_dir).count()  # warm: JIT, codegen, file listing
     t0 = time.perf_counter()
@@ -192,6 +195,83 @@ def test_output_bound_operator_per_row_cost_stays_flat(
     assert per_row < 3.5, (
         f"{name}: per-output-row cost grew {per_row:.2f}x at 10x "
         f"({t1:.2f}s/{rows1} rows -> {t10:.2f}s/{rows10} rows)"
+    )
+
+
+def test_leakage_safe_split_per_edge_cost_stays_flat(spark, scaled_dirs):
+    """VERDICT r11 #1 re-anchor: leakage_safe_split's OUTPUT is doc-sized
+    (grows 10x) while its dominant cost is the exact pair graph + CC it
+    consumes (dedup_groups over ngram_jaccard_pairs, sampling.py), which
+    grows ~45x per cluster on the clique probe corpus — so the old
+    per-OUTPUT-row floor encoded upstream-vs-output mismatch (~4.5x is
+    the EXPECTED value for the correct plan) and only cleared when the
+    warm-up's cached pair graph survived into the timed run; under a 13k-
+    stage full-suite session eviction recomputed the graph and the gate
+    failed while passing in isolation. The honest CI-floorable invariant
+    is per-pair-graph-EDGE cost: time divided by the edge count of the
+    graph it consumes stays ~flat at 10x whether or not the upstream is
+    cached, because the recompute itself scales with the edges. A plan
+    regression BEYOND the pair graph (e.g. the representative join
+    degrading to doc x corpus, or the CC loop snowballing lineage) still
+    blows the floor immediately."""
+    one_dir, ten_dir = scaled_dirs
+    edges1 = dedup.ngram_jaccard_pairs(spark, one_dir).count()
+    edges10 = dedup.ngram_jaccard_pairs(spark, ten_dir).count()
+    assert edges1 > 0 and edges10 > edges1, (edges1, edges10)
+
+    fn = sampling.leakage_safe_split
+    fn(spark, one_dir).count()  # warm: JIT, codegen, file listing
+    t0 = time.perf_counter()
+    fn(spark, one_dir).count()
+    t1 = time.perf_counter() - t0
+    fn(spark, ten_dir).count()
+    t0 = time.perf_counter()
+    fn(spark, ten_dir).count()
+    t10 = time.perf_counter() - t0
+    # same 0.5 s denominator floor rationale as the raw-ratio test
+    per_edge = (t10 / max(t1, 0.5)) / max(edges10 / edges1, 1.0)
+    assert per_edge < 3.5, (
+        f"leakage_safe_split: per-pair-graph-edge cost grew "
+        f"{per_edge:.2f}x at 10x ({t1:.2f}s/{edges1} edges -> "
+        f"{t10:.2f}s/{edges10} edges)"
+    )
+
+
+def test_hard_negatives_per_row_cost_flat_at_scaled_n_lists(
+    spark, scaled_dirs
+):
+    """VERDICT r11 #5: contrastive_hard_negatives_vectorized's fixed-k
+    probe (14.3x at 10x, SCALE.md) compounds pair-graph output growth
+    with probed-list width — at FIXED n_lists the lists themselves grow
+    10x, which is NOT the production contract (n_lists scales with the
+    corpus, k ~ sqrt(N); the knn_join_ivf_vectorized precedent). Probe
+    the contract directly: 1x at the default 10 lists vs 10x at 100
+    lists keeps list width ~constant, so cost ~ anchors ~ output rows
+    and the CI-floorable invariant is per-OUTPUT-row cost ~flat. A
+    regression that shuffles the candidate set or degrades the cogroup
+    to anchors x corpus blows the floor regardless of n_lists."""
+    one_dir, ten_dir = scaled_dirs
+    fn1 = lambda s, d: sampling.contrastive_hard_negatives_vectorized(  # noqa: E731
+        s, d
+    )
+    fn10 = lambda s, d: sampling.contrastive_hard_negatives_vectorized(  # noqa: E731
+        s, d, n_clusters=100
+    )
+    fn1(spark, one_dir).count()  # warm: JIT, codegen, quantizer memo
+    t0 = time.perf_counter()
+    rows1 = fn1(spark, one_dir).count()
+    t1 = time.perf_counter() - t0
+    fn10(spark, ten_dir).count()
+    t0 = time.perf_counter()
+    rows10 = fn10(spark, ten_dir).count()
+    t10 = time.perf_counter() - t0
+    assert rows1 > 0 and rows10 > rows1, (rows1, rows10)
+    # same 0.5 s denominator floor rationale as the raw-ratio test
+    per_row = (t10 / max(t1, 0.5)) / max(rows10 / rows1, 1.0)
+    assert per_row < 3.5, (
+        f"contrastive_hard_negatives_vectorized: per-output-row cost at "
+        f"scaled n_lists grew {per_row:.2f}x ({t1:.2f}s/{rows1} rows -> "
+        f"{t10:.2f}s/{rows10} rows)"
     )
 
 

@@ -98,3 +98,82 @@ def test_salted_join_bounds_max_partition(spark, hot_key_tables):
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+HOT_SEGMENT = "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def test_segment_dedup_hot_segment_join_is_not_segment_keyed(
+    spark, tmp_path
+):
+    """VERDICT r11 watch item: a corpus-hot segment (here: one 8-token
+    segment carried by HALF the docs) was flagged as a skew hazard for
+    dedup_segments_across_docs' occurrence<->first join. Measured
+    finding: the hazard is structurally ABSENT in the optimized plan —
+    Catalyst folds the first-occurrence equality filter INTO the join
+    condition, so the join shuffles on the COMPOSITE
+    (doc_id, pos, segment) key and the hot segment's occurrences spread
+    across their distinct (doc_id, pos) carriers instead of landing on
+    one reducer. This test seeds the hot corpus, pins the composite-key
+    plan (a regression to a segment-only equi-join + post-filter would
+    re-create the skew), and checks correctness under skew: exactly one
+    occurrence of the hot segment survives corpus-wide and every doc
+    reassembles."""
+    import os
+    import re
+
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators.text import (
+        dedup_segments_across_docs,
+    )
+
+    n_docs = 2_000
+    corpus = str(tmp_path / "hotcorpus")
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(
+                F.lit(HOT_SEGMENT + " "),
+                F.concat_ws(
+                    " ", *[(F.col("id") * 8 + i).cast("string") for i in range(8)]
+                ),
+            ),
+        )
+        .otherwise(
+            F.concat_ws(
+                " ",
+                *[(F.col("id") * 8 + i + 100_000).cast("string") for i in range(8)],
+            )
+        )
+        .alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("hot").alias("source"),
+        F.lit(0).cast("long").alias("n_chars"),
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(corpus, "documents.parquet"))
+
+    # force the at-scale join strategy: the firsts side is unbounded in
+    # production, so pin the sort-merge shape, not a broadcast artifact
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = dedup_segments_across_docs(spark, corpus)
+        rows = out.collect()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    # correctness under skew: one survivor of the hot segment, all docs out
+    assert len(rows) == n_docs
+    assert sum(r.clean_text.count(HOT_SEGMENT) for r in rows) == 1
+    hot_docs = [r for r in rows if r.doc_id % 2 == 0]
+    assert all(r.n_segments == 2 for r in hot_docs)
+    assert sum(r.n_dropped for r in hot_docs) == n_docs // 2 - 1
+
+    # plan pin: the occurrence<->first join key is the COMPOSITE
+    # (doc_id, pos, segment), never segment alone
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert re.search(
+        r"SortMergeJoin \[doc_id#\d+L?, pos#\d+,? segment#\d+\]", plan
+    ), f"composite join key missing from plan:\n{plan[:2000]}"
+    assert not re.search(r"SortMergeJoin \[segment#\d+\]", plan), (
+        "occurrence<->first join regressed to a segment-only key"
+    )

@@ -41,6 +41,11 @@ AUDITS = [
     # vs residual encoding at the same code budget — the measured basis for
     # keeping plain PQ as the serving default on this corpus
     ("ivfpq_plain_vs_residual", "ann_ivfpq_recall_audit", {}),
+    # r12 (VERDICT r11 #7): the same plain-vs-residual comparison one
+    # probe deeper — if residual still loses at nprobe=4, the "plain +
+    # rerank is the serving default, residual is experimental" verdict
+    # is backed at two operating points, not one
+    ("ivfpq_plain_vs_residual_np4", "ann_ivfpq_recall_audit", {"nprobe": 4}),
     # r11 (VERDICT r10 #8): the rerank curve — ADC shortlist sizes 1x/5x/
     # 10x of k against the nprobe pruning ceiling; the measured basis for
     # adopting ann_ivfpq_rerank_topk (recall recovers to ~the ceiling)

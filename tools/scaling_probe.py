@@ -297,6 +297,17 @@ def main() -> None:
                 "contrastive_hard_negatives_vec",
                 sampling.contrastive_hard_negatives_vectorized,
             ),
+            # r12 (VERDICT r11 #5): the same miner under the PRODUCTION
+            # n_lists contract — 1x at the default 10 lists, 10x at 100
+            # (n_lists scales with the corpus, the knn_join_ivf k=100
+            # precedent), so list width stays ~constant and the ratio
+            # measures anchors/output growth, not list bloat
+            (
+                "contrastive_hard_negs_vec_scaled_nlists",
+                lambda s, d: sampling.contrastive_hard_negatives_vectorized(
+                    s, d, n_clusters=100 if "10x" in os.path.basename(d) else 10
+                ),
+            ),
             ("diversity_sample", sampling.diversity_sample),
         ],
         "tpch": [
