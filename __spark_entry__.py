@@ -488,6 +488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_mips_topk": similarity.ann_mips_topk,
         "attribution_window_join": analytics.attribution_window_join,
+        # --- round-12 additions (parked at the tail per the directive) ---
+        "pipeline_clean_corpus": sampling.pipeline_clean_corpus,
     }
 
 
@@ -3397,5 +3399,67 @@ tot AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM p)
 SELECT bucket, n_docs, n_tokens,
        round(n_tokens / tot, 6) AS token_share
 FROM p, tot
+"""
+    # r12: the composed batch cleaning pipeline — each stage is the
+    # corresponding operator's oracle block verbatim (quality literals
+    # from the shared trainer, seg8 from duckdb_token_segments, the Bloom
+    # sizing/bitmap CTEs from decontaminate_bloom), chained in the ingest
+    # stream's order and deduped on the RECOMPUTED post-scrub fingerprint
+    # contamination unit: exact 8-grams (the composed pipeline's decon_n
+    # default) via the shared shingle helper — longer than the repo-wide
+    # 3-shingle the single-operator gates use, per the operator docstring
+    sh8 = textfns.duckdb_word_shingles("T", 8)
+    sqls["pipeline_clean_corpus"] = f"""
+WITH t AS (SELECT doc_id, source, text, {_TOKS} AS T FROM documents),
+q AS (SELECT doc_id, source, T FROM t WHERE {qz} >= 0),
+sall AS (SELECT doc_id, source, {seg8} AS segs FROM t),
+fl AS (SELECT source, segment
+       FROM (SELECT source, unnest(list_distinct(segs)) AS segment FROM sall) e
+       GROUP BY 1, 2 HAVING count(*) >= {text.BOILERPLATE_MIN_DOCS}),
+bs AS (SELECT source, list(segment) AS bset FROM fl GROUP BY 1),
+sq AS (SELECT doc_id, q.source, {seg8} AS segs FROM q),
+scr AS (SELECT doc_id,
+          coalesce(array_to_string(kept, ' '), '') AS clean_text
+        FROM (SELECT doc_id,
+                CASE WHEN bset IS NULL THEN segs
+                     ELSE list_filter(segs, x -> NOT list_contains(bset, x))
+                END AS kept
+              FROM sq LEFT JOIN bs ON sq.source = bs.source)),
+csh AS (SELECT doc_id, clean_text, {sh8} AS S
+        FROM (SELECT doc_id, clean_text,
+                     string_split(trim(lower(clean_text)), ' ') AS T
+              FROM scr)),
+ev AS (SELECT DISTINCT unnest(S) AS s
+       FROM (SELECT {sh8} AS S
+             FROM (SELECT {_TOKS} AS T FROM documents WHERE doc_id < 50) x) y),
+msel AS (SELECT min(1::BIGINT << e) AS m
+         FROM generate_series(10, 62) ge(e), (SELECT count(*) AS n FROM ev)
+         WHERE (1::BIGINT << e) >= greatest(
+            {dedup.BLOOM_M_MIN},
+            {dedup.BLOOM_BITS_PER_KEY * dedup.BLOOM_HASHES} * n)),
+bm AS (SELECT CAST(p // 32 AS INT) AS w,
+              bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+       FROM (SELECT ('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || '|' || s),
+                      1, 8))::BIGINT % (SELECT m FROM msel) AS p
+             FROM ev, generate_series(0, {dedup.BLOOM_HASHES - 1}) gi(i)) pos
+       GROUP BY 1),
+hits AS (SELECT doc_id, s,
+           bool_and(coalesce((b.bits >> CAST(tp.p % 32 AS INT)) & 1, 0) = 1)
+             AS hit
+         FROM (SELECT doc_id, s,
+                 ('0x' || substr(md5('bf' || CAST(i AS VARCHAR) || '|' || s),
+                  1, 8))::BIGINT % (SELECT m FROM msel) AS p
+               FROM (SELECT doc_id, unnest(S) AS s FROM csh) u,
+                    generate_series(0, {dedup.BLOOM_HASHES - 1}) gi(i)) tp
+         LEFT JOIN bm b ON b.w = CAST(tp.p // 32 AS INT)
+         GROUP BY doc_id, s),
+dropped AS (SELECT doc_id FROM hits GROUP BY doc_id HAVING bool_or(hit)),
+surv AS (SELECT c.doc_id, c.clean_text FROM csh c
+         ANTI JOIN dropped d ON c.doc_id = d.doc_id),
+f AS (SELECT doc_id, clean_text,
+             md5(trim(lower(clean_text))) AS fp FROM surv)
+SELECT min(doc_id)::BIGINT AS doc_id, fp, count(*)::BIGINT AS n_merged,
+       arg_min(clean_text, doc_id) AS clean_text
+FROM f GROUP BY fp
 """
     return sqls

@@ -1244,3 +1244,86 @@ def shard_manifest(
         "n_tokens",
         F.round(F.col("n_tokens") / F.col("tot"), 6).alias("token_share"),
     )
+
+
+def pipeline_clean_corpus(
+    spark: SparkSession, sf_dir: str, decon_n: int = 8
+) -> DataFrame:
+    """The COMPOSED batch cleaning pipeline — the batch twin of
+    streaming.documents.cleaned_ingest_stream, stage for stage:
+
+        learned quality gate → boilerplate scrub → Bloom decontaminate
+        (on the SCRUBBED text) → exact dedup on the recomputed content
+        fingerprint
+
+    This is the manifest a production corpus build ships: every stage is
+    an existing, individually-oracled operator's expression, composed
+    over the corpus in the order the ingest stream runs them, so the
+    batch backfill and the streaming frontier admit the same content.
+    The boilerplate model (flagged sets) comes from the FULL corpus (the
+    periodic batch model pass); the Bloom bitmap is built from the same
+    eval split every decontamination operator here uses — eval docs drop
+    themselves by construction. The contamination unit is the exact
+    ``decon_n``-gram (default 8): the single-operator gates default to
+    the repo-wide 3-shingle, but on a shared-vocabulary corpus 3-grams
+    collide naturally (measured: 274 of 276 quality survivors flagged at
+    sf0.001), so the COMPOSED pipeline keys on the longer unit a
+    production decontamination pass uses (8-13-gram overlap is the
+    standard published practice) — same bitmap machinery, same bits
+    discipline, different shingle width. Dedup keys on the md5 of the scrubbed
+    text (a pre-scrub fingerprint would keep boilerplate-only variants
+    apart — the exact bug the streaming gate fixed in r12), carrier =
+    min doc_id (batch rule; the stream keeps first arrival).
+
+    100 TB shape: quality + scrub are scan-stage expressions over one
+    corpus pass (flagged sets broadcast); the Bloom probe folds the
+    bitmap into the same scan below the 64 MB broadcast cap (the
+    distributed word-table path above it); the only corpus shuffle is
+    the final fp-keyed aggregate, map-side partial. Admit-set parity
+    with the wired stream is pinned in tests/test_streaming.py.
+    Output: (doc_id, fp, n_merged, clean_text)."""
+    from ..functions.textfns import token_segments, tokens, word_shingles
+    from .dedup import bloom_hit_expr, eval_bloom_bitmap
+    from .text import (
+        BOILERPLATE_SEG_TOKENS,
+        boilerplate_flagged_sets,
+        quality_logit_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    accepted = docs.filter(quality_logit_expr("text") >= 0)
+    bset = boilerplate_flagged_sets(spark, sf_dir)
+    segs = accepted.withColumn(
+        "segs", token_segments(tokens("text"), BOILERPLATE_SEG_TOKENS)
+    ).join(F.broadcast(bset), "source", "left")
+    kept = F.when(F.col("bset").isNull(), F.col("segs")).otherwise(
+        F.filter(F.col("segs"), lambda s: ~F.array_contains(F.col("bset"), s))
+    )
+    scrubbed = segs.select(
+        "doc_id", F.array_join(kept, " ").alias("clean_text")
+    )
+    eval_sh = docs.select(
+        "doc_id", word_shingles(tokens("text"), decon_n).alias("shingles")
+    )
+    bitmap = eval_bloom_bitmap(spark, sf_dir, sh=eval_sh)
+    survivors = (
+        scrubbed.withColumn(
+            "_sh", word_shingles(tokens("clean_text"), decon_n)
+        )
+        .filter(~bloom_hit_expr(F.col("_sh"), bitmap))
+        .drop("_sh")
+    )
+    return (
+        survivors.withColumn(
+            "fp", F.md5(F.trim(F.lower(F.col("clean_text"))))
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").cast("bigint").alias("n_merged"),
+            F.min_by("clean_text", "doc_id").alias("clean_text"),
+        )
+        .select("doc_id", "fp", "n_merged", "clean_text")
+    )

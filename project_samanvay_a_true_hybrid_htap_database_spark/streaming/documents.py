@@ -91,7 +91,9 @@ def ingest_documents_stream(
     )
 
 
-def decontaminate_on_ingest_stream(docs: DataFrame, bitmap: list) -> DataFrame:
+def decontaminate_on_ingest_stream(
+    docs: DataFrame, bitmap: list, n: int | None = None
+) -> DataFrame:
     """Benchmark decontamination ON ARRIVAL: drop any incoming document
     sharing a shingle with the eval-set Bloom bitmap (built once by
     dedup.eval_bloom_bitmap, auto-sized to 12-24 bits per distinct eval
@@ -100,12 +102,17 @@ def decontaminate_on_ingest_stream(docs: DataFrame, bitmap: list) -> DataFrame:
     is an exists() over the doc's shingle array — so it composes freely
     with the watermarked dedup stage and costs the state store nothing.
     This is the in-flight twin of dedup.decontaminate_bloom's flag: the
-    same bits, pinned equal in tests/test_streaming.py."""
+    same bits, pinned equal in tests/test_streaming.py. ``n`` is the
+    shingle width the bitmap was BUILT at (default: the repo-wide
+    3-shingle; the composed pipeline passes its longer contamination
+    unit — the two must match or every probe misses)."""
     from ..functions.textfns import tokens, word_shingles
     from ..operators.dedup import SHINGLE_N, bloom_hit_expr
 
+    if n is None:
+        n = SHINGLE_N
     shingled = docs.withColumn("_t", tokens("text")).withColumn(
-        "_sh", word_shingles(F.col("_t"), SHINGLE_N)
+        "_sh", word_shingles(F.col("_t"), n)
     )
     return (
         shingled.withColumn("contaminated", bloom_hit_expr(F.col("_sh"), bitmap))
@@ -185,7 +192,10 @@ def boilerplate_scrub_on_ingest_stream(
 
 
 def cleaned_ingest_stream(
-    docs: DataFrame, flagged_sets: DataFrame, bitmap: list
+    docs: DataFrame,
+    flagged_sets: DataFrame,
+    bitmap: list,
+    decon_n: int = 8,
 ) -> DataFrame:
     """The COMPOSED production ingest pipeline — the four gates wired into
     one stream, in the order a production ingest runs them:
@@ -202,12 +212,14 @@ def cleaned_ingest_stream(
     chrome still collapse); dedup runs LAST because it is the only
     STATEFUL stage — every upstream gate is stateless, so the state store
     holds one fingerprint per distinct ADMITTED document within the
-    horizon, never per raw arrival. Admit-set parity against the staged
-    batch pipeline and kill/restart exactly-once on this composed form are
-    pinned in tests/test_streaming.py."""
+    horizon, never per raw arrival. The contamination unit is the exact
+    ``decon_n``-gram (default 8, matching pipeline_clean_corpus — the
+    bitmap must be BUILT at the same width). Admit-set parity against
+    the staged batch pipeline and kill/restart exactly-once on this
+    composed form are pinned in tests/test_streaming.py."""
     gated = quality_gate_on_ingest_stream(docs)
     scrubbed = boilerplate_scrub_on_ingest_stream(gated, flagged_sets)
-    decontaminated = decontaminate_on_ingest_stream(scrubbed, bitmap)
+    decontaminated = decontaminate_on_ingest_stream(scrubbed, bitmap, n=decon_n)
     return dedup_on_ingest_stream(decontaminated)
 
 
@@ -218,13 +230,14 @@ def ingest_cleaned_documents_stream(
     checkpoint: str,
     flagged_sets: DataFrame,
     bitmap: list,
+    decon_n: int = 8,
 ):
     """cleaned_ingest_stream wired end-to-end: JSONL shards → the four
     composed gates → parquet corpus, exactly-once via the file-sink
     manifest + checkpoint (same mechanism as ingest_documents_stream).
     Returns the started StreamingQuery; callers own its lifecycle."""
     clean = cleaned_ingest_stream(
-        stream_documents_jsonl(spark, src_dir), flagged_sets, bitmap
+        stream_documents_jsonl(spark, src_dir), flagged_sets, bitmap, decon_n
     )
     return (
         clean.drop("ingest_ts")

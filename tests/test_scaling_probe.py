@@ -135,6 +135,10 @@ def _warm_time(fn, spark, sf_dir):
         # shuffles (segment min-reduce + doc reassembly), output corpus-
         # sized — CI-floorable unlike the pair-graph family
         ("dedup_segments_across_docs", text.dedup_segments_across_docs),
+        # r12 composed batch cleaning pipeline: scan-stage gates + one
+        # fp-keyed aggregate; every stage individually linear, the
+        # composition must stay so
+        ("pipeline_clean_corpus", sampling.pipeline_clean_corpus),
     ],
 )
 def test_corpus_operator_scales_subquadratically(spark, scaled_dirs, name, fn):

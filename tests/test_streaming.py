@@ -580,7 +580,6 @@ def test_composed_ingest_pipeline_matches_staged_batch(spark, tmp_path):
         word_shingles,
     )
     from project_samanvay_a_true_hybrid_htap_database_spark.operators.dedup import (
-        SHINGLE_N,
         bloom_hit_expr,
         eval_bloom_bitmap,
     )
@@ -593,7 +592,9 @@ def test_composed_ingest_pipeline_matches_staged_batch(spark, tmp_path):
         ingest_cleaned_documents_stream,
     )
 
-    # --- staged batch pipeline (the oracle for the admit set) ---
+    # --- staged batch pipeline (the oracle for the admit set); the
+    # contamination unit is the composed default (exact 8-grams) ---
+    DECON_N = 8
     accept = (
         quality_classifier_score(spark, SF_DIR)
         .filter(F.col("accept"))
@@ -601,10 +602,14 @@ def test_composed_ingest_pipeline_matches_staged_batch(spark, tmp_path):
     )
     scrubbed = boilerplate_scrub(spark, SF_DIR).select("doc_id", "clean_text")
     staged = accept.join(scrubbed, "doc_id")
-    bitmap = eval_bloom_bitmap(spark, SF_DIR)
+    eval_sh = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", word_shingles(tokens("text"), DECON_N).alias("shingles"))
+    )
+    bitmap = eval_bloom_bitmap(spark, SF_DIR, sh=eval_sh)
     survivors = (
         staged.withColumn("_t", tokens("clean_text"))
-        .withColumn("_sh", word_shingles(F.col("_t"), SHINGLE_N))
+        .withColumn("_sh", word_shingles(F.col("_t"), DECON_N))
         .filter(~bloom_hit_expr(F.col("_sh"), bitmap))
         .withColumn("fp", F.md5(F.trim(F.lower(F.col("clean_text")))))
     )
@@ -613,6 +618,17 @@ def test_composed_ingest_pipeline_matches_staged_batch(spark, tmp_path):
         want.setdefault(r.fp, set()).add(r.clean_text)
     n_accept = accept.count()
     assert 0 < n_accept < 500, "quality gate vacuous"
+    assert 10 < len(want) < n_accept, "decontamination stage vacuous"
+
+    # the registry operator IS this staged pipeline — same admit set
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators.sampling import (
+        pipeline_clean_corpus,
+    )
+
+    batch_op = {
+        r.fp: r.n_merged for r in pipeline_clean_corpus(spark, SF_DIR).collect()
+    }
+    assert set(batch_op) == set(want)
 
     # --- ship the corpus twice as JSONL shards (dup content, new ids) ---
     src = str(tmp_path / "cshards")

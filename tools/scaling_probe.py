@@ -272,6 +272,9 @@ def main() -> None:
             ("global_shuffle_order", sampling.global_shuffle_order),
             ("quality_classifier_score", text.quality_classifier_score),
             ("dedup_segments_across_docs", text.dedup_segments_across_docs),
+            # r12 composed batch cleaning pipeline (quality -> scrub ->
+            # 8-gram Bloom decontaminate -> fp dedup)
+            ("pipeline_clean_corpus", sampling.pipeline_clean_corpus),
         ],
         "embeddings": [
             ("embedding_neardup_pairs_vectorized", dedup.embedding_neardup_pairs_vectorized),
