@@ -839,3 +839,31 @@ class TestSourceKlPlan:
         assert "CartesianProduct" not in p
         # the only broadcast is the 1-row corpus total
         assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) <= 1
+
+
+class TestPipelineCleanCorpusPlan:
+    """r12 composed batch cleaning pipeline: every gate must stay inside
+    the scan stage (weights as literals, flagged sets and the Bloom
+    bitmap broadcast or folded), with the final fp-keyed aggregate as
+    the only corpus-sized shuffle."""
+
+    def test_gates_fold_into_scan_no_python(self, spark):
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+            sampling,
+        )
+
+        p = plan(sampling.pipeline_clean_corpus(spark, SF_DIR))
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p
+        assert "CartesianProduct" not in p
+        # flagged-set join is broadcast; no corpus-side sort-merge join
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+        # the fp dedup is the only corpus-sized hash-partition exchange:
+        # every hashpartitioning exchange keys on fp or on the
+        # model-building (source[, segment]) side (partial-agg'd
+        # map-side), never on doc_id
+        ex_keys = re.findall(r"hashpartitioning\(([a-zA-Z_0-9#]+)", p)
+        assert any(k.startswith("fp") for k in ex_keys), ex_keys
+        assert all(
+            k.startswith(("fp", "source", "segment")) for k in ex_keys
+        ), ex_keys

@@ -71,6 +71,7 @@ SHOWCASE = [
     ("dedup_segments_within_doc", "intra-doc repetition scrub — keep-first via array_position, zero shuffles, single scan"),
     ("char_entropy_score", "fixed-alphabet char entropy — 37 replace-counts + closed-form entropy sum, single scan"),
     ("source_token_kl", "per-source unigram KL — token-keyed window for corpus counts (no vocab join), source-sized rollup"),
+    ("pipeline_clean_corpus", "composed batch cleaning pipeline — quality + scrub + 8-gram Bloom gates all inside the scan (weights/flagged-sets/bitmap folded or broadcast), one fp-keyed aggregate is the only corpus shuffle"),
 ]
 
 
