@@ -490,6 +490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribution_window_join": analytics.attribution_window_join,
         # --- round-12 additions (parked at the tail per the directive) ---
         "pipeline_clean_corpus": sampling.pipeline_clean_corpus,
+        "training_export_plan": sampling.training_export_plan,
     }
 
 
@@ -3409,7 +3410,9 @@ FROM p, tot
     # default) via the shared shingle helper — longer than the repo-wide
     # 3-shingle the single-operator gates use, per the operator docstring
     sh8 = textfns.duckdb_word_shingles("T", 8)
-    sqls["pipeline_clean_corpus"] = f"""
+    # the CTE chain through `f` (doc_id, clean_text, fp) is shared with the
+    # training_export_plan oracle so the two compositions cannot drift
+    pcc_ctes = f"""
 WITH t AS (SELECT doc_id, source, text, {_TOKS} AS T FROM documents),
 q AS (SELECT doc_id, source, T FROM t WHERE {qz} >= 0),
 sall AS (SELECT doc_id, source, {seg8} AS segs FROM t),
@@ -3457,9 +3460,34 @@ dropped AS (SELECT doc_id FROM hits GROUP BY doc_id HAVING bool_or(hit)),
 surv AS (SELECT c.doc_id, c.clean_text FROM csh c
          ANTI JOIN dropped d ON c.doc_id = d.doc_id),
 f AS (SELECT doc_id, clean_text,
-             md5(trim(lower(clean_text))) AS fp FROM surv)
+             md5(trim(lower(clean_text))) AS fp FROM surv)"""
+    sqls["pipeline_clean_corpus"] = f"""{pcc_ctes}
 SELECT min(doc_id)::BIGINT AS doc_id, fp, count(*)::BIGINT AS n_merged,
        arg_min(clean_text, doc_id) AS clean_text
 FROM f GROUP BY fp
+"""
+    # r12: the output-side capstone — cleaned carriers laid out in the
+    # terasort shuffle order and packed into 512-token bins per shard
+    # (global_shuffle_order's hash keys + pack_sequences' cumulative
+    # window, over the CLEAN text). budget=512 is a power of two, so the
+    # double division is exact in both engines.
+    sqls["training_export_plan"] = f"""{pcc_ctes},
+ded AS (SELECT min(doc_id) AS doc_id,
+               arg_min(clean_text, doc_id) AS clean_text
+        FROM f GROUP BY fp),
+keyed AS (SELECT doc_id,
+            len(string_split(trim(lower(clean_text)), ' ')) AS n_tokens,
+            CAST(('0x' || substr(md5('shuf|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % {sampling.SHUFFLE_BUCKETS} AS INT) AS bucket,
+            ('0x' || substr(md5('ord|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS o
+          FROM ded),
+binned AS (SELECT bucket, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket
+                           ORDER BY o, doc_id ROWS UNBOUNDED PRECEDING)
+                         - n_tokens) / 512.0) AS INT) AS bin
+           FROM keyed)
+SELECT bucket, bin, count(*)::BIGINT AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM binned GROUP BY 1, 2
 """
     return sqls

@@ -1327,3 +1327,58 @@ def pipeline_clean_corpus(
         )
         .select("doc_id", "fp", "n_merged", "clean_text")
     )
+
+
+def training_export_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = 512,
+    buckets: int = SHUFFLE_BUCKETS,
+) -> DataFrame:
+    """The OUTPUT-side capstone composition — what a trainer is actually
+    handed: the cleaned corpus (pipeline_clean_corpus's admitted
+    carriers) laid out in training order (global_shuffle_order's terasort
+    decomposition over the carrier ids) and packed into fixed-token-
+    budget bins per shard (pack_sequences' per-shard cumulative window,
+    here over the SHUFFLED order and the CLEAN text's token counts).
+    Together with pipeline_clean_corpus this closes the loop: raw corpus
+    → cleaned manifest → shard/bin layout, every stage an existing
+    oracled operator's expression.
+
+    100 TB shape: the cleaning stages are pipeline_clean_corpus's (one
+    corpus scan + the fp aggregate); the shuffle/pack adds ONE
+    bucket-keyed window whose partitions are corpus/buckets rows each
+    (buckets scale with the corpus — SHUFFLE_BUCKETS' contract), and the
+    bin audit is a (bucket, bin)-keyed partial aggregate. No global
+    sort, no driver materialization. Output: (bucket, bin, n_docs,
+    n_tokens) — the per-bin capacity audit a loader plans epochs with."""
+    from ..functions.hashing import md5_long32
+    from ..functions.textfns import tokens
+
+    clean = pipeline_clean_corpus(spark, sf_dir)
+    keyed = clean.select(
+        "doc_id",
+        F.size(tokens("clean_text")).alias("n_tokens"),
+        (
+            md5_long32(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string")))
+            % buckets
+        ).cast("int").alias("bucket"),
+        md5_long32(
+            F.concat(F.lit("ord|"), F.col("doc_id").cast("string"))
+        ).alias("o"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("o").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = keyed.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget
+        ).cast("int"),
+    )
+    return binned.groupBy("bucket", "bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )

@@ -105,7 +105,7 @@ class TestEmittedSchema:
         }
         # bench.main() serializes with compact separators — measure the
         # same form it prints (calib carries two 6-char floats)
-        calib = {"jvm": 12.345, "scan": 12.345}
+        calib = {"jvm": 12.345, "scan": 12.345, "jvms": 12.345}
         line = json.dumps(
             bench.build_payload(timings, 0.1, htap, sustained, calib),
             separators=(",", ":"),
@@ -229,3 +229,27 @@ class TestDiffConsumesPayload:
         if len(docs) == 2:
             table = diff_table(docs[0], docs[1])
             assert "TOTAL" in table
+
+
+class TestSustainedCalibration:
+    """r12: the jvms sustained probe joins the calibration set. The
+    factor must use all three probes when both payloads carry them,
+    and fall back to the two-probe set against pre-r12 records —
+    never a mismatched sum."""
+
+    def test_three_probe_set_preferred(self):
+        old = {"queries": {}, "calib": {"jvm": 0.1, "scan": 0.05, "jvms": 3.0}}
+        new = {"queries": {}, "calib": {"jvm": 0.1, "scan": 0.05, "jvms": 6.0}}
+        # jvms dominates: (0.15 + 6.0) / (0.15 + 3.0)
+        assert abs(calib_factor(old, new) - (6.15 / 3.15)) < 1e-9
+
+    def test_fallback_against_pre_r12_record(self):
+        old = {"queries": {}, "calib": {"jvm": 1.0, "scan": 1.0}}
+        new = {"queries": {}, "calib": {"jvm": 2.0, "scan": 2.0, "jvms": 3.0}}
+        # old lacks jvms -> two-probe comparison, jvms ignored on new
+        assert calib_factor(old, new) == 2.0
+
+    def test_no_common_set_returns_none(self):
+        old = {"queries": {}, "calib": {"jvms": 3.0}}
+        new = {"queries": {}, "calib": {"jvm": 1.0, "scan": 1.0, "jvms": 3.0}}
+        assert calib_factor(old, new) is None

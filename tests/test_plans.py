@@ -867,3 +867,23 @@ class TestPipelineCleanCorpusPlan:
         assert all(
             k.startswith(("fp", "source", "segment")) for k in ex_keys
         ), ex_keys
+
+    def test_export_plan_adds_only_bucket_keyed_exchanges(self, spark):
+        """training_export_plan = the cleaned manifest + the terasort
+        shuffle/pack: beyond the pipeline's own exchanges, every new
+        hash partitioning must key on the shard bucket (the per-shard
+        window + the (bucket, bin) audit) — never a global sort and
+        never doc_id."""
+        from project_samanvay_a_true_hybrid_htap_database_spark.operators import (
+            sampling,
+        )
+
+        p = plan(sampling.training_export_plan(spark, SF_DIR))
+        assert "BatchEvalPython" not in p and "ArrowEval" not in p
+        ex_keys = re.findall(r"hashpartitioning\(([a-zA-Z_0-9#]+)", p)
+        assert any(k.startswith("bucket") for k in ex_keys), ex_keys
+        assert all(
+            k.startswith(("fp", "source", "segment", "bucket")) for k in ex_keys
+        ), ex_keys
+        # the pack window is per-shard: no rangepartitioning (global sort)
+        assert "rangepartitioning" not in p

@@ -139,6 +139,10 @@ def _warm_time(fn, spark, sf_dir):
         # fp-keyed aggregate; every stage individually linear, the
         # composition must stay so
         ("pipeline_clean_corpus", sampling.pipeline_clean_corpus),
+        # r12 output-side capstone: the cleaned manifest + one bucket-
+        # keyed window + a (bucket, bin) partial agg — linear on top of
+        # the pipeline
+        ("training_export_plan", sampling.training_export_plan),
     ],
 )
 def test_corpus_operator_scales_subquadratically(spark, scaled_dirs, name, fn):

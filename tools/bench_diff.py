@@ -47,15 +47,27 @@ def calib_factor(old_doc: dict, new_doc: dict) -> float | None:
     """
     oc = _payload(old_doc).get("calib") or {}
     nc = _payload(new_doc).get("calib") or {}
-    # BOTH probes must be present and positive in BOTH payloads: summing
-    # whatever happens to be there would silently compare mismatched probe
-    # sets (jvm+scan vs scan alone) and skew the normalization factor.
-    probes = []
-    for c in (oc, nc):
-        vals = [c.get("jvm"), c.get("scan")]
-        if not all(isinstance(v, (int, float)) and v > 0 for v in vals):
-            return None
-        probes.append(sum(vals))
+
+    # The probe SET must be identical in both payloads: summing whatever
+    # happens to be there would silently compare mismatched sets
+    # (jvm+scan+jvms vs jvm+scan) and skew the normalization factor.
+    # Prefer the r12+ sustained set when both sides carry it — the 3 s
+    # jvms probe dominates the sum and samples the throttling regime the
+    # queries actually run in (the sub-second probes are point samples
+    # that measured 2x noisier than the query totals in r12's
+    # back-to-back runs); fall back to jvm+scan against pre-r12 records.
+    def _sum(keys):
+        probes = []
+        for c in (oc, nc):
+            vals = [c.get(k) for k in keys]
+            if not all(isinstance(v, (int, float)) and v > 0 for v in vals):
+                return None
+            probes.append(sum(vals))
+        return probes
+
+    probes = _sum(["jvm", "scan", "jvms"]) or _sum(["jvm", "scan"])
+    if probes is None:
+        return None
     o, n = probes
     return n / o
 

@@ -72,6 +72,7 @@ SHOWCASE = [
     ("char_entropy_score", "fixed-alphabet char entropy — 37 replace-counts + closed-form entropy sum, single scan"),
     ("source_token_kl", "per-source unigram KL — token-keyed window for corpus counts (no vocab join), source-sized rollup"),
     ("pipeline_clean_corpus", "composed batch cleaning pipeline — quality + scrub + 8-gram Bloom gates all inside the scan (weights/flagged-sets/bitmap folded or broadcast), one fp-keyed aggregate is the only corpus shuffle"),
+    ("training_export_plan", "cleaned corpus -> terasort shuffle -> token-budget packing — per-shard cumulative window (no global sort), (bucket, bin) partial-agg audit"),
 ]
 
 

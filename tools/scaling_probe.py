@@ -275,6 +275,7 @@ def main() -> None:
             # r12 composed batch cleaning pipeline (quality -> scrub ->
             # 8-gram Bloom decontaminate -> fp dedup)
             ("pipeline_clean_corpus", sampling.pipeline_clean_corpus),
+            ("training_export_plan", sampling.training_export_plan),
         ],
         "embeddings": [
             ("embedding_neardup_pairs_vectorized", dedup.embedding_neardup_pairs_vectorized),
