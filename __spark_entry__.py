@@ -491,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-12 additions (parked at the tail per the directive) ---
         "pipeline_clean_corpus": sampling.pipeline_clean_corpus,
         "training_export_plan": sampling.training_export_plan,
+        "pipeline_clean_report": sampling.pipeline_clean_report,
     }
 
 
@@ -3489,5 +3490,18 @@ binned AS (SELECT bucket, n_tokens,
 SELECT bucket, bin, count(*)::BIGINT AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens
 FROM binned GROUP BY 1, 2
+"""
+    # r12: the composed pipeline's stage-count funnel — counts read off
+    # the SAME shared CTE chain, so the report and the manifest agree by
+    # construction
+    sqls["pipeline_clean_report"] = f"""{pcc_ctes}
+SELECT stage, label, n_docs FROM (
+  SELECT 1 AS stage, 'total' AS label,
+         (SELECT count(*) FROM t)::BIGINT AS n_docs
+  UNION ALL SELECT 2, 'quality_accepted', (SELECT count(*) FROM q)::BIGINT
+  UNION ALL SELECT 3, 'decontaminated', (SELECT count(*) FROM surv)::BIGINT
+  UNION ALL SELECT 4, 'admitted_fps',
+         (SELECT count(DISTINCT fp) FROM f)::BIGINT
+) r
 """
     return sqls

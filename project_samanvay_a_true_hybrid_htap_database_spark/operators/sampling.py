@@ -1382,3 +1382,77 @@ def training_export_plan(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+def pipeline_clean_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-count observability for pipeline_clean_corpus — the funnel a
+    corpus owner reads after a cleaning run (pipeline_funnel's sibling
+    for the composed pipeline's exact stages): total → quality-accepted
+    → decontaminated (8-gram Bloom on the scrubbed text) → distinct
+    admitted fingerprints. The scrub stage changes text, not row count,
+    so its effect shows up in the later stages' membership, and the
+    dedup stage's drop (survivors − fps) is re-crawl volume.
+
+    Shape: the same gate expressions as the pipeline, but the output is
+    four conditional aggregates — the corpus is scanned once for the
+    flag battery plus the model/bitmap builds the pipeline itself needs;
+    stage rows emit via explode of a literal struct array (the
+    pipeline_funnel pattern — never an N-way union that clones the
+    aggregate). Output: (stage, label, n_docs)."""
+    from ..functions.textfns import token_segments, tokens, word_shingles
+    from .dedup import bloom_hit_expr, eval_bloom_bitmap
+    from .text import (
+        BOILERPLATE_SEG_TOKENS,
+        boilerplate_flagged_sets,
+        quality_logit_expr,
+    )
+
+    decon_n = 8
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    bset = boilerplate_flagged_sets(spark, sf_dir)
+    eval_sh = docs.select(
+        "doc_id", word_shingles(tokens("text"), decon_n).alias("shingles")
+    )
+    bitmap = eval_bloom_bitmap(spark, sf_dir, sh=eval_sh)
+
+    segs = token_segments(tokens("text"), BOILERPLATE_SEG_TOKENS)
+    joined = docs.withColumn("_segs", segs).join(
+        F.broadcast(bset), "source", "left"
+    )
+    kept = F.when(F.col("bset").isNull(), F.col("_segs")).otherwise(
+        F.filter(F.col("_segs"), lambda s: ~F.array_contains(F.col("bset"), s))
+    )
+    flagged = joined.select(
+        "doc_id",
+        (quality_logit_expr("text") >= 0).alias("q_ok"),
+        F.array_join(kept, " ").alias("clean_text"),
+    ).withColumn(
+        "decon_ok",
+        ~bloom_hit_expr(word_shingles(tokens("clean_text"), decon_n), bitmap),
+    )
+    agg = flagged.agg(
+        F.count("*").alias("n0"),
+        F.sum(F.when(F.col("q_ok"), 1).otherwise(0)).alias("n1"),
+        F.sum(
+            F.when(F.col("q_ok") & F.col("decon_ok"), 1).otherwise(0)
+        ).alias("n2"),
+        F.countDistinct(
+            F.when(
+                F.col("q_ok") & F.col("decon_ok"),
+                F.md5(F.trim(F.lower(F.col("clean_text")))),
+            )
+        ).alias("n3"),
+    )
+    stages = F.array(
+        F.struct(F.lit(1).alias("stage"), F.lit("total").alias("label"), F.col("n0").alias("n_docs")),
+        F.struct(F.lit(2).alias("stage"), F.lit("quality_accepted").alias("label"), F.col("n1").alias("n_docs")),
+        F.struct(F.lit(3).alias("stage"), F.lit("decontaminated").alias("label"), F.col("n2").alias("n_docs")),
+        F.struct(F.lit(4).alias("stage"), F.lit("admitted_fps").alias("label"), F.col("n3").alias("n_docs")),
+    )
+    return agg.select(F.explode(stages).alias("s")).select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.label").alias("label"),
+        F.col("s.n_docs").cast("bigint").alias("n_docs"),
+    )
