@@ -391,6 +391,11 @@ def main() -> None:
             ("dedup_segments_within_doc", text.dedup_segments_within_doc),
             ("quality_classifier_score", text.quality_classifier_score),
             ("dedup_segments_across_docs", text.dedup_segments_across_docs),
+            # r12 composed capstones (buckets fixed at 64 in the probe:
+            # the export's decade2 includes per-shard window growth that
+            # production removes by scaling buckets with the corpus)
+            ("pipeline_clean_corpus", sampling.pipeline_clean_corpus),
+            ("training_export_plan", sampling.training_export_plan),
         ]:
             _probe(spark, name, fn, one, ten, hundred)
     if "embeddings100" in families:
