@@ -3470,8 +3470,9 @@ FROM f GROUP BY fp
     # r12: the output-side capstone — cleaned carriers laid out in the
     # terasort shuffle order and packed into 512-token bins per shard
     # (global_shuffle_order's hash keys + pack_sequences' cumulative
-    # window, over the CLEAN text). budget=512 is a power of two, so the
-    # double division is exact in both engines.
+    # window, over the CLEAN text). The bin is INTEGER division of the
+    # nonnegative cumulative token count by the budget (Spark DIV /
+    # DuckDB //), exact in both engines for any budget.
     sqls["training_export_plan"] = f"""{pcc_ctes},
 ded AS (SELECT min(doc_id) AS doc_id,
                arg_min(clean_text, doc_id) AS clean_text
@@ -3483,9 +3484,9 @@ keyed AS (SELECT doc_id,
             ('0x' || substr(md5('ord|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS o
           FROM ded),
 binned AS (SELECT bucket, n_tokens,
-             CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket
+             CAST((sum(n_tokens) OVER (PARTITION BY bucket
                            ORDER BY o, doc_id ROWS UNBOUNDED PRECEDING)
-                         - n_tokens) / 512.0) AS INT) AS bin
+                   - n_tokens) // 512 AS INT) AS bin
            FROM keyed)
 SELECT bucket, bin, count(*)::BIGINT AS n_docs,
        CAST(sum(n_tokens) AS BIGINT) AS n_tokens

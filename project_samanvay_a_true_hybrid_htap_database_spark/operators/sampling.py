@@ -1372,11 +1372,14 @@ def training_export_plan(
         .orderBy(F.col("o").asc(), F.col("doc_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Integer bin math: the cumulative token count and the budget are both
+    # integral and nonnegative, so `div` (integral division) gives the bin
+    # exactly — no double rounding, no power-of-two budget requirement,
+    # bit-identical across engines at any cumulative magnitude.
     binned = keyed.withColumn(
-        "bin",
-        F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget
-        ).cast("int"),
+        "_cum0", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).withColumn(
+        "bin", F.expr(f"CAST(_cum0 DIV {int(budget)} AS INT)")
     )
     return binned.groupBy("bucket", "bin").agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -1384,12 +1387,16 @@ def training_export_plan(
     )
 
 
-def pipeline_clean_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_clean_report(
+    spark: SparkSession, sf_dir: str, decon_n: int = 8
+) -> DataFrame:
     """Stage-count observability for pipeline_clean_corpus — the funnel a
     corpus owner reads after a cleaning run (pipeline_funnel's sibling
     for the composed pipeline's exact stages): total → quality-accepted
-    → decontaminated (8-gram Bloom on the scrubbed text) → distinct
-    admitted fingerprints. The scrub stage changes text, not row count,
+    → decontaminated (``decon_n``-gram Bloom on the scrubbed text,
+    default 8 — pass the same width as the pipeline run being observed)
+    → distinct admitted fingerprints. The scrub stage changes text, not
+    row count,
     so its effect shows up in the later stages' membership, and the
     dedup stage's drop (survivors − fps) is re-crawl volume.
 
@@ -1407,7 +1414,6 @@ def pipeline_clean_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_logit_expr,
     )
 
-    decon_n = 8
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )

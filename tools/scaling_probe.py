@@ -309,7 +309,14 @@ def main() -> None:
             (
                 "contrastive_hard_negs_vec_scaled_nlists",
                 lambda s, d: sampling.contrastive_hard_negatives_vectorized(
-                    s, d, n_clusters=100 if "10x" in os.path.basename(d) else 10
+                    s,
+                    d,
+                    # sqrt-scaled contract: 10 lists at 1x, 100 at 10x; match
+                    # the decade token exactly ("10x" is a substring of
+                    # "100x", so a membership test would mis-size decade 2)
+                    n_clusters=(
+                        100 if os.path.basename(d) == "sf10x" else 10
+                    ),
                 ),
             ),
             ("diversity_sample", sampling.diversity_sample),
