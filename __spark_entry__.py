@@ -2253,6 +2253,18 @@ SELECT l_returnflag,
        TRUE AS p99_within_tol
 FROM lineitem GROUP BY l_returnflag
 """,
+        # r13 (VERDICT r12 #2): the pure-sketch form's rank-error audit. A GK
+        # sketch guarantees bounded RANK error, so the registered form emits
+        # floor(abs(observed_rank/n - q)/eps) per percentile — 0 in any
+        # engine while the sketch honors its envelope (eps=0.01 vs the 1e-4
+        # guarantee). The oracle asserts exactly that: literal 0 buckets.
+        "percentile_prices_sketch": """
+SELECT l_returnflag, count(*) AS n,
+       0 AS p50_rank_err_bucket,
+       0 AS p90_rank_err_bucket,
+       0 AS p99_rank_err_bucket
+FROM lineitem GROUP BY l_returnflag
+""",
         # the salted two-phase plan must equal the plain aggregation exactly
         "salted_agg": """
 SELECT l_returnflag, round(sum(l_extendedprice), 2) AS total_price,

@@ -499,35 +499,81 @@ def percentile_prices_approx(
 
 
 def percentile_prices_sketch(
-    spark: SparkSession, sf_dir: str, accuracy: int = 10_000
+    spark: SparkSession,
+    sf_dir: str,
+    accuracy: int = 10_000,
+    audit: bool = True,
+    eps: float = 0.01,
 ) -> DataFrame:
-    """The PRODUCTION sketch form alone: percentile_approx (GK sketch,
-    mergeable, map-side partials, O(accuracy) memory per group) with no
-    exact twin in the plan. `percentile_prices_approx` is the tolerance
-    gate that hash-verifies this sketch against exact percentiles; it pays
-    for an exact sort-the-group aggregate, which at 100 TB is precisely
-    what the sketch exists to avoid — so the bench times THIS form while
-    the gate form stays registered for correctness (VERDICT r7 #4).
-    No oracle_sql entry: a GK sketch picks actual group elements, so its
-    raw values cannot hash-match DuckDB's interpolating quantile_cont —
-    the driver records the weaker rows-only check and the tolerance twin
-    carries the real envelope gate."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr(
-                f"percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), {accuracy})"
-            ).alias("aps"),
-            F.count("*").alias("n"),
-        )
-        .select(
+    """The PRODUCTION sketch form: percentile_approx (GK sketch, mergeable,
+    map-side partials, O(accuracy) memory per group) with no exact
+    sort-the-group twin in the plan — `percentile_prices_approx` is the
+    tolerance gate that pays for exact percentiles, which at 100 TB is
+    precisely what the sketch exists to avoid (VERDICT r7 #4).
+
+    ``audit=True`` (the registered form, VERDICT r12 #2) makes the sketch
+    hash-checkable without the exact aggregate: a GK sketch's contract is
+    bounded RANK error (<= 1/accuracy of the group size), so the output
+    carries, per percentile q, the bucketed observed rank error
+    ``floor(abs(count(x <= approx)/n - q) / eps)`` — deterministically 0
+    in any engine whenever the sketch honors its contract (eps = 0.01 is
+    100x the 1e-4 guarantee, leaving headroom for tie mass at the chosen
+    element, since count(<=) is the element's MAX rank). The DuckDB
+    oracle emits literal 0 buckets, so the hash gate fails exactly when
+    the sketch leaves its rank envelope. Cost: one extra corpus scan plus
+    a broadcast join of the 3-row sketch table — map-side, no shuffle
+    beyond the two partial aggregates; at 100 TB this is the cheap audit
+    (the exact form buffers whole groups on one reducer).
+
+    ``audit=False`` is the raw serving form (l_returnflag, p50, p90, p99,
+    n) — what production reads, and what bench.py times (the audit's
+    second scan is a verification cost, not a serving cost). Raw sketch
+    values cannot hash-match DuckDB's interpolating quantile_cont, which
+    is why the audit form exists."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    sk = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"percentile_approx(l_extendedprice, array(0.5, 0.9, 0.99), {accuracy})"
+        ).alias("aps"),
+        F.count("*").alias("n"),
+    )
+    if not audit:
+        return sk.select(
             "l_returnflag",
             F.round(F.col("aps")[0], 4).alias("p50"),
             F.round(F.col("aps")[1], 4).alias("p90"),
             F.round(F.col("aps")[2], 4).alias("p99"),
             "n",
         )
+    qs = (0.5, 0.9, 0.99)
+    ranked = (
+        li.join(F.broadcast(sk), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.first("n").alias("n"),
+            *[
+                F.sum(
+                    F.when(
+                        F.col("l_extendedprice") <= F.col("aps")[i], 1
+                    ).otherwise(0)
+                ).alias(f"_r{i}")
+                for i in range(3)
+            ],
+        )
+    )
+    return ranked.select(
+        "l_returnflag",
+        "n",
+        *[
+            F.floor(
+                F.abs(F.col(f"_r{i}") / F.col("n") - F.lit(q)) / F.lit(eps)
+            )
+            .cast("int")
+            .alias(f"p{int(q * 100)}_rank_err_bucket")
+            for i, q in enumerate(qs)
+        ],
     )
 
 
