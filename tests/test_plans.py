@@ -277,6 +277,34 @@ class TestNoPresentationalSort:
         )
 
 
+class TestMultimodalShuffleFree:
+    """VERDICT r12 #3 adjudication: BENCHDIFF_r12 flagged multimodal_frames
+    at 1.42x normalized with the file unchanged since r10. Re-measured
+    min-of-3 calibrated (2026-08-16): 0.374 s at sf0.1 vs the r12 reading
+    of 0.65 s and r11's 0.43 s, on a sandbox whose calibration probes ran
+    ~1.3x SLOWER than the r12 run — the flag was load noise, not plan
+    drift. This pin makes any REAL regression structural: the mapInPandas
+    multimodal rows are scan → project → Arrow-batched Python with output
+    partitioning following input, so their plans must contain zero
+    Exchange (any shuffle appearing here is the regression)."""
+
+    @pytest.mark.parametrize(
+        "name",
+        [
+            "multimodal_frames",
+            "multimodal_summary",
+            "multimodal_audio_chunks",
+        ],
+    )
+    def test_mapinpandas_rows_have_no_exchange(self, spark, name):
+        qs = entrymod.queries()
+        p = plan(qs[name](spark, SF_DIR))
+        assert "Exchange" not in p, (
+            f"{name} acquired a shuffle — scan→mapInPandas must stay "
+            f"exchange-free"
+        )
+
+
 class TestNoUnboundedGlobalWindow:
     """VERDICT r9 #1: a partitionless rank window (`row_number() OVER
     (ORDER BY ...)` with no PARTITION BY) serializes its whole input
