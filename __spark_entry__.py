@@ -492,6 +492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": sampling.pipeline_clean_corpus,
         "training_export_plan": sampling.training_export_plan,
         "pipeline_clean_report": sampling.pipeline_clean_report,
+        # --- round-13 additions (parked at the tail per the directive) ---
+        "pipeline_clean_corpus_neardup": sampling.pipeline_clean_corpus_neardup,
     }
 
 
@@ -3479,6 +3481,58 @@ SELECT min(doc_id)::BIGINT AS doc_id, fp, count(*)::BIGINT AS n_merged,
        arg_min(clean_text, doc_id) AS clean_text
 FROM f GROUP BY fp
 """
+    # r13 (VERDICT r12 #4): the near-dup variant — same shared chain
+    # through `surv`, then the minhash_lsh_pairs oracle's exact machinery
+    # (16-perm signatures, the band_eq banding, hashed-shingle Jaccard
+    # >= 0.5) over the survivors' CLEAN text, the dedup_groups recursive-CC
+    # carrier rule (min doc_id, singletons self-represent), and the same
+    # trailing fp aggregate. WITH RECURSIVE via prefix rewrite: DuckDB
+    # wants the keyword on the chain head, and the chain is shared.
+    sh3c = textfns.duckdb_word_shingles("T", 3)
+    mins_c = ", ".join(
+        f"min((h * {a}::BIGINT + {b}::BIGINT) % {MERSENNE31}) AS m{i}"
+        for i, (a, b) in enumerate(permutation_params(16))
+    )
+    sqls["pipeline_clean_corpus_neardup"] = (
+        pcc_ctes.replace("\nWITH t AS", "\nWITH RECURSIVE t AS", 1)
+        + f""",
+nsh AS (SELECT doc_id,
+          list_distinct(list_transform({sh3c},
+            s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS hs
+        FROM (SELECT doc_id, string_split(trim(lower(clean_text)), ' ') AS T
+              FROM surv)),
+nhh AS (SELECT doc_id, unnest(hs) AS h FROM nsh WHERE len(hs) > 0),
+nsig AS (SELECT doc_id, {mins_c} FROM nhh GROUP BY doc_id),
+ncand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+          FROM nsig a JOIN nsig b ON a.doc_id < b.doc_id
+          WHERE {band_eq}),
+npr AS (SELECT c.d1, c.d2 FROM ncand c
+        JOIN nsh x ON x.doc_id = c.d1
+        JOIN nsh y ON y.doc_id = c.d2
+        WHERE len(list_intersect(x.hs, y.hs))
+              / len(list_distinct(x.hs || y.hs)) >= 0.5),
+nedges AS (SELECT d1 AS a, d2 AS b FROM npr UNION SELECT d2, d1 FROM npr),
+nnodes AS (SELECT DISTINCT a AS n FROM nedges),
+nreach(n, m) AS (
+  SELECT n, n FROM nnodes
+  UNION
+  SELECT r.n, e.b FROM nreach r JOIN nedges e ON r.m = e.a),
+ngrp AS (SELECT n AS doc_id, min(m) AS group_id FROM nreach GROUP BY n),
+ngsz AS (SELECT group_id, count(*)::BIGINT AS gsz FROM ngrp GROUP BY 1),
+nkeep AS (SELECT s.doc_id, s.clean_text FROM surv s
+          LEFT JOIN ngrp g ON s.doc_id = g.doc_id
+          WHERE g.group_id IS NULL OR g.group_id = s.doc_id),
+nkept AS (SELECT k.doc_id, k.clean_text,
+                 coalesce(z.gsz, 1::BIGINT) AS rep
+          FROM nkeep k LEFT JOIN ngsz z ON z.group_id = k.doc_id),
+nf AS (SELECT doc_id, clean_text, rep,
+              md5(trim(lower(clean_text))) AS fp FROM nkept)
+SELECT min(doc_id)::BIGINT AS doc_id, fp, count(*)::BIGINT AS n_merged,
+       sum(rep)::BIGINT AS n_docs_represented,
+       arg_min(clean_text, doc_id) AS clean_text
+FROM nf GROUP BY fp
+"""
+    )
     # r12: the output-side capstone — cleaned carriers laid out in the
     # terasort shuffle order and packed into 512-token bins per shard
     # (global_shuffle_order's hash keys + pack_sequences' cumulative

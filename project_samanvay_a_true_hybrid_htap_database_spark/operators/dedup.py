@@ -288,6 +288,26 @@ def minhash_lsh_pairs(
     sh = bounded_persist(
         _shingle_hashes(spark, sf_dir), "minhash_shingles", scope=sf_dir
     )
+    return lsh_pairs_from_hashed_shingles(
+        sh, threshold=threshold, bands=bands, rows=rows, scope=sf_dir
+    )
+
+
+def lsh_pairs_from_hashed_shingles(
+    sh: DataFrame,
+    threshold: float = JACCARD_THRESHOLD,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    scope: str = "",
+) -> DataFrame:
+    """The banding + verify core of minhash_lsh_pairs over an ALREADY
+    PERSISTED hashed-shingle frame (doc_id, hs array<long>) — split out
+    (r13) so the composed cleaning pipeline can run the identical near-dup
+    stage over its post-scrub/post-decontamination survivors instead of
+    the raw corpus. ``scope`` keys the signature-table persist cache (pass
+    the input dir; the plan key disambiguates different upstream frames)."""
+    from ..functions.caching import bounded_persist
+
     # Persist the signature table too: it is tiny (one row of k longs per
     # doc) and referenced from both sides of the bucket self-join — without
     # this, the shingle-explode + 16-way min aggregate runs once per plan
@@ -300,7 +320,7 @@ def minhash_lsh_pairs(
             bands * rows,
         ),
         "minhash_sigs",
-        scope=sf_dir,
+        scope=scope,
     )
     # One pass over sig: band keys as an array, posexplode to (band, bkey)
     # rows. A per-band union would clone the signature subtree per band.
@@ -567,7 +587,16 @@ def embedding_neardup_pairs(
     """Embedding-cosine near-dup within a blocking key (label ≈ coarse
     cluster id): all-pairs cosine inside each block only. At 100 TB the
     block would come from an ANN pre-pass (LSH or IVF assignment); the
-    blocked-pairs + verify shape is identical."""
+    blocked-pairs + verify shape is identical.
+
+    RECALL VERDICT (r13, VERDICT r12 #5): on this corpus the `label`
+    blocking retains only ~8% of true nearest neighbors (RECALL_r12
+    `label_blocking` — the synthetic label is random, not semantic), so
+    pairs found here are CORRECT but far from COMPLETE. For a production
+    near-dup pass, derive the block from the learned quantizer instead
+    (kmeans_assign / learned_centroids — the knn_join_ivf_vectorized
+    blocking, recall measured in RECALL_r13 `learned_ivf_join`) and feed
+    that cluster id through this same blocked-pairs + verify shape."""
     from ..functions.vectors import dot, norm
 
     # Hoist per-vector norms out of the pair join: n norm computations
@@ -1648,7 +1677,17 @@ def semdedup_stats(
     same shallow min-label fixpoint dedup_groups runs on text pairs, and
     the final rollup is a left join of the (bounded) drop list against the
     embedding table on its key — shuffled equi-join, nothing unbounded is
-    broadcast."""
+    broadcast.
+
+    BLOCKING NOTE (r13, VERDICT r12 #5): this rides the `label` blocking
+    (via embedding_neardup_pairs_vectorized) — on this synthetic corpus
+    that blocking retains ~8% of true neighbors (RECALL_r12
+    `label_blocking`), so the drop ratios here measure WITHIN-cluster
+    semantic duplication only, exactly as SemDeDup defines it when the
+    clusters come from k-means. On real data, produce `label` with the
+    learned quantizer (kmeans_assign / learned_centroids, recall measured
+    in RECALL_r13 `learned_ivf_join`) before trusting the removal
+    accounting corpus-wide."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
     # BLAS pair generator (row-identical twin of embedding_neardup_pairs):
     # the HOF form interprets m²·dim/2 ops per block and measured 51×

@@ -1246,6 +1246,49 @@ def shard_manifest(
     )
 
 
+def _clean_survivors(
+    spark: SparkSession, sf_dir: str, decon_n: int = 8
+) -> DataFrame:
+    """Stages 1-3 of the composed cleaning pipeline (quality gate →
+    boilerplate scrub → Bloom decontamination on the scrubbed text),
+    shared by pipeline_clean_corpus and its near-dup twin so the two
+    manifests cannot drift. Returns the survivor frame
+    (doc_id, clean_text); the callers differ only in the dedup stage."""
+    from ..functions.textfns import token_segments, tokens, word_shingles
+    from .dedup import bloom_hit_expr, eval_bloom_bitmap
+    from .text import (
+        BOILERPLATE_SEG_TOKENS,
+        boilerplate_flagged_sets,
+        quality_logit_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    accepted = docs.filter(quality_logit_expr("text") >= 0)
+    bset = boilerplate_flagged_sets(spark, sf_dir)
+    segs = accepted.withColumn(
+        "segs", token_segments(tokens("text"), BOILERPLATE_SEG_TOKENS)
+    ).join(F.broadcast(bset), "source", "left")
+    kept = F.when(F.col("bset").isNull(), F.col("segs")).otherwise(
+        F.filter(F.col("segs"), lambda s: ~F.array_contains(F.col("bset"), s))
+    )
+    scrubbed = segs.select(
+        "doc_id", F.array_join(kept, " ").alias("clean_text")
+    )
+    eval_sh = docs.select(
+        "doc_id", word_shingles(tokens("text"), decon_n).alias("shingles")
+    )
+    bitmap = eval_bloom_bitmap(spark, sf_dir, sh=eval_sh)
+    return (
+        scrubbed.withColumn(
+            "_sh", word_shingles(tokens("clean_text"), decon_n)
+        )
+        .filter(~bloom_hit_expr(F.col("_sh"), bitmap))
+        .drop("_sh")
+    )
+
+
 def pipeline_clean_corpus(
     spark: SparkSession, sf_dir: str, decon_n: int = 8
 ) -> DataFrame:
@@ -1282,39 +1325,7 @@ def pipeline_clean_corpus(
     the final fp-keyed aggregate, map-side partial. Admit-set parity
     with the wired stream is pinned in tests/test_streaming.py.
     Output: (doc_id, fp, n_merged, clean_text)."""
-    from ..functions.textfns import token_segments, tokens, word_shingles
-    from .dedup import bloom_hit_expr, eval_bloom_bitmap
-    from .text import (
-        BOILERPLATE_SEG_TOKENS,
-        boilerplate_flagged_sets,
-        quality_logit_expr,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "text"
-    )
-    accepted = docs.filter(quality_logit_expr("text") >= 0)
-    bset = boilerplate_flagged_sets(spark, sf_dir)
-    segs = accepted.withColumn(
-        "segs", token_segments(tokens("text"), BOILERPLATE_SEG_TOKENS)
-    ).join(F.broadcast(bset), "source", "left")
-    kept = F.when(F.col("bset").isNull(), F.col("segs")).otherwise(
-        F.filter(F.col("segs"), lambda s: ~F.array_contains(F.col("bset"), s))
-    )
-    scrubbed = segs.select(
-        "doc_id", F.array_join(kept, " ").alias("clean_text")
-    )
-    eval_sh = docs.select(
-        "doc_id", word_shingles(tokens("text"), decon_n).alias("shingles")
-    )
-    bitmap = eval_bloom_bitmap(spark, sf_dir, sh=eval_sh)
-    survivors = (
-        scrubbed.withColumn(
-            "_sh", word_shingles(tokens("clean_text"), decon_n)
-        )
-        .filter(~bloom_hit_expr(F.col("_sh"), bitmap))
-        .drop("_sh")
-    )
+    survivors = _clean_survivors(spark, sf_dir, decon_n)
     return (
         survivors.withColumn(
             "fp", F.md5(F.trim(F.lower(F.col("clean_text"))))
@@ -1326,6 +1337,96 @@ def pipeline_clean_corpus(
             F.min_by("clean_text", "doc_id").alias("clean_text"),
         )
         .select("doc_id", "fp", "n_merged", "clean_text")
+    )
+
+
+def pipeline_clean_corpus_neardup(
+    spark: SparkSession, sf_dir: str, decon_n: int = 8
+) -> DataFrame:
+    """pipeline_clean_corpus with the FUZZY dedup stage production corpus
+    builds run in the main funnel (VERDICT r12 #4): between the Bloom
+    decontamination and the exact-fp aggregate, a MinHash-LSH keep-first
+    pass over the SCRUBBED text —
+
+        quality gate → boilerplate scrub → Bloom decontaminate →
+        MinHash-LSH near-dup keep-first → exact-fp dedup
+
+    The near-dup stage is minhash_lsh_pairs' exact machinery
+    (lsh_pairs_from_hashed_shingles: 16-perm signatures, 4×4 banding,
+    hashed-shingle Jaccard ≥ 0.5 verify) over the survivors' clean_text,
+    with dedup_groups' carrier rule: connected components over the
+    verified pair graph, keep the min-doc_id carrier per component
+    (singletons and sub-3-token docs keep themselves). The trailing exact
+    stage still earns its keep: docs too short to shingle never enter the
+    pair graph, so byte-identical short docs collapse only on the fp.
+
+    100 TB shape: stages 1-3 are pipeline_clean_corpus's (one corpus scan,
+    broadcast gates); the near-dup stage adds the LSH pipeline's known
+    shuffles over the SURVIVOR set only (signature agg, banded self-join,
+    two SMJ verify joins — nothing all-pairs, SCALE.md's lsh inventory)
+    plus the CC rounds over the near-dup edge list (component-diameter
+    bounded, tiny vs the corpus). Output: (doc_id, fp, n_merged,
+    n_docs_represented, clean_text) — n_merged counts exact-fp copies
+    among near-dup carriers; n_docs_represented counts every survivor the
+    carrier stands for (its component members + itself), the number a
+    re-crawl audit wants."""
+    from ..functions.caching import bounded_persist
+    from ..functions.textfns import tokens, word_shingles
+    from .dedup import (
+        SHINGLE_N,
+        connected_components,
+        lsh_pairs_from_hashed_shingles,
+    )
+
+    # Persisted: read by the shingle pass, the keep-join, and the fp agg.
+    surv = bounded_persist(
+        _clean_survivors(spark, sf_dir, decon_n), "pcc_survivors", scope=sf_dir
+    )
+    # Same staged-tokens + hashed-shingle form as dedup._shingle_hashes,
+    # over clean_text (tokens staged as an attribute: a HOF lambda
+    # re-evaluates closure sub-expressions per element).
+    sh = bounded_persist(
+        surv.withColumn("_t", tokens("clean_text")).select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    word_shingles(F.col("_t"), SHINGLE_N),
+                    lambda s: F.conv(
+                        F.substring(F.md5(s), 1, 8), 16, 10
+                    ).cast("long"),
+                )
+            ).alias("hs"),
+        ),
+        "pcc_neardup_shingles",
+        scope=sf_dir,
+    )
+    pairs = lsh_pairs_from_hashed_shingles(sh, scope=sf_dir).select("d1", "d2")
+    groups = connected_components(pairs)
+    gsz = groups.groupBy("group_id").agg(
+        F.count("*").cast("bigint").alias("_gsz")
+    )
+    kept = (
+        surv.join(groups, "doc_id", "left")
+        .filter(F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id")))
+        .join(gsz, "group_id", "left")
+        .select(
+            "doc_id",
+            "clean_text",
+            F.coalesce(F.col("_gsz"), F.lit(1).cast("bigint")).alias("_rep"),
+        )
+    )
+    return (
+        kept.withColumn("fp", F.md5(F.trim(F.lower(F.col("clean_text")))))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").cast("bigint").alias("n_merged"),
+            F.sum("_rep").cast("bigint").alias("n_docs_represented"),
+            F.min_by("clean_text", "doc_id").alias("clean_text"),
+        )
+        .select(
+            "doc_id", "fp", "n_merged", "n_docs_represented", "clean_text"
+        )
     )
 
 

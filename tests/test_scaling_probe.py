@@ -143,6 +143,13 @@ def _warm_time(fn, spark, sf_dir):
         # keyed window + a (bucket, bin) partial agg — linear on top of
         # the pipeline
         ("training_export_plan", sampling.training_export_plan),
+        # r13 near-dup variant: the LSH stage's banded self-join + SMJ
+        # verify over SURVIVORS only, then diameter-bounded CC — each
+        # piece individually probed; the composition must stay linear-ish
+        (
+            "pipeline_clean_corpus_neardup",
+            sampling.pipeline_clean_corpus_neardup,
+        ),
     ],
 )
 def test_corpus_operator_scales_subquadratically(spark, scaled_dirs, name, fn):

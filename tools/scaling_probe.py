@@ -276,6 +276,12 @@ def main() -> None:
             # 8-gram Bloom decontaminate -> fp dedup)
             ("pipeline_clean_corpus", sampling.pipeline_clean_corpus),
             ("training_export_plan", sampling.training_export_plan),
+            # r13: the near-dup variant — adds the LSH stage's known
+            # shuffles over survivors only (banded self-join + SMJ verify)
+            (
+                "pipeline_clean_corpus_neardup",
+                sampling.pipeline_clean_corpus_neardup,
+            ),
         ],
         "embeddings": [
             ("embedding_neardup_pairs_vectorized", dedup.embedding_neardup_pairs_vectorized),
