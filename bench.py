@@ -198,6 +198,7 @@ def main() -> None:
 
     calib = bench_calibration(spark, sf_dir)
     htap = bench_htap_mixed(spark, sf_dir)
+    concurrent = bench_concurrent_qps(spark, sf_dir)
     htap_sustained = bench_htap_sustained(spark)
 
     # Regression tracking (VERDICT r3 #5): diff this run against the newest
@@ -231,7 +232,9 @@ def main() -> None:
     # ~160 chars of headroom inside the driver's tail-capture window
     print(
         json.dumps(
-            build_payload(timings, sf, htap, htap_sustained, calib),
+            build_payload(
+                timings, sf, htap, htap_sustained, calib, concurrent
+            ),
             separators=(",", ":"),
         )
     )
@@ -300,6 +303,7 @@ def build_payload(
     htap: dict,
     htap_sustained: dict,
     calib: dict | None = None,
+    concurrent: dict | None = None,
 ) -> dict:
     """The bench contract, in one place: the single JSON line the driver
     parses into BENCH_r{N}.json and tools/bench_diff.py consumes across
@@ -318,6 +322,10 @@ def build_payload(
         "calib": calib or {},
         "htap_mixed": htap,
         "htap_sustained": htap_sustained,
+        # mt_benchmark_htap.cpp:155-166 shape (VERDICT r12 #7): q/s under
+        # concurrency — pl = point lookups alone on all cores, plm/scan/
+        # fscan = the mixed phase (compact keys: tail-window budget)
+        "concurrent_qps": concurrent or {},
     }
 
 
@@ -484,13 +492,129 @@ def bench_htap_mixed(spark, sf_dir: str) -> dict:
         "q_idle_ms": round(query_idle, 2),
         "q_mix_ms": round(query_mixed, 2),
         "w_pct": round(100 * (write_mixed / write_idle - 1), 1),
-        "q_pct": round(100 * (query_mixed / query_idle - 1), 1),
-        "q_abs_ms": round(query_mixed - query_idle, 2),
+        # q_pct / q_abs_ms dropped from the payload (r13): both derive
+        # from q_idle_ms/q_mix_ms, and the freed chars pay for the
+        # concurrent_qps block inside the driver's 2000-char tail window
         "scan_ms": round(scan_ms, 2),
         "q_pct_vs_scan": round(100 * (query_mixed - query_idle) / scan_ms, 1),
         "writes": len(mixed_writes),
         "pl_cold_ms": round(statistics.median(cold), 2),
         "pl_warm_ms": round(statistics.median(warm), 3),
+    }
+
+
+def bench_concurrent_qps(spark, sf_dir: str) -> dict:
+    """Shape-for-shape mirror of the reference's concurrent q/s harness
+    (mt_benchmark_htap.cpp:155-166, VERDICT r12 #7): 2-second phases,
+    point lookups on ALL cores, full-scan SUM and filtered SUM each on
+    cores/4, all through one engine. Phase A: point lookups alone
+    (`pl` q/s). Phase B: the mixed load (`plm` point-lookup q/s under
+    scan pressure, `scan`/`fscan` aggregate q/s). The reference publishes
+    no absolute numbers for this harness (BASELINE.md:60-73 — shapes to
+    reproduce); the payload records ours so rounds compare against each
+    other. Caveat (stderr): point lookups are served driver-side (pyarrow
+    fetch cache), so their thread-scaling is GIL-bound — the honest
+    analog of the reference's in-process reads; scans collect through the
+    JVM and do scale."""
+    import threading
+
+    from project_samanvay_a_true_hybrid_htap_database_spark import SamanvayEngine
+    from project_samanvay_a_true_hybrid_htap_database_spark.sources import load_table
+
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    engine = SamanvayEngine(spark)
+    engine.register_base(
+        "orders", load_table(spark, sf_dir, "orders"), pk="o_orderkey"
+    )
+    keys = [
+        r[0]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .limit(512)
+        .collect()
+    ]
+    plq = "SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey = {k}"
+    scanq = "SELECT SUM(o_totalprice), AVG(o_totalprice) FROM orders"
+    fscanq = (
+        "SELECT SUM(o_totalprice) FROM orders "
+        "WHERE o_orderpriority = '1-URGENT'"
+    )
+    for q in (plq.format(k=keys[0]), scanq, fscanq):
+        engine.execute(q)
+    for k in keys:  # fill the fetch cache: steady-state, like the reference
+        engine.execute(plq.format(k=k))
+
+    counts: dict[str, int] = {}
+    lock = threading.Lock()
+
+    def pl_worker(tid: int, stop: threading.Event, key: str) -> None:
+        i, n = tid, 0
+        while not stop.is_set():
+            engine.execute(plq.format(k=keys[i % len(keys)]))
+            i += 7
+            n += 1
+        with lock:
+            counts[key] = counts.get(key, 0) + n
+
+    def scan_worker(q: str, stop: threading.Event, key: str) -> None:
+        n = 0
+        while not stop.is_set():
+            engine.execute(q)
+            n += 1
+        with lock:
+            counts[key] = counts.get(key, 0) + n
+
+    def phase(workers: list[threading.Thread], stop: threading.Event) -> float:
+        t0 = time.perf_counter()
+        for w in workers:
+            w.start()
+        time.sleep(2.0)
+        stop.set()
+        for w in workers:
+            w.join()
+        return time.perf_counter() - t0
+
+    stop_a = threading.Event()
+    secs_a = phase(
+        [
+            threading.Thread(target=pl_worker, args=(t, stop_a, "pl"))
+            for t in range(n_cpus)
+        ],
+        stop_a,
+    )
+    stop_b = threading.Event()
+    n_scan = max(1, n_cpus // 4)
+    secs_b = phase(
+        [
+            threading.Thread(target=pl_worker, args=(t, stop_b, "plm"))
+            for t in range(n_cpus)
+        ]
+        + [
+            threading.Thread(target=scan_worker, args=(scanq, stop_b, "scan"))
+            for _ in range(n_scan)
+        ]
+        + [
+            threading.Thread(target=scan_worker, args=(fscanq, stop_b, "fscan"))
+            for _ in range(n_scan)
+        ],
+        stop_b,
+    )
+    print(
+        f"concurrent_qps note: {n_cpus} point-lookup threads (driver-side "
+        f"pyarrow path, GIL-bound scaling) + 2x{n_scan} scan threads; "
+        f"phases {secs_a:.2f}s / {secs_b:.2f}s. Scan q/s rides the "
+        f"epoch-keyed cold-value cache (no writes during the phase — the "
+        f"engine's steady-state read serving, not a per-query parquet "
+        f"scan; scan_ms in htap_mixed records the uncached cost)",
+        file=sys.stderr,
+    )
+    return {
+        "pl": round(counts.get("pl", 0) / secs_a),
+        "plm": round(counts.get("plm", 0) / secs_b),
+        "scan": round(counts.get("scan", 0) / secs_b),
+        "fscan": round(counts.get("fscan", 0) / secs_b),
+        # thread counts live in the stderr note + the driver's own "cpus"
+        # field — dropped from the JSON line for tail-window budget
     }
 
 
@@ -672,8 +796,9 @@ def bench_htap_sustained(spark) -> dict:
         "q_idle_ms": round(query_idle, 2),
         "q_sus_ms": round(med, 2),
         "q_p95_ms": round(sorted(sustained)[int(0.95 * (len(sustained) - 1))], 2),
-        "q_pct": round(100 * (med / query_idle - 1), 1),
-        "q_abs_ms": round(med - query_idle, 2),
+        # q_pct / q_abs_ms derive from q_idle_ms/q_sus_ms (dropped r13,
+        # see bench_htap_mixed) — the absolute-overhead gate lives in
+        # tests/test_htap_sustained.py on the same med/query_idle inputs
         "scan_ms": round(scan_ms, 2),
         "q_pct_vs_scan": round(100 * (med - query_idle) / scan_ms, 1),
         "n_q": len(sustained),

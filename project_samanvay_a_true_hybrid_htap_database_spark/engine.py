@@ -48,6 +48,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .txlog import TableTxLog
+
 # Expected execution-layer failure families for execute()'s clean-error
 # backstop: pyspark analysis / ANSI-cast errors and JVM-bridge faults.
 # Anything outside these is logged with a traceback (advisor r7).
@@ -697,8 +699,29 @@ class SamanvayEngine:
             schema = T.StructType.fromJson(meta["schema"])
             base = None
             gen = int(meta.get("gen", 0))
+            delta_rows_meta = int(meta.get("delta_rows", 0))
             ext_path = meta.get("ext_path")
             unrecovered = False
+            # Layout: prefer the per-table transaction log's newest
+            # committed manifest over the sidecar pointers (txlog.py crash
+            # matrix — the log commits BEFORE the sidecar swap, so in the
+            # crash window between the two the log is the newer truth and
+            # its referenced dirs are guaranteed fully written). Adopt it
+            # only when every referenced dir actually exists; otherwise
+            # the sidecar rules, exactly as before the log existed.
+            tx = TableTxLog(self._table_data_path(name)).latest()
+            if tx is not None:
+                man = tx[1]
+                tgen = int(man.get("base_gen") or 0)
+                tdgen = int(man.get("delta_gen") or 0)
+                if (tgen == 0 or os.path.isdir(self._gen_path(name, tgen))) and (
+                    tdgen == 0 or os.path.isdir(self._delta_path(name, tdgen))
+                ):
+                    if tgen != gen or tdgen != int(meta.get("delta_gen", 0)):
+                        delta_rows_meta = int(man.get("delta_rows") or 0)
+                    gen = tgen
+                    meta = dict(meta)
+                    meta["delta_gen"] = tdgen
             if gen and os.path.isdir(self._gen_path(name, gen)):
                 base = self.spark.read.parquet(self._gen_path(name, gen))
             elif meta.get("has_base") and os.path.isdir(self._table_data_path(name)):
@@ -734,7 +757,7 @@ class SamanvayEngine:
                 gen=gen,
                 delta=delta,
                 delta_gen=delta_gen,
-                delta_rows=int(meta.get("delta_rows", 0)) if delta is not None else 0,
+                delta_rows=delta_rows_meta if delta is not None else 0,
                 # recovered delta did not come through the mirror path —
                 # None makes the next flush rebuild it with one bounded
                 # collect instead of silently dropping the recovered rows
@@ -848,6 +871,7 @@ class SamanvayEngine:
                 base=df,
                 ext_path=path,
             )
+            self._commit_layout(self.tables[name])
             self._persist_schemas()
 
     def append_batch(self, name: str, df: DataFrame, pk: str) -> None:
@@ -880,6 +904,7 @@ class SamanvayEngine:
             if self.data_dir is None:
                 new_delta = new_delta.localCheckpoint(eager=True)
             self._install_delta(state, new_delta, None)
+            self._commit_layout(state)
             self._persist_schemas()
             self._gc_generations(state)
             if state.delta_rows > self.DELTA_COMPACT_ROWS:
@@ -1044,6 +1069,7 @@ class SamanvayEngine:
         # WAL entry that was already flushed is idempotent (newest-wins);
         # truncating the WAL before the new segment is committed loses
         # acknowledged writes (review r6).
+        self._commit_layout(state)
         self._persist_schemas()
         self._rewrite_wal()
         self._gc_generations(state)
@@ -1227,6 +1253,44 @@ class SamanvayEngine:
         state.read_plans.clear()
         state.cold_cache = None
 
+    def _commit_layout(self, state: TableState) -> None:
+        """Append the table's current layout to its per-table transaction
+        log (txlog.py — the table-format seam, VERDICT r12 #6). This is
+        the LAYOUT commit point: it runs BEFORE _persist_schemas at every
+        durable generation/delta swap, so a crash between the two leaves
+        recovery a newer committed layout to prefer (the referenced dirs
+        are always fully written before this call; the not-yet-truncated
+        WAL replays idempotently on top). The sidecar swap remains the
+        SCHEMA commit. No-op in in-memory mode."""
+        if self.data_dir is None:
+            return
+        TableTxLog(self._table_data_path(state.name)).commit(
+            {
+                "base_gen": state.gen,
+                "base_dir": f"gen_{state.gen}" if state.gen else None,
+                "delta_gen": (
+                    state.delta_gen if state.delta is not None else 0
+                ),
+                "delta_dir": (
+                    f"delta_{state.delta_gen}"
+                    if state.delta is not None and state.delta_gen
+                    else None
+                ),
+                "delta_rows": state.delta_rows,
+                "ext_path": state.ext_path,
+            }
+        )
+
+    def table_history(self, name: str, n: int = 10) -> list[dict]:
+        """Layout-commit history for a table (newest first) — the
+        table-format DESCRIBE HISTORY shape, read from the per-table
+        transaction log. Empty for in-memory engines."""
+        if self.data_dir is None:
+            return []
+        with self._lock:
+            state = self._state(name)
+            return TableTxLog(self._table_data_path(state.name)).history(n)
+
     def _gc_generations(self, state: TableState) -> None:
         """Drop generation dirs older than the live one (and any stale
         legacy part-files directly under table_<name>). Must run AFTER the
@@ -1241,6 +1305,9 @@ class SamanvayEngine:
         keep = {f"gen_{state.gen}"}
         if state.delta is not None:
             keep.add(f"delta_{state.delta_gen}")
+        # defensive union with the transaction log's keep-set: never
+        # collect a dir the newest committed manifest still references
+        keep |= TableTxLog(tdir).live_refs()
         for entry in os.listdir(tdir):
             full = os.path.join(tdir, entry)
             if entry in keep:
@@ -1308,6 +1375,7 @@ class SamanvayEngine:
             if had_overlay:
                 self.stats["total_flushes"] += 1
             # sidecar commit before WAL truncation (see _flush_locked)
+            self._commit_layout(state)
             self._persist_schemas()
             self._rewrite_wal()
             self._gc_generations(state)
@@ -1870,6 +1938,7 @@ class SamanvayEngine:
         self._clear_delta(state)  # df was built from the merged view
         self._mem_clear(state)
         # sidecar commit before WAL truncation (see _flush_locked)
+        self._commit_layout(state)
         self._persist_schemas()
         self._rewrite_wal()
         self._gc_generations(state)

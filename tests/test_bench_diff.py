@@ -43,6 +43,7 @@ class TestEmittedSchema:
             "calib",
             "htap_mixed",
             "htap_sustained",
+            "concurrent_qps",
         }
         assert doc["metric"] == "total_query_wall"
         assert doc["unit"] == "sec"
@@ -78,8 +79,6 @@ class TestEmittedSchema:
             "q_idle_ms": 114.98,
             "q_mix_ms": 224.19,
             "w_pct": 106.7,
-            "q_pct": 162.4,
-            "q_abs_ms": 109.29,
             "scan_ms": 114.98,
             "q_pct_vs_scan": 162.4,
             "writes": 16879,
@@ -95,8 +94,6 @@ class TestEmittedSchema:
             "q_idle_ms": 115.09,
             "q_sus_ms": 146.37,
             "q_p95_ms": 181.73,
-            "q_pct": 207.2,
-            "q_abs_ms": 131.28,
             "scan_ms": 115.09,
             "q_pct_vs_scan": 114.1,
             "n_q": 12,
@@ -106,8 +103,14 @@ class TestEmittedSchema:
         # bench.main() serializes with compact separators — measure the
         # same form it prints (calib carries two 6-char floats)
         calib = {"jvm": 12.345, "scan": 12.345, "jvms": 12.345}
+        concurrent = {
+            "pl": 123456,
+            "plm": 123456,
+            "scan": 1234,
+            "fscan": 1234,
+        }
         line = json.dumps(
-            bench.build_payload(timings, 0.1, htap, sustained, calib),
+            bench.build_payload(timings, 0.1, htap, sustained, calib, concurrent),
             separators=(",", ":"),
         )
         assert len(line) <= 1900, (
@@ -121,10 +124,13 @@ class TestEmittedSchema:
 
         src_mixed = inspect.getsource(bench.bench_htap_mixed)
         src_sus = inspect.getsource(bench.bench_htap_sustained)
+        src_conc = inspect.getsource(bench.bench_concurrent_qps)
         for key in htap:
             assert f'"{key}"' in src_mixed, f"htap_mixed key {key} drifted"
         for key in sustained:
             assert f'"{key}"' in src_sus, f"htap_sustained key {key} drifted"
+        for key in concurrent:
+            assert f'"{key}"' in src_conc, f"concurrent_qps key {key} drifted"
         assert '"note"' not in src_mixed and '"note"' not in src_sus, (
             "prose notes belong on stderr, not in the JSON line"
         )

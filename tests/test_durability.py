@@ -537,3 +537,142 @@ def test_flush_crash_between_segment_commit_and_wal_truncate_loses_nothing(
 
     e2 = SamanvayEngine(spark, data_dir=data_dir)
     assert e2.execute("SELECT id, v FROM c").rows == [(1, "a")]
+
+
+# --- per-table transaction log (the table-format seam, VERDICT r12 #6) ---
+
+
+def test_txlog_versions_advance_with_each_layout_commit(spark, data_dir):
+    """Every durable layout change (flush → delta segment, compact → base
+    generation) appends ONE manifest to the table's transaction log; the
+    newest manifest is a full snapshot matching the live dirs on disk —
+    the O(1)-epoch-swap contract (txlog.py)."""
+    import os
+
+    from project_samanvay_a_true_hybrid_htap_database_spark.txlog import (
+        TableTxLog,
+    )
+
+    e1 = SamanvayEngine(spark, data_dir=data_dir)
+    _seed(e1, 2)
+    e1.flush("users")  # v1: delta_1
+    e1.execute("INSERT INTO users VALUES (3, 'u3', 23)")
+    e1.flush("users")  # v2: delta_2
+    e1.compact("users")  # v3: gen_1, delta cleared
+
+    log = TableTxLog(e1._table_data_path("users"))
+    assert log.versions() == [1, 2, 3]
+    v, man = log.latest()
+    assert v == 3
+    assert man["base_gen"] == 1 and man["base_dir"] == "gen_1"
+    assert man["delta_gen"] == 0 and man["delta_dir"] is None
+    assert log.read(2)["delta_dir"] == "delta_2"
+    assert log.read(1)["delta_dir"] == "delta_1"
+    # manifest cost is O(1) in the base size — a few hundred bytes
+    assert os.path.getsize(log._manifest_path(3)) < 4096
+    # public history API: newest first
+    hist = e1.table_history("users")
+    assert [h["v"] for h in hist] == [3, 2, 1]
+
+
+def test_txlog_preferred_over_stale_sidecar_in_crash_window(spark, data_dir):
+    """Crash between the txlog commit and the sidecar swap: the sidecar
+    still points at the PREVIOUS delta segment, but the log committed the
+    new one (whose dir was fully written before the commit). Recovery
+    must serve the log's layout — the newer truth (txlog.py crash
+    matrix)."""
+    import json as _json
+    import os
+    import shutil as _sh
+
+    e1 = SamanvayEngine(spark, data_dir=data_dir)
+    _seed(e1, 2)
+    e1.flush("users")  # delta_1 live everywhere
+    tdir = e1._table_data_path("users")
+    saved = os.path.join(data_dir, "_saved_delta_1")
+    _sh.copytree(os.path.join(tdir, "delta_1"), saved)
+
+    e1.execute("INSERT INTO users VALUES (3, 'u3', 23)")
+    e1.flush("users")  # delta_2 live, txlog v2, delta_1 GC'd
+
+    # reconstruct the crash window: pre-crash delta_1 back on disk, the
+    # sidecar rolled back to it (as if _persist_schemas never ran)
+    _sh.copytree(saved, os.path.join(tdir, "delta_1"))
+    with open(e1._schemas_path) as fh:
+        doc = _json.load(fh)
+    doc["users"]["delta_gen"] = 1
+    doc["users"]["delta_rows"] = 2
+    with open(e1._schemas_path, "w") as fh:
+        _json.dump(doc, fh)
+
+    e2 = SamanvayEngine(spark, data_dir=data_dir)
+    assert sorted(e2.execute("SELECT id FROM users").rows) == [
+        (1,),
+        (2,),
+        (3,),
+    ]
+    assert e2.tables["users"].delta_gen == 2
+
+
+def test_txlog_torn_manifest_falls_back_one_version(spark, data_dir):
+    """A torn (unreadable) newest manifest must be skipped — recovery
+    serves the newest READABLE version, never fails on garbage."""
+    import os
+
+    from project_samanvay_a_true_hybrid_htap_database_spark.txlog import (
+        TableTxLog,
+    )
+
+    e1 = SamanvayEngine(spark, data_dir=data_dir)
+    _seed(e1, 3)
+    e1.flush("users")  # v1: delta_1
+    log = TableTxLog(e1._table_data_path("users"))
+    torn = log._manifest_path(2)
+    with open(torn, "w") as fh:
+        fh.write("{not json")
+
+    assert log.latest()[0] == 1  # torn v2 skipped
+    e2 = SamanvayEngine(spark, data_dir=data_dir)
+    assert len(e2.execute("SELECT * FROM users").rows) == 3
+    assert [h["v"] for h in e2.table_history("users")] == [1]
+
+
+def test_txlog_put_if_absent_rejects_conflicts(tmp_path):
+    """The commit primitive is put-if-absent (os.link): a concurrently
+    claimed version or a stale optimistic token must raise, never
+    silently overwrite — the multi-writer contract a cluster deployment
+    of the seam relies on (Delta-style log store semantics)."""
+    import pytest as _pytest
+
+    from project_samanvay_a_true_hybrid_htap_database_spark.txlog import (
+        TableTxLog,
+        TxConflictError,
+    )
+
+    log = TableTxLog(str(tmp_path / "t"))
+    assert log.commit({"base_gen": 0}) == 1
+    # stale optimistic token
+    with _pytest.raises(TxConflictError):
+        log.commit({"base_gen": 1}, expect=0)
+    # racing writer claimed version 2 between read and link
+    with open(log._manifest_path(2), "w") as fh:
+        fh.write("{}")
+    with _pytest.raises(TxConflictError):
+        log.commit({"base_gen": 1}, expect=1)
+    # after re-reading the log, the writer lands on version 3
+    assert log.commit({"base_gen": 1}) == 3
+
+
+def test_txlog_history_is_bounded(tmp_path):
+    from project_samanvay_a_true_hybrid_htap_database_spark.txlog import (
+        TableTxLog,
+    )
+
+    log = TableTxLog(str(tmp_path / "t"))
+    for i in range(TableTxLog.HISTORY_KEEP + 10):
+        log.commit({"base_gen": i})
+    vs = log.versions()
+    # live version plus HISTORY_KEEP retained behind it
+    assert len(vs) == TableTxLog.HISTORY_KEEP + 1
+    assert vs[-1] == TableTxLog.HISTORY_KEEP + 10
+    assert vs[0] == 10

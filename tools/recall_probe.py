@@ -25,6 +25,10 @@ AUDITS = [
     # (key, module attr, kwargs) — each returns a 1-row DataFrame of
     # recall figures
     ("label_blocking", "ann_recall_audit", {}),
+    # r13 (VERDICT r12 #5): the learned-IVF kNN JOIN at the same k —
+    # the head-to-head row that backs the "don't use label blocking"
+    # docstring verdicts on knn_join_blocked / embedding_neardup_pairs
+    ("learned_ivf_join", "knn_join_ivf_recall_audit", {}),
     ("sign_lsh", "ann_lsh_recall_audit", {}),
     ("learned_ivf", "ann_ivf_recall_audit", {}),
     # the nprobe curve beyond the registered default (VERDICT r9 #8):
