@@ -1453,21 +1453,8 @@ def training_export_plan(
     bin audit is a (bucket, bin)-keyed partial aggregate. No global
     sort, no driver materialization. Output: (bucket, bin, n_docs,
     n_tokens) — the per-bin capacity audit a loader plans epochs with."""
-    from ..functions.hashing import md5_long32
-    from ..functions.textfns import tokens
-
     clean = pipeline_clean_corpus(spark, sf_dir)
-    keyed = clean.select(
-        "doc_id",
-        F.size(tokens("clean_text")).alias("n_tokens"),
-        (
-            md5_long32(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string")))
-            % buckets
-        ).cast("int").alias("bucket"),
-        md5_long32(
-            F.concat(F.lit("ord|"), F.col("doc_id").cast("string"))
-        ).alias("o"),
-    )
+    keyed = export_keyed(clean, buckets)
     w = (
         Window.partitionBy("bucket")
         .orderBy(F.col("o").asc(), F.col("doc_id").asc())
@@ -1479,13 +1466,41 @@ def training_export_plan(
     # bit-identical across engines at any cumulative magnitude.
     binned = keyed.withColumn(
         "_cum0", F.sum("n_tokens").over(w) - F.col("n_tokens")
-    ).withColumn(
-        "bin", F.expr(f"CAST(_cum0 DIV {int(budget)} AS INT)")
-    )
+    ).withColumn("bin", export_bin_expr("_cum0", budget))
     return binned.groupBy("bucket", "bin").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
     )
+
+
+def export_keyed(df: DataFrame, buckets: int = SHUFFLE_BUCKETS) -> DataFrame:
+    """The export layout keying — (doc_id, n_tokens, bucket, o) from a
+    (doc_id, clean_text) frame: whitespace token count, the terasort
+    shuffle bucket (md5 of 'shuf|doc_id' mod buckets) and the in-bucket
+    order key (md5 of 'ord|doc_id'). ONE definition shared by
+    training_export_plan and streaming.export's incremental twin, so the
+    batch backfill and the streaming frontier can never key differently."""
+    from ..functions.hashing import md5_long32
+    from ..functions.textfns import tokens
+
+    return df.select(
+        "doc_id",
+        F.size(tokens("clean_text")).alias("n_tokens"),
+        (
+            md5_long32(F.concat(F.lit("shuf|"), F.col("doc_id").cast("string")))
+            % buckets
+        ).cast("int").alias("bucket"),
+        md5_long32(
+            F.concat(F.lit("ord|"), F.col("doc_id").cast("string"))
+        ).alias("o"),
+    )
+
+
+def export_bin_expr(cum0_col: str, budget: int):
+    """bin = cum0 DIV budget — integral division of the nonnegative
+    cumulative token count, exact in any engine (shared with the
+    streaming twin; see training_export_plan)."""
+    return F.expr(f"CAST({cum0_col} DIV {int(budget)} AS INT)")
 
 
 def pipeline_clean_report(

@@ -53,7 +53,15 @@ N_CHUNKS = 6
 def _write_chunk(spark, rows, dest: str, scratch: str, mtime: float) -> None:
     """One single-file parquet chunk with a controlled mtime (the file
     source processes files in mtime order)."""
-    spark.createDataFrame(rows, EVENTS_DDL).coalesce(1).write.mode(
+    _write_chunk_typed(spark, rows, EVENTS_DDL, dest, scratch, mtime)
+
+
+def _write_chunk_typed(
+    spark, rows, ddl: str, dest: str, scratch: str, mtime: float
+) -> None:
+    """_write_chunk for an arbitrary schema (the export twin streams
+    (doc_id, clean_text) chunks, not events)."""
+    spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
         "overwrite"
     ).parquet(scratch)
     part = glob.glob(os.path.join(scratch, "part-*.parquet"))[0]
@@ -579,3 +587,109 @@ def test_foreachbatch_engine_ingest_kill_restart_exactly_once(
     assert got_fps == want_fps
     # the kill was real: phase A was a strict prefix of the final state
     assert n_phase_a < want.count()
+
+
+def test_incremental_export_kill_restart_matches_batch_plan(spark, tmp_path):
+    """r13 (VERDICT r12 #8): the OUTPUT side's streaming twin. The cleaned
+    carriers arrive as a file stream in the global (o, doc_id) shuffle
+    order, one chunk per micro-batch; the foreachBatch incremental export
+    assigns bins with the batch plan's exact keying, carrying each
+    bucket's token offset across batches with NO driver state (offsets
+    derive from the committed manifest rows — streaming/export.py). With
+    arrivals in shuffle order the final (bucket, bin, n_docs, n_tokens)
+    snapshot must be ROW-IDENTICAL to training_export_plan, across a
+    clean stop AND a replayed batch (overwrite-by-batch-id absorbs
+    redelivery)."""
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators.sampling import (
+        export_keyed,
+        pipeline_clean_corpus,
+        training_export_plan,
+    )
+    from project_samanvay_a_true_hybrid_htap_database_spark.streaming.export import (
+        export_bins_foreach_batch,
+        incremental_export_report,
+    )
+
+    carriers = pipeline_clean_corpus(spark, SF_DIR).select(
+        "doc_id", "clean_text"
+    )
+    ordered = [
+        (r["doc_id"], r["clean_text"])
+        for r in carriers.join(
+            export_keyed(carriers).select("doc_id", "o"), "doc_id"
+        )
+        .orderBy("o", "doc_id")
+        .select("doc_id", "clean_text")
+        .collect()
+    ]
+    assert len(ordered) > 50
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    ddl = "doc_id long, clean_text string"
+    n_chunks = 4
+    per = (len(ordered) + n_chunks - 1) // n_chunks
+    base_mtime = time.time() - 3600
+    for i in range(n_chunks):
+        rows = ordered[i * per : (i + 1) * per]
+        _write_chunk_typed(
+            spark,
+            rows,
+            ddl,
+            os.path.join(src, f"chunk_{i}.parquet"),
+            str(tmp_path / "scratch"),
+            base_mtime + i,
+        )
+
+    def start():
+        return (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(export_bins_foreach_batch(out))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    # Phase A: drain everything once, clean stop at a batch boundary
+    q = start()
+    q.processAllAvailable()
+    _stop_tolerating_interrupt(q)
+    n_batch_dirs = len(
+        [d for d in os.listdir(out) if d.startswith("b")]
+    )
+    assert n_batch_dirs == n_chunks  # one micro-batch per chunk
+
+    # Redelivery: re-running the last batch's foreachBatch by hand (the
+    # at-least-once case a crash between sink write and checkpoint commit
+    # produces) must overwrite, not double-count.
+    last_rows = ordered[(n_chunks - 1) * per :]
+    replay_df = spark.createDataFrame(last_rows, ddl)
+    export_bins_foreach_batch(out)(replay_df, n_chunks - 1)
+
+    # Restart on the same checkpoint: nothing new to process, report stable
+    q = start()
+    q.processAllAvailable()
+    _stop_tolerating_interrupt(q)
+
+    got = {
+        (r["bucket"], r["bin"]): (r["n_docs"], r["n_tokens"])
+        for r in incremental_export_report(spark, out).collect()
+    }
+    want = {
+        (r["bucket"], r["bin"]): (r["n_docs"], r["n_tokens"])
+        for r in training_export_plan(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # the offset-carry genuinely fired: some bucket's bin spans batches
+    # (otherwise the parity would hold vacuously per-batch)
+    manifest = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    spans = (
+        manifest.groupBy("bucket", "bin")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert spans > 0, "no bin spanned a batch boundary — test corpus too small"
