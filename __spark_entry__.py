@@ -269,96 +269,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- r12 sweep window (dict order = driver sweep order). First the 14
-        # round-11 additions that have never been driver-checked (VERDICT r11
-        # "What's missing" #1), then the 36 stalest last-green-r8 rows. After
-        # this sweep zero checkable entries are never-driver-green; 4 r8 rows
-        # (tpch_q21/q22/q4/q9) did not fit and lead the r13 window. Per the
-        # standing directive, NO new operator sits ahead of the sweep line;
-        # round-12 additions are parked at the very tail. ---
-        # never driver-green: the 14 r11 additions
-        "token_budget_select_scaled": sampling.token_budget_select_scaled,
-        "ann_ivfpq_rerank_topk": similarity.ann_ivfpq_rerank_topk,
-        "global_shuffle_order": sampling.global_shuffle_order,
-        "quality_classifier_score": text.quality_classifier_score,
-        "contrastive_hard_negatives": sampling.contrastive_hard_negatives,
-        "contrastive_hard_negatives_vectorized": (
-            sampling.contrastive_hard_negatives_vectorized
-        ),
-        "boilerplate_segments_report": text.boilerplate_segments_report,
-        "boilerplate_scrub": text.boilerplate_scrub,
-        "dedup_segments_within_doc": text.dedup_segments_within_doc,
-        "char_entropy_score": text.char_entropy_score,
-        "source_token_kl": text.source_token_kl,
-        "diversity_sample": sampling.diversity_sample,
-        "dedup_segments_across_docs": text.dedup_segments_across_docs,
-        "shard_manifest": sampling.shard_manifest,
-        # last green r8: the 36 stalest
-        "bucketed_join_agg": bucketed_join_agg,
-        "containment_pairs": dedup.containment_pairs,
-        "decontaminate_ngram_overlap": dedup.decontaminate_ngram_overlap,
-        "dedup_apply": dedup.dedup_apply,
-        "dedup_groups": dedup.dedup_groups,
-        "dedup_groups_lsh": dedup.dedup_groups_lsh,
-        "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
-        "events_hourly_anomaly": analytics.events_hourly_anomaly,
-        "events_trending_topk": analytics.events_trending_topk,
-        "exact_dedup": dedup.exact_dedup,
-        "grouping_sets_report": analytics.grouping_sets_report,
-        "incremental_dedup_report": dedup.incremental_dedup_report,
-        "interval_overlap_join": analytics.interval_overlap_join,
-        "knn_join_blocked": similarity.knn_join_blocked,
-        "lsh_recall_audit": dedup.lsh_recall_audit,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
-        "minhash_signatures": dedup.minhash_signatures_str,
-        "multimodal_audio_chunks": multimodal.audio_chunks,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "packing_efficiency": sampling.packing_efficiency,
-        "repetition_ratio": text.repetition_ratio,
-        "simhash_bucket_audit": dedup.simhash_bucket_audit,
-        "simhash_fingerprints": dedup.simhash_fingerprints,
-        "simhash_fingerprints_vectorized": dedup.simhash_fingerprints_vectorized,
-        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
-        "simhash_neardup_pairs_scale": dedup.simhash_neardup_pairs_scale,
-        "skew_join_salted": analytics.skew_join_salted,
-        "source_mixture_weights": sampling.source_mixture_weights,
-        "tpch_q11": analytics.tpch_q11_important_stock,
-        "tpch_q12": analytics.tpch_q12_shipping_priority_class,
-        "tpch_q13": analytics.tpch_q13_customer_distribution,
-        "tpch_q15": analytics.tpch_q15_top_supplier,
-        "tpch_q16": analytics.tpch_q16_parts_supplier_count,
-        "tpch_q19": analytics.tpch_q19_discounted_revenue,
-        "tpch_q2": analytics.tpch_q2_min_cost_supplier,
-        "tpch_q20": analytics.tpch_q20_part_promotion,
-        # --- sweep line (50 entries above) ---
-        # last green r8: the 4 that did not fit — first in the r13 window
+        # --- r13 sweep window (dict order = driver sweep order). First the
+        # 4 entries that have never been hash-green: the 3 r12 pipeline
+        # additions (judge-verified locally in r12) and percentile_prices_sketch
+        # (hash-checkable since r13 via the rank-error audit form — previously
+        # rows-only by design). Then the 4 stalest rows (last green r8), then
+        # 42 of the 49 last-green-r9 rows (alphabetical; the 7 that did
+        # not fit lead the r14 window: tpch_q1, tpch_q10, tpch_q17, tpch_q18, tpch_q3, tpch_q7, vocab_coverage).
+        # Per the standing directive, NO new operator sits ahead of the sweep
+        # line; the round-13 addition is parked at the very tail. ---
+        "percentile_prices_sketch": analytics.percentile_prices_sketch,
+        "pipeline_clean_corpus": sampling.pipeline_clean_corpus,
+        "training_export_plan": sampling.training_export_plan,
+        "pipeline_clean_report": sampling.pipeline_clean_report,
+        # last green r8
         "tpch_q21": analytics.tpch_q21_suppliers_kept_waiting,
         "tpch_q22": analytics.tpch_q22_global_sales_opportunity,
         "tpch_q4": analytics.tpch_q4_order_priority,
         "tpch_q9": analytics.tpch_q9_product_profit,
         # last green r9
-        "ann_recall_audit": similarity.ann_recall_audit,
-        "duplicate_span_report": dedup.duplicate_span_report,
-        "split_leakage_audit": sampling.split_leakage_audit,
-        "dedup_keep_best": dedup.dedup_keep_best,
-        "ann_lsh_recall_audit": similarity.ann_lsh_recall_audit,
-        "ann_ivf_recall_audit": similarity.ann_ivf_recall_audit,
-        "vocab_coverage": text.vocab_coverage,
-        "source_length_quantiles": text.source_length_quantiles,
-        "staged_dedup_report": dedup.staged_dedup_report,
         "agg_multi": relational.agg_multi,
         "agg_sum": relational.agg_sum,
         "agg_where": relational.agg_where,
         "ann_ivf_indexed_topk": similarity.ann_ivf_indexed_topk,
+        "ann_ivf_recall_audit": similarity.ann_ivf_recall_audit,
+        "ann_lsh_recall_audit": similarity.ann_lsh_recall_audit,
         "ann_mips_indexed_topk": similarity.ann_mips_indexed_topk,
         "ann_projected_rerank_topk": similarity.ann_projected_rerank_topk,
+        "ann_recall_audit": similarity.ann_recall_audit,
         "asof_join_events_orders": analytics.asof_join_events_orders,
         "chunk_documents": text.chunk_documents,
         "cross_source_overlap": dedup.cross_source_overlap,
         "cube_report": analytics.cube_report,
         "date_functions": analytics.date_functions,
+        "dedup_keep_best": dedup.dedup_keep_best,
         "dedup_rate_by_source": dedup.dedup_rate_by_source,
         "delete_projection": relational.delete_projection,
+        "duplicate_span_report": dedup.duplicate_span_report,
         "embedding_neardup_pairs_vectorized": dedup.embedding_neardup_pairs_vectorized,
         "embedding_random_projection": similarity.embedding_random_projection,
         "events_hourly_rollup": analytics.events_hourly_rollup,
@@ -379,119 +326,171 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": analytics.revenue_by_nation,
         "semdedup_stats": dedup.semdedup_stats,
         "sessionize": analytics.sessionize,
+        "source_length_quantiles": text.source_length_quantiles,
+        "split_leakage_audit": sampling.split_leakage_audit,
+        "staged_dedup_report": dedup.staged_dedup_report,
         "token_pmi_topk": text.token_pmi_topk,
+        # --- sweep line (50 entries above) ---
+        # last green r9: the spill that leads the r14 window
         "tpch_q1": analytics.tpch_q1_pricing_summary,
         "tpch_q10": analytics.tpch_q10_returned_items,
         "tpch_q17": analytics.tpch_q17_small_quantity_revenue,
         "tpch_q18": analytics.tpch_q18_large_volume_customer,
         "tpch_q3": analytics.tpch_q3_shipping_priority,
         "tpch_q7": analytics.tpch_q7_volume_shipping,
-        # last green r10
-        "kmeans_iterate": similarity.kmeans_iterate,
-        "knn_join_ivf_blocked": similarity.knn_join_ivf_blocked,
-        "knn_join_ivf_vectorized": similarity.knn_join_ivf_vectorized,
-        "dedup_groups_twostar": dedup.dedup_groups_twostar,
-        "pii_scrub": text.pii_scrub,
-        "pii_report": text.pii_report,
-        "token_count_min": text.token_count_min,
-        "tpch_q8": analytics.tpch_q8_market_share,
-        "unigram_lm_score": text.unigram_lm_score,
-        "unpivot_metrics": analytics.unpivot_metrics,
-        "update_projection": relational.update_projection,
-        "upsert_merge": relational.upsert_merge,
-        "window_frame_bounds": analytics.window_frame_bounds,
-        "window_lag_delta": analytics.window_lag_delta,
+        "vocab_coverage": text.vocab_coverage,
+        # driver-green r10-r12
+        "agg_avg": relational.agg_avg,
+        "agg_count": relational.agg_count,
+        "agg_min_max": relational.agg_min_max,
+        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+        "ann_ivf_multiprobe_topk": similarity.ann_ivf_multiprobe_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
+        "ann_ivfpq_recall_audit": similarity.ann_ivfpq_recall_audit,
+        "ann_ivfpq_rerank_topk": similarity.ann_ivfpq_rerank_topk,
+        "ann_ivfpq_res_topk": similarity.ann_ivfpq_res_topk,
+        "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
+        "ann_lsh_indexed_topk": similarity.ann_lsh_indexed_topk,
+        "ann_lsh_multiprobe_topk": similarity.ann_lsh_multiprobe_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_mips_topk": similarity.ann_mips_topk,
+        "ann_pq_adc_topk": similarity.ann_pq_adc_topk,
+        "ann_pq_recall_audit": similarity.ann_pq_recall_audit,
         "anti_join": analytics.anti_join,
+        "attribution_window_join": analytics.attribution_window_join,
+        "bigram_lm_score": text.bigram_lm_score,
         "bm25_search": text.bm25_search,
+        "boilerplate_scrub": text.boilerplate_scrub,
+        "boilerplate_segments_report": text.boilerplate_segments_report,
+        "bucketed_join_agg": bucketed_join_agg,
         "case_bucketing": analytics.case_bucketing,
+        "char_entropy_score": text.char_entropy_score,
         "cluster_quality_report": similarity.cluster_quality_report,
+        "containment_pairs": dedup.containment_pairs,
+        "contrastive_hard_negatives": sampling.contrastive_hard_negatives,
+        "contrastive_hard_negatives_vectorized": (
+            sampling.contrastive_hard_negatives_vectorized
+        ),
+        "contrastive_pairs": sampling.contrastive_pairs,
         "corr_stats": analytics.corr_stats,
+        "curriculum_stages": sampling.curriculum_stages,
+        "decontaminate_bloom": dedup.decontaminate_bloom,
+        "decontaminate_ngram_overlap": dedup.decontaminate_ngram_overlap,
+        "decontaminate_semantic": dedup.decontaminate_semantic,
+        "dedup_apply": dedup.dedup_apply,
+        "dedup_cluster_histogram": dedup.dedup_cluster_histogram,
+        "dedup_groups": dedup.dedup_groups,
+        "dedup_groups_lsh": dedup.dedup_groups_lsh,
+        "dedup_groups_twostar": dedup.dedup_groups_twostar,
+        "dedup_segments_across_docs": text.dedup_segments_across_docs,
+        "dedup_segments_within_doc": text.dedup_segments_within_doc,
         "distinct_count_agg": analytics.distinct_count_agg,
         "distinct_count_approx": analytics.distinct_count_approx,
         "distinct_values": analytics.distinct_values,
+        "diversity_sample": sampling.diversity_sample,
+        "documents_csv_roundtrip": textio.documents_csv_roundtrip,
+        "documents_jsonl_roundtrip": textio.documents_jsonl_roundtrip,
+        "dsir_importance_weights": sampling.dsir_importance_weights,
         "embedding_centroids": similarity.embedding_centroids,
+        "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        "embedding_quality_report": similarity.embedding_quality_report,
         "embedding_quantize": similarity.embedding_quantize,
+        "events_hourly_anomaly": analytics.events_hourly_anomaly,
+        "events_trending_topk": analytics.events_trending_topk,
+        "exact_dedup": dedup.exact_dedup,
         "except_op": analytics.except_op,
         "fingerprints": text.fingerprints,
         "fixed_k_per_stratum": sampling.fixed_k_per_stratum,
+        "global_shuffle_order": sampling.global_shuffle_order,
         "group_having": analytics.group_having,
+        "grouping_sets_report": analytics.grouping_sets_report,
         "hash_sample": sampling.hash_sample,
+        "incremental_dedup_report": dedup.incremental_dedup_report,
+        "interval_overlap_join": analytics.interval_overlap_join,
         "join_agg_orders_lineitem": analytics.join_agg_orders_lineitem,
         "kmeans_assign": similarity.kmeans_assign,
+        "kmeans_iterate": similarity.kmeans_iterate,
+        "knn_join_blocked": similarity.knn_join_blocked,
+        "knn_join_ivf_blocked": similarity.knn_join_ivf_blocked,
+        "knn_join_ivf_vectorized": similarity.knn_join_ivf_vectorized,
         "knn_join_vectorized": similarity.knn_join_vectorized,
         "lang_distribution": text.lang_distribution,
         "lang_id": text.lang_id,
+        "leakage_safe_split": sampling.leakage_safe_split,
+        "lsh_recall_audit": dedup.lsh_recall_audit,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "minhash_signatures": dedup.minhash_signatures_str,
+        "multimodal_audio_chunks": multimodal.audio_chunks,
         "multimodal_frames": multimodal.frame_sample,
         "multimodal_resize": multimodal.image_resize,
         "multimodal_summary": multimodal.multimodal_summary,
         "ngram_freq_topk": text.ngram_freq_topk,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "ntile_quartiles": analytics.ntile_quartiles,
         "pack_sequences": sampling.pack_sequences,
+        "packing_efficiency": sampling.packing_efficiency,
         "percentile_prices": analytics.percentile_prices,
         "percentile_prices_approx": analytics.percentile_prices_approx,
+        "pii_report": text.pii_report,
+        "pii_scrub": text.pii_scrub,
+        "pii_scrub_ner": text.pii_scrub_ner,
         "pipeline_funnel": sampling.pipeline_funnel,
         "pivot_status_by_priority": analytics.pivot_status_by_priority,
+        "pq_encode": similarity.pq_encode,
+        "quality_classifier_score": text.quality_classifier_score,
         "quality_score": text.quality_score,
+        "repetition_ratio": text.repetition_ratio,
         "rollup_agg": analytics.rollup_agg,
         "salted_agg": analytics.salted_agg,
         "scalar_subquery": analytics.scalar_subquery,
         "semantic_outliers": similarity.semantic_outliers,
         "semi_join": analytics.semi_join,
-        # last green r11 (freshest rows in the repo; sketch row is rows-only)
-        "pii_scrub_ner": text.pii_scrub_ner,
-        "temperature_resample": sampling.temperature_resample,
-        "decontaminate_semantic": dedup.decontaminate_semantic,
-        "ann_ivf_multiprobe_topk": similarity.ann_ivf_multiprobe_topk,
-        "documents_jsonl_roundtrip": textio.documents_jsonl_roundtrip,
-        "documents_csv_roundtrip": textio.documents_csv_roundtrip,
-        "pq_encode": similarity.pq_encode,
-        "ann_pq_adc_topk": similarity.ann_pq_adc_topk,
-        "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
-        "ann_pq_recall_audit": similarity.ann_pq_recall_audit,
-        "decontaminate_bloom": dedup.decontaminate_bloom,
-        "dsir_importance_weights": sampling.dsir_importance_weights,
-        "bigram_lm_score": text.bigram_lm_score,
-        "token_budget_select": sampling.token_budget_select,
-        "contrastive_pairs": sampling.contrastive_pairs,
-        "winnowing_fingerprints": text.winnowing_fingerprints,
-        "winnowing_overlap_report": text.winnowing_overlap_report,
-        "leakage_safe_split": sampling.leakage_safe_split,
-        "curriculum_stages": sampling.curriculum_stages,
-        "ann_ivfpq_res_topk": similarity.ann_ivfpq_res_topk,
-        "ann_ivfpq_recall_audit": similarity.ann_ivfpq_recall_audit,
-        "table_profile": analytics.table_profile,
-        "embedding_quality_report": similarity.embedding_quality_report,
-        "dedup_cluster_histogram": dedup.dedup_cluster_histogram,
-        "virtual_epochs": sampling.virtual_epochs,
-        "percentile_prices_sketch": analytics.percentile_prices_sketch,
         "set_ops": analytics.set_ops,
+        "shard_manifest": sampling.shard_manifest,
+        "simhash_bucket_audit": dedup.simhash_bucket_audit,
+        "simhash_fingerprints": dedup.simhash_fingerprints,
+        "simhash_fingerprints_vectorized": dedup.simhash_fingerprints_vectorized,
+        "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
+        "simhash_neardup_pairs_scale": dedup.simhash_neardup_pairs_scale,
+        "skew_join_salted": analytics.skew_join_salted,
+        "source_mixture_weights": sampling.source_mixture_weights,
         "source_quality_report": text.source_quality_report,
+        "source_token_kl": text.source_token_kl,
         "stratified_sample": sampling.stratified_sample,
         "string_functions": analytics.string_functions,
+        "table_profile": analytics.table_profile,
+        "temperature_resample": sampling.temperature_resample,
         "tfidf_keywords": text.tfidf_keywords,
+        "token_budget_select": sampling.token_budget_select,
+        "token_budget_select_scaled": sampling.token_budget_select_scaled,
+        "token_count_min": text.token_count_min,
         "token_counts": text.token_counts,
         "token_histogram": text.token_histogram,
         "top_orders": analytics.top_orders,
+        "tpch_q11": analytics.tpch_q11_important_stock,
+        "tpch_q12": analytics.tpch_q12_shipping_priority_class,
+        "tpch_q13": analytics.tpch_q13_customer_distribution,
         "tpch_q14": analytics.tpch_q14_promo_revenue,
+        "tpch_q15": analytics.tpch_q15_top_supplier,
+        "tpch_q16": analytics.tpch_q16_parts_supplier_count,
+        "tpch_q19": analytics.tpch_q19_discounted_revenue,
+        "tpch_q2": analytics.tpch_q2_min_cost_supplier,
+        "tpch_q20": analytics.tpch_q20_part_promotion,
         "tpch_q5": analytics.tpch_q5_supplier_volume,
         "tpch_q6": analytics.tpch_q6_forecast_revenue,
+        "tpch_q8": analytics.tpch_q8_market_share,
         "train_test_split": sampling.train_test_split,
+        "unigram_lm_score": text.unigram_lm_score,
+        "unpivot_metrics": analytics.unpivot_metrics,
+        "update_projection": relational.update_projection,
+        "upsert_merge": relational.upsert_merge,
+        "virtual_epochs": sampling.virtual_epochs,
+        "window_frame_bounds": analytics.window_frame_bounds,
+        "window_lag_delta": analytics.window_lag_delta,
         "window_running_sum": analytics.window_running_sum,
         "window_topn_per_group": analytics.window_topn_per_group,
-        "agg_avg": relational.agg_avg,
-        "agg_count": relational.agg_count,
-        "agg_min_max": relational.agg_min_max,
-        "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
-        "ann_ivf_topk": similarity.ann_ivf_topk,
-        "ann_lsh_indexed_topk": similarity.ann_lsh_indexed_topk,
-        "ann_lsh_multiprobe_topk": similarity.ann_lsh_multiprobe_topk,
-        "ann_lsh_topk": similarity.ann_lsh_topk,
-        "ann_mips_topk": similarity.ann_mips_topk,
-        "attribution_window_join": analytics.attribution_window_join,
-        # --- round-12 additions (parked at the tail per the directive) ---
-        "pipeline_clean_corpus": sampling.pipeline_clean_corpus,
-        "training_export_plan": sampling.training_export_plan,
-        "pipeline_clean_report": sampling.pipeline_clean_report,
+        "winnowing_fingerprints": text.winnowing_fingerprints,
+        "winnowing_overlap_report": text.winnowing_overlap_report,
         # --- round-13 additions (parked at the tail per the directive) ---
         "pipeline_clean_corpus_neardup": sampling.pipeline_clean_corpus_neardup,
     }

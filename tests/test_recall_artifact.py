@@ -77,6 +77,15 @@ class TestRecallArtifact:
             assert ivf2 < ivf3 < ivf4
             assert ivf3 >= lsh2
             assert ivf3 >= 0.60
+        # r13 (VERDICT r12 #5): the kNN-JOIN head-to-head at the same k —
+        # the measured basis for the label-blocking retirement verdicts on
+        # knn_join_blocked / embedding_neardup_pairs / semdedup_stats.
+        # Measured r13: 0.6733 vs 0.08 (8.4x at nprobe=3).
+        if "learned_ivf_join" in doc:
+            join_row = doc["learned_ivf_join"]
+            assert join_row["k"] == 3 and join_row["n_queries"] == 50
+            assert join_row["mean_recall"] > 5 * label
+            assert join_row["mean_recall"] >= 0.60
 
     @pytest.mark.skipif(
         not os.path.isdir(SF_DIR), reason="sf0.01 testdata not present"
