@@ -9,6 +9,8 @@ StorageEngine/API/api_server.hpp:98-333, envelope json_helpers.hpp:22-51):
 - ``GET  /api/tables``                -> {"tables": [...], "count": N}
 - ``GET  /api/tables/<name>``         -> schema JSON (schemaToJson parity)
 - ``GET  /api/tables/<name>/describe``-> {"description": <text table>}
+- ``GET  /api/tables/<name>/history`` -> {"history": [manifests], "count"}
+  (r13, beyond-reference: the transaction log's DESCRIBE HISTORY view)
 - ``GET  /api/status``                -> engine.status()
 - ``POST /api/admin/flush``           -> flush all hot overlays
 - ``POST /api/admin/compact``         -> compact all tables
@@ -160,6 +162,17 @@ class SamanvayAPIServer:
                     )
                 rs = eng.execute(f"DESCRIBE {name}")
                 return 200, success({"description": format_result(rs)})
+            if rest.endswith("/history"):
+                # beyond-reference extension (r13): the transaction log's
+                # DESCRIBE HISTORY view — layout commits, newest first
+                # (empty for in-memory engines; txlog.py)
+                name = rest[: -len("/history")]
+                if name.lower() not in eng.tables:
+                    return 404, error(
+                        f"Table '{name}' does not exist", "NOT_FOUND"
+                    )
+                hist = eng.table_history(name.lower())
+                return 200, success({"history": hist, "count": len(hist)})
             schema = self._schema_json(rest)
             if schema is None:
                 return 404, error(f"Table '{rest}' does not exist", "NOT_FOUND")

@@ -205,6 +205,16 @@ class TestRestAPI:
         status, body = _req(api, "GET", "/api/tables/ghost")
         assert status == 404 and body["error"]["type"] == "NOT_FOUND"
 
+        # r13: the transaction-log history view (beyond-reference). The
+        # fixture engine is in-memory, so the contract here is shape:
+        # 200 + an empty commit list; the populated form is covered by
+        # test_durability's table_history assertions.
+        status, body = _req(api, "GET", "/api/tables/widgets/history")
+        assert status == 200
+        assert body["data"]["history"] == [] and body["data"]["count"] == 0
+        status, body = _req(api, "GET", "/api/tables/ghost/history")
+        assert status == 404 and body["error"]["type"] == "NOT_FOUND"
+
     def test_status_flush_health_info(self, api):
         _req(api, "POST", "/api/query", {"sql": "CREATE TABLE s (id INT PRIMARY KEY)"})
         _req(api, "POST", "/api/query", {"sql": "INSERT INTO s VALUES (7)"})
