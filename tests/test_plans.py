@@ -263,6 +263,9 @@ class TestNoPresentationalSort:
             "winnowing_fingerprints",
             "dsir_importance_weights",
             "decontaminate_bloom",
+            # r13 composed near-dup manifest: carrier-sized output, the
+            # only acceptable exchanges are the LSH/CC hash shuffles
+            "pipeline_clean_corpus_neardup",
             "bigram_lm_score",
             "leakage_safe_split",
             "curriculum_stages",

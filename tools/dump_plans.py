@@ -73,6 +73,7 @@ SHOWCASE = [
     ("source_token_kl", "per-source unigram KL — token-keyed window for corpus counts (no vocab join), source-sized rollup"),
     ("pipeline_clean_corpus", "composed batch cleaning pipeline — quality + scrub + 8-gram Bloom gates all inside the scan (weights/flagged-sets/bitmap folded or broadcast), one fp-keyed aggregate is the only corpus shuffle"),
     ("training_export_plan", "cleaned corpus -> terasort shuffle -> token-budget packing — per-shard cumulative window (no global sort), (bucket, bin) partial-agg audit"),
+    ("pipeline_clean_corpus_neardup", "r13 composed pipeline + MinHash-LSH keep-first stage — banded self-join + SMJ verify over survivors only (nothing all-pairs), diameter-bounded CC, fp aggregate unchanged"),
 ]
 
 
