@@ -239,6 +239,36 @@ sig AS (SELECT doc_id, {mins} FROM hh GROUP BY doc_id)
 """
 
 
+def _semdedup_ivf_sql() -> str:
+    """semdedup_stats' pair/CC/rollup chain over the LEARNED clusters:
+    the unrolled fixed-round Lloyd assignment (_kmeans_cte — the
+    knn_join_ivf oracle's replay) supplies the blocking key."""
+    km_cte, km_a, _km_d = _kmeans_cte()
+    cos = _COS.format(a="ea.embedding::DOUBLE[]", b="eb2.embedding::DOUBLE[]")
+    return f"""
+WITH RECURSIVE {km_cte},
+ec AS (SELECT e.vec_id, e.embedding, a.cl
+       FROM embeddings e JOIN {km_a} a ON a.vec_id = e.vec_id),
+pr AS (SELECT ea.vec_id AS d1, eb2.vec_id AS d2
+       FROM ec ea JOIN ec eb2
+         ON ea.cl = eb2.cl AND ea.vec_id < eb2.vec_id
+       WHERE round({cos}, 4) >= {dedup.COSINE_THRESHOLD}),
+edges AS (SELECT d1 AS a, d2 AS b FROM pr UNION SELECT d2, d1 FROM pr),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a),
+lbl AS (SELECT n AS vec_id, min(m) AS group_id FROM reach GROUP BY n),
+drops AS (SELECT vec_id FROM lbl WHERE vec_id != group_id)
+SELECT ec.cl AS cluster, count(*) AS n_vecs,
+       CAST(count(d.vec_id) AS BIGINT) AS n_dropped,
+       round(count(d.vec_id)::DOUBLE / count(*), 4) AS drop_ratio
+FROM ec LEFT JOIN drops d ON ec.vec_id = d.vec_id
+GROUP BY ec.cl
+"""
+
+
 def _simhash_fp_cte(bits: int = 60) -> str:
     votes = ", ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE 0 END) AS b{j}"
@@ -493,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_overlap_report": text.winnowing_overlap_report,
         # --- round-13 additions (parked at the tail per the directive) ---
         "pipeline_clean_corpus_neardup": sampling.pipeline_clean_corpus_neardup,
+        "semdedup_stats_ivf": dedup.semdedup_stats_ivf,
     }
 
 
@@ -1502,6 +1533,10 @@ SELECT e.label, count(*) AS n_vecs,
 FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.vec_id
 GROUP BY e.label ORDER BY e.label
 """,
+        # r13 (VERDICT r12 #5): SemDeDup over the LEARNED quantizer — the
+        # unrolled-Lloyd assignment replay (knn_join_ivf precedent) feeding
+        # semdedup_stats' exact pair/CC/rollup chain, grouped by cluster
+        "semdedup_stats_ivf": _semdedup_ivf_sql(),
         "window_frame_bounds": """
 SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
        round(first_value(c_acctbal) OVER w, 2) AS seg_min_bal,

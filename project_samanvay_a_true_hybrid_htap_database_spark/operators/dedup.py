@@ -1734,14 +1734,27 @@ def embedding_neardup_pairs_vectorized(
     rounding only affects a reported value, not set membership). Work:
     O(m²) candidate math in BLAS, O(|pairs|) HOF verification —
     |pairs| ≪ m², which is the entire point."""
-    import numpy as np
-    import pandas as pd
-
-    from ..functions.vectors import dot, norm
+    from ..functions.vectors import norm
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", "label", norm(F.col("embedding")).alias("nrm")
     )
+    return _neardup_pairs_vectorized_blocked(emb, threshold)
+
+
+def _neardup_pairs_vectorized_blocked(
+    emb: DataFrame, threshold: float
+) -> DataFrame:
+    """The BLAS-candidates + exact-HOF-verify core of
+    embedding_neardup_pairs_vectorized over an arbitrary blocked frame
+    (vec_id, embedding, label, nrm) — split out (r13) so semdedup_stats_ivf
+    can run the identical pair machinery over the LEARNED cluster id
+    instead of the synthetic label."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.vectors import dot
+
     raw_floor = threshold - 1e-4
 
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1781,6 +1794,62 @@ def embedding_neardup_pairs_vectorized(
     )
     return verified.filter(F.round(F.col("cos"), 4) >= threshold).select(
         "v1", "v2", F.round("cos", 4).alias("cos_sim")
+    )
+
+
+def semdedup_stats_ivf(
+    spark: SparkSession, sf_dir: str, threshold: float = COSINE_THRESHOLD
+) -> DataFrame:
+    """SemDeDup over the LEARNED quantizer — the production form of
+    semdedup_stats (r13, completing VERDICT r12 #5's label-blocking
+    retirement with an operator, not just advice): the blocking key is
+    the fixed-round-Lloyd cluster id (similarity.learned_centroids — the
+    quantizer RECALL_r13 `learned_ivf_join` measures at 0.6733 recall@3
+    vs the label's 0.08), exactly as Abbas et al. 2023 define SemDeDup
+    ("k-means clusters, all-pairs within cluster"). Pair machinery, CC
+    carrier rule, and per-cluster removal accounting are semdedup_stats'
+    own, so the two differ ONLY in the quantizer.
+
+    Scale shape: the argmin assignment is literal-centroid, in-scan (no
+    join, no shuffle — kmeans_iterate's plan); the pair join is bounded
+    by the widest LEARNED list (which the k knob controls directly at
+    100 TB); CC and the rollup are unchanged. Oracle: the unrolled Lloyd
+    CTE replay (the knn_join_ivf precedent) feeding semdedup_stats'
+    pair/CC/rollup SQL. Output: (cluster, n_vecs, n_dropped, drop_ratio)."""
+    from ..functions.vectors import norm
+    from .similarity import _with_nearest_centroid, learned_centroids
+
+    cents = learned_centroids(spark, sf_dir)
+    emb0 = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    assigned = _with_nearest_centroid(emb0, cents, "embedding", "_b").select(
+        "vec_id",
+        "embedding",
+        F.col("_b")["l"].alias("label"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    pairs = _neardup_pairs_vectorized_blocked(assigned, threshold).select(
+        F.col("v1").alias("d1"), F.col("v2").alias("d2")
+    )
+    labels = connected_components(pairs)
+    dropped = labels.filter(F.col("doc_id") != F.col("group_id")).select(
+        F.col("doc_id").alias("vec_id"), F.lit(1).alias("is_dropped")
+    )
+    return (
+        assigned.select("vec_id", F.col("label").alias("cluster"))
+        .join(dropped, "vec_id", "left")
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.round(
+                F.sum(F.coalesce(F.col("is_dropped"), F.lit(0))) / F.count("*"),
+                4,
+            ).alias("drop_ratio"),
+        )
     )
 
 
