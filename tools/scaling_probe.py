@@ -286,6 +286,11 @@ def main() -> None:
         "embeddings": [
             ("embedding_neardup_pairs_vectorized", dedup.embedding_neardup_pairs_vectorized),
             ("semdedup_stats", dedup.semdedup_stats),
+            # r13 production form: learned-cluster blocking — the argmin
+            # assignment is an in-scan literal expression, so the probe
+            # measures the same blocked-pairs/CC growth under the quantizer
+            # that actually ships
+            ("semdedup_stats_ivf", dedup.semdedup_stats_ivf),
             ("ann_lsh_recall_audit", similarity.ann_lsh_recall_audit),
             ("ann_ivf_recall_audit", similarity.ann_ivf_recall_audit),
             # r10 vector-family additions
