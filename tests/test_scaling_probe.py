@@ -162,6 +162,15 @@ def test_corpus_operator_scales_subquadratically(spark, scaled_dirs, name, fn):
     # real regression (review r6). With the floor, failure requires the
     # 10x run to exceed 17.5 s — plan-shape territory, not jitter.
     ratio = t10 / max(t1, 0.5)
+    if ratio >= MAX_RATIO:
+        # retry the 10x side once before failing: late in the full suite
+        # the session carries dozens of persisted tables and the single
+        # 10x sample can double under that cache pressure (r13:
+        # boilerplate_scrub read 36.4x in-suite vs 9.1x standalone, file
+        # unchanged). A REAL growth-order regression reproduces on the
+        # second sample; a pressure spike does not.
+        t10 = min(t10, _warm_time(fn, spark, ten_dir))
+        ratio = t10 / max(t1, 0.5)
     assert ratio < MAX_RATIO, (
         f"{name}: 10x corpus cost {ratio:.1f}x the 1x run "
         f"({t1:.2f}s -> {t10:.2f}s) — growth order regressed"
