@@ -158,6 +158,19 @@ class TableTxLog:
             # claimed by a concurrent writer — never silently overwrite.
             os.link(tmp, final)
         except FileExistsError as exc:
+            # A link-committed manifest is atomically complete, so an
+            # EXISTING-but-unreadable file at this slot can only be
+            # external garbage (latest() already skipped it, which is how
+            # `version` landed on it). Reclaim the slot instead of
+            # wedging every future commit behind a permanent conflict; a
+            # READABLE occupant is a genuine concurrent commit and still
+            # conflicts.
+            try:
+                self.read(version)
+            except (OSError, json.JSONDecodeError):
+                os.replace(tmp, final)
+                self._prune(version)
+                return version
             raise TxConflictError(f"version {version} already committed") from exc
         finally:
             try:

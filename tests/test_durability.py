@@ -636,6 +636,15 @@ def test_txlog_torn_manifest_falls_back_one_version(spark, data_dir):
     assert len(e2.execute("SELECT * FROM users").rows) == 3
     assert [h["v"] for h in e2.table_history("users")] == [1]
 
+    # and the NEXT commit reclaims the garbage-occupied slot instead of
+    # wedging behind a permanent conflict (a link-committed manifest is
+    # never torn, so unreadable == external garbage)
+    e2.execute("INSERT INTO users VALUES (4, 'u4', 24)")
+    e2.flush("users")
+    v, man = log.latest()
+    assert v == 2 and man["delta_dir"] == "delta_2"
+    assert len(e2.execute("SELECT * FROM users").rows) == 4
+
 
 def test_txlog_put_if_absent_rejects_conflicts(tmp_path):
     """The commit primitive is put-if-absent (os.link): a concurrently
