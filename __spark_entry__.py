@@ -524,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-13 additions (parked at the tail per the directive) ---
         "pipeline_clean_corpus_neardup": sampling.pipeline_clean_corpus_neardup,
         "semdedup_stats_ivf": dedup.semdedup_stats_ivf,
+        "pipeline_clean_report_neardup": sampling.pipeline_clean_report_neardup,
     }
 
 
@@ -3527,7 +3528,7 @@ FROM f GROUP BY fp
         f"min((h * {a}::BIGINT + {b}::BIGINT) % {MERSENNE31}) AS m{i}"
         for i, (a, b) in enumerate(permutation_params(16))
     )
-    sqls["pipeline_clean_corpus_neardup"] = (
+    pccn_ctes = (
         pcc_ctes.replace("\nWITH t AS", "\nWITH RECURSIVE t AS", 1)
         + f""",
 nsh AS (SELECT doc_id,
@@ -3560,11 +3561,34 @@ nkept AS (SELECT k.doc_id, k.clean_text,
                  coalesce(z.gsz, 1::BIGINT) AS rep
           FROM nkeep k LEFT JOIN ngsz z ON z.group_id = k.doc_id),
 nf AS (SELECT doc_id, clean_text, rep,
-              md5(trim(lower(clean_text))) AS fp FROM nkept)
-SELECT min(doc_id)::BIGINT AS doc_id, fp, count(*)::BIGINT AS n_merged,
-       sum(rep)::BIGINT AS n_docs_represented,
-       arg_min(clean_text, doc_id) AS clean_text
-FROM nf GROUP BY fp
+              md5(trim(lower(clean_text))) AS fp FROM nkept),
+nfinal AS (SELECT min(doc_id)::BIGINT AS doc_id, fp,
+                  count(*)::BIGINT AS n_merged,
+                  sum(rep)::BIGINT AS n_docs_represented,
+                  arg_min(clean_text, doc_id) AS clean_text
+           FROM nf GROUP BY fp)"""
+    )
+    sqls["pipeline_clean_corpus_neardup"] = (
+        pccn_ctes
+        + """
+SELECT doc_id, fp, n_merged, n_docs_represented, clean_text FROM nfinal
+"""
+    )
+    # r13: the near-dup pipeline's funnel report — counts read off the
+    # SAME shared CTE chain (t/q/surv/nkeep/nf), so report and manifest
+    # agree by construction (the pipeline_clean_report precedent)
+    sqls["pipeline_clean_report_neardup"] = (
+        pccn_ctes
+        + """
+SELECT stage, label, n_docs FROM (
+  SELECT 1 AS stage, 'total' AS label,
+         (SELECT count(*) FROM t)::BIGINT AS n_docs
+  UNION ALL SELECT 2, 'quality_accepted', (SELECT count(*) FROM q)::BIGINT
+  UNION ALL SELECT 3, 'decontaminated', (SELECT count(*) FROM surv)::BIGINT
+  UNION ALL SELECT 4, 'neardup_carriers', (SELECT count(*) FROM nkeep)::BIGINT
+  UNION ALL SELECT 5, 'admitted_fps',
+         (SELECT count(DISTINCT fp) FROM nf)::BIGINT
+) r
 """
     )
     # r12: the output-side capstone — cleaned carriers laid out in the

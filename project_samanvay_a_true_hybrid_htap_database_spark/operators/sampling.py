@@ -1340,36 +1340,14 @@ def pipeline_clean_corpus(
     )
 
 
-def pipeline_clean_corpus_neardup(
+def _neardup_kept(
     spark: SparkSession, sf_dir: str, decon_n: int = 8
 ) -> DataFrame:
-    """pipeline_clean_corpus with the FUZZY dedup stage production corpus
-    builds run in the main funnel (VERDICT r12 #4): between the Bloom
-    decontamination and the exact-fp aggregate, a MinHash-LSH keep-first
-    pass over the SCRUBBED text —
-
-        quality gate → boilerplate scrub → Bloom decontaminate →
-        MinHash-LSH near-dup keep-first → exact-fp dedup
-
-    The near-dup stage is minhash_lsh_pairs' exact machinery
-    (lsh_pairs_from_hashed_shingles: 16-perm signatures, 4×4 banding,
-    hashed-shingle Jaccard ≥ 0.5 verify) over the survivors' clean_text,
-    with dedup_groups' carrier rule: connected components over the
-    verified pair graph, keep the min-doc_id carrier per component
-    (singletons and sub-3-token docs keep themselves). The trailing exact
-    stage still earns its keep: docs too short to shingle never enter the
-    pair graph, so byte-identical short docs collapse only on the fp.
-
-    100 TB shape: stages 1-3 are pipeline_clean_corpus's (one corpus scan,
-    broadcast gates); the near-dup stage adds the LSH pipeline's known
-    shuffles over the SURVIVOR set only (signature agg, banded self-join,
-    two SMJ verify joins — nothing all-pairs, SCALE.md's lsh inventory)
-    plus the CC rounds over the near-dup edge list (component-diameter
-    bounded, tiny vs the corpus). Output: (doc_id, fp, n_merged,
-    n_docs_represented, clean_text) — n_merged counts exact-fp copies
-    among near-dup carriers; n_docs_represented counts every survivor the
-    carrier stands for (its component members + itself), the number a
-    re-crawl audit wants."""
+    """Stage 4 of the near-dup pipeline: the post-LSH carrier set
+    (doc_id, clean_text, _rep = component members represented) over the
+    stage-1-3 survivors — shared by pipeline_clean_corpus_neardup and its
+    funnel report so the manifest and the observability row count the
+    same carriers by construction."""
     from ..functions.caching import bounded_persist
     from ..functions.textfns import tokens, word_shingles
     from .dedup import (
@@ -1405,7 +1383,7 @@ def pipeline_clean_corpus_neardup(
     gsz = groups.groupBy("group_id").agg(
         F.count("*").cast("bigint").alias("_gsz")
     )
-    kept = (
+    return (
         surv.join(groups, "doc_id", "left")
         .filter(F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id")))
         .join(gsz, "group_id", "left")
@@ -1415,6 +1393,39 @@ def pipeline_clean_corpus_neardup(
             F.coalesce(F.col("_gsz"), F.lit(1).cast("bigint")).alias("_rep"),
         )
     )
+
+
+def pipeline_clean_corpus_neardup(
+    spark: SparkSession, sf_dir: str, decon_n: int = 8
+) -> DataFrame:
+    """pipeline_clean_corpus with the FUZZY dedup stage production corpus
+    builds run in the main funnel (VERDICT r12 #4): between the Bloom
+    decontamination and the exact-fp aggregate, a MinHash-LSH keep-first
+    pass over the SCRUBBED text —
+
+        quality gate → boilerplate scrub → Bloom decontaminate →
+        MinHash-LSH near-dup keep-first → exact-fp dedup
+
+    The near-dup stage is minhash_lsh_pairs' exact machinery
+    (lsh_pairs_from_hashed_shingles: 16-perm signatures, 4×4 banding,
+    hashed-shingle Jaccard ≥ 0.5 verify) over the survivors' clean_text,
+    with dedup_groups' carrier rule: connected components over the
+    verified pair graph, keep the min-doc_id carrier per component
+    (singletons and sub-3-token docs keep themselves). The trailing exact
+    stage still earns its keep: docs too short to shingle never enter the
+    pair graph, so byte-identical short docs collapse only on the fp.
+
+    100 TB shape: stages 1-3 are pipeline_clean_corpus's (one corpus scan,
+    broadcast gates); the near-dup stage adds the LSH pipeline's known
+    shuffles over the SURVIVOR set only (signature agg, banded self-join,
+    two SMJ verify joins — nothing all-pairs, SCALE.md's lsh inventory)
+    plus the CC rounds over the near-dup edge list (component-diameter
+    bounded, tiny vs the corpus). Output: (doc_id, fp, n_merged,
+    n_docs_represented, clean_text) — n_merged counts exact-fp copies
+    among near-dup carriers; n_docs_represented counts every survivor the
+    carrier stands for (its component members + itself), the number a
+    re-crawl audit wants."""
+    kept = _neardup_kept(spark, sf_dir, decon_n)
     return (
         kept.withColumn("fp", F.md5(F.trim(F.lower(F.col("clean_text")))))
         .groupBy("fp")
@@ -1426,6 +1437,60 @@ def pipeline_clean_corpus_neardup(
         )
         .select(
             "doc_id", "fp", "n_merged", "n_docs_represented", "clean_text"
+        )
+    )
+
+
+def pipeline_clean_report_neardup(
+    spark: SparkSession, sf_dir: str, decon_n: int = 8
+) -> DataFrame:
+    """Stage-count funnel for the NEAR-DUP pipeline (the
+    pipeline_clean_report sibling, completing the capstone symmetry):
+    total → quality-accepted → decontaminated → near-dup carriers →
+    distinct admitted fingerprints. The new stage-4 row is the fuzzy
+    stage's drop volume; (decontaminated − carriers) is re-crawled
+    NEAR-duplicate mass, (carriers − fps) the residual byte-identical
+    shorts the trailing exact stage collapses.
+
+    Shape: stages 1-3 count off one gate scan (the pipeline's own
+    expressions); stage 4-5 count the shared carrier frame
+    (_neardup_kept — the manifest and this report can never disagree).
+    Three single-row aggregates crossJoined, stage rows via explode of a
+    literal struct array (never an N-way union that clones a subtree).
+    Output: (stage, label, n_docs)."""
+    from .text import quality_logit_expr
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a01 = docs.agg(
+        F.count("*").cast("bigint").alias("n0"),
+        F.sum(
+            F.when(quality_logit_expr("text") >= 0, 1).otherwise(0)
+        ).cast("bigint").alias("n1"),
+    )
+    surv = _clean_survivors(spark, sf_dir, decon_n)
+    a2 = surv.agg(F.count("*").cast("bigint").alias("n2"))
+    kept = _neardup_kept(spark, sf_dir, decon_n)
+    a34 = kept.agg(
+        F.count("*").cast("bigint").alias("n3"),
+        F.countDistinct(
+            F.md5(F.trim(F.lower(F.col("clean_text"))))
+        ).cast("bigint").alias("n4"),
+    )
+    stages = F.array(
+        F.struct(F.lit(1).alias("stage"), F.lit("total").alias("label"), F.col("n0").alias("n_docs")),
+        F.struct(F.lit(2).alias("stage"), F.lit("quality_accepted").alias("label"), F.col("n1").alias("n_docs")),
+        F.struct(F.lit(3).alias("stage"), F.lit("decontaminated").alias("label"), F.col("n2").alias("n_docs")),
+        F.struct(F.lit(4).alias("stage"), F.lit("neardup_carriers").alias("label"), F.col("n3").alias("n_docs")),
+        F.struct(F.lit(5).alias("stage"), F.lit("admitted_fps").alias("label"), F.col("n4").alias("n_docs")),
+    )
+    return (
+        a01.crossJoin(a2)
+        .crossJoin(a34)
+        .select(F.explode(stages).alias("s"))
+        .select(
+            F.col("s.stage").alias("stage"),
+            F.col("s.label").alias("label"),
+            F.col("s.n_docs").cast("bigint").alias("n_docs"),
         )
     )
 
