@@ -293,6 +293,29 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_band_keys(
+    bands: int = LSH_BANDS, rows: int = LSH_ROWS, sig_col: str = "sig"
+):
+    """Array of LSH band keys from a minhash signature column — md5 of the
+    comma-joined ``rows`` signature values per band. ONE definition shared
+    by the batch banding (lsh_pairs_from_hashed_shingles) and the
+    streaming near-dup admission gate, so their buckets cannot drift."""
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(sig_col)[band * rows + r].cast("string")
+                        for r in range(rows)
+                    ],
+                )
+            )
+            for band in range(bands)
+        ]
+    )
+
+
 def lsh_pairs_from_hashed_shingles(
     sh: DataFrame,
     threshold: float = JACCARD_THRESHOLD,
@@ -324,22 +347,8 @@ def lsh_pairs_from_hashed_shingles(
     )
     # One pass over sig: band keys as an array, posexplode to (band, bkey)
     # rows. A per-band union would clone the signature subtree per band.
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col("sig")[band * rows + r].cast("string")
-                        for r in range(rows)
-                    ],
-                )
-            )
-            for band in range(bands)
-        ]
-    )
     buckets = sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band", "bkey")
+        "doc_id", F.posexplode(lsh_band_keys(bands, rows)).alias("band", "bkey")
     )
 
     cands = (

@@ -1,0 +1,179 @@
+"""Online NEAR-DUP admission gate — the fuzzy sibling of the stream's
+exact dedup-on-arrival, closing the batch/stream delta the composed
+pipeline pins honestly ("fuzzy dedup stays a periodic batch pass").
+
+Semantics (the standard streaming form): an arriving document is ADMITTED
+iff no PREVIOUSLY SEEN arrival (within the horizon) is a near-duplicate —
+MinHash-LSH candidates (the batch machinery's exact banding:
+dedup.lsh_band_keys over dedup._signatures_from_hashed signatures) verified
+by exact Jaccard >= threshold on the hashed 3-shingle sets. "Seen", not
+"admitted": a doc that was itself dropped still blocks later near-copies of
+it (Jaccard is not transitive, so blocking only on admitted docs would
+re-admit the far end of a drift chain — the same reason the batch twin
+uses connected components; the batch CC carrier rule and this sequential
+rule agree whenever clusters are arrival-contiguous, and the differential
+test pins the sequential rule exactly).
+
+State & exactly-once: NO driver-held and NO state-store state — the
+streaming/export.py pattern. Each micro-batch writes
+  - ``<dir>/state/b<id>``: (band, bkey, doc_id, hs, batch_id) for EVERY
+    shingled arrival (the bucket signature table future batches probe),
+  - ``<dir>/admit/b<id>``: the admitted manifest,
+both mode=overwrite keyed by the batch id, so a replayed batch (foreachBatch
+redelivery after a crash) recomputes the identical prior (state rows with a
+SMALLER batch_id), overwrites its own directories, and never double-counts.
+
+Scale shape: the per-batch work is the LSH family's — signature aggregate
+over the BATCH, bucket equi-join of the batch's (band, bkey) rows against
+the state table (hash join on the bucket key; candidates only, nothing
+all-pairs), Jaccard verify on candidates. State grows with seen arrivals;
+``horizon_batches`` bounds it exactly like the exact gate's watermark
+horizon (expired batch dirs simply stop being read and can be retired).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    JACCARD_THRESHOLD,
+    LSH_BANDS,
+    LSH_ROWS,
+    SHINGLE_N,
+    _signatures_from_hashed,
+    lsh_band_keys,
+)
+
+_STATE_SCHEMA = (
+    "band int, bkey string, doc_id long, hs array<long>, batch_id bigint"
+)
+_ADMIT_SCHEMA = "doc_id long, clean_text string, batch_id bigint"
+
+
+def _hashed_shingles(df: DataFrame, text_col: str = "clean_text") -> DataFrame:
+    """(doc_id, clean_text, hs) — the dedup._shingle_hashes form over the
+    stream's text column (tokens staged before the HOF, hashed distinct
+    shingles as longs; same md5 expression as every batch twin)."""
+    from ..functions.textfns import tokens, word_shingles
+
+    return df.withColumn("_t", tokens(text_col)).select(
+        "doc_id",
+        F.col(text_col).alias("clean_text"),
+        F.array_distinct(
+            F.transform(
+                word_shingles(F.col("_t"), SHINGLE_N),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast(
+                    "long"
+                ),
+            )
+        ).alias("hs"),
+    )
+
+
+def _read_dir(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    try:
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .schema(schema)
+            .parquet(path)
+        )
+    except Exception:  # before the first batch lands
+        return spark.createDataFrame([], schema)
+
+
+def _jaccard_ok(threshold: float):
+    return (
+        F.size(F.array_intersect("hs", "hs_seen"))
+        / F.size(F.array_union("hs", "hs_seen"))
+        >= threshold
+    )
+
+
+def neardup_admit_foreach_batch(
+    out_dir: str,
+    threshold: float = JACCARD_THRESHOLD,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    horizon_batches: int | None = None,
+):
+    """foreachBatch callable implementing the gate. ``batch_df`` carries
+    (doc_id, clean_text) — the post-exact-gates frontier. Intra-batch
+    arrival order is doc_id ascending (micro-batches have no finer order;
+    the differential test replays the same rule). Docs too short to
+    shingle admit unconditionally and carry no buckets — exactly the
+    batch pipeline's rule for them (the trailing exact-fp stage is what
+    collapses byte-identical shorts)."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        arrivals = _hashed_shingles(batch_df.select("doc_id", "clean_text"))
+        shingled = arrivals.filter(F.size("hs") > 0)
+        sig = _signatures_from_hashed(
+            shingled.select("doc_id", F.explode("hs").alias("h")),
+            bands * rows,
+        )
+        bks = (
+            sig.select(
+                "doc_id",
+                F.posexplode(lsh_band_keys(bands, rows)).alias("band", "bkey"),
+            )
+            .join(shingled.select("doc_id", "hs"), "doc_id")
+        )
+        state = _read_dir(spark, f"{out_dir}/state", _STATE_SCHEMA).filter(
+            F.col("batch_id") < batch_id
+        )
+        if horizon_batches is not None:
+            state = state.filter(
+                F.col("batch_id") >= batch_id - horizon_batches
+            )
+        # cross-batch matches: bucket-mates from prior batches, verified
+        seen_side = state.select(
+            "band",
+            "bkey",
+            F.col("hs").alias("hs_seen"),
+        )
+        cross = (
+            bks.join(seen_side, ["band", "bkey"])
+            .filter(_jaccard_ok(threshold))
+            .select("doc_id")
+        )
+        # intra-batch matches: a later arrival (higher doc_id) blocked by
+        # an earlier one, seen semantics — the earlier side is EVERY
+        # shingled arrival of this batch, admitted or not
+        intra = (
+            bks.alias("a")
+            .join(
+                bks.select(
+                    "band", "bkey",
+                    F.col("doc_id").alias("doc_seen"),
+                    F.col("hs").alias("hs_seen"),
+                ).alias("b"),
+                ["band", "bkey"],
+            )
+            .filter(F.col("a.doc_id") > F.col("doc_seen"))
+            .filter(_jaccard_ok(threshold))
+            .select(F.col("a.doc_id").alias("doc_id"))
+        )
+        dropped = cross.union(intra).distinct()
+        admitted = (
+            arrivals.join(dropped, "doc_id", "left_anti")
+            .select("doc_id", "clean_text")
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+        )
+        admitted.write.mode("overwrite").parquet(
+            f"{out_dir}/admit/b{batch_id:08d}"
+        )
+        (
+            bks.select("band", "bkey", "doc_id", "hs")
+            .withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/state/b{batch_id:08d}")
+        )
+
+    return fn
+
+
+def neardup_admitted(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The admitted manifest across all committed batches."""
+    return _read_dir(spark, f"{out_dir}/admit", _ADMIT_SCHEMA)

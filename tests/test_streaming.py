@@ -631,12 +631,16 @@ def test_composed_ingest_pipeline_matches_staged_batch(spark, tmp_path):
     assert set(batch_op) == set(want)
 
     # r13 (VERDICT r12 #4): the near-dup twin's delta, stated honestly.
-    # The STREAM dedups on the exact fp at arrival; fuzzy dedup is the
-    # periodic batch pass over the admitted corpus (the LSH pair graph
-    # needs corpus-wide banding, not a per-record probe), so the near-dup
-    # manifest is a strict refinement of the stream's admit set: its
-    # carrier fps are a proper subset (near-dup clusters collapse), and
-    # every survivor stays accounted for via n_docs_represented.
+    # The composed STREAM dedups on the exact fp at arrival; the batch
+    # manifest adds the CC keep-first pass, so it is a strict refinement
+    # of the stream's admit set: its carrier fps are a proper subset
+    # (near-dup clusters collapse), and every survivor stays accounted
+    # for via n_docs_represented. (An ONLINE fuzzy gate also exists —
+    # streaming/neardup.py, sequential seen-semantics, differentially
+    # pinned in test_streaming_e2e — but its arrival-order rule is a
+    # different contract from the batch CC carrier rule, so the composed
+    # ingest stream keeps the exact gate and this delta stays the parity
+    # statement.)
     from project_samanvay_a_true_hybrid_htap_database_spark.operators.sampling import (
         pipeline_clean_corpus_neardup,
     )

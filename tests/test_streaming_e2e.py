@@ -693,3 +693,124 @@ def test_incremental_export_kill_restart_matches_batch_plan(spark, tmp_path):
         .count()
     )
     assert spans > 0, "no bin spanned a batch boundary — test corpus too small"
+
+
+def test_online_neardup_gate_matches_sequential_replay(spark, tmp_path):
+    """r13: the online NEAR-DUP admission gate (streaming/neardup.py) —
+    LSH candidates + exact-Jaccard verify against all previously SEEN
+    arrivals, state derived from committed batch manifests. Differential:
+    the admitted set must equal an independent pure-Python sequential
+    replay (hashlib md5 + the shared affine permutation params — no Spark
+    expressions in the oracle), across a clean drain, a hand-replayed
+    redelivery of the last batch, and a checkpoint restart."""
+    import hashlib
+
+    from project_samanvay_a_true_hybrid_htap_database_spark.functions.hashing import (
+        MERSENNE31,
+        permutation_params,
+    )
+    from project_samanvay_a_true_hybrid_htap_database_spark.streaming.neardup import (
+        neardup_admit_foreach_batch,
+        neardup_admitted,
+    )
+
+    docs = sorted(
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    n_chunks = 3
+    per = (len(docs) + n_chunks - 1) // n_chunks
+    batches = [docs[i * per : (i + 1) * per] for i in range(n_chunks)]
+
+    # --- independent sequential replay (the oracle) ---
+    params = permutation_params(16)
+    buckets: dict = {}
+    want: set = set()
+    n_dropped = 0
+    for batch in batches:
+        for doc_id, text in sorted(batch):
+            toks = str(text).lower().strip(" ").split(" ")
+            hs = (
+                {
+                    int(
+                        hashlib.md5(
+                            " ".join(toks[i : i + 3]).encode()
+                        ).hexdigest()[:8],
+                        16,
+                    )
+                    for i in range(len(toks) - 2)
+                }
+                if len(toks) >= 3
+                else set()
+            )
+            if not hs:
+                want.add(doc_id)
+                continue
+            sig = [min((h * a + b) % MERSENNE31 for h in hs) for a, b in params]
+            keys = [
+                (
+                    band,
+                    hashlib.md5(
+                        ",".join(str(sig[band * 4 + r]) for r in range(4)).encode()
+                    ).hexdigest(),
+                )
+                for band in range(4)
+            ]
+            cands = [c for bk in keys for c in buckets.get(bk, [])]
+            dup = any(
+                len(hs & h2) / len(hs | h2) >= 0.5 for _, h2 in cands
+            )
+            if dup:
+                n_dropped += 1
+            else:
+                want.add(doc_id)
+            for bk in keys:
+                buckets.setdefault(bk, []).append((doc_id, hs))
+    assert n_dropped > 0, "gate vacuous on this corpus"
+
+    # --- the real gate over a chunked file stream ---
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    ddl = "doc_id long, clean_text string"
+    base_mtime = time.time() - 3600
+    for i, batch in enumerate(batches):
+        _write_chunk_typed(
+            spark,
+            batch,
+            ddl,
+            os.path.join(src, f"chunk_{i}.parquet"),
+            str(tmp_path / "scratch"),
+            base_mtime + i,
+        )
+
+    def start():
+        return (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(neardup_admit_foreach_batch(out))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    _stop_tolerating_interrupt(q)
+
+    # redelivery of the final batch (at-least-once): must overwrite
+    replay_df = spark.createDataFrame(batches[-1], ddl)
+    neardup_admit_foreach_batch(out)(replay_df, n_chunks - 1)
+    # restart on the same checkpoint: nothing new, manifest stable
+    q = start()
+    q.processAllAvailable()
+    _stop_tolerating_interrupt(q)
+
+    got = {
+        r["doc_id"] for r in neardup_admitted(spark, out).collect()
+    }
+    assert got == want
+    assert len(got) < len(docs)  # drops actually landed
