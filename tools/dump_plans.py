@@ -115,6 +115,14 @@ def main() -> None:
         "the table lives in the repo): `python tools/bench_diff.py --md",
         "BENCHDIFF_rN.md OLD.json NEW.json` regenerates it.",
         "",
+        "Adjudicated r13 (not drift): multimodal_frames' r12 1.42x",
+        "normalized flag re-measured at 0.374-0.41 s min-of-3 calibrated",
+        "(vs the flagged 0.65 s; file unchanged — sandbox load), now",
+        "plan-pinned exchange-free in tests/test_plans.py; lang_id's mild",
+        "two-round upward drift (0.41/0.49/0.56 in-payload) re-measured",
+        "0.368 s isolated min-of-3 on matched calibration — in-payload",
+        "contention from the 53-query back-to-back run, not plan drift.",
+        "",
         "Known r9 scope change (not drift): pipeline_funnel gained the",
         "staged near-dedup stage 4 (pair graph over stage-3 survivors +",
         "CC), so its BENCH_r09 wall-clock (6.59 s vs BENCH_r08's 0.96 s)",
