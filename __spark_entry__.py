@@ -297,84 +297,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return analytics.revenue_by_nation(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+# Canonical registry: every implemented operator, alphabetical. The driver
+# sweeps the FIRST ~50 keys of queries() each round, so ordering lives in
+# _SWEEP_WINDOW below, not here.
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # --- r13 sweep window (dict order = driver sweep order). First the
-        # 4 entries that have never been hash-green: the 3 r12 pipeline
-        # additions (judge-verified locally in r12) and percentile_prices_sketch
-        # (hash-checkable since r13 via the rank-error audit form — previously
-        # rows-only by design). Then the 4 stalest rows (last green r8), then
-        # 42 of the 49 last-green-r9 rows (alphabetical; the 7 that did
-        # not fit lead the r14 window: tpch_q1, tpch_q10, tpch_q17, tpch_q18, tpch_q3, tpch_q7, vocab_coverage).
-        # Per the standing directive, NO new operator sits ahead of the sweep
-        # line; the round-13 addition is parked at the very tail. ---
-        "percentile_prices_sketch": analytics.percentile_prices_sketch,
-        "pipeline_clean_corpus": sampling.pipeline_clean_corpus,
-        "training_export_plan": sampling.training_export_plan,
-        "pipeline_clean_report": sampling.pipeline_clean_report,
-        # last green r8
-        "tpch_q21": analytics.tpch_q21_suppliers_kept_waiting,
-        "tpch_q22": analytics.tpch_q22_global_sales_opportunity,
-        "tpch_q4": analytics.tpch_q4_order_priority,
-        "tpch_q9": analytics.tpch_q9_product_profit,
-        # last green r9
-        "agg_multi": relational.agg_multi,
-        "agg_sum": relational.agg_sum,
-        "agg_where": relational.agg_where,
-        "ann_ivf_indexed_topk": similarity.ann_ivf_indexed_topk,
-        "ann_ivf_recall_audit": similarity.ann_ivf_recall_audit,
-        "ann_lsh_recall_audit": similarity.ann_lsh_recall_audit,
-        "ann_mips_indexed_topk": similarity.ann_mips_indexed_topk,
-        "ann_projected_rerank_topk": similarity.ann_projected_rerank_topk,
-        "ann_recall_audit": similarity.ann_recall_audit,
-        "asof_join_events_orders": analytics.asof_join_events_orders,
-        "chunk_documents": text.chunk_documents,
-        "cross_source_overlap": dedup.cross_source_overlap,
-        "cube_report": analytics.cube_report,
-        "date_functions": analytics.date_functions,
-        "dedup_keep_best": dedup.dedup_keep_best,
-        "dedup_rate_by_source": dedup.dedup_rate_by_source,
-        "delete_projection": relational.delete_projection,
-        "duplicate_span_report": dedup.duplicate_span_report,
-        "embedding_neardup_pairs_vectorized": dedup.embedding_neardup_pairs_vectorized,
-        "embedding_random_projection": similarity.embedding_random_projection,
-        "events_hourly_rollup": analytics.events_hourly_rollup,
-        "full_scan": relational.full_scan,
-        "funnel_conversion": analytics.funnel_conversion,
-        "json_extraction": analytics.json_extraction,
-        "lang_id_confusion": text.lang_id_confusion,
-        "multimodal_blob_dedup": multimodal.multimodal_blob_dedup,
-        "ngram_novelty": dedup.ngram_novelty,
-        "point_lookup": relational.point_lookup,
-        "predicate_and_or": relational.predicate_and_or,
-        "predicate_neq": relational.predicate_neq,
-        "projection": relational.projection,
-        "quality_filter_flags": text.quality_filter_flags,
-        "range_between": relational.range_between,
-        "range_scan": relational.range_scan,
-        "retention_cohorts": analytics.retention_cohorts,
-        "revenue_by_nation": analytics.revenue_by_nation,
-        "semdedup_stats": dedup.semdedup_stats,
-        "sessionize": analytics.sessionize,
-        "source_length_quantiles": text.source_length_quantiles,
-        "split_leakage_audit": sampling.split_leakage_audit,
-        "staged_dedup_report": dedup.staged_dedup_report,
-        "token_pmi_topk": text.token_pmi_topk,
-        # --- sweep line (50 entries above) ---
-        # last green r9: the spill that leads the r14 window
-        "tpch_q1": analytics.tpch_q1_pricing_summary,
-        "tpch_q10": analytics.tpch_q10_returned_items,
-        "tpch_q17": analytics.tpch_q17_small_quantity_revenue,
-        "tpch_q18": analytics.tpch_q18_large_volume_customer,
-        "tpch_q3": analytics.tpch_q3_shipping_priority,
-        "tpch_q7": analytics.tpch_q7_volume_shipping,
-        "vocab_coverage": text.vocab_coverage,
-        # driver-green r10-r12
         "agg_avg": relational.agg_avg,
         "agg_count": relational.agg_count,
         "agg_min_max": relational.agg_min_max,
+        "agg_multi": relational.agg_multi,
+        "agg_sum": relational.agg_sum,
+        "agg_where": relational.agg_where,
         "ann_bruteforce_topk": similarity.ann_bruteforce_topk,
+        "ann_ivf_indexed_topk": similarity.ann_ivf_indexed_topk,
         "ann_ivf_multiprobe_topk": similarity.ann_ivf_multiprobe_topk,
+        "ann_ivf_recall_audit": similarity.ann_ivf_recall_audit,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "ann_ivfpq_recall_audit": similarity.ann_ivfpq_recall_audit,
         "ann_ivfpq_rerank_topk": similarity.ann_ivfpq_rerank_topk,
@@ -382,11 +319,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
         "ann_lsh_indexed_topk": similarity.ann_lsh_indexed_topk,
         "ann_lsh_multiprobe_topk": similarity.ann_lsh_multiprobe_topk,
+        "ann_lsh_recall_audit": similarity.ann_lsh_recall_audit,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_mips_indexed_topk": similarity.ann_mips_indexed_topk,
         "ann_mips_topk": similarity.ann_mips_topk,
         "ann_pq_adc_topk": similarity.ann_pq_adc_topk,
         "ann_pq_recall_audit": similarity.ann_pq_recall_audit,
+        "ann_projected_rerank_topk": similarity.ann_projected_rerank_topk,
+        "ann_recall_audit": similarity.ann_recall_audit,
         "anti_join": analytics.anti_join,
+        "asof_join_events_orders": analytics.asof_join_events_orders,
         "attribution_window_join": analytics.attribution_window_join,
         "bigram_lm_score": text.bigram_lm_score,
         "bm25_search": text.bm25_search,
@@ -395,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_agg": bucketed_join_agg,
         "case_bucketing": analytics.case_bucketing,
         "char_entropy_score": text.char_entropy_score,
+        "chunk_documents": text.chunk_documents,
         "cluster_quality_report": similarity.cluster_quality_report,
         "containment_pairs": dedup.containment_pairs,
         "contrastive_hard_negatives": sampling.contrastive_hard_negatives,
@@ -403,7 +346,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "contrastive_pairs": sampling.contrastive_pairs,
         "corr_stats": analytics.corr_stats,
+        "cross_source_overlap": dedup.cross_source_overlap,
+        "cube_report": analytics.cube_report,
         "curriculum_stages": sampling.curriculum_stages,
+        "date_functions": analytics.date_functions,
         "decontaminate_bloom": dedup.decontaminate_bloom,
         "decontaminate_ngram_overlap": dedup.decontaminate_ngram_overlap,
         "decontaminate_semantic": dedup.decontaminate_semantic,
@@ -412,8 +358,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": dedup.dedup_groups,
         "dedup_groups_lsh": dedup.dedup_groups_lsh,
         "dedup_groups_twostar": dedup.dedup_groups_twostar,
+        "dedup_keep_best": dedup.dedup_keep_best,
+        "dedup_rate_by_source": dedup.dedup_rate_by_source,
         "dedup_segments_across_docs": text.dedup_segments_across_docs,
         "dedup_segments_within_doc": text.dedup_segments_within_doc,
+        "delete_projection": relational.delete_projection,
         "distinct_count_agg": analytics.distinct_count_agg,
         "distinct_count_approx": analytics.distinct_count_approx,
         "distinct_values": analytics.distinct_values,
@@ -421,16 +370,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "documents_csv_roundtrip": textio.documents_csv_roundtrip,
         "documents_jsonl_roundtrip": textio.documents_jsonl_roundtrip,
         "dsir_importance_weights": sampling.dsir_importance_weights,
+        "duplicate_span_report": dedup.duplicate_span_report,
         "embedding_centroids": similarity.embedding_centroids,
         "embedding_neardup_pairs": dedup.embedding_neardup_pairs,
+        "embedding_neardup_pairs_vectorized": dedup.embedding_neardup_pairs_vectorized,
         "embedding_quality_report": similarity.embedding_quality_report,
         "embedding_quantize": similarity.embedding_quantize,
+        "embedding_random_projection": similarity.embedding_random_projection,
         "events_hourly_anomaly": analytics.events_hourly_anomaly,
+        "events_hourly_rollup": analytics.events_hourly_rollup,
         "events_trending_topk": analytics.events_trending_topk,
         "exact_dedup": dedup.exact_dedup,
         "except_op": analytics.except_op,
         "fingerprints": text.fingerprints,
         "fixed_k_per_stratum": sampling.fixed_k_per_stratum,
+        "full_scan": relational.full_scan,
+        "funnel_conversion": analytics.funnel_conversion,
         "global_shuffle_order": sampling.global_shuffle_order,
         "group_having": analytics.group_having,
         "grouping_sets_report": analytics.grouping_sets_report,
@@ -438,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_report": dedup.incremental_dedup_report,
         "interval_overlap_join": analytics.interval_overlap_join,
         "join_agg_orders_lineitem": analytics.join_agg_orders_lineitem,
+        "json_extraction": analytics.json_extraction,
         "kmeans_assign": similarity.kmeans_assign,
         "kmeans_iterate": similarity.kmeans_iterate,
         "knn_join_blocked": similarity.knn_join_blocked,
@@ -446,35 +402,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_vectorized": similarity.knn_join_vectorized,
         "lang_distribution": text.lang_distribution,
         "lang_id": text.lang_id,
+        "lang_id_confusion": text.lang_id_confusion,
         "leakage_safe_split": sampling.leakage_safe_split,
         "lsh_recall_audit": dedup.lsh_recall_audit,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "minhash_signatures": dedup.minhash_signatures_str,
         "multimodal_audio_chunks": multimodal.audio_chunks,
+        "multimodal_blob_dedup": multimodal.multimodal_blob_dedup,
         "multimodal_frames": multimodal.frame_sample,
         "multimodal_resize": multimodal.image_resize,
         "multimodal_summary": multimodal.multimodal_summary,
         "ngram_freq_topk": text.ngram_freq_topk,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "ngram_novelty": dedup.ngram_novelty,
         "ntile_quartiles": analytics.ntile_quartiles,
         "pack_sequences": sampling.pack_sequences,
         "packing_efficiency": sampling.packing_efficiency,
         "percentile_prices": analytics.percentile_prices,
         "percentile_prices_approx": analytics.percentile_prices_approx,
+        "percentile_prices_sketch": analytics.percentile_prices_sketch,
         "pii_report": text.pii_report,
         "pii_scrub": text.pii_scrub,
         "pii_scrub_ner": text.pii_scrub_ner,
+        "pipeline_clean_corpus": sampling.pipeline_clean_corpus,
+        "pipeline_clean_corpus_neardup": sampling.pipeline_clean_corpus_neardup,
+        "pipeline_clean_report": sampling.pipeline_clean_report,
+        "pipeline_clean_report_neardup": sampling.pipeline_clean_report_neardup,
         "pipeline_funnel": sampling.pipeline_funnel,
         "pivot_status_by_priority": analytics.pivot_status_by_priority,
+        "point_lookup": relational.point_lookup,
         "pq_encode": similarity.pq_encode,
+        "predicate_and_or": relational.predicate_and_or,
+        "predicate_neq": relational.predicate_neq,
+        "projection": relational.projection,
         "quality_classifier_score": text.quality_classifier_score,
+        "quality_filter_flags": text.quality_filter_flags,
         "quality_score": text.quality_score,
+        "range_between": relational.range_between,
+        "range_scan": relational.range_scan,
         "repetition_ratio": text.repetition_ratio,
+        "retention_cohorts": analytics.retention_cohorts,
+        "revenue_by_nation": analytics.revenue_by_nation,
         "rollup_agg": analytics.rollup_agg,
         "salted_agg": analytics.salted_agg,
         "scalar_subquery": analytics.scalar_subquery,
         "semantic_outliers": similarity.semantic_outliers,
+        "semdedup_stats": dedup.semdedup_stats,
+        "semdedup_stats_ivf": dedup.semdedup_stats_ivf,
         "semi_join": analytics.semi_join,
+        "sessionize": analytics.sessionize,
         "set_ops": analytics.set_ops,
         "shard_manifest": sampling.shard_manifest,
         "simhash_bucket_audit": dedup.simhash_bucket_audit,
@@ -483,9 +459,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_pairs": dedup.simhash_neardup_pairs,
         "simhash_neardup_pairs_scale": dedup.simhash_neardup_pairs_scale,
         "skew_join_salted": analytics.skew_join_salted,
+        "source_length_quantiles": text.source_length_quantiles,
         "source_mixture_weights": sampling.source_mixture_weights,
         "source_quality_report": text.source_quality_report,
         "source_token_kl": text.source_token_kl,
+        "split_leakage_audit": sampling.split_leakage_audit,
+        "staged_dedup_report": dedup.staged_dedup_report,
         "stratified_sample": sampling.stratified_sample,
         "string_functions": analytics.string_functions,
         "table_profile": analytics.table_profile,
@@ -496,36 +475,122 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_min": text.token_count_min,
         "token_counts": text.token_counts,
         "token_histogram": text.token_histogram,
+        "token_pmi_topk": text.token_pmi_topk,
         "top_orders": analytics.top_orders,
+        "tpch_q1": analytics.tpch_q1_pricing_summary,
+        "tpch_q10": analytics.tpch_q10_returned_items,
         "tpch_q11": analytics.tpch_q11_important_stock,
         "tpch_q12": analytics.tpch_q12_shipping_priority_class,
         "tpch_q13": analytics.tpch_q13_customer_distribution,
         "tpch_q14": analytics.tpch_q14_promo_revenue,
         "tpch_q15": analytics.tpch_q15_top_supplier,
         "tpch_q16": analytics.tpch_q16_parts_supplier_count,
+        "tpch_q17": analytics.tpch_q17_small_quantity_revenue,
+        "tpch_q18": analytics.tpch_q18_large_volume_customer,
         "tpch_q19": analytics.tpch_q19_discounted_revenue,
         "tpch_q2": analytics.tpch_q2_min_cost_supplier,
         "tpch_q20": analytics.tpch_q20_part_promotion,
+        "tpch_q21": analytics.tpch_q21_suppliers_kept_waiting,
+        "tpch_q22": analytics.tpch_q22_global_sales_opportunity,
+        "tpch_q3": analytics.tpch_q3_shipping_priority,
+        "tpch_q4": analytics.tpch_q4_order_priority,
         "tpch_q5": analytics.tpch_q5_supplier_volume,
         "tpch_q6": analytics.tpch_q6_forecast_revenue,
+        "tpch_q7": analytics.tpch_q7_volume_shipping,
         "tpch_q8": analytics.tpch_q8_market_share,
+        "tpch_q9": analytics.tpch_q9_product_profit,
         "train_test_split": sampling.train_test_split,
+        "training_export_plan": sampling.training_export_plan,
         "unigram_lm_score": text.unigram_lm_score,
         "unpivot_metrics": analytics.unpivot_metrics,
         "update_projection": relational.update_projection,
         "upsert_merge": relational.upsert_merge,
         "virtual_epochs": sampling.virtual_epochs,
+        "vocab_coverage": text.vocab_coverage,
         "window_frame_bounds": analytics.window_frame_bounds,
         "window_lag_delta": analytics.window_lag_delta,
         "window_running_sum": analytics.window_running_sum,
         "window_topn_per_group": analytics.window_topn_per_group,
         "winnowing_fingerprints": text.winnowing_fingerprints,
         "winnowing_overlap_report": text.winnowing_overlap_report,
-        # --- round-13 additions (parked at the tail per the directive) ---
-        "pipeline_clean_corpus_neardup": sampling.pipeline_clean_corpus_neardup,
-        "semdedup_stats_ivf": dedup.semdedup_stats_ivf,
-        "pipeline_clean_report_neardup": sampling.pipeline_clean_report_neardup,
     }
+
+
+# --- r14 sweep window (dict order = driver sweep order). First the 3
+# never-driver-checked r13 tail additions (judge-verified 3/3 locally in
+# the r13 session), then the 7 rows last green r9 (the spill the r13
+# window could not fit), then the 40 alphabetically-first of the 50 rows
+# last green r10. The 10 r10 rows that did not fit lead the r15 window:
+# semantic_outliers, semi_join, token_count_min, tpch_q8, unigram_lm_score,
+# unpivot_metrics, update_projection, upsert_merge, window_frame_bounds,
+# window_lag_delta. Per the standing directive, NO new operator sits ahead
+# of the sweep line; round-14 additions are parked at the very tail via
+# _TAIL_PARKED. ---
+_SWEEP_WINDOW: list[str] = [
+    "pipeline_clean_corpus_neardup",
+    "pipeline_clean_report_neardup",
+    "semdedup_stats_ivf",
+    "tpch_q1",
+    "tpch_q10",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q3",
+    "tpch_q7",
+    "vocab_coverage",
+    "anti_join",
+    "bm25_search",
+    "case_bucketing",
+    "cluster_quality_report",
+    "corr_stats",
+    "dedup_groups_twostar",
+    "distinct_count_agg",
+    "distinct_count_approx",
+    "distinct_values",
+    "embedding_centroids",
+    "embedding_quantize",
+    "except_op",
+    "fingerprints",
+    "fixed_k_per_stratum",
+    "group_having",
+    "hash_sample",
+    "join_agg_orders_lineitem",
+    "kmeans_assign",
+    "kmeans_iterate",
+    "knn_join_ivf_blocked",
+    "knn_join_ivf_vectorized",
+    "knn_join_vectorized",
+    "lang_distribution",
+    "lang_id",
+    "multimodal_frames",
+    "multimodal_resize",
+    "multimodal_summary",
+    "ngram_freq_topk",
+    "ntile_quartiles",
+    "pack_sequences",
+    "percentile_prices",
+    "percentile_prices_approx",
+    "pii_report",
+    "pii_scrub",
+    "pipeline_funnel",
+    "pivot_status_by_priority",
+    "quality_score",
+    "rollup_agg",
+    "salted_agg",
+    "scalar_subquery",
+]
+
+# Round-current additions: forced to the very end of queries() so they
+# never displace the sweep window (standing directive).
+_TAIL_PARKED: list[str] = []
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _all_queries()
+    ordered = {k: base.pop(k) for k in _SWEEP_WINDOW}
+    tail = {k: base.pop(k) for k in _TAIL_PARKED}
+    ordered.update(base)  # mid-list order is irrelevant to the driver
+    ordered.update(tail)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
