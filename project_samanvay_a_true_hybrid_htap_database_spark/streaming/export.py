@@ -31,8 +31,12 @@ corpus — and the per-batch window shuffles only the batch.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from .neardup import _local_path
 
 from ..operators.sampling import (
     SHUFFLE_BUCKETS,
@@ -46,15 +50,19 @@ _MANIFEST_SCHEMA = (
 
 
 def _committed(spark: SparkSession, out_dir: str) -> DataFrame:
-    """All manifest rows committed so far (empty frame before batch 0)."""
-    try:
-        return (
-            spark.read.option("recursiveFileLookup", "true")
-            .schema(_MANIFEST_SCHEMA)
-            .parquet(out_dir)
-        )
-    except Exception:  # first batch: sink dir does not exist yet
+    """All manifest rows committed so far (empty frame before batch 0).
+
+    Only a MISSING sink dir maps to the empty frame — any other read
+    failure (permissions, corrupt footers) must propagate: silently
+    resetting per-bucket offsets to zero would mis-bin every later batch.
+    """
+    if not os.path.isdir(_local_path(out_dir)):
         return spark.createDataFrame([], _MANIFEST_SCHEMA)
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .schema(_MANIFEST_SCHEMA)
+        .parquet(out_dir)
+    )
 
 
 def export_bins_foreach_batch(

@@ -57,6 +57,7 @@ class TableTxLog:
 
     DIRNAME = "_txlog"
     HISTORY_KEEP = 32  # manifests retained behind the live one
+    TMP_SWEEP_AGE_S = 300  # crash-orphaned scratch files older than this are swept
 
     def __init__(self, table_dir: str) -> None:
         self.table_dir = table_dir
@@ -147,7 +148,9 @@ class TableTxLog:
         doc = dict(manifest)
         doc["v"] = version
         doc["committed_at"] = time.time()
-        tmp = os.path.join(self.log_dir, f".tmp.{os.getpid()}.{version}")
+        tmp = os.path.join(
+            self.log_dir, f".tmp.{os.getpid()}.{time.monotonic_ns()}.{version}"
+        )
         with open(tmp, "w") as fh:
             json.dump(doc, fh)
             fh.flush()
@@ -158,29 +161,102 @@ class TableTxLog:
             # claimed by a concurrent writer — never silently overwrite.
             os.link(tmp, final)
         except FileExistsError as exc:
-            # A link-committed manifest is atomically complete, so an
-            # EXISTING-but-unreadable file at this slot can only be
-            # external garbage (latest() already skipped it, which is how
-            # `version` landed on it). Reclaim the slot instead of
-            # wedging every future commit behind a permanent conflict; a
-            # READABLE occupant is a genuine concurrent commit and still
-            # conflicts.
-            try:
-                self.read(version)
-            except (OSError, json.JSONDecodeError):
-                os.replace(tmp, final)
-                self._prune(version)
-                return version
-            raise TxConflictError(f"version {version} already committed") from exc
+            self._reclaim_or_conflict(tmp, final, version, exc)
         finally:
             try:
                 os.unlink(tmp)
             except OSError:
                 pass
+        self._fsync_dir()
         self._prune(version)
         return version
 
+    def _reclaim_or_conflict(
+        self, tmp: str, final: str, version: int, exc: FileExistsError
+    ) -> None:
+        """Handle EEXIST on the put-if-absent link.
+
+        A link-committed manifest is atomically complete, so an
+        existing-but-UNREADABLE file at this slot can only be external
+        garbage (latest() already skipped it, which is how ``version``
+        landed on it). Reclaim the slot instead of wedging every future
+        commit behind a permanent conflict; a READABLE occupant is a
+        genuine concurrent commit and conflicts.
+
+        The reclaim avoids the check-then-replace TOCTOU: the occupant is
+        atomically RENAMED ASIDE first and only then inspected. If what we
+        displaced turns out to be a readable manifest — a genuine commit
+        that raced into the slot between our read and the rename — it is
+        restored via the same put-if-absent link and the commit conflicts;
+        nothing is ever silently overwritten. (Residual window: if a THIRD
+        writer claims the vacated slot before the restore link, the
+        displaced commit and the new claimant both believe they own the
+        version — that needs a compare-and-swap the filesystem doesn't
+        offer, can only trigger when external garbage was injected
+        mid-flight, and is surfaced loudly as TxConflictError here.)
+        """
+        try:
+            self.read(version)
+        except (OSError, json.JSONDecodeError):
+            pass
+        else:
+            raise TxConflictError(
+                f"version {version} already committed"
+            ) from exc
+        quarantine = f"{tmp}.displaced"
+        try:
+            os.replace(final, quarantine)  # atomically vacate the slot
+        except FileNotFoundError:
+            pass  # occupant vanished (another reclaimer won); retry the link
+        try:
+            displaced_readable = False
+            try:
+                with open(quarantine) as fh:
+                    json.load(fh)
+                displaced_readable = True
+            except (OSError, json.JSONDecodeError):
+                pass
+            if displaced_readable:
+                # We displaced a genuine commit that raced in after our
+                # read: put it back (put-if-absent again) and conflict.
+                try:
+                    os.link(quarantine, final)
+                except FileExistsError:
+                    pass  # slot re-claimed meanwhile; conflict either way
+                raise TxConflictError(
+                    f"version {version} already committed"
+                ) from exc
+            # Occupant was garbage and the slot is vacated: retry the
+            # put-if-absent. A new EEXIST is a genuine racing commit.
+            try:
+                os.link(tmp, final)
+            except FileExistsError as exc2:
+                raise TxConflictError(
+                    f"version {version} already committed"
+                ) from exc2
+        finally:
+            try:
+                os.unlink(quarantine)
+            except OSError:
+                pass
+
+    def _fsync_dir(self) -> None:
+        """Persist the _txlog directory entry itself — without this, a
+        power loss after os.link can lose the 'committed' version even
+        though the manifest bytes were fsynced (commit-point contract)."""
+        try:
+            fd = os.open(self.log_dir, os.O_RDONLY)
+        except OSError:
+            return
+        try:
+            os.fsync(fd)
+        except OSError:
+            pass
+        finally:
+            os.close(fd)
+
     def _prune(self, live_version: int) -> None:
+        self._sweep_stale_tmp()
         floor = live_version - self.HISTORY_KEEP
         if floor <= 0:
             return
@@ -190,3 +266,23 @@ class TableTxLog:
                     os.unlink(self._manifest_path(v))
                 except OSError:
                     pass
+
+    def _sweep_stale_tmp(self) -> None:
+        """Remove crash-orphaned ``.tmp.*`` scratch files. The creating
+        call unlinks its own tmp in a finally:, but a crash between write
+        and cleanup leaves it forever; age-gate so a LIVE concurrent
+        writer's in-flight scratch is never yanked out from under it."""
+        now = time.time()
+        try:
+            entries = os.listdir(self.log_dir)
+        except OSError:
+            return
+        for entry in entries:
+            if not entry.startswith(".tmp."):
+                continue
+            path = os.path.join(self.log_dir, entry)
+            try:
+                if now - os.path.getmtime(path) > self.TMP_SWEEP_AGE_S:
+                    os.unlink(path)
+            except OSError:
+                pass
