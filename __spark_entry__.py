@@ -35,6 +35,9 @@ from project_samanvay_a_true_hybrid_htap_database_spark.sources import textio
 from project_samanvay_a_true_hybrid_htap_database_spark.sources.bucketing import (
     bucketed_join_agg,
 )
+from project_samanvay_a_true_hybrid_htap_database_spark.streaming.neardup import (
+    neardup_admission_audit,
+)
 
 # ---------------------------------------------------------------------------
 # Shared DuckDB SQL fragments (must stay in lockstep with functions/textfns.py)
@@ -412,6 +415,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": multimodal.frame_sample,
         "multimodal_resize": multimodal.image_resize,
         "multimodal_summary": multimodal.multimodal_summary,
+        "neardup_admission_audit": neardup_admission_audit,
         "ngram_freq_topk": text.ngram_freq_topk,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "ngram_novelty": dedup.ngram_novelty,
@@ -581,7 +585,9 @@ _SWEEP_WINDOW: list[str] = [
 
 # Round-current additions: forced to the very end of queries() so they
 # never displace the sweep window (standing directive).
-_TAIL_PARKED: list[str] = []
+_TAIL_PARKED: list[str] = [
+    "neardup_admission_audit",  # r14: the online gate's admit set, batch-replayed
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2407,6 +2413,16 @@ WHERE negative != anchor AND negative != positive
 """,
         "minhash_signatures": minhash_sig,
         "minhash_lsh_pairs": lsh_pairs,
+        # r14: the online near-dup admission gate's admit set, batch-replayed.
+        # Seen-semantics makes the sequential rule closed-form over the
+        # doc_id arrival order: dropped == the later side of a verified LSH
+        # pair (streaming/neardup.neardup_admission_audit docstring).
+        "neardup_admission_audit": f"""
+WITH dropped AS (SELECT DISTINCT d2 AS doc_id FROM ({lsh_pairs}) lp)
+SELECT d.doc_id,
+       CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END AS admitted
+FROM documents d LEFT JOIN dropped dr USING (doc_id)
+""",
         "simhash_fingerprints": simhash_fp,
         # same oracle: the mapInPandas path is integer-exact vs the SQL path
         "simhash_fingerprints_vectorized": simhash_fp,

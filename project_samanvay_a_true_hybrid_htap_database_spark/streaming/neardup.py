@@ -237,3 +237,40 @@ def neardup_admit_foreach_batch(
 def neardup_admitted(spark: SparkSession, out_dir: str) -> DataFrame:
     """The admitted manifest across all committed batches."""
     return _read_dir(spark, f"{out_dir}/admit", _ADMIT_SCHEMA)
+
+
+def neardup_admission_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of the online gate's admit set over `documents` —
+    the oracle-checkable registry form (VERDICT r13 #3).
+
+    The gate's rule: an arrival is dropped iff some previously SEEN
+    arrival shares an LSH bucket with it at Jaccard >= threshold.
+    Because blocking is by SEEN (not admitted) arrivals, a doc's admit
+    status depends only on the SET of earlier arrivals — so with the
+    deterministic arrival order the gate's differential test uses
+    (doc_id ascending), the sequential rule is closed-form: doc d is
+    dropped iff d is the LATER side (d2) of at least one verified LSH
+    pair. No recursion, no replay loop; the batch form equals the
+    streaming admit set for ANY chunking of the doc_id-ordered arrival
+    sequence (pinned against the live gate in
+    tests/test_streaming_e2e.py). Docs too short to shingle have no
+    pairs and admit unconditionally — the gate's rule for them.
+
+    Returns (doc_id, admitted int 0/1) for every document. Scale shape:
+    exactly minhash_lsh_pairs' (banded bucket join, nothing all-pairs)
+    plus one broadcast-size anti-join projection."""
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..sources import load_table
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    dropped = pairs.select(F.col("d2").alias("doc_id")).distinct()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(
+        dropped.withColumn("_hit", F.lit(1)), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("_hit").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("admitted"),
+    )

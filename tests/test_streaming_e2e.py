@@ -814,3 +814,45 @@ def test_online_neardup_gate_matches_sequential_replay(spark, tmp_path):
     }
     assert got == want
     assert len(got) < len(docs)  # drops actually landed
+
+
+def test_neardup_admission_audit_matches_live_gate(spark, tmp_path):
+    """r14: the oracle-checkable batch replay (neardup_admission_audit)
+    must equal the LIVE gate's admit set over the same doc_id-ordered
+    arrival sequence, for an arbitrary chunking — the closed-form
+    seen-semantics argument in its docstring, pinned."""
+    from project_samanvay_a_true_hybrid_htap_database_spark.sources import (
+        load_table,
+    )
+    from project_samanvay_a_true_hybrid_htap_database_spark.streaming.neardup import (
+        neardup_admission_audit,
+        neardup_admit_foreach_batch,
+        neardup_admitted,
+    )
+
+    docs = sorted(
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    # deliberately uneven chunking: the closed form must hold for any
+    sizes = [len(docs) // 2, len(docs) // 3]
+    sizes.append(len(docs) - sum(sizes))
+    batches, at = [], 0
+    for s in sizes:
+        batches.append(docs[at : at + s])
+        at += s
+    out = str(tmp_path / "gate_out")
+    ddl = "doc_id long, clean_text string"
+    fn = neardup_admit_foreach_batch(out)
+    for i, b in enumerate(batches):
+        fn(spark.createDataFrame(b, ddl), i)
+    live = {r["doc_id"] for r in neardup_admitted(spark, out).collect()}
+    batch = {
+        r["doc_id"]
+        for r in neardup_admission_audit(spark, SF_DIR).collect()
+        if r["admitted"] == 1
+    }
+    assert live == batch
+    assert len(live) < len(docs)  # gate non-vacuous on this corpus
