@@ -1925,19 +1925,40 @@ SELECT doc_id, CAST(n AS INT) AS orig_bytes,
        md5(resized) AS resized_md5
 FROM r ORDER BY doc_id
 """,
-        # Overlapped framing: offsets 0, 48, 96, ... < n (window 64, hop 48),
-        # final partial window kept — max chunk_idx = (n-1) // 48.
+        # r14 real-WAV form: the Spark side ENCODES genuine RIFF/WAVE bytes
+        # (one int16 sample per utf-8 text byte, amplitude
+        # (doc_id*31 + i*7) % 4096 - 2048, sr 8000) and the chunker parses
+        # the actual header, decodes the PCM, and windows the samples at
+        # sr*20ms=160 / hop sr*10ms=80 with the final partial window kept
+        # (max chunk_idx = (n-1) // 80). The oracle replays the generator
+        # arithmetic symbolically — matching sum/sum_sq proves the
+        # encode → header-parse → decode → window round trip was exact.
         "multimodal_audio_chunks": """
-WITH c AS (
-  SELECT doc_id, text,
-         unnest(generate_series(0, (length(text) - 1) // 48)) AS chunk_idx
-  FROM documents)
+WITH d AS (SELECT doc_id, strlen(text) AS n FROM documents),
+ch AS (
+  SELECT doc_id, n,
+         unnest(generate_series(0, (n - 1) // 80)) AS chunk_idx
+  FROM d WHERE n > 0),
+sp AS (
+  SELECT doc_id, chunk_idx, chunk_idx * 80 AS start_sample,
+         least(160, n - chunk_idx * 80) AS n_samples
+  FROM ch),
+s AS (
+  SELECT doc_id, chunk_idx, start_sample, n_samples,
+         unnest(generate_series(start_sample,
+                                start_sample + n_samples - 1)) AS i
+  FROM sp),
+a AS (
+  SELECT doc_id, chunk_idx, start_sample, n_samples,
+         (doc_id * 31 + i * 7) % 4096 - 2048 AS amp
+  FROM s)
 SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
-       CAST(chunk_idx * 48 AS INT) AS start_byte,
-       CAST(length(substring(text, chunk_idx * 48 + 1, 64)) AS INT)
-         AS chunk_bytes,
-       md5(substring(text, chunk_idx * 48 + 1, 64)) AS chunk_md5
-FROM c
+       CAST(start_sample AS INT) AS start_sample,
+       CAST(n_samples AS INT) AS n_samples,
+       CAST(8000 AS INT) AS sr,
+       CAST(sum(amp) AS BIGINT) AS sum_amp,
+       CAST(sum(amp * amp) AS BIGINT) AS sum_sq
+FROM a GROUP BY doc_id, chunk_idx, start_sample, n_samples
 """,
         "tpch_q3": """
 SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
