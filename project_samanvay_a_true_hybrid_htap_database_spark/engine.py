@@ -1291,6 +1291,42 @@ class SamanvayEngine:
             state = self._state(name)
             return TableTxLog(self._table_data_path(state.name)).history(n)
 
+    def _history_result(self, name: str) -> ResultSet:
+        """table_history rendered as a ResultSet — the `DESCRIBE HISTORY t`
+        / shell `\\history t` view (r14)."""
+        import datetime as _dt
+
+        hist = self.table_history(name)
+        rows = []
+        for m in hist:
+            ts = m.get("committed_at")
+            when = (
+                _dt.datetime.fromtimestamp(ts).strftime("%Y-%m-%d %H:%M:%S")
+                if ts
+                else ""
+            )
+            rows.append(
+                (
+                    m.get("v"),
+                    when,
+                    m.get("base_dir") or "",
+                    m.get("delta_dir") or "",
+                    m.get("delta_rows") or 0,
+                    m.get("ext_path") or "",
+                )
+            )
+        return ResultSet(
+            headers=[
+                "version",
+                "committed_at",
+                "base_dir",
+                "delta_dir",
+                "delta_rows",
+                "ext_path",
+            ],
+            rows=rows,
+        )
+
     def _gc_generations(self, state: TableState) -> None:
         """Drop generation dirs older than the live one (and any stale
         legacy part-files directly under table_<name>). Must run AFTER the
@@ -3093,6 +3129,16 @@ class SamanvayEngine:
     def _describe(self, ts: _Tokens) -> ResultSet:
         ts.next()  # DESCRIBE / DESC
         name_t = ts.next()
+        # DESCRIBE HISTORY <t> — the table-format history view (r14; the
+        # REST surface has carried it at /api/tables/<t>/history since
+        # r13). Renders the txlog manifests through the formatter.
+        if (
+            name_t is not None
+            and name_t[0] == "word"
+            and str(name_t[1]).upper() == "HISTORY"
+            and ts.peek() is not None  # bare `DESCRIBE history` stays a
+        ):  # describe of a table named history
+            return self._history_result(str(ts.next()[1]))
         state = self._state(str(name_t[1]))
         rows = []
         for f in state.schema.fields:

@@ -21,7 +21,8 @@ from .formatter import format_result, format_table
 _BANNER = """\
   Project Samanvay on Spark - HTAP SQL Shell
   Type SQL statements ending with ';'
-  Special commands: \\q (quit), \\s (engine status), \\d <table> (describe)
+  Special commands: \\q (quit), \\s (engine status), \\d <table> (describe),
+                    \\history <table> (layout-commit history)
   SHOW TABLES;  to list all tables
 """
 
@@ -30,6 +31,7 @@ Commands:
   \\q          - quit
   \\s          - engine status
   \\d <table>  - describe table
+  \\history <table> - layout-commit history (the txlog view)
   SHOW TABLES; - list tables
   Any SQL statement ending with ';'
 """
@@ -84,6 +86,10 @@ def _handle_meta(engine: SamanvayEngine, line: str, out: IO[str]) -> bool:
         return True
     if line.startswith("\\d "):
         result = engine.execute(f"DESCRIBE {line[3:].strip()}")
+        out.write(format_result(result) + "\n")
+        return True
+    if line.startswith("\\history "):
+        result = engine.execute(f"DESCRIBE HISTORY {line[9:].strip()}")
         out.write(format_result(result) + "\n")
         return True
     if line in ("\\h", "\\help"):

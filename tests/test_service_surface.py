@@ -116,6 +116,38 @@ class TestShell:
         out = _shell(engine, "SELECT * FROM missing;\n")
         assert "ERROR: Table does not exist: missing" in out
 
+    def test_history_meta_command_renders_txlog(self, spark, tmp_path):
+        """r14: `\\history <t>` and `DESCRIBE HISTORY <t>` render the
+        per-table transaction log through the formatter (the REST
+        endpoint's twin, api/server.py /api/tables/<t>/history)."""
+        from project_samanvay_a_true_hybrid_htap_database_spark import (
+            SamanvayEngine,
+        )
+
+        e = SamanvayEngine(spark, data_dir=str(tmp_path))
+        e.execute("CREATE TABLE users (id BIGINT NOT NULL, name TEXT)")
+        e.execute("INSERT INTO users VALUES (1, 'a')")
+        e.flush("users")
+        e.execute("INSERT INTO users VALUES (2, 'b')")
+        e.flush("users")
+        out = _shell(e, "\\history users\n\\q\n")
+        assert "| version |" in out and "| delta_2" in out
+        assert "2 row(s) in set" in out
+        # the SQL form returns the same view
+        rs = e.execute("DESCRIBE HISTORY users")
+        assert rs.headers[0] == "version"
+        assert [r[0] for r in rs.rows] == [2, 1]  # newest first
+        # a table literally named history still describes normally
+        e.execute("CREATE TABLE history (id BIGINT NOT NULL)")
+        rs2 = e.execute("DESCRIBE history")
+        assert rs2.headers == ["Column", "Type", "Nullable", "Key"]
+        # in-memory engines have no txlog: empty view, not an error
+        mem = SamanvayEngine(spark)
+        mem.execute("CREATE TABLE m (id BIGINT NOT NULL)")
+        assert mem.execute("DESCRIBE HISTORY m").rows == []
+        # help text advertises it
+        assert "\\history <table>" in _shell(e, "\\h\n\\q\n")
+
     def test_eof_without_semicolon_is_safe(self, engine):
         out = _shell(engine, "SELECT * FROM\n")
         assert "ERROR" not in out  # incomplete statement never executed
