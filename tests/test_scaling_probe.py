@@ -397,3 +397,23 @@ def test_staged_containment_collapses_exact_cliques(spark, tmp_path):
     # and the hazard it removes is real on this corpus: every 10-wide
     # clique contributes 10*9 directed pairs unstaged (500 cliques)
     assert n10_unstaged >= 500 * 90, n10_unstaged
+
+
+def test_streamgate_per_batch_cost_flat_in_state(spark, scaled_dirs):
+    """r14: the online near-dup gate's per-batch cost must not grow
+    linearly with accumulated state (the regression would be re-verifying
+    all seen pairs instead of LSH-bucketed candidates, or dragging the
+    full shingle table through the bucket join). The shared probe feeds
+    k state batches and times the SAME probe batch; at 5x state a
+    state-linear gate costs ~5x, the floor allows 4x (constants +
+    wall-clock noise; measured 0.9x at 9x state, SCALE.md)."""
+    from tools.scaling_probe import streamgate_times
+
+    _, ten_dir = scaled_dirs
+    times = streamgate_times(spark, ten_dir, state_sizes=(1, 5))
+    ratio = times[5] / max(times[1], 1e-3)
+    assert ratio < 4.0, (
+        f"gate probe batch went {ratio:.1f}x from 1-batch to 5-batch "
+        f"state ({times[1]:.1f}s -> {times[5]:.1f}s) — per-batch cost "
+        f"must stay ~flat in accumulated state"
+    )

@@ -103,6 +103,49 @@ def build_exact_dup_corpora(
     ).write.mode("overwrite").parquet(f"{ten_dir}/documents.parquet")
 
 
+def streamgate_times(
+    spark, ten_dir: str, state_sizes: tuple[int, ...] = (1, 9)
+) -> dict[int, float]:
+    """Per-batch wall clock of the online near-dup admission gate
+    (streaming/neardup.py) as accumulated state grows — the r14 probe
+    behind SCALE.md's horizon_batches sizing rule.
+
+    The 10x corpus's copy structure is the adversarial stream: batch i =
+    copy i of every base doc (one 5k-doc micro-batch per copy), so EVERY
+    probe-batch doc is a near-dup of one doc in EACH state batch — LSH
+    candidates grow linearly in state, the worst case the gate admits.
+    For each requested state size k, batches 0..k-1 are fed to a fresh
+    sink and the SAME probe batch (copy 9) is timed as batch k. Returns
+    {k: seconds}. Single definition shared with the CI floor
+    (tests/test_scaling_probe.py) so they can never measure different
+    streams."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from project_samanvay_a_true_hybrid_htap_database_spark.streaming.neardup import (
+        neardup_admit_foreach_batch,
+    )
+
+    docs = spark.read.parquet(f"{ten_dir}/documents.parquet").select(
+        "doc_id",
+        F.col("text").alias("clean_text"),
+        (F.col("doc_id") / 1_000_000).cast("int").alias("c"),
+    )
+    out: dict[int, float] = {}
+    for k in state_sizes:
+        d = tempfile.mkdtemp(prefix=f"streamgate_{k}_")
+        fn = neardup_admit_foreach_batch(d)
+        for i in range(k):
+            fn(docs.filter(F.col("c") == i).drop("c"), i)
+        probe = docs.filter(F.col("c") == 9).drop("c")
+        t0 = time.perf_counter()
+        fn(probe, k)
+        out[k] = time.perf_counter() - t0
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def staged_containment(spark, sf_dir: str):
     """containment_pairs composed in the production STAGED order: the
     exact-dedup winner allowlist lands before the pair self-join (the
@@ -222,6 +265,7 @@ def main() -> None:
         "events",
         "graph",
         "staged",
+        "streamgate",
         "text100",
         "embeddings100",
     }
@@ -388,6 +432,16 @@ def main() -> None:
         print(
             f"containment pair rows: 1x={n1}  10x_unstaged={n10u} "
             f"({n10u / max(n1, 1):.0f}x)  10x_staged={n10s}"
+        )
+    if "streamgate" in families:
+        # r14: per-batch cost of the online near-dup gate as state grows —
+        # the measurement behind horizon_batches sizing (SCALE.md).
+        print("-- streamgate (online near-dup admission gate) --")
+        times = streamgate_times(spark, ten, state_sizes=(1, 9))
+        t1, t9 = times[1], times[9]
+        print(
+            f"{'neardup_gate_probe_batch':32s} state=1b {t1:6.2f}s  "
+            f"state=9b {t9:7.2f}s  ratio={t9 / max(t1, 1e-3):5.1f}"
         )
     if "text100" in families:
         # Second measured decade (1x/10x/100x documents) for the
