@@ -513,17 +513,22 @@ def percentile_prices_sketch(
 
     ``audit=True`` (the registered form, VERDICT r12 #2) makes the sketch
     hash-checkable without the exact aggregate: a GK sketch's contract is
-    bounded RANK error (<= 1/accuracy of the group size), so the output
-    carries, per percentile q, the bucketed observed rank error
-    ``floor(abs(count(x <= approx)/n - q) / eps)`` — deterministically 0
-    in any engine whenever the sketch honors its contract (eps = 0.01 is
-    100x the 1e-4 guarantee, leaving headroom for tie mass at the chosen
-    element, since count(<=) is the element's MAX rank). The DuckDB
-    oracle emits literal 0 buckets, so the hash gate fails exactly when
-    the sketch leaves its rank envelope. Cost: one extra corpus scan plus
-    a broadcast join of the 3-row sketch table — map-side, no shuffle
-    beyond the two partial aggregates; at 100 TB this is the cheap audit
-    (the exact form buffers whole groups on one reducer).
+    bounded RANK error (<= 1/accuracy of the group size). A returned
+    element with TIES occupies the whole rank interval
+    [count(< approx), count(<= approx)] — its min and max rank — so the
+    audit measures the distance from q*n to that INTERVAL, not to the max
+    rank alone (r14, ADVICE r13: the previous count(<=)-only form could
+    fail a contract-honoring sketch on any distribution with > eps
+    probability mass tied at the chosen element). The output carries, per
+    percentile q, ``floor(max(lo/n - q, q - hi/n, 0) / eps)`` —
+    deterministically 0 in any engine whenever the sketch honors its
+    contract, with eps = 0.01 as 100x headroom over the 1e-4 guarantee.
+    The DuckDB oracle emits literal 0 buckets, so the hash gate fails
+    exactly when the sketch leaves its rank envelope. Cost: one extra
+    corpus scan plus a broadcast join of the 3-row sketch table —
+    map-side, no shuffle beyond the two partial aggregates; at 100 TB
+    this is the cheap audit (the exact form buffers whole groups on one
+    reducer).
 
     ``audit=False`` is the raw serving form (l_returnflag, p50, p90, p99,
     n) — what production reads, and what bench.py times (the audit's
@@ -553,13 +558,23 @@ def percentile_prices_sketch(
         .groupBy("l_returnflag")
         .agg(
             F.first("n").alias("n"),
+            # the element's rank INTERVAL: count(<) = min rank,
+            # count(<=) = max rank — both in the same single scan
             *[
-                F.sum(
-                    F.when(
-                        F.col("l_extendedprice") <= F.col("aps")[i], 1
-                    ).otherwise(0)
-                ).alias(f"_r{i}")
+                agg
                 for i in range(3)
+                for agg in (
+                    F.sum(
+                        F.when(
+                            F.col("l_extendedprice") < F.col("aps")[i], 1
+                        ).otherwise(0)
+                    ).alias(f"_lo{i}"),
+                    F.sum(
+                        F.when(
+                            F.col("l_extendedprice") <= F.col("aps")[i], 1
+                        ).otherwise(0)
+                    ).alias(f"_hi{i}"),
+                )
             ],
         )
     )
@@ -568,7 +583,12 @@ def percentile_prices_sketch(
         "n",
         *[
             F.floor(
-                F.abs(F.col(f"_r{i}") / F.col("n") - F.lit(q)) / F.lit(eps)
+                F.greatest(
+                    F.col(f"_lo{i}") / F.col("n") - F.lit(q),
+                    F.lit(q) - F.col(f"_hi{i}") / F.col("n"),
+                    F.lit(0.0),
+                )
+                / F.lit(eps)
             )
             .cast("int")
             .alias(f"p{int(q * 100)}_rank_err_bucket")

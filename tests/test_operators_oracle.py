@@ -161,3 +161,27 @@ def test_distinct_count_approx_bounded_by_exact(spark):
         for col in ("n_parts", "n_supps"):
             assert ar[col] == er[col], f"{flag}.{col}: {ar[col]} vs {er[col]}"
         assert ar.parts_within_tol is True and ar.supps_within_tol is True
+
+
+def test_percentile_sketch_audit_tolerates_tie_mass(spark, tmp_path):
+    """r14 (ADVICE r13): a distribution with heavy probability mass TIED
+    at a quantile element must not fail the rank-error audit — the audit
+    measures distance from q*n to the element's [count(<), count(<=)]
+    rank interval, so a contract-honoring sketch reports bucket 0 even
+    when >1% of the group is the chosen value."""
+    from pyspark.sql import functions as F
+
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators import analytics
+
+    # 40% of the mass tied at 100.0 spanning the median; ties at the tail too
+    vals = [50.0] * 300 + [100.0] * 400 + [200.0] * 290 + [300.0] * 10
+    df = spark.createDataFrame(
+        [("A", v) for v in vals], "l_returnflag string, l_extendedprice double"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    out = analytics.percentile_prices_sketch(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 1000
+    for q in (50, 90, 99):
+        assert r[f"p{q}_rank_err_bucket"] == 0, r.asDict()
