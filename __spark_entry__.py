@@ -333,6 +333,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": analytics.anti_join,
         "asof_join_events_orders": analytics.asof_join_events_orders,
         "attribution_window_join": analytics.attribution_window_join,
+        "audio_vad_segments": multimodal.audio_vad_segments,
         "bigram_lm_score": text.bigram_lm_score,
         "bm25_search": text.bm25_search,
         "boilerplate_scrub": text.boilerplate_scrub,
@@ -587,6 +588,7 @@ _SWEEP_WINDOW: list[str] = [
 # never displace the sweep window (standing directive).
 _TAIL_PARKED: list[str] = [
     "neardup_admission_audit",  # r14: the online gate's admit set, batch-replayed
+    "audio_vad_segments",  # r14: VAD segmentation over the real WAV decode
 ]
 
 
@@ -1959,6 +1961,48 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
        CAST(sum(amp) AS BIGINT) AS sum_amp,
        CAST(sum(amp * amp) AS BIGINT) AS sum_sq
 FROM a GROUP BY doc_id, chunk_idx, start_sample, n_samples
+""",
+        # r14: energy-threshold VAD segmentation over the decoded chunks —
+        # gaps-and-islands on the active chunks (island = chunk_idx -
+        # row_number per doc). The activity decision is the integer compare
+        # sum_sq >= THR * n_samples, replayed exactly.
+        "audio_vad_segments": """
+WITH d AS (SELECT doc_id, strlen(text) AS n FROM documents),
+ch AS (
+  SELECT doc_id, n,
+         unnest(generate_series(0, (n - 1) // 80)) AS chunk_idx
+  FROM d WHERE n > 0),
+sp AS (
+  SELECT doc_id, chunk_idx, chunk_idx * 80 AS start_sample,
+         least(160, n - chunk_idx * 80) AS n_samples
+  FROM ch),
+s AS (
+  SELECT doc_id, chunk_idx, start_sample, n_samples,
+         unnest(generate_series(start_sample,
+                                start_sample + n_samples - 1)) AS i
+  FROM sp),
+cs AS (
+  SELECT doc_id, chunk_idx, start_sample, n_samples,
+         sum(((doc_id * 31 + i * 7) % 4096 - 2048)
+             * ((doc_id * 31 + i * 7) % 4096 - 2048)) AS sum_sq
+  FROM s GROUP BY doc_id, chunk_idx, start_sample, n_samples),
+act AS (
+  SELECT *, chunk_idx - row_number()
+              OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS island
+  FROM cs WHERE sum_sq >= 1400000 * n_samples),
+seg AS (
+  SELECT doc_id, island, min(chunk_idx) AS start_chunk,
+         count(*) AS n_chunks, min(start_sample) AS start_sample,
+         sum(sum_sq) AS energy
+  FROM act GROUP BY doc_id, island)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_chunk)
+            AS INT) AS seg_idx,
+       CAST(start_chunk AS INT) AS start_chunk,
+       CAST(n_chunks AS INT) AS n_chunks,
+       CAST(start_sample AS INT) AS start_sample,
+       CAST(energy AS BIGINT) AS energy
+FROM seg
 """,
         "tpch_q3": """
 SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -331,3 +331,52 @@ def multimodal_blob_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
         )
     )
+
+
+# Mean-energy activity threshold for the VAD segmentation. Integer, and
+# compared as sum_sq >= THR * n_samples (both sides exact bigints), so the
+# active/inactive decision is bit-identical across engines — no float
+# division at the decision point. 1.4e6 sits near the fixture PCM's median
+# chunk energy (measured spread ~6e3..3.7e6), so real corpora segment into
+# a mix of active and silent runs rather than degenerating to one segment.
+_VAD_THR = 1_400_000
+
+
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity segmentation over the decoded audio
+    chunks (r14) — the segment-extraction step a speech training pipeline
+    runs after framing: mark chunks active (mean PCM energy >= threshold),
+    then merge RUNS of consecutive active chunks into segments
+    (gaps-and-islands: island = chunk_idx - row_number per doc). Emits one
+    row per segment with its chunk span and total energy.
+
+    Scale shape: chunk stats come from the real WAV decode (mapInPandas,
+    no shuffle), then ONE hash shuffle on doc_id feeds both the island
+    window and the segment rollup — per-doc state is bounded by the doc's
+    own chunk count, nothing corpus-wide. The activity decision is pure
+    integer arithmetic so the DuckDB oracle replays it exactly."""
+    from pyspark.sql import Window
+
+    ch = audio_chunks(spark, sf_dir)
+    active = ch.filter(
+        F.col("sum_sq") >= F.lit(_VAD_THR) * F.col("n_samples")
+    )
+    w = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    islands = active.withColumn(
+        "_island", F.col("chunk_idx") - F.row_number().over(w)
+    )
+    segs = islands.groupBy("doc_id", "_island").agg(
+        F.min("chunk_idx").alias("start_chunk"),
+        F.count("*").cast("int").alias("n_chunks"),
+        F.min("start_sample").alias("start_sample"),
+        F.sum("sum_sq").alias("energy"),
+    )
+    ws = Window.partitionBy("doc_id").orderBy("start_chunk")
+    return segs.select(
+        "doc_id",
+        F.row_number().over(ws).cast("int").alias("seg_idx"),
+        "start_chunk",
+        "n_chunks",
+        "start_sample",
+        "energy",
+    )

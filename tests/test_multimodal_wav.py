@@ -94,3 +94,38 @@ def test_audio_chunks_counts_match_text_lengths(spark):
     for doc_id, n_bytes in texts.items():
         want = (n_bytes + hop - 1) // hop if n_bytes else 0
         assert per_doc.get(doc_id, 0) == want
+
+
+def test_vad_segments_merge_consecutive_active_chunks(spark):
+    """Segments are maximal runs: within a doc, segment chunk spans are
+    disjoint, ordered, and separated by at least one INACTIVE chunk."""
+    from collections import defaultdict
+
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators.multimodal import (
+        _VAD_THR,
+        audio_chunks,
+        audio_vad_segments,
+    )
+
+    segs = defaultdict(list)
+    for r in audio_vad_segments(spark, SF_DIR).collect():
+        segs[r["doc_id"]].append(r)
+    assert segs, "VAD vacuous on this corpus"
+    active = {
+        (r["doc_id"], r["chunk_idx"])
+        for r in audio_chunks(spark, SF_DIR).collect()
+        if r["sum_sq"] >= _VAD_THR * r["n_samples"]
+    }
+    covered = set()
+    for doc_id, rows in segs.items():
+        rows.sort(key=lambda r: r["seg_idx"])
+        prev_end = None
+        for r in rows:
+            span = range(r["start_chunk"], r["start_chunk"] + r["n_chunks"])
+            for c in span:
+                assert (doc_id, c) in active  # every chunk in a segment is active
+                covered.add((doc_id, c))
+            if prev_end is not None:
+                assert r["start_chunk"] > prev_end + 1  # a gap separates runs
+            prev_end = span[-1]
+    assert covered == active  # every active chunk lands in exactly one segment
