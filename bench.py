@@ -512,16 +512,18 @@ def bench_htap_mixed(spark, sf_dir: str) -> dict:
         file=sys.stderr,
     )
     return {
-        # w_idle/w_mix are the MIN-RATIO pair's medians; w_pct is that
-        # pair's ratio (min-of-n_pairs — the adjudicable §7.4 form, r14);
-        # w_pairs carries every pair's raw medians for re-adjudication.
-        "w_idle_ms": round(write_idle, 3),
-        "w_mix_ms": round(write_mixed, 3),
+        # w_pct is the MIN-RATIO pair's ratio (min-of-n_pairs — the
+        # adjudicable §7.4 form, r14); wp carries every pair's raw
+        # medians in MICROSECONDS, flattened [idle1, mix1, idle2, mix2,
+        # ...], for re-adjudication — ints keep the JSON line inside the
+        # driver's 2000-char tail window (the r7 overflow lesson). The
+        # old w_idle_ms/w_mix_ms were the min pair's medians and are
+        # derivable: the wp pair with the smallest mix/idle ratio.
         "q_idle_ms": round(query_idle, 2),
         "q_mix_ms": round(query_mixed, 2),
         "w_pct": round(100 * (write_mixed / write_idle - 1), 1),
-        "w_pairs": [
-            [round(i, 3), round(m, 3)] for i, m in pair_stats
+        "wp": [
+            int(round(v * 1000)) for pair in pair_stats for v in pair
         ],
         # q_pct / q_abs_ms dropped from the payload (r13): both derive
         # from q_idle_ms/q_mix_ms, and the freed chars pay for the

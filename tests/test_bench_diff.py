@@ -74,11 +74,13 @@ class TestEmittedSchema:
         5-char width, so jitter is bounded by ~1 char per query)."""
         timings = {name: 12.34 for name in bench.HEADLINE}
         htap = {
-            "w_idle_ms": 0.035,
-            "w_mix_ms": 0.037,
             "q_idle_ms": 114.98,
             "q_mix_ms": 224.19,
             "w_pct": 106.7,
+            # r14 min-of-3 form: the 3 raw idle/mixed pair medians ride
+            # along as flat MICROSECOND ints (4-char widths = 10 ms writes,
+            # already ~150x the sub-0.1 ms §7.4 write base)
+            "wp": [9999, 9999, 9999, 9999, 9999, 9999],
             "scan_ms": 114.98,
             "q_pct_vs_scan": 162.4,
             "writes": 16879,
