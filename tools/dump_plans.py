@@ -123,6 +123,17 @@ def main() -> None:
         "0.368 s isolated min-of-3 on matched calibration — in-payload",
         "contention from the 53-query back-to-back run, not plan drift.",
         "",
+        "Known r14 scope change (not drift): multimodal_audio_chunks",
+        "became a REAL WAV codec round trip (attach_wav_blob encodes",
+        "genuine RIFF/WAVE payloads, the chunker parses the actual header",
+        "and windows decoded int16 samples — was byte slicing on a labeled",
+        "stub), so its r14 wall-clock (0.64 s local vs BENCH_r13's 0.41 s,",
+        "1.56x) includes genuinely new decode work: the delta matches the",
+        "measured pure-Python encode+decode cost (~0.23 s for 5k docs,",
+        "single-threaded microbench this session). A bench_diff REGRESSION",
+        "flag on this one query compares different operators; the plan is",
+        "still pinned exchange-free in tests/test_plans.py.",
+        "",
         "Known r9 scope change (not drift): pipeline_funnel gained the",
         "staged near-dedup stage 4 (pair graph over stage-3 survivors +",
         "CC), so its BENCH_r09 wall-clock (6.59 s vs BENCH_r08's 0.96 s)",
