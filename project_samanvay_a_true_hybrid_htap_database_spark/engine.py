@@ -526,9 +526,16 @@ class SamanvayEngine:
         spark: SparkSession,
         quirk_compat: bool = True,
         data_dir: str | None = None,
+        retention_versions: int = 0,
     ):
         self.spark = spark
         self.quirk_compat = quirk_compat
+        # Time travel horizon (r14): how many layout versions BEHIND the
+        # live one stay readable via `SELECT ... FROM t VERSION AS OF n` /
+        # read_version(). 0 = vacuum-on-commit (the reference's behavior,
+        # pinned by tests/test_durability.py): old generation dirs are
+        # collected immediately and only the live version is readable.
+        self.retention_versions = max(0, int(retention_versions))
         # Mixed-workload GIL tuning: a driver-side ingest loop is
         # compute-bound pure Python, so at CPython's default 5 ms switch
         # interval EVERY py4j wake of a concurrent analytical reader can
@@ -1291,6 +1298,67 @@ class SamanvayEngine:
             state = self._state(name)
             return TableTxLog(self._table_data_path(state.name)).history(n)
 
+    def read_version(self, name: str, version: int) -> DataFrame:
+        """Time travel (r14): the table AS OF a committed layout version —
+        the merged view (base generation + delta segment, newest-wins with
+        tombstones applied) the txlog manifest for ``version`` describes.
+        No overlay: memtable/WAL rows postdate every committed version.
+        Readability is bounded by ``retention_versions`` (default 0 =
+        vacuum-on-commit, the reference's behavior — only the live version
+        is readable); a version whose dirs were collected raises with a
+        pointer at the retention knob. Schema evolution is out of scope
+        (the engine has no ALTER TABLE), so the current schema applies."""
+        with self._lock:
+            state = self._state(name)
+            if self.data_dir is None:
+                raise SqlError(
+                    "VERSION AS OF requires a durable engine (data_dir)"
+                )
+            log = TableTxLog(self._table_data_path(state.name))
+            try:
+                man = log.read(int(version))
+            except (OSError, json.JSONDecodeError):
+                raise SqlError(
+                    f"No committed version {version} for table {state.name}"
+                    f" (log is at {log.latest_version()})"
+                )
+            return self._layout_df(state, man, int(version))
+
+    def _layout_df(self, state: TableState, man: dict, version: int) -> DataFrame:
+        def vacuumed(ref: str) -> SqlError:
+            return SqlError(
+                f"Version {version} of {state.name} is no longer readable: "
+                f"{ref} was vacuumed. Construct the engine with "
+                f"retention_versions >= the history depth you need."
+            )
+
+        base = None
+        gen = int(man.get("base_gen") or 0)
+        if gen:
+            p = self._gen_path(state.name, gen)
+            if not os.path.isdir(p):
+                raise vacuumed(f"generation {gen}")
+            base = self.spark.read.parquet(p)
+        elif man.get("ext_path"):
+            p = man["ext_path"]
+            if not (os.path.isdir(p) or os.path.isfile(p)):
+                raise vacuumed(f"external base {p}")
+            base = self.spark.read.parquet(p)
+        if base is None:
+            base = self.spark.createDataFrame([], state.schema)
+        dgen = int(man.get("delta_gen") or 0)
+        if dgen:
+            p = self._delta_path(state.name, dgen)
+            if not os.path.isdir(p):
+                raise vacuumed(f"delta segment {dgen}")
+            delta = self.spark.read.parquet(p)
+            base = base.join(
+                F.broadcast(delta.select(state.pk)),
+                on=state.pk,
+                how="left_anti",
+            ).unionByName(delta.filter(~F.col("__tomb")).drop("__tomb"))
+        return base
+
     def _history_result(self, name: str) -> ResultSet:
         """table_history rendered as a ResultSet — the `DESCRIBE HISTORY t`
         / shell `\\history t` view (r14)."""
@@ -1342,8 +1410,11 @@ class SamanvayEngine:
         if state.delta is not None:
             keep.add(f"delta_{state.delta_gen}")
         # defensive union with the transaction log's keep-set: never
-        # collect a dir the newest committed manifest still references
-        keep |= TableTxLog(tdir).live_refs()
+        # collect a dir a RETAINED committed manifest still references
+        # (retention_versions = 0 keeps vacuum-on-commit — only the live
+        # manifest's dirs survive, the behavior test_durability pins;
+        # > 0 keeps that many historical versions VERSION AS OF-readable)
+        keep |= TableTxLog(tdir).retained_refs(self.retention_versions)
         for entry in os.listdir(tdir):
             full = os.path.join(tdir, entry)
             if entry in keep:
@@ -2119,14 +2190,41 @@ class SamanvayEngine:
         name_t = ts.next()
         if name_t[0] != "word":
             raise SqlError("Expected table name")
+        # time travel (r14): FROM t VERSION AS OF <n> reads the layout a
+        # committed txlog manifest describes — only whole keywords engage,
+        # so a column/table named "version" elsewhere is unaffected.
+        version = None
+        if ts.accept_word("VERSION"):
+            ts.expect_word("AS")
+            ts.expect_word("OF")
+            v_t = ts.next()
+            if v_t is None or v_t[0] != "num":
+                raise SqlError("VERSION AS OF requires an integer version")
+            try:
+                version = int(str(v_t[1]))
+            except ValueError:
+                raise SqlError("VERSION AS OF requires an integer version")
         pred = None
         if ts.accept_word("WHERE"):
             pred = _parse_pred(ts)
-        return items, str(name_t[1]).lower(), pred
+        return items, str(name_t[1]).lower(), pred, version
 
     def _select(self, ts: _Tokens) -> ResultSet:
-        items, table, pred = self._parse_select(ts)
+        items, table, pred, version = self._parse_select(ts)
         state = self._state(table)
+        if version is not None:
+            # Serve the historical layout through the SAME select/aggregate
+            # machinery via a synthetic state (no overlay, no delta — the
+            # committed manifest fully describes the layout; rows still in
+            # the memtable/WAL postdate every committed version by
+            # definition). gen=0 keeps the pyarrow point path off.
+            state = TableState(
+                name=state.name,
+                schema=state.schema,
+                pk=state.pk,
+                not_null=set(state.not_null),
+                base=self.read_version(table, version),
+            )
         if pred is not None and _point_lookup_pk(pred, state.pk) is None:
             self.stats["total_range_queries"] += 1
         cols = [f.name for f in state.schema.fields]
@@ -3159,7 +3257,9 @@ class SamanvayEngine:
         t = ts.peek()
         if not (t and t[0] == "word" and t[1].upper() == "SELECT"):
             raise SqlError("EXPLAIN supports SELECT statements only")
-        items, table, pred = self._parse_select(ts)
+        items, table, pred, version = self._parse_select(ts)
+        if version is not None:
+            raise SqlError("EXPLAIN of VERSION AS OF is not supported")
         state = self._state(table)
         cols = [f.name for f in state.schema.fields]
 

@@ -116,15 +116,19 @@ class TableTxLog:
     def live_refs(self) -> set[str]:
         """Directory names (relative to the table dir) the newest manifest
         references — the GC keep-set."""
-        got = self.latest()
-        if got is None:
-            return set()
-        _, m = got
-        refs = set()
-        if m.get("base_dir"):
-            refs.add(m["base_dir"])
-        if m.get("delta_dir"):
-            refs.add(m["delta_dir"])
+        return self.retained_refs(0)
+
+    def retained_refs(self, retention: int = 0) -> set[str]:
+        """GC keep-set spanning the newest ``retention + 1`` readable
+        manifests — the time-travel contract (r14): every generation or
+        delta dir a RETAINED version references must survive vacuum, so
+        ``VERSION AS OF`` stays readable that far back."""
+        refs: set[str] = set()
+        for m in self.history(retention + 1):
+            if m.get("base_dir"):
+                refs.add(m["base_dir"])
+            if m.get("delta_dir"):
+                refs.add(m["delta_dir"])
         return refs
 
     # -- writing ------------------------------------------------------------

@@ -789,3 +789,81 @@ def test_txlog_sweeps_stale_tmp_litter(tmp_path):
     names = set(os.listdir(log.log_dir))
     assert os.path.basename(stale) not in names
     assert os.path.basename(fresh) in names
+
+
+def test_time_travel_reads_committed_versions(spark, data_dir):
+    """r14: `SELECT ... FROM t VERSION AS OF n` serves the layout version
+    n's committed manifest describes — across inserts, updates, and
+    deletes — while the live read stays newest. retention_versions bounds
+    readability; history survives restart."""
+    e = SamanvayEngine(spark, data_dir=data_dir, retention_versions=4)
+    e.execute("CREATE TABLE t (id BIGINT NOT NULL, v DOUBLE)")
+    e.execute("INSERT INTO t VALUES (1, 1.0)")
+    e.flush("t")  # v1
+    e.execute("INSERT INTO t VALUES (2, 2.0)")
+    e.flush("t")  # v2
+    e.execute("UPDATE t SET v = 9.0 WHERE id = 1")
+    e.flush("t")  # v3
+    e.execute("DELETE FROM t WHERE id = 2")
+    e.flush("t")  # v4
+
+    def rows(sql):
+        r = e.execute(sql)
+        assert r.error_message is None, (sql, r.error_message)
+        return r.rows
+
+    assert rows("SELECT * FROM t VERSION AS OF 1") == [(1, 1.0)]
+    assert rows("SELECT * FROM t VERSION AS OF 2") == [(1, 1.0), (2, 2.0)]
+    assert rows("SELECT * FROM t VERSION AS OF 3") == [(1, 9.0), (2, 2.0)]
+    assert rows("SELECT * FROM t VERSION AS OF 4") == [(1, 9.0)]
+    assert rows("SELECT * FROM t") == [(1, 9.0)]
+    # the full select machinery applies to historical reads
+    assert rows("SELECT COUNT(*), SUM(v) FROM t VERSION AS OF 2") == [(2, 3.0)]
+    assert rows("SELECT id FROM t VERSION AS OF 3 WHERE v > 5") == [(1,)]
+    # unknown version is a loud error, not an empty result
+    r = e.execute("SELECT * FROM t VERSION AS OF 99")
+    assert "No committed version 99" in r.error_message
+    # history survives restart at the same retention
+    e2 = SamanvayEngine(spark, data_dir=data_dir, retention_versions=4)
+    assert e2.execute("SELECT * FROM t VERSION AS OF 1").rows == [(1, 1.0)]
+
+
+def test_time_travel_retention_zero_stays_vacuum_on_commit(spark, data_dir):
+    """Default retention 0 keeps the reference's vacuum-on-commit GC:
+    only the live version's dirs survive, and reading an older version
+    fails loudly with a pointer at the retention knob."""
+    e = SamanvayEngine(spark, data_dir=data_dir)
+    e.execute("CREATE TABLE u (id BIGINT NOT NULL)")
+    e.execute("INSERT INTO u VALUES (1)")
+    e.flush("u")  # v1
+    e.execute("INSERT INTO u VALUES (2)")
+    e.flush("u")  # v2 — v1's delta dir is collected on this commit
+    r = e.execute("SELECT * FROM u VERSION AS OF 1")
+    assert "vacuumed" in r.error_message
+    assert "retention_versions" in r.error_message
+    assert e.execute("SELECT * FROM u VERSION AS OF 2").rows == [(1,), (2,)]
+
+
+def test_time_travel_retention_bounds_gc(spark, data_dir):
+    """retention_versions=N keeps exactly the dirs the newest N+1
+    manifests reference — older ones are still collected (bounded
+    storage, not keep-everything)."""
+    import os
+
+    e = SamanvayEngine(spark, data_dir=data_dir, retention_versions=1)
+    e.execute("CREATE TABLE w (id BIGINT NOT NULL)")
+    for i in range(1, 5):
+        e.execute(f"INSERT INTO w VALUES ({i})")
+        e.flush("w")  # v_i
+    # v4 live, v3 retained, v1/v2 vacuumed
+    assert e.execute("SELECT * FROM w VERSION AS OF 3").rows == [
+        (1,), (2,), (3,)
+    ]
+    assert "vacuumed" in e.execute(
+        "SELECT * FROM w VERSION AS OF 2"
+    ).error_message
+    tdir = e._table_data_path("w")
+    deltas = sorted(
+        d for d in os.listdir(tdir) if d.startswith("delta_")
+    )
+    assert deltas == ["delta_3", "delta_4"]  # bounded, not unbounded
