@@ -107,8 +107,31 @@ def _interrupted(exc: BaseException) -> bool:
     stop() races an in-flight micro-batch under full-suite load. The
     exactly-once logic is not implicated — the checkpoint holds — so the
     harness may re-invoke the plan factory from the checkpoint ONCE
-    instead of failing on harness timing."""
-    return "InterruptedException" in str(exc)
+    instead of failing on harness timing.
+
+    The interruption often lives only in the JAVA cause chain — the
+    captured StreamingQueryException's own message is just
+    '[STREAM_FAILED] ... terminated with exception:  SQLSTATE: XXKST'
+    (r14 full-suite flake) — so walk the captured stack trace and the
+    Python/Java cause chains, not just str(exc)."""
+    seen = 0
+    e: BaseException | None = exc
+    while e is not None and seen < 8:
+        if "InterruptedException" in str(e):
+            return True
+        if "InterruptedException" in (getattr(e, "_stackTrace", "") or ""):
+            return True
+        origin = getattr(e, "_origin", None)
+        try:
+            if origin is not None and "InterruptedException" in (
+                origin.toString() or ""
+            ):
+                return True
+        except Exception:
+            pass
+        e = getattr(e, "_cause", None) or e.__cause__
+        seen += 1
+    return False
 
 
 def _stop_tolerating_interrupt(q) -> None:
