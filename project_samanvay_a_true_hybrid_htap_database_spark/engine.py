@@ -1359,6 +1359,52 @@ class SamanvayEngine:
             ).unionByName(delta.filter(~F.col("__tomb")).drop("__tomb"))
         return base
 
+    def read_changes(
+        self, name: str, v_from: int, v_to: int
+    ) -> DataFrame:
+        """Change-data-feed over the txlog seam (r14): the row-level diff
+        between two committed layout versions — the Delta CDF /
+        `table_changes()` shape. Returns the table columns plus
+        ``_change_type`` in {'insert', 'update_postimage', 'delete'};
+        deletes carry the v_from row, inserts/updates the v_to row.
+        Both endpoints must still be readable (``retention_versions``),
+        so the feed's horizon is the time-travel horizon. Derived by
+        keyed anti/equi joins between the two reconstructed layouts —
+        at scale that is two broadcast-or-shuffle hash joins on the pk,
+        never a full-table sort."""
+        if int(v_to) <= int(v_from):
+            raise SqlError(
+                f"read_changes requires v_from < v_to (got {v_from}, {v_to})"
+            )
+        with self._lock:
+            state = self._state(name)
+        old = self.read_version(name, int(v_from))
+        new = self.read_version(name, int(v_to))
+        pk = state.pk
+        cols = [f.name for f in state.schema.fields]
+        inserts = new.join(
+            old.select(pk), on=pk, how="left_anti"
+        ).withColumn("_change_type", F.lit("insert"))
+        deletes = old.join(
+            new.select(pk), on=pk, how="left_anti"
+        ).withColumn("_change_type", F.lit("delete"))
+        non_pk = [c for c in cols if c != pk]
+        both = new.alias("n").join(old.alias("o"), on=pk, how="inner")
+        if non_pk:
+            changed = both.filter(
+                ~(
+                    F.struct(*[F.col(f"n.{c}") for c in non_pk]).eqNullSafe(
+                        F.struct(*[F.col(f"o.{c}") for c in non_pk])
+                    )
+                )
+            )
+        else:
+            changed = both.filter(F.lit(False))  # pk-only table: no updates
+        updates = changed.select(
+            pk, *[F.col(f"n.{c}") for c in non_pk]
+        ).withColumn("_change_type", F.lit("update_postimage"))
+        return inserts.unionByName(updates).unionByName(deletes)
+
     def _history_result(self, name: str) -> ResultSet:
         """table_history rendered as a ResultSet — the `DESCRIBE HISTORY t`
         / shell `\\history t` view (r14)."""

@@ -867,3 +867,34 @@ def test_time_travel_retention_bounds_gc(spark, data_dir):
         d for d in os.listdir(tdir) if d.startswith("delta_")
     )
     assert deltas == ["delta_3", "delta_4"]  # bounded, not unbounded
+
+
+def test_change_data_feed_between_versions(spark, data_dir):
+    """r14: read_changes(t, v_from, v_to) — the Delta-CDF-shaped row diff
+    between two retained layout versions: inserts/update-postimages carry
+    the v_to row, deletes the v_from row; cross-span diffs compose."""
+    e = SamanvayEngine(spark, data_dir=data_dir, retention_versions=8)
+    e.execute("CREATE TABLE t (id BIGINT NOT NULL, v DOUBLE)")
+    e.execute("INSERT INTO t VALUES (1, 1.0)")
+    e.execute("INSERT INTO t VALUES (2, 2.0)")
+    e.flush("t")  # v1
+    e.execute("UPDATE t SET v = 9.0 WHERE id = 1")
+    e.execute("INSERT INTO t VALUES (3, 3.0)")
+    e.flush("t")  # v2
+    e.execute("DELETE FROM t WHERE id = 2")
+    e.flush("t")  # v3
+
+    def diff(a, b):
+        return sorted(tuple(r) for r in e.read_changes("t", a, b).collect())
+
+    assert diff(1, 2) == [(1, 9.0, "update_postimage"), (3, 3.0, "insert")]
+    assert diff(2, 3) == [(2, 2.0, "delete")]
+    assert diff(1, 3) == [
+        (1, 9.0, "update_postimage"),
+        (2, 2.0, "delete"),
+        (3, 3.0, "insert"),
+    ]
+    # an unchanged row (same pk, same values) never appears
+    assert all(row[0] != 3 for row in diff(2, 3))
+    with pytest.raises(Exception, match="v_from < v_to"):
+        e.read_changes("t", 3, 1)
