@@ -206,6 +206,44 @@ class TestRestAPI:
         status, body = _req(api, "POST", "/api/query", {})
         assert status == 400 and body["error"]["type"] == "INVALID_REQUEST"
 
+    def test_time_travel_via_rest_query(self, spark, tmp_path):
+        """r14: VERSION AS OF flows through POST /api/query unchanged —
+        the REST surface serves historical reads the moment the engine
+        does (no endpoint work needed, pinned here so it stays true)."""
+        from project_samanvay_a_true_hybrid_htap_database_spark import (
+            SamanvayEngine,
+        )
+
+        e = SamanvayEngine(
+            spark, data_dir=str(tmp_path), retention_versions=2
+        )
+        server = make_server(e, port=0)
+        server.start_background()
+        try:
+            for sql in (
+                "CREATE TABLE tt (id BIGINT NOT NULL, v DOUBLE)",
+                "INSERT INTO tt VALUES (1, 1.0)",
+            ):
+                _req(server, "POST", "/api/query", {"sql": sql})
+            e.flush("tt")  # v1
+            _req(
+                server, "POST", "/api/query",
+                {"sql": "INSERT INTO tt VALUES (2, 2.0)"},
+            )
+            e.flush("tt")  # v2
+            status, body = _req(
+                server, "POST", "/api/query",
+                {"sql": "SELECT * FROM tt VERSION AS OF 1"},
+            )
+            assert status == 200 and body["data"]["rows"] == [[1, 1.0]]
+            status, body = _req(
+                server, "POST", "/api/query",
+                {"sql": "SELECT * FROM tt"},
+            )
+            assert body["data"]["rows"] == [[1, 1.0], [2, 2.0]]
+        finally:
+            server.shutdown()
+
     def test_explain(self, api):
         _req(api, "POST", "/api/query", {"sql": "CREATE TABLE e (id INT PRIMARY KEY)"})
         status, body = _req(
