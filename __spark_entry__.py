@@ -272,6 +272,69 @@ GROUP BY ec.cl
 """
 
 
+def _bpe_merges_sql(rounds: int = 6, vocab: int = 1000) -> str:
+    """Unrolled fixed-round BPE merge learning — the oracle twin of
+    text.bpe_learn_merges (the kmeans_iterate unroll precedent). Both
+    engines: word histogram → top-`vocab` by (cnt DESC, w) → per round,
+    weighted adjacent-pair argmax (ties: c DESC, sym_a, sym_b) applied
+    via non-overlapping left-to-right replace over chr(31)-joined symbol
+    strings (verified equal to Spark's replace semantics)."""
+    parts = [
+        f"""
+toksrc AS (SELECT unnest({_TOKS}) AS w FROM documents),
+h AS (SELECT w, count(*) AS cnt FROM toksrc WHERE len(w) > 0 GROUP BY w),
+v AS (SELECT w, cnt FROM h ORDER BY cnt DESC, w LIMIT {vocab}),
+w0 AS (SELECT array_to_string(
+         list_transform(generate_series(1, strlen(w)),
+                        i -> substr(w, i, 1)), chr(31)) AS s, cnt
+       FROM v)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+e{r} AS (SELECT string_split(s, chr(31)) AS sy, cnt FROM w{r - 1}),
+x{r} AS (SELECT sy, cnt, unnest(generate_series(1, len(sy) - 1)) AS i
+         FROM e{r} WHERE len(sy) >= 2),
+p{r} AS (SELECT sy[i] AS sym_a, sy[i + 1] AS sym_b, sum(cnt) AS c
+         FROM x{r} GROUP BY sym_a, sym_b),
+m{r} AS (SELECT {r} AS merge_rank, sym_a, sym_b,
+                CAST(c AS BIGINT) AS pair_count
+         FROM p{r} ORDER BY c DESC, sym_a, sym_b LIMIT 1),
+w{r} AS (SELECT replace(s,
+                (SELECT sym_a || chr(31) || sym_b FROM m{r}),
+                (SELECT sym_a || sym_b FROM m{r})) AS s, cnt
+         FROM w{r - 1})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(merge_rank AS INT) AS merge_rank, sym_a, sym_b,"
+        f" pair_count FROM m{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + union
+
+
+def _bpe_segment_sql(rounds: int = 6, vocab: int = 1000) -> str:
+    """bpe_segment_stats' oracle: the merge chain's CTEs, then the 6
+    replaces applied to EVERY corpus word (chr(31)-joined chars), symbol
+    counts rolled up per doc."""
+    chain = _bpe_merges_sql(rounds, vocab)
+    ctes = chain[len("WITH ") : chain.index("\nSELECT")]
+    rep = ("array_to_string(list_transform(generate_series(1, strlen(w)),"
+           " i -> substr(w, i, 1)), chr(31))")
+    for r in range(1, rounds + 1):
+        rep = (f"replace({rep}, (SELECT sym_a || chr(31) || sym_b FROM m{r}),"
+               f" (SELECT sym_a || sym_b FROM m{r}))")
+    return f"""WITH {ctes},
+docw AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
+dw AS (SELECT doc_id, w FROM docw WHERE len(w) > 0),
+sy AS (SELECT doc_id, len(string_split({rep}, chr(31))) AS ns FROM dw)
+SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+       CAST(sum(ns) AS INT) AS n_bpe_symbols,
+       round(sum(ns) / count(*), 4) AS symbols_per_word
+FROM sy GROUP BY doc_id
+"""
+
+
 def _simhash_fp_cte(bits: int = 60) -> str:
     votes = ", ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE 0 END) AS b{j}"
@@ -338,6 +401,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": text.bm25_search,
         "boilerplate_scrub": text.boilerplate_scrub,
         "boilerplate_segments_report": text.boilerplate_segments_report,
+        "bpe_learn_merges": text.bpe_learn_merges,
+        "bpe_segment_stats": text.bpe_segment_stats,
         "bucketed_join_agg": bucketed_join_agg,
         "case_bucketing": analytics.case_bucketing,
         "char_entropy_score": text.char_entropy_score,
@@ -591,6 +656,8 @@ _TAIL_PARKED: list[str] = [
     "neardup_admission_audit",  # r14: the online gate's admit set, batch-replayed
     "audio_vad_segments",  # r14: VAD segmentation over the real WAV decode
     "multimodal_bmp_resize",  # r14: real BMP decode + NN resize
+    "bpe_learn_merges",  # r14: fixed-round BPE tokenizer induction
+    "bpe_segment_stats",  # r14: learned-tokenizer token economics per doc
 ]
 
 
@@ -2512,6 +2579,8 @@ FROM pb JOIN bmin USING (bkt)
 WHERE negative != anchor AND negative != positive
 """,
         "minhash_signatures": minhash_sig,
+        "bpe_learn_merges": _bpe_merges_sql(),
+        "bpe_segment_stats": _bpe_segment_sql(),
         "minhash_lsh_pairs": lsh_pairs,
         # r14: the online near-dup admission gate's admit set, batch-replayed.
         # Seen-semantics makes the sequential rule closed-form over the

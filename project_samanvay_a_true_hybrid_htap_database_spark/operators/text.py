@@ -1672,3 +1672,129 @@ def dedup_segments_across_docs(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+# --- BPE merge learning (r14) ------------------------------------------------
+
+BPE_ROUNDS = 6
+BPE_VOCAB = 1000
+_BPE_SEP = "\x1f"  # unit separator: cannot appear inside whitespace tokens
+
+
+def bpe_learn_merges(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = BPE_ROUNDS,
+    vocab: int = BPE_VOCAB,
+) -> DataFrame:
+    """Byte-pair-encoding merge learning over the corpus — tokenizer
+    induction, the production shape: merges are learned from the WORD
+    HISTOGRAM (one corpus token shuffle builds it), never from the raw
+    corpus, so each of the ``rounds`` merge steps scans a vocab-sized
+    table (KBs) exactly like real BPE trainers (the word-count
+    pre-aggregation trick). Per round: weighted adjacent-symbol-pair
+    counts → argmax pair (ties broken by count desc, then symbol pair
+    lexicographically — deterministic cross-engine) → leftmost-greedy
+    merge applied via string replace over the separator-joined symbol
+    strings (non-overlapping left-to-right `replace` reproduces the
+    classic greedy fold exactly — 'aaaa' under (a,a) becomes [aa, aa]).
+    Returns one row per learned merge: (merge_rank, sym_a, sym_b,
+    pair_count). Fixed-round so the DuckDB oracle replays it as an
+    unrolled CTE chain (the kmeans_iterate precedent).
+
+    At 100 TB: the histogram aggregate is the only corpus-sized work
+    (map-side combinable token count); the merge loop costs rounds x
+    O(vocab) — driver round-trips are one 1-row argmax collect each."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(vocab)
+    )
+    cur = hist.select(
+        F.concat_ws(_BPE_SEP, F.split("w", "(?!$)")).alias("s"), "cnt"
+    ).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        sy = cur.select(F.split("s", _BPE_SEP).alias("a"), "cnt").filter(
+            F.size("a") >= 2
+        )
+        pairs = sy.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(a) - 2),"
+                    " i -> struct(a[i] AS sym_a, a[i + 1] AS sym_b))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        top = (
+            pairs.groupBy("p.sym_a", "p.sym_b")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "sym_a", "sym_b")
+            .first()
+        )
+        if top is None:
+            break  # every retained word is a single symbol already
+        a, b, c = top["sym_a"], top["sym_b"], int(top["c"])
+        merges.append((r, a, b, c))
+        cur = cur.select(
+            F.replace(
+                "s", F.lit(a + _BPE_SEP + b), F.lit(a + b)
+            ).alias("s"),
+            "cnt",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank int, sym_a string, sym_b string, pair_count bigint"
+    )
+
+
+def bpe_segment_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = BPE_ROUNDS,
+    vocab: int = BPE_VOCAB,
+) -> DataFrame:
+    """Apply the learned BPE merges to the WHOLE corpus and report each
+    doc's token economics — whitespace words vs BPE symbols and the
+    symbols-per-word ratio (what a budget planner needs when the training
+    tokenizer is the learned one, not whitespace). The merge table is
+    learned first (bpe_learn_merges — a bounded 6-row driver constant,
+    index-build style) and then applied as a chain of in-scan string
+    replaces inside array HOFs: ZERO shuffles, one corpus pass; merges
+    apply to every word, in-vocab or not (standard BPE application).
+    Docs with no words are dropped (no tokenizable content)."""
+    merges = bpe_learn_merges(spark, sf_dir, rounds, vocab).collect()
+    docs = load_table(spark, sf_dir, "documents")
+
+    def applied(w):
+        s = F.concat_ws(_BPE_SEP, F.split(w, "(?!$)"))
+        for m in merges:
+            s = F.replace(
+                s,
+                F.lit(m["sym_a"] + _BPE_SEP + m["sym_b"]),
+                F.lit(m["sym_a"] + m["sym_b"]),
+            )
+        return s
+
+    words = F.filter(tokens(F.col("text")), lambda w: F.length(w) > 0)
+    out = docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            words,
+            F.lit(0),
+            lambda acc, w: acc + F.size(F.split(applied(w), _BPE_SEP)),
+        ).alias("n_bpe_symbols"),
+    ).filter(F.col("n_words") > 0)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_bpe_symbols",
+        F.round(
+            F.col("n_bpe_symbols") / F.col("n_words"), 4
+        ).alias("symbols_per_word"),
+    )
