@@ -150,6 +150,11 @@ def _warm_time(fn, spark, sf_dir):
             "pipeline_clean_corpus_neardup",
             sampling.pipeline_clean_corpus_neardup,
         ),
+        # r14 BPE: learning is vocab-bound after the one histogram
+        # shuffle (measured 1.0x at 10x), application is a zero-shuffle
+        # corpus scan (2.7x at 10x) — both must stay corpus-linear-ish
+        ("bpe_learn_merges", text.bpe_learn_merges),
+        ("bpe_segment_stats", text.bpe_segment_stats),
     ],
 )
 def test_corpus_operator_scales_subquadratically(spark, scaled_dirs, name, fn):

@@ -326,6 +326,10 @@ def main() -> None:
                 "pipeline_clean_corpus_neardup",
                 sampling.pipeline_clean_corpus_neardup,
             ),
+            # r14 BPE: histogram shuffle once, then vocab-bound rounds /
+            # zero-shuffle corpus application
+            ("bpe_learn_merges", text.bpe_learn_merges),
+            ("bpe_segment_stats", text.bpe_segment_stats),
         ],
         "embeddings": [
             ("embedding_neardup_pairs_vectorized", dedup.embedding_neardup_pairs_vectorized),
