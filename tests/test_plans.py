@@ -297,6 +297,11 @@ class TestMultimodalShuffleFree:
             "multimodal_frames",
             "multimodal_summary",
             "multimodal_audio_chunks",
+            "multimodal_bmp_resize",
+            # learned merges applied inside array HOFs: the returned plan
+            # is scan -> project (the learning's own bounded jobs run at
+            # build time, not in this plan)
+            "bpe_segment_stats",
         ],
     )
     def test_mapinpandas_rows_have_no_exchange(self, spark, name):
@@ -306,6 +311,17 @@ class TestMultimodalShuffleFree:
             f"{name} acquired a shuffle — scan→mapInPandas must stay "
             f"exchange-free"
         )
+
+    def test_vad_segments_single_exchange(self, spark):
+        """audio_vad_segments: ONE hash shuffle on doc_id feeds both the
+        island window and the segment rollup — a second Exchange means
+        the window and the groupBy stopped sharing their partitioning."""
+        import re
+
+        qs = entrymod.queries()
+        p = plan(qs["audio_vad_segments"](spark, SF_DIR))
+        n = len(re.findall(r"\(\d+\) Exchange", p))
+        assert n == 1, f"audio_vad_segments has {n} exchanges, expected 1"
 
 
 class TestNoUnboundedGlobalWindow:
