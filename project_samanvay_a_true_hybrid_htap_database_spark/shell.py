@@ -32,6 +32,7 @@ Commands:
   \\s          - engine status
   \\d <table>  - describe table
   \\history <table> - layout-commit history (the txlog view)
+  SELECT ... FROM t VERSION AS OF n;  - time travel (retained versions)
   SHOW TABLES; - list tables
   Any SQL statement ending with ';'
 """
