@@ -587,78 +587,73 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-# --- r14 sweep window (dict order = driver sweep order). First the 3
-# never-driver-checked r13 tail additions (judge-verified 3/3 locally in
-# the r13 session), then the 7 rows last green r9 (the spill the r13
-# window could not fit), then the 40 alphabetically-first of the 50 rows
-# last green r10. The 10 r10 rows that did not fit lead the r15 window:
-# semantic_outliers, semi_join, token_count_min, tpch_q8, unigram_lm_score,
-# unpivot_metrics, update_projection, upsert_merge, window_frame_bounds,
-# window_lag_delta. Per the standing directive, NO new operator sits ahead
-# of the sweep line; round-14 additions are parked at the very tail via
-# _TAIL_PARKED. ---
+# --- r15 sweep window (dict order = driver sweep order). First the 5
+# never-driver-checked r14 tail additions (judge-verified 5/5 locally in
+# the r14 session), then the 10 rows last green r10 (the spill the r14
+# window could not fit), then the 35 alphabetically-first of the 49 rows
+# last green r11. The 14 r11 rows that did not fit lead the r16 window:
+# tfidf_keywords, token_budget_select, token_counts, token_histogram,
+# top_orders, tpch_q14, tpch_q5, tpch_q6, train_test_split,
+# virtual_epochs, window_running_sum, window_topn_per_group,
+# winnowing_fingerprints, winnowing_overlap_report. Per the standing
+# directive, NO new operator sits ahead of the sweep line; round-15
+# additions are parked at the very tail via _TAIL_PARKED. ---
 _SWEEP_WINDOW: list[str] = [
-    "pipeline_clean_corpus_neardup",
-    "pipeline_clean_report_neardup",
-    "semdedup_stats_ivf",
-    "tpch_q1",
-    "tpch_q10",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q3",
-    "tpch_q7",
-    "vocab_coverage",
-    "anti_join",
-    "bm25_search",
-    "case_bucketing",
-    "cluster_quality_report",
-    "corr_stats",
-    "dedup_groups_twostar",
-    "distinct_count_agg",
-    "distinct_count_approx",
-    "distinct_values",
-    "embedding_centroids",
-    "embedding_quantize",
-    "except_op",
-    "fingerprints",
-    "fixed_k_per_stratum",
-    "group_having",
-    "hash_sample",
-    "join_agg_orders_lineitem",
-    "kmeans_assign",
-    "kmeans_iterate",
-    "knn_join_ivf_blocked",
-    "knn_join_ivf_vectorized",
-    "knn_join_vectorized",
-    "lang_distribution",
-    "lang_id",
-    "multimodal_frames",
-    "multimodal_resize",
-    "multimodal_summary",
-    "ngram_freq_topk",
-    "ntile_quartiles",
-    "pack_sequences",
-    "percentile_prices",
-    "percentile_prices_approx",
-    "pii_report",
-    "pii_scrub",
-    "pipeline_funnel",
-    "pivot_status_by_priority",
-    "quality_score",
-    "rollup_agg",
-    "salted_agg",
-    "scalar_subquery",
+    "neardup_admission_audit",
+    "audio_vad_segments",
+    "multimodal_bmp_resize",
+    "bpe_learn_merges",
+    "bpe_segment_stats",
+    "semantic_outliers",
+    "semi_join",
+    "token_count_min",
+    "tpch_q8",
+    "unigram_lm_score",
+    "unpivot_metrics",
+    "update_projection",
+    "upsert_merge",
+    "window_frame_bounds",
+    "window_lag_delta",
+    "agg_avg",
+    "agg_count",
+    "agg_min_max",
+    "ann_bruteforce_topk",
+    "ann_ivf_multiprobe_topk",
+    "ann_ivf_topk",
+    "ann_ivfpq_recall_audit",
+    "ann_ivfpq_res_topk",
+    "ann_ivfpq_topk",
+    "ann_lsh_indexed_topk",
+    "ann_lsh_multiprobe_topk",
+    "ann_lsh_topk",
+    "ann_mips_topk",
+    "ann_pq_adc_topk",
+    "ann_pq_recall_audit",
+    "attribution_window_join",
+    "bigram_lm_score",
+    "contrastive_pairs",
+    "curriculum_stages",
+    "decontaminate_bloom",
+    "decontaminate_semantic",
+    "dedup_cluster_histogram",
+    "documents_csv_roundtrip",
+    "documents_jsonl_roundtrip",
+    "dsir_importance_weights",
+    "embedding_quality_report",
+    "leakage_safe_split",
+    "pii_scrub_ner",
+    "pq_encode",
+    "set_ops",
+    "source_quality_report",
+    "stratified_sample",
+    "string_functions",
+    "table_profile",
+    "temperature_resample",
 ]
 
 # Round-current additions: forced to the very end of queries() so they
 # never displace the sweep window (standing directive).
-_TAIL_PARKED: list[str] = [
-    "neardup_admission_audit",  # r14: the online gate's admit set, batch-replayed
-    "audio_vad_segments",  # r14: VAD segmentation over the real WAV decode
-    "multimodal_bmp_resize",  # r14: real BMP decode + NN resize
-    "bpe_learn_merges",  # r14: fixed-round BPE tokenizer induction
-    "bpe_segment_stats",  # r14: learned-tokenizer token economics per doc
-]
+_TAIL_PARKED: list[str] = []
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
