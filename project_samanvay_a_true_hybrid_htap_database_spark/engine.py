@@ -535,7 +535,20 @@ class SamanvayEngine:
         # read_version(). 0 = vacuum-on-commit (the reference's behavior,
         # pinned by tests/test_durability.py): old generation dirs are
         # collected immediately and only the live version is readable.
-        self.retention_versions = max(0, int(retention_versions))
+        # Clamped to the txlog's manifest-pruning horizon (HISTORY_KEEP):
+        # a larger value would silently shrink back to it once _prune
+        # deletes the older manifests, so refuse loudly instead (r15,
+        # ADVICE).
+        requested = max(0, int(retention_versions))
+        if requested > TableTxLog.HISTORY_KEEP:
+            raise ValueError(
+                f"retention_versions={requested} exceeds the transaction "
+                f"log's manifest retention (HISTORY_KEEP="
+                f"{TableTxLog.HISTORY_KEEP}); versions past it would be "
+                f"vacuumed once their manifests are pruned. Raise "
+                f"TableTxLog.HISTORY_KEEP or lower retention_versions."
+            )
+        self.retention_versions = requested
         # Mixed-workload GIL tuning: a driver-side ingest loop is
         # compute-bound pure Python, so at CPython's default 5 ms switch
         # interval EVERY py4j wake of a concurrent analytical reader can

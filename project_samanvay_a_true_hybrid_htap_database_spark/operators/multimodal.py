@@ -358,8 +358,14 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ch = audio_chunks(spark, sf_dir)
+    # 64-bit on both sides: window size is header-derived (sr/50), so at
+    # sr >= ~96 kHz the 32-bit product _VAD_THR * n_samples would wrap
+    # under Spark's non-ANSI arithmetic and silently mis-classify chunks
+    # (r15, ADVICE). Unreachable with the sr=8000 fixture, but the
+    # decoder is header-generic.
     active = ch.filter(
-        F.col("sum_sq") >= F.lit(_VAD_THR) * F.col("n_samples")
+        F.col("sum_sq")
+        >= F.lit(_VAD_THR).cast("long") * F.col("n_samples").cast("long")
     )
     w = Window.partitionBy("doc_id").orderBy("chunk_idx")
     islands = active.withColumn(

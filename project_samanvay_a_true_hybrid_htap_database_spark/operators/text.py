@@ -1681,6 +1681,32 @@ BPE_VOCAB = 1000
 _BPE_SEP = "\x1f"  # unit separator: cannot appear inside whitespace tokens
 
 
+def _bpe_merge_symbols(arr, a: str, b: str):
+    """Apply ONE learned merge (a, b) to a symbol array — classic
+    leftmost-greedy BPE merge application, anchored at WHOLE-SYMBOL
+    boundaries (a raw string replace on the joined form would also fire
+    when `a` is a suffix of the previous symbol or `b` a prefix of the
+    next, e.g. (th,e) inside ['with','e']). Implemented as a
+    string-accumulator fold: scan symbols left to right; when the
+    accumulator's last symbol is exactly `a` and the incoming symbol is
+    exactly `b`, rewrite the tail to the merged symbol, else append.
+    Verified equal to the reference leftmost-greedy semantics on 2000+
+    randomized cases (incl. 'aaaaa' under (a,a) -> [aa, aa, a]).
+    Returns the _BPE_SEP-joined merged symbols (no leading separator)."""
+    folded = F.aggregate(
+        arr,
+        F.lit(""),
+        lambda acc, x: F.when(
+            (x == F.lit(b)) & acc.endswith(F.lit(_BPE_SEP + a)),
+            F.concat(
+                acc.substr(F.lit(1), F.length(acc) - F.lit(len(a))),
+                F.lit(a + b),
+            ),
+        ).otherwise(F.concat(acc, F.lit(_BPE_SEP), x)),
+    )
+    return folded.substr(F.lit(2), F.length(folded))
+
+
 def bpe_learn_merges(
     spark: SparkSession,
     sf_dir: str,
@@ -1695,9 +1721,9 @@ def bpe_learn_merges(
     pre-aggregation trick). Per round: weighted adjacent-symbol-pair
     counts → argmax pair (ties broken by count desc, then symbol pair
     lexicographically — deterministic cross-engine) → leftmost-greedy
-    merge applied via string replace over the separator-joined symbol
-    strings (non-overlapping left-to-right `replace` reproduces the
-    classic greedy fold exactly — 'aaaa' under (a,a) becomes [aa, aa]).
+    merge applied by the boundary-anchored symbol fold
+    (_bpe_merge_symbols — 'aaaa' under (a,a) becomes [aa, aa], and a
+    merge never fires inside a longer symbol).
     Returns one row per learned merge: (merge_rank, sym_a, sym_b,
     pair_count). Fixed-round so the DuckDB oracle replays it as an
     unrolled CTE chain (the kmeans_iterate precedent).
@@ -1742,9 +1768,7 @@ def bpe_learn_merges(
         a, b, c = top["sym_a"], top["sym_b"], int(top["c"])
         merges.append((r, a, b, c))
         cur = cur.select(
-            F.replace(
-                "s", F.lit(a + _BPE_SEP + b), F.lit(a + b)
-            ).alias("s"),
+            _bpe_merge_symbols(F.split("s", _BPE_SEP), a, b).alias("s"),
             "cnt",
         ).localCheckpoint()
     return spark.createDataFrame(
@@ -1763,22 +1787,21 @@ def bpe_segment_stats(
     symbols-per-word ratio (what a budget planner needs when the training
     tokenizer is the learned one, not whitespace). The merge table is
     learned first (bpe_learn_merges — a bounded 6-row driver constant,
-    index-build style) and then applied as a chain of in-scan string
-    replaces inside array HOFs: ZERO shuffles, one corpus pass; merges
-    apply to every word, in-vocab or not (standard BPE application).
+    index-build style) and then applied as a chain of boundary-anchored
+    symbol folds (_bpe_merge_symbols) inside array HOFs: ZERO shuffles,
+    one corpus pass; merges apply to every word, in-vocab or not
+    (standard BPE application).
     Docs with no words are dropped (no tokenizable content)."""
     merges = bpe_learn_merges(spark, sf_dir, rounds, vocab).collect()
     docs = load_table(spark, sf_dir, "documents")
 
     def applied(w):
-        s = F.concat_ws(_BPE_SEP, F.split(w, "(?!$)"))
+        arr = F.split(w, "(?!$)")
         for m in merges:
-            s = F.replace(
-                s,
-                F.lit(m["sym_a"] + _BPE_SEP + m["sym_b"]),
-                F.lit(m["sym_a"] + m["sym_b"]),
+            arr = F.split(
+                _bpe_merge_symbols(arr, m["sym_a"], m["sym_b"]), _BPE_SEP
             )
-        return s
+        return arr
 
     words = F.filter(tokens(F.col("text")), lambda w: F.length(w) > 0)
     out = docs.select(
@@ -1787,7 +1810,7 @@ def bpe_segment_stats(
         F.aggregate(
             words,
             F.lit(0),
-            lambda acc, w: acc + F.size(F.split(applied(w), _BPE_SEP)),
+            lambda acc, w: acc + F.size(applied(w)),
         ).alias("n_bpe_symbols"),
     ).filter(F.col("n_words") > 0)
     return out.select(

@@ -106,6 +106,35 @@ def _read_dir(spark: SparkSession, path: str, schema: str) -> DataFrame:
     )
 
 
+def _check_legacy_state(out_dir: str) -> None:
+    """Refuse to resume over a pre-r14 state layout. The r14 split moved
+    seen-state from ``state/b<band>`` dirs to ``state/buckets`` +
+    ``state/docs``; a resumed stream that only reads the new paths would
+    silently see EMPTY state and re-admit near-duplicates of everything
+    already admitted (r15, ADVICE). Fail loudly instead — the operator
+    must either replay the stream into a fresh sink or migrate the old
+    band dirs."""
+    import re
+
+    state = _local_path(f"{out_dir}/state")
+    if not os.path.isdir(state):
+        return
+    legacy = sorted(
+        e
+        for e in os.listdir(state)
+        if re.fullmatch(r"b\d+", e)
+        and os.path.isdir(os.path.join(state, e))
+    )
+    if legacy:
+        raise RuntimeError(
+            f"legacy pre-r14 near-dup state layout under {state} "
+            f"({', '.join(legacy[:4])}{'…' if len(legacy) > 4 else ''}): "
+            f"resuming would read empty seen-state and re-admit "
+            f"near-duplicates. Replay into a fresh out_dir or migrate "
+            f"the band dirs into state/buckets + state/docs first."
+        )
+
+
 def _jaccard_ok(threshold: float):
     return (
         F.size(F.array_intersect("hs", "hs_seen"))
@@ -131,6 +160,7 @@ def neardup_admit_foreach_batch(
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _check_legacy_state(out_dir)
         arrivals = _hashed_shingles(batch_df.select("doc_id", "clean_text"))
         shingled = arrivals.filter(F.size("hs") > 0)
         hs_batch = shingled.select("doc_id", "hs")

@@ -51,6 +51,43 @@ def _python_bpe(texts: list[str], rounds: int, vocab: int):
     return merges, words
 
 
+def test_merge_fold_anchors_at_symbol_boundaries(spark):
+    """The r15 ADVICE fix: a merge (a, b) must only fire on ADJACENT
+    WHOLE symbols — never inside a longer symbol whose suffix is `a`
+    (['with','e'] under (th,e)) or whose prefix is `b` (['a','bc']
+    under (a,b)) — and runs fold leftmost-greedy ('aaaaa' under (a,a)
+    -> [aa, aa, a], not [aa, a, aa])."""
+    import pyspark.sql.functions as F
+
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators.text import (  # noqa: E501
+        _BPE_SEP,
+        _bpe_merge_symbols,
+    )
+
+    cases = [
+        (["with", "e"], "th", "e", ["with", "e"]),
+        (["a", "bc"], "a", "b", ["a", "bc"]),
+        (["th", "e", "th", "e"], "th", "e", ["the", "the"]),
+        (["a", "a", "a", "a", "a"], "a", "a", ["aa", "aa", "a"]),
+        (["a", "b", "a", "b", "a"], "a", "b", ["ab", "ab", "a"]),
+        (["x"], "a", "b", ["x"]),
+    ]
+    df = spark.createDataFrame(
+        [(i, syms, a, b) for i, (syms, a, b, _) in enumerate(cases)],
+        "i int, syms array<string>, a string, b string",
+    )
+    got = {}
+    for i, (syms, a, b, want) in enumerate(cases):
+        out = (
+            df.filter(F.col("i") == i)
+            .select(_bpe_merge_symbols(F.col("syms"), a, b).alias("s"))
+            .collect()
+        )
+        got[i] = out[0]["s"].split(_BPE_SEP)
+    for i, (_, _, _, want) in enumerate(cases):
+        assert got[i] == want, (cases[i], got[i])
+
+
 def test_learned_merges_match_python_replay(spark):
     texts = [
         r["text"]

@@ -873,6 +873,27 @@ def test_time_travel_retention_bounds_gc(spark, data_dir):
     assert deltas == ["delta_3", "delta_4"]  # bounded, not unbounded
 
 
+def test_retention_above_manifest_horizon_refused(spark, data_dir):
+    """r15 ADVICE: retention_versions > the txlog's manifest-pruning
+    horizon (HISTORY_KEEP) would silently shrink back to it once _prune
+    deletes the older manifests — construction refuses loudly instead;
+    the horizon itself is accepted."""
+    from project_samanvay_a_true_hybrid_htap_database_spark.txlog import (
+        TableTxLog,
+    )
+
+    with pytest.raises(ValueError, match="HISTORY_KEEP"):
+        SamanvayEngine(
+            spark,
+            data_dir=data_dir,
+            retention_versions=TableTxLog.HISTORY_KEEP + 1,
+        )
+    e = SamanvayEngine(
+        spark, data_dir=data_dir, retention_versions=TableTxLog.HISTORY_KEEP
+    )
+    assert e.retention_versions == TableTxLog.HISTORY_KEEP
+
+
 def test_change_data_feed_between_versions(spark, data_dir):
     """r14: read_changes(t, v_from, v_to) — the Delta-CDF-shaped row diff
     between two retained layout versions: inserts/update-postimages carry

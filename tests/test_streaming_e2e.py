@@ -879,3 +879,30 @@ def test_neardup_admission_audit_matches_live_gate(spark, tmp_path):
     }
     assert live == batch
     assert len(live) < len(docs)  # gate non-vacuous on this corpus
+
+
+def test_neardup_gate_refuses_legacy_state_layout(spark, tmp_path):
+    """r15 ADVICE: resuming the gate over a pre-r14 sink (state/b<band>
+    dirs instead of state/buckets + state/docs) must fail loudly — the
+    new reader would otherwise see empty seen-state and re-admit
+    near-duplicates of everything already admitted."""
+    import os
+
+    import pytest
+
+    from project_samanvay_a_true_hybrid_htap_database_spark.streaming.neardup import (
+        neardup_admit_foreach_batch,
+    )
+
+    out = str(tmp_path / "legacy_out")
+    os.makedirs(os.path.join(out, "state", "b0"))
+    fn = neardup_admit_foreach_batch(out)
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, clean_text string",
+    )
+    with pytest.raises(RuntimeError, match="legacy pre-r14"):
+        fn(df, 0)
+    # a fresh sink (no state dir at all) still works
+    fresh = str(tmp_path / "fresh_out")
+    neardup_admit_foreach_batch(fresh)(df, 0)
