@@ -186,8 +186,14 @@ def main() -> None:
     # driver's 2000-char tail-capture window (VERDICT r7 #1 — r7's record
     # was lost to a 22-char overflow); millisecond precision is noise at
     # these magnitudes anyway.
+    # Positional calibration (r15, VERDICT r14 #3): one probe trio at
+    # start / after pass 2 / after pass 3 instead of three back-to-back
+    # at one point — mid-payload contention is what the old scheme
+    # undercorrected. calib keeps the per-key min (3 samples as before);
+    # calp carries the positional samples for bench_diff's median.
+    calps = [bench_calibration(spark, sf_dir, reps=1)]
     timings: dict[str, float] = {}
-    for _ in range(3):
+    for pass_i in range(3):
         for name in headline:
             fn = qs[name]
             t0 = time.perf_counter()
@@ -195,8 +201,18 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             elapsed = round(time.perf_counter() - t0, 2)
             timings[name] = min(timings.get(name, elapsed), elapsed)
+        if pass_i == 1:
+            calps.append(bench_calibration(spark, sf_dir, reps=1))
+    calps.append(bench_calibration(spark, sf_dir, reps=1))
 
-    calib = bench_calibration(spark, sf_dir)
+    calib = {
+        k: round(min(c[k] for c in calps), 2) for k in ("jvm", "scan", "jvms")
+    }
+    # compact positional form (the 2000-char tail-window budget): the
+    # factor only ever consumes the probe-TRIO SUM, so each position
+    # contributes one number — centisecond ints (10 ms resolution on a
+    # ~2 s trio is ample for a ratio judged at 1.3x)
+    calp = [int(round((c["jvm"] + c["scan"] + c["jvms"]) * 100)) for c in calps]
     htap = bench_htap_mixed(spark, sf_dir)
     concurrent = bench_concurrent_qps(spark, sf_dir)
     htap_sustained = bench_htap_sustained(spark)
@@ -219,7 +235,7 @@ def main() -> None:
             # tail read 1.36x sandbox load as "31 flagged" regressions)
             table = diff_table(
                 old_doc,
-                {"queries": timings, "calib": calib},
+                {"queries": timings, "calib": calib, "calp": calp},
                 old_label=os.path.basename(prior[0]).replace(".json", ""),
                 new_label="this-run",
             )
@@ -233,7 +249,7 @@ def main() -> None:
     print(
         json.dumps(
             build_payload(
-                timings, sf, htap, htap_sustained, calib, concurrent
+                timings, sf, htap, htap_sustained, calib, concurrent, calp
             ),
             separators=(",", ":"),
         )
@@ -241,7 +257,7 @@ def main() -> None:
     sys.stdout.flush()
 
 
-def bench_calibration(spark, sf_dir: str) -> dict:
+def bench_calibration(spark, sf_dir: str, reps: int = 3) -> dict:
     """Machine-speed reference recorded alongside the timings (VERDICT r8
     #1): two fixed-work probes whose cost depends only on the box, so a
     later round can distinguish "this sandbox is slow today" from "this
@@ -273,12 +289,23 @@ def bench_calibration(spark, sf_dir: str) -> dict:
     calibration ratio — preferring jvm+scan+jvms when both payloads carry
     all three (first possible for r12->r13), falling back to jvm+scan
     against pre-r12 records — and flags only normalized drifts.
+
+    r15 (VERDICT r14 #3): main() now runs this with ``reps=1`` at THREE
+    positions — payload start, between timed passes 2 and 3, and after
+    pass 3 — because a single front-loaded probe systematically
+    undercorrects contention that arrives mid-payload (r13's lang_id and
+    r14's broad ~1.1x band were both adjudicated to exactly this). The
+    headline ``calib`` stays the per-key MIN over the three positions
+    (same 3-sample discipline, now spread across the run); the raw
+    positional samples ride in ``calp`` and bench_diff prefers their
+    per-key MEDIAN, which tracks mid-run load instead of the quietest
+    moment.
     """
     from project_samanvay_a_true_hybrid_htap_database_spark.sources import load_table
 
     jvm = scan = jvms = float("inf")
     li = load_table(spark, sf_dir, "lineitem")
-    for _ in range(3):
+    for _ in range(reps):
         t0 = time.perf_counter()
         spark.range(500_000_000).selectExpr("sum(id) AS s").write.format(
             "noop"
@@ -304,6 +331,7 @@ def build_payload(
     htap_sustained: dict,
     calib: dict | None = None,
     concurrent: dict | None = None,
+    calp: list | None = None,
 ) -> dict:
     """The bench contract, in one place: the single JSON line the driver
     parses into BENCH_r{N}.json and tools/bench_diff.py consumes across
@@ -320,6 +348,10 @@ def build_payload(
         "queries": timings,
         "sf": sf,
         "calib": calib or {},
+        # positional probe-trio sums [start, mid, end] (r15): bench_diff
+        # prefers their median over calib's min when both rounds carry
+        # them — mid-run load tracking in ~25 chars
+        "calp": calp or [],
         "htap_mixed": htap,
         "htap_sustained": htap_sustained,
         # mt_benchmark_htap.cpp:155-166 shape (VERDICT r12 #7): q/s under
@@ -820,12 +852,19 @@ def bench_htap_sustained(spark) -> dict:
         file=sys.stderr,
     )
     med = statistics.median(sustained)
-    return {
+    # max_overlay moved to the stderr note (r15): the bound is asserted
+    # by tests/test_htap_sustained.py; its JSON chars pay for the calp
+    # positional calibration inside the 2000-char tail window. err is
+    # omitted when None for the same reason (a dead writer is loud).
+    print(
+        f"htap_sustained max_overlay={state['max_overlay']}",
+        file=sys.stderr,
+    )
+    out = {
         "base_rows": base_rows,
         "ingested": state["ingested"] + state2["ingested"],
         "rows_per_s": round(state["ingested"] / elapsed),
         "flushes": engine.stats["total_flushes"] - flushes0,
-        "max_overlay": state["max_overlay"],
         "q_idle_ms": round(query_idle, 2),
         "q_sus_ms": round(med, 2),
         "q_p95_ms": round(sorted(sustained)[int(0.95 * (len(sustained) - 1))], 2),
@@ -839,8 +878,10 @@ def bench_htap_sustained(spark) -> dict:
         # stderr note: derivable / loop-bounded, and the JSON line must
         # stay inside the driver's 2000-char tail window
         "upd_q_ms": round(statistics.median(upd), 2),
-        "err": state["writer_error"],
     }
+    if state["writer_error"]:
+        out["err"] = state["writer_error"]
+    return out
 
 
 if __name__ == "__main__":

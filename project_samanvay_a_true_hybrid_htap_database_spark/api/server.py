@@ -173,6 +173,36 @@ class SamanvayAPIServer:
                     )
                 hist = eng.table_history(name.lower())
                 return 200, success({"history": hist, "count": len(hist)})
+            base_path, _, query = rest.partition("?")
+            if base_path.endswith("/changes"):
+                # change data feed (r15): the row diff between two
+                # retained layout versions — the REST twin of
+                # `SELECT * FROM t CHANGES BETWEEN a AND b`
+                from urllib.parse import parse_qs
+
+                name = base_path[: -len("/changes")]
+                if name.lower() not in eng.tables:
+                    return 404, error(
+                        f"Table '{name}' does not exist", "NOT_FOUND"
+                    )
+                qs = parse_qs(query)
+                try:
+                    v_from = int(qs["from"][0])
+                    v_to = int(qs["to"][0])
+                except (KeyError, IndexError, ValueError):
+                    return 400, error(
+                        "changes requires integer 'from' and 'to' query "
+                        "parameters",
+                        "INVALID_REQUEST",
+                    )
+                rs = eng.execute(
+                    f"SELECT * FROM {name} CHANGES BETWEEN {v_from} "
+                    f"AND {v_to}"
+                )
+                return (200, result_to_json(rs)) if rs.ok else (
+                    400,
+                    error(rs.error_message, "QUERY_ERROR"),
+                )
             schema = self._schema_json(rest)
             if schema is None:
                 return 404, error(f"Table '{rest}' does not exist", "NOT_FOUND")

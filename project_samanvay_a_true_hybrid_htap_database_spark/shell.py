@@ -22,7 +22,8 @@ _BANNER = """\
   Project Samanvay on Spark - HTAP SQL Shell
   Type SQL statements ending with ';'
   Special commands: \\q (quit), \\s (engine status), \\d <table> (describe),
-                    \\history <table> (layout-commit history)
+                    \\history <table> (layout-commit history),
+                    \\changes <table> <from> <to> (change data feed)
   SHOW TABLES;  to list all tables
 """
 
@@ -32,7 +33,9 @@ Commands:
   \\s          - engine status
   \\d <table>  - describe table
   \\history <table> - layout-commit history (the txlog view)
+  \\changes <table> <from> <to> - change data feed between two versions
   SELECT ... FROM t VERSION AS OF n;  - time travel (retained versions)
+  SELECT ... FROM t CHANGES BETWEEN a AND b;  - change data feed
   SHOW TABLES; - list tables
   Any SQL statement ending with ';'
 """
@@ -91,6 +94,17 @@ def _handle_meta(engine: SamanvayEngine, line: str, out: IO[str]) -> bool:
         return True
     if line.startswith("\\history "):
         result = engine.execute(f"DESCRIBE HISTORY {line[9:].strip()}")
+        out.write(format_result(result) + "\n")
+        return True
+    if line.startswith("\\changes "):
+        parts = line[9:].split()
+        if len(parts) != 3:
+            out.write("usage: \\changes <table> <from> <to>\n")
+            return True
+        result = engine.execute(
+            f"SELECT * FROM {parts[0]} CHANGES BETWEEN {parts[1]} "
+            f"AND {parts[2]}"
+        )
         out.write(format_result(result) + "\n")
         return True
     if line in ("\\h", "\\help"):

@@ -41,6 +41,7 @@ class TestEmittedSchema:
             "queries",
             "sf",
             "calib",
+            "calp",
             "htap_mixed",
             "htap_sustained",
             "concurrent_qps",
@@ -87,12 +88,13 @@ class TestEmittedSchema:
             "pl_cold_ms": 15.24,
             "pl_warm_ms": 0.047,
         }
+        # max_overlay/err dropped from the line r15 (stderr note /
+        # omitted-when-None) — their chars pay for calp
         sustained = {
             "base_rows": 20000000,
             "ingested": 68000,
             "rows_per_s": 14723,
             "flushes": 12,
-            "max_overlay": 4999,
             "q_idle_ms": 115.09,
             "q_sus_ms": 146.37,
             "q_p95_ms": 181.73,
@@ -100,11 +102,12 @@ class TestEmittedSchema:
             "q_pct_vs_scan": 114.1,
             "n_q": 12,
             "upd_q_ms": 1234.56,
-            "err": None,
         }
         # bench.main() serializes with compact separators — measure the
-        # same form it prints (calib carries two 6-char floats)
+        # same form it prints (calib carries two 6-char floats; calp the
+        # r15 positional probe-trio sums at worst-case width)
         calib = {"jvm": 12.345, "scan": 12.345, "jvms": 12.345}
+        calp = [9999, 9999, 9999]  # centisecond ints, worst-case 4-digit
         concurrent = {
             "pl": 123456,
             "plm": 123456,
@@ -112,7 +115,9 @@ class TestEmittedSchema:
             "fscan": 1234,
         }
         line = json.dumps(
-            bench.build_payload(timings, 0.1, htap, sustained, calib, concurrent),
+            bench.build_payload(
+                timings, 0.1, htap, sustained, calib, concurrent, calp
+            ),
             separators=(",", ":"),
         )
         assert len(line) <= 1900, (
@@ -237,6 +242,55 @@ class TestDiffConsumesPayload:
         if len(docs) == 2:
             table = diff_table(docs[0], docs[1])
             assert "TOTAL" in table
+
+
+class TestPositionalCalibration:
+    """r15: interleaved probe samples (calp) join the payload. When both
+    rounds carry them, the factor uses per-key MEDIANS across positions;
+    otherwise it falls back to the min-based calib block unchanged."""
+
+    def test_calp_median_preferred_over_calib_min(self):
+        # old quiet throughout; new quiet at start but loaded mid/end —
+        # the min-based factor would read 1.0 (undercorrecting), the
+        # median reads the mid-run load
+        old = {
+            "queries": {},
+            "calib": {"jvm": 1.0, "scan": 1.0, "jvms": 1.0},
+            "calp": [3.0, 3.0, 3.0],
+        }
+        new = {
+            "queries": {},
+            "calib": {"jvm": 1.0, "scan": 1.0, "jvms": 1.0},  # min still 1.0
+            "calp": [3.0, 6.0, 6.0],
+        }
+        assert calib_factor(old, new) == 2.0
+
+    def test_calp_missing_on_either_side_falls_back(self):
+        with_calp = {
+            "queries": {},
+            "calib": {"jvm": 1.0, "scan": 1.0, "jvms": 1.0},
+            "calp": [3.0, 6.0, 9.0],
+        }
+        pre_r15 = {
+            "queries": {},
+            "calib": {"jvm": 2.0, "scan": 2.0, "jvms": 2.0},
+        }
+        # falls back to the calib sums: (2+2+2)/(1+1+1)
+        assert calib_factor(with_calp, pre_r15) == 2.0
+
+    def test_incomplete_calp_block_falls_back(self):
+        ok = {
+            "queries": {},
+            "calib": {"jvm": 1.0, "scan": 1.0, "jvms": 1.0},
+            "calp": [3.0, 3.0, 3.0],
+        }
+        bad = {
+            "queries": {},
+            "calib": {"jvm": 3.0, "scan": 3.0, "jvms": 3.0},
+            "calp": [3.0, 0.0, 3.0],  # a zero sample poisons the list
+        }
+        # bad calp -> calib fallback: 3.0
+        assert calib_factor(ok, bad) == 3.0
 
 
 class TestSustainedCalibration:

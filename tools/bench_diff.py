@@ -38,13 +38,42 @@ def _payload(doc: dict) -> dict:
     return inner if isinstance(inner, dict) else {}
 
 
+def _calp_median_sum(payload: dict) -> float | None:
+    """Median of the positional probe-trio sums ([start, mid, end] of
+    jvm+scan+jvms), or None when the payload carries no usable calp
+    list (pre-r15 records)."""
+    import statistics
+
+    v = payload.get("calp")
+    if not (
+        isinstance(v, list)
+        and len(v) >= 2
+        and all(isinstance(x, (int, float)) and x > 0 for x in v)
+    ):
+        return None
+    return statistics.median(v)
+
+
 def calib_factor(old_doc: dict, new_doc: dict) -> float | None:
     """Machine-speed ratio new/old from the fixed-work calibration probes
     (VERDICT r8 #1). Both payloads must carry a non-empty ``calib`` block
     ({"jvm": sec, "scan": sec} — pure-JVM codegen job + pinned lineitem
     scan, constant work across rounds); returns None otherwise, in which
     case the diff falls back to raw ratios (pre-r9 records have no calib).
+
+    r15: when BOTH payloads carry ``calp`` (positional probe-trio sums
+    [start, mid, end]), the factor uses the MEDIAN across positions
+    instead of calib's min — a single front-loaded probe undercorrects
+    contention that arrives mid-payload (the r13 lang_id and r14
+    broad-band adjudications), and the median of three interleaved
+    samples tracks the load the queries actually ran under.
     """
+    med = _calp_median_sum(_payload(old_doc)), _calp_median_sum(
+        _payload(new_doc)
+    )
+    if med[0] is not None and med[1] is not None:
+        return med[1] / med[0]
+
     oc = _payload(old_doc).get("calib") or {}
     nc = _payload(new_doc).get("calib") or {}
 
