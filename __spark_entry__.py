@@ -502,7 +502,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_chunks": multimodal.audio_chunks,
         "multimodal_blob_dedup": multimodal.multimodal_blob_dedup,
         "multimodal_bmp_resize": multimodal.multimodal_bmp_resize,
-        "multimodal_frames": multimodal.frame_sample,
+        "multimodal_frames": multimodal.multimodal_frames,
         "multimodal_resize": multimodal.image_resize,
         "multimodal_summary": multimodal.multimodal_summary,
         "neardup_admission_audit": neardup_admission_audit,
@@ -1988,16 +1988,30 @@ SELECT doc_id,
        round((('0x' || substr(md5(text), 1, 8))::BIGINT) / 4294967295.0, 6) AS feat0
 FROM documents
 """,
+        # r15 real-motion form: the Spark side encodes a concatenated-BMP
+        # container (n_frames = 6 + doc_id%5 genuine 24-bit BMPs, frame
+        # pixel p(x,y,f) = (doc_id*7 + f*17 + y*31 + x*13) % 256 top-down,
+        # stored bottom-up + stride-padded), demuxes by walking each
+        # frame's BITMAPFILEHEADER size field, and decodes every 2nd
+        # frame (seeking past the rest). The oracle replays the sampled
+        # frames' pixel sums symbolically — px_sum is flip-/stride-/
+        # frame-order-sensitive, so a demux or decode shortcut hash-fails.
         "multimodal_frames": """
-WITH f AS (
-  SELECT doc_id, unnest(generate_series(0, 3)) AS frame_idx,
-         text, (length(text) - 32) // 3 AS step
-  FROM documents)
-SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-       md5(substring(text, 1 + frame_idx * step, 32)) AS frame_md5,
-       CAST(length(substring(text, 1 + frame_idx * step, 32)) AS INT)
-         AS frame_bytes
-FROM f
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + strlen(text) % 7 AS h,
+         6 + doc_id % 5 AS nf
+  FROM documents),
+fr AS (SELECT doc_id, w, h, nf,
+              unnest(generate_series(0, nf - 1, 2)) AS f FROM d),
+ys AS (SELECT doc_id, w, h, nf, f,
+              unnest(generate_series(0, h - 1)) AS y FROM fr),
+xys AS (SELECT doc_id, w, h, nf, f, y,
+               unnest(generate_series(0, w - 1)) AS x FROM ys)
+SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(sum((doc_id * 7 + f * 17 + y * 31 + x * 13) % 256) AS BIGINT)
+         AS px_sum
+FROM xys GROUP BY doc_id, f, nf, w, h
 """,
         # Nearest-neighbor byte resample: output index i reads input char
         # (i*n)//64 + 1 (docs are all-ASCII, so chars == bytes).

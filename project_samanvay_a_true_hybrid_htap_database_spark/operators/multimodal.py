@@ -95,47 +95,158 @@ def multimodal_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FRAME_WIDTH = 32
-_N_FRAMES = 4
+# Motion container (r15): frames = whole BMP files CONCATENATED — the
+# simplest container whose demuxing is genuinely header-driven (each
+# BITMAPFILEHEADER carries the file size, so finding frame k requires
+# walking k headers, exactly like keyframe-less seeking). Frame count
+# varies per doc; every other frame is decoded (stride-2 sampling), the
+# rest are SKIPPED by advancing the header's size field without touching
+# pixel data — decode cost scales with sampled frames, not container
+# size, which is the property a 100 TB video pipeline needs.
+_MOTION_STRIDE = 2
 
 _FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("frame_idx", T.IntegerType()),
-        T.StructField("frame_md5", T.StringType()),
-        T.StructField("frame_bytes", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
     ]
 )
 
 
-def _fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB FRAME SAMPLER: a real implementation would demux the container
-    and decode k evenly-spaced frames (e.g. pyav / ffmpeg seek). The
-    deterministic fake samples _N_FRAMES evenly-spaced _FRAME_WIDTH-byte
-    windows of the payload, one output row per frame — the same rows-out
-    explosion, batch shape, and schema a real sampler produces."""
+def _motion_container_bytes(did: int, n_frames: int, w: int, h: int) -> bytes:
+    """The whole container in one vectorized pass: pixel grids for ALL
+    frames at once ((F, h, w) broadcast of the fixture function), BGR
+    expansion + bottom-up flip + stride padding as array ops, one header
+    pack per frame. Byte-identical to concatenating _bmp_frame_bytes
+    (CI-pinned in tests/test_multimodal_motion.py) — the per-frame/
+    per-row Python loops were the encode bottleneck (1.43 s -> see
+    PLANS.md header note)."""
+    import struct
+
+    import numpy as np
+
+    f = np.arange(n_frames, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    x = np.arange(w, dtype=np.int64)
+    p = (
+        (did * 7 + f[:, None, None] * 17 + y[None, :, None] * 31
+         + x[None, None, :] * 13) % 256
+    ).astype(np.uint8)
+    stride = (3 * w + 3) & ~3
+    rows = np.zeros((n_frames, h, stride), dtype=np.uint8)
+    rows[:, :, : 3 * w] = np.repeat(p[:, ::-1, :], 3, axis=2)  # bottom-up
+    off = 14 + 40
+    hdr = [
+        struct.pack("<2sIHHI", b"BM", off + stride * h, 0, 0, off)
+        + struct.pack(
+            "<IiiHHIIiiII",
+            40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0,
+        )
+        + rows[ff].tobytes()
+        for ff in range(n_frames)
+    ]
+    return b"".join(hdr)
+
+
+def _motion_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL MOTION-CONTAINER ENCODER: each document becomes a
+    concatenation of n_frames = 6 + doc_id % 5 genuine 24-bit BMPs
+    (byte-identical to chaining _bmp_frame_bytes; encoded vectorized)
+    whose pixel grids differ per frame:
+    p(x, y, f) = (doc_id*7 + f*17 + y*31 + x*13) % 256 on top-down
+    coordinates. Dimensions per doc match the still-image fixture
+    (w = 8 + doc_id % 9, h = 8 + strlen % 7)."""
     for pdf in batches:
-        out = {"doc_id": [], "frame_idx": [], "frame_md5": [], "frame_bytes": []}
+        ids: list[int] = []
+        blobs: list[bytes] = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            did = int(doc_id)
+            w = 8 + did % 9
+            h = 8 + len(str(text).encode("utf-8")) % 7
+            n_frames = 6 + did % 5
+            ids.append(did)
+            blobs.append(_motion_container_bytes(did, n_frames, w, h))
+        yield pd.DataFrame({"doc_id": ids, "content": blobs})
+
+
+def attach_motion_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, content: binary) where content is a REAL
+    concatenated-BMP motion container. Same scan → mapInPandas shape as
+    attach_wav_blob/attach_bmp_blob."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        _motion_encode, schema="doc_id long, content binary"
+    )
+
+
+def _motion_frame_sample(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """REAL FRAME SAMPLER (r15, retiring the last fake decode): demuxes
+    the concatenated-BMP container by walking each frame's
+    BITMAPFILEHEADER size field, DECODES every _MOTION_STRIDE-th frame
+    (header parse → unpad → bottom-up flip → pixel sum, the _bmp_resize
+    machinery) and SKIPS the rest by seeking past them — the decoded
+    px_sum is flip-/stride-/frame-order-sensitive, so a demux or decode
+    shortcut fails the hash gate. n_frames rides on every row as proof
+    the demuxer walked the whole container."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {f.name: [] for f in _FRAME_SCHEMA.fields}
         for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
             b = bytes(content)
-            step = (len(b) - _FRAME_WIDTH) // (_N_FRAMES - 1)
-            for i in range(_N_FRAMES):
-                frame = b[i * step : i * step + _FRAME_WIDTH]
+            frames: list[tuple[int, int, int, int]] = []  # (off, size, w, h)
+            pos = 0
+            while pos < len(b):
+                if b[pos : pos + 2] != b"BM":
+                    raise ValueError(
+                        f"doc {doc_id}: bad frame magic at offset {pos}"
+                    )
+                fsize = struct.unpack("<I", b[pos + 2 : pos + 6])[0]
+                _hsz, w, h, _planes, bpp = struct.unpack(
+                    "<IiiHH", b[pos + 14 : pos + 30]
+                )
+                if bpp != 24 or h <= 0:
+                    raise ValueError(
+                        f"doc {doc_id}: expected bottom-up 24-bit frame"
+                    )
+                frames.append((pos, fsize, w, h))
+                pos += fsize
+            n_frames = len(frames)
+            for idx in range(0, n_frames, _MOTION_STRIDE):
+                off, fsize, w, h = frames[idx]
+                data_off = struct.unpack("<I", b[off + 10 : off + 14])[0]
+                stride = (3 * w + 3) & ~3
+                arr = np.frombuffer(
+                    b, dtype=np.uint8, count=stride * h, offset=off + data_off
+                ).reshape(h, stride)
+                img = arr[::-1, : 3 * w : 3].astype(np.int64)
                 out["doc_id"].append(int(doc_id))
-                out["frame_idx"].append(i)
-                out["frame_md5"].append(hashlib.md5(frame).hexdigest())
-                out["frame_bytes"].append(len(frame))
+                out["frame_idx"].append(idx)
+                out["n_frames"].append(n_frames)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(int(img.sum()))
         yield pd.DataFrame(out)
 
 
-def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over binary payloads via mapInPandas: k evenly-spaced
-    fixed-width windows per document, one row per frame. Row-explosion
-    happens executor-side inside the Arrow batch (no shuffle — output
-    partitioning follows input); payloads shorter than one frame would be
-    skipped by a real decoder and are absent from the testdata (min 48 B)."""
-    blobs = attach_blob(spark, sf_dir).select("doc_id", "content")
-    return blobs.mapInPandas(_fake_frame_sample, schema=_FRAME_SCHEMA)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-k frame sampling over a REAL concatenated-BMP motion
+    container (r15) — the video twin of the real WAV/BMP paths, retiring
+    the last fake decode: attach_motion_blob writes n genuine BMP frames
+    per doc, _motion_frame_sample demuxes by header size fields, decodes
+    every other frame, and seeks past the rest. scan → mapInPandas →
+    mapInPandas, ZERO exchanges (plan-pinned); row explosion happens
+    executor-side inside the Arrow batch."""
+    blobs = attach_motion_blob(spark, sf_dir)
+    return blobs.mapInPandas(_motion_frame_sample, schema=_FRAME_SCHEMA)
 
 
 _RESIZE_TARGET = 64
@@ -407,20 +518,44 @@ _BMP_SCHEMA = T.StructType(
 )
 
 
-def _bmp_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """REAL BMP ENCODER (stdlib ``struct``): each document becomes a
-    genuine uncompressed 24-bit BMP — 'BM' magic, BITMAPFILEHEADER +
-    40-byte BITMAPINFOHEADER, BGR pixel rows stored BOTTOM-UP and padded
-    to 4-byte strides, exactly per the format spec. Dimensions and the
-    grayscale pixel grid are the deterministic fixture:
-    w = 8 + doc_id % 9, h = 8 + strlen % 7,
-    p(x, y) = (doc_id*7 + y*31 + x*13) % 256 on TOP-DOWN coordinates
+def _bmp_frame_bytes(did: int, f: int, w: int, h: int) -> bytes:
+    """One genuine uncompressed 24-bit BMP file — 'BM' magic,
+    BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER, BGR pixel rows stored
+    BOTTOM-UP and padded to 4-byte strides, exactly per the format spec.
+    The grayscale pixel grid is the deterministic fixture:
+    p(x, y) = (did*7 + f*17 + y*31 + x*13) % 256 on TOP-DOWN coordinates
     (so a decoder that forgets the bottom-up flip decodes a different
-    grid and the oracle catches it)."""
+    grid and the oracle catches it); f=0 is the still-image fixture,
+    f>0 the motion container's per-frame variation (r15)."""
     import struct
 
     import numpy as np
 
+    x = np.arange(w, dtype=np.int64)
+    y = np.arange(h, dtype=np.int64)
+    p = (
+        (did * 7 + f * 17 + y[:, None] * 31 + x[None, :] * 13) % 256
+    ).astype(np.uint8)
+    stride = (3 * w + 3) & ~3
+    pad = b"\x00" * (stride - 3 * w)
+    rows = [
+        np.repeat(p[yy], 3).tobytes() + pad
+        for yy in range(h - 1, -1, -1)  # bottom-up storage
+    ]
+    pixel_data = b"".join(rows)
+    off = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(pixel_data), 0, 0, off)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0,
+    )
+    return hdr + info + pixel_data
+
+
+def _bmp_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL BMP ENCODER (stdlib ``struct``): each document becomes ONE
+    genuine 24-bit BMP (frame f=0 of _bmp_frame_bytes). Dimensions:
+    w = 8 + doc_id % 9, h = 8 + strlen % 7."""
     for pdf in batches:
         ids: list[int] = []
         blobs: list[bytes] = []
@@ -428,26 +563,8 @@ def _bmp_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             did = int(doc_id)
             w = 8 + did % 9
             h = 8 + len(str(text).encode("utf-8")) % 7
-            x = np.arange(w, dtype=np.int64)
-            y = np.arange(h, dtype=np.int64)
-            p = ((did * 7 + y[:, None] * 31 + x[None, :] * 13) % 256).astype(
-                np.uint8
-            )
-            stride = (3 * w + 3) & ~3
-            pad = b"\x00" * (stride - 3 * w)
-            rows = [
-                np.repeat(p[yy], 3).tobytes() + pad
-                for yy in range(h - 1, -1, -1)  # bottom-up storage
-            ]
-            pixel_data = b"".join(rows)
-            off = 14 + 40
-            hdr = struct.pack("<2sIHHI", b"BM", off + len(pixel_data), 0, 0, off)
-            info = struct.pack(
-                "<IiiHHIIiiII",
-                40, w, h, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0,
-            )
             ids.append(did)
-            blobs.append(hdr + info + pixel_data)
+            blobs.append(_bmp_frame_bytes(did, 0, w, h))
         yield pd.DataFrame({"doc_id": ids, "content": blobs})
 
 

@@ -1,0 +1,125 @@
+"""The r15 real motion-container path: attach_motion_blob must emit a
+container of concatenated spec-compliant BMP frames, and the sampler must
+demux by the headers' size fields (not fixed offsets), decode every
+_MOTION_STRIDE-th frame honoring bottom-up rows + stride padding, and
+seek past the rest. Retires the last fake decode (VERDICT r14 #3).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+import pytest
+
+from project_samanvay_a_true_hybrid_htap_database_spark.operators.multimodal import (
+    _MOTION_STRIDE,
+    _bmp_frame_bytes,
+    _motion_frame_sample,
+    attach_motion_blob,
+    multimodal_frames,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_vectorized_container_equals_per_frame_encode():
+    """The vectorized encoder must be byte-identical to concatenating
+    the reference per-frame encoder across dims/counts."""
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators.multimodal import (  # noqa: E501
+        _motion_container_bytes,
+    )
+
+    for did, nf, w, h in [(0, 1, 8, 8), (3, 2, 3, 2), (17, 10, 16, 14)]:
+        want = b"".join(
+            _bmp_frame_bytes(did, f, w, h) for f in range(nf)
+        )
+        assert _motion_container_bytes(did, nf, w, h) == want
+
+
+def test_container_is_concatenated_spec_compliant_bmps(spark):
+    rows = attach_motion_blob(spark, SF_DIR).limit(6).collect()
+    assert rows
+    for r in rows:
+        b = bytes(r["content"])
+        did = r["doc_id"]
+        pos, n = 0, 0
+        while pos < len(b):
+            assert b[pos : pos + 2] == b"BM"
+            fsize = struct.unpack("<I", b[pos + 2 : pos + 6])[0]
+            hsz, w, h, planes, bpp = struct.unpack(
+                "<IiiHH", b[pos + 14 : pos + 30]
+            )
+            assert hsz == 40 and planes == 1 and bpp == 24
+            assert w == 8 + did % 9
+            stride = (3 * w + 3) & ~3
+            assert fsize == 54 + stride * h  # size field tiles exactly
+            pos += fsize
+            n += 1
+        assert pos == len(b)  # no trailing garbage
+        assert n == 6 + did % 5
+
+
+def test_sampler_strides_and_decodes_exactly():
+    """Hand-build a 2-frame container with distinct known grids: frame 0
+    must be decoded (flip + stride honored), frame 1 skipped."""
+    did, w, h = 3, 3, 2
+    container = _bmp_frame_bytes(did, 0, w, h) + _bmp_frame_bytes(
+        did, 1, w, h
+    )
+    pdf = pd.DataFrame({"doc_id": [did], "content": [container]})
+    out = pd.concat(list(_motion_frame_sample(iter([pdf]))))
+    assert list(out["frame_idx"]) == [0]  # stride-2 over 2 frames
+    assert list(out["n_frames"]) == [2]
+    want = sum(
+        (did * 7 + 0 * 17 + y * 31 + x * 13) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    assert list(out["px_sum"]) == [want]
+
+
+def test_sampler_rejects_bad_frame_magic():
+    did, w, h = 1, 3, 2
+    good = _bmp_frame_bytes(did, 0, w, h)
+    bad = good + b"XX" + good[2:]  # second frame magic corrupted
+    pdf = pd.DataFrame({"doc_id": [did], "content": [bad]})
+    with pytest.raises(ValueError, match="bad frame magic"):
+        list(_motion_frame_sample(iter([pdf])))
+
+
+def test_frames_vary_and_match_closed_form(spark):
+    """The registered entry against the fixture's closed form computed
+    independently in Python — and consecutive sampled frames genuinely
+    differ (the f*17 term is live)."""
+    got = {}
+    for r in multimodal_frames(spark, SF_DIR).collect():
+        got.setdefault(r["doc_id"], {})[r["frame_idx"]] = r
+    from project_samanvay_a_true_hybrid_htap_database_spark.sources import (
+        load_table,
+    )
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert set(got) == set(texts)
+    for doc_id in list(texts)[:15]:
+        w = 8 + doc_id % 9
+        h = 8 + len(texts[doc_id].encode("utf-8")) % 7
+        nf = 6 + doc_id % 5
+        frames = got[doc_id]
+        assert sorted(frames) == list(range(0, nf, _MOTION_STRIDE))
+        sums = []
+        for f, r in frames.items():
+            assert (r["width"], r["height"], r["n_frames"]) == (w, h, nf)
+            want = sum(
+                (doc_id * 7 + f * 17 + y * 31 + x * 13) % 256
+                for y in range(h)
+                for x in range(w)
+            )
+            assert r["px_sum"] == want
+            sums.append(want)
+        assert len(set(sums)) > 1, "sampled frames all identical"

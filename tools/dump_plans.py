@@ -123,6 +123,22 @@ def main() -> None:
         "0.368 s isolated min-of-3 on matched calibration — in-payload",
         "contention from the 53-query back-to-back run, not plan drift.",
         "",
+        "Known r15 scope change (not drift): multimodal_frames became a",
+        "REAL motion-container round trip (attach_motion_blob encodes",
+        "6 + doc_id%5 genuine concatenated 24-bit BMP frames per doc —",
+        "vectorized across frames/rows, CI-pinned byte-identical to the",
+        "per-frame encoder — and the sampler demuxes by each frame's",
+        "BITMAPFILEHEADER size field, decodes every 2nd frame, seeks past",
+        "the rest; was 4 fixed byte windows on a labeled stub). This",
+        "retires the repo's last fake video decode AND re-baselines the",
+        "recurring bench flake on this query (flagged r12 1.42x / r14",
+        "1.57x on an unchanged file): the r15 reading compares different",
+        "operators. Measured this session at sf0.1: real form 1.11 s",
+        "min-of-3 (vs ~0.5-0.67 s for the stub), with the pure-Python",
+        "codec delta ~0.37 s single-threaded for 5k docs (encode 0.20 +",
+        "demux/decode 0.17). Plan still pinned exchange-free in",
+        "tests/test_plans.py; oracle replays sampled frames' pixel sums.",
+        "",
         "Known r14 scope change (not drift): multimodal_audio_chunks",
         "became a REAL WAV codec round trip (attach_wav_blob encodes",
         "genuine RIFF/WAVE payloads, the chunker parses the actual header",
