@@ -358,6 +358,30 @@ FROM sy GROUP BY doc_id
 """
 
 
+def _bpe_pack_sql(
+    rounds: int = 6, vocab: int = 1000, budget: int = 512, shards: int = 8
+) -> str:
+    """pack_sequences_bpe's oracle (r15): the learned-merge CTE chain
+    (via _bpe_segment_sql's construction) produces per-doc BPE symbol
+    counts, which then feed the existing per-shard cumulative-sum pack
+    replay — the composition VERDICT r14 #6 asked for."""
+    seg = _bpe_segment_sql(rounds, vocab)
+    ctes = seg[len("WITH ") : seg.index("\nSELECT")]
+    return f"""WITH {ctes},
+per AS (SELECT doc_id, CAST(sum(ns) AS BIGINT) AS n_tokens
+        FROM sy GROUP BY doc_id),
+t AS (SELECT doc_id, doc_id % {shards} AS shard, n_tokens FROM per),
+c AS (
+  SELECT shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT shard, CAST(floor((cum - n_tokens) / {budget}.0) AS BIGINT) AS bin,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM c GROUP BY shard, bin ORDER BY shard, bin
+"""
+
+
 def _simhash_fp_cte(bits: int = 60) -> str:
     votes = ", ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE 0 END) AS b{j}"
@@ -511,6 +535,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": dedup.ngram_novelty,
         "ntile_quartiles": analytics.ntile_quartiles,
         "pack_sequences": sampling.pack_sequences,
+        "pack_sequences_bpe": sampling.pack_sequences_bpe,
         "packing_efficiency": sampling.packing_efficiency,
         "percentile_prices": analytics.percentile_prices,
         "percentile_prices_approx": analytics.percentile_prices_approx,
@@ -676,7 +701,9 @@ _SWEEP_WINDOW: list[str] = [
 
 # Round-current additions: forced to the very end of queries() so they
 # never displace the sweep window (standing directive).
-_TAIL_PARKED: list[str] = []
+_TAIL_PARKED: list[str] = [
+    "pack_sequences_bpe",  # r15: packing budgets in learned-BPE tokens
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2613,6 +2640,7 @@ WHERE negative != anchor AND negative != positive
         "minhash_signatures": minhash_sig,
         "bpe_learn_merges": _bpe_merges_sql(),
         "bpe_segment_stats": _bpe_segment_sql(),
+        "pack_sequences_bpe": _bpe_pack_sql(),
         "minhash_lsh_pairs": lsh_pairs,
         # r14: the online near-dup admission gate's admit set, batch-replayed.
         # Seen-semantics makes the sequential rule closed-form over the

@@ -260,6 +260,41 @@ def pack_sequences(
     )
 
 
+def pack_sequences_bpe(
+    spark: SparkSession, sf_dir: str, budget: int = 512, shards: int = 8
+) -> DataFrame:
+    """pack_sequences with the LEARNED tokenizer's token counts (r15) —
+    the real pretraining-export composition: packing budgets are spent in
+    the units the training tokenizer actually produces (bpe_segment_stats'
+    n_bpe_symbols, the 6-round learned-merge application), not whitespace
+    words. Same per-shard cumulative-sum packing shape (one window
+    partition per shard — no global ordering bottleneck at 100 TB); the
+    tokenizer learning itself is a bounded index-build (one corpus token
+    shuffle + 6 vocab-sized argmax rounds, see text.bpe_learn_merges).
+    Docs with no tokenizable words are excluded, exactly as
+    bpe_segment_stats excludes them."""
+    from .text import bpe_segment_stats
+
+    sized = bpe_segment_stats(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % shards).alias("shard"),
+        F.col("n_bpe_symbols").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = sized.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / budget),
+    )
+    return binned.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
 def source_mixture_weights(
     spark: SparkSession, sf_dir: str, alpha: float = 0.7
 ) -> DataFrame:

@@ -161,17 +161,29 @@ def neardup_admit_foreach_batch(
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _check_legacy_state(out_dir)
-        arrivals = _hashed_shingles(batch_df.select("doc_id", "clean_text"))
+        # Materialize the hashed-shingle frame ONCE per batch (r15,
+        # VERDICT r14 #7): it feeds the signature aggregate, BOTH verify
+        # joins (twice each), and the admit/docs writes — without the
+        # checkpoint each of the batch's 3 actions re-ran the md5 shingle
+        # hashing (and the bucket write re-ran the whole signature
+        # aggregate), which dominated the gate's fixed per-batch cost.
+        # foreachBatch redelivery re-runs fn, so batch-local checkpoints
+        # don't weaken exactly-once.
+        arrivals = _hashed_shingles(
+            batch_df.select("doc_id", "clean_text")
+        ).localCheckpoint(eager=True)
         shingled = arrivals.filter(F.size("hs") > 0)
         hs_batch = shingled.select("doc_id", "hs")
         sig = _signatures_from_hashed(
             shingled.select("doc_id", F.explode("hs").alias("h")),
             bands * rows,
         )
+        # bucket keys: used by the cross probe, both sides of the intra
+        # self-join, and the state write — one materialization, narrow rows
         bks = sig.select(
             "doc_id",
             F.posexplode(lsh_band_keys(bands, rows)).alias("band", "bkey"),
-        )
+        ).localCheckpoint(eager=True)
 
         def _horizon(df: DataFrame) -> DataFrame:
             df = df.filter(F.col("batch_id") < batch_id)

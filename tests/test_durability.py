@@ -873,6 +873,38 @@ def test_time_travel_retention_bounds_gc(spark, data_dir):
     assert deltas == ["delta_3", "delta_4"]  # bounded, not unbounded
 
 
+def test_retention_disk_stays_bounded_across_many_cycles(spark, data_dir):
+    """r15 (VERDICT r14 #8): under retention_versions=N, 10+ flush cycles
+    must keep the on-disk layout bounded — at most the dirs the newest
+    N+1 manifests reference survive each commit (≤ N+1 deltas plus the
+    live generation), never an accumulating history. This is the sizing
+    rule for the time-travel horizon: disk cost = (N+1) × layout size,
+    checked at EVERY cycle, not just the end state."""
+    import os
+
+    n_ret = 2
+    e = SamanvayEngine(spark, data_dir=data_dir, retention_versions=n_ret)
+    e.execute("CREATE TABLE b (id BIGINT NOT NULL)")
+    tdir = e._table_data_path("b")
+    max_dirs = 0
+    for i in range(1, 11):
+        e.execute(f"INSERT INTO b VALUES ({i})")
+        e.flush("b")  # v_i
+        layout_dirs = [
+            d
+            for d in os.listdir(tdir)
+            if d.startswith(("delta_", "gen_"))
+        ]
+        max_dirs = max(max_dirs, len(layout_dirs))
+        assert len(layout_dirs) <= n_ret + 2, (i, sorted(layout_dirs))
+    assert max_dirs >= n_ret + 1  # the horizon is actually retained
+    # the retained window reads; anything older is vacuumed loudly
+    assert e.execute("SELECT COUNT(*) FROM b VERSION AS OF 8").rows == [(8,)]
+    assert "vacuumed" in e.execute(
+        "SELECT * FROM b VERSION AS OF 7"
+    ).error_message
+
+
 def test_retention_above_manifest_horizon_refused(spark, data_dir):
     """r15 ADVICE: retention_versions > the txlog's manifest-pruning
     horizon (HISTORY_KEEP) would silently shrink back to it once _prune
