@@ -624,6 +624,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_metrics": analytics.unpivot_metrics,
         "update_projection": relational.update_projection,
         "upsert_merge": relational.upsert_merge,
+        "video_motion_stats": multimodal.video_motion_stats,
         "virtual_epochs": sampling.virtual_epochs,
         "vocab_coverage": text.vocab_coverage,
         "window_frame_bounds": analytics.window_frame_bounds,
@@ -703,6 +704,7 @@ _SWEEP_WINDOW: list[str] = [
 # never displace the sweep window (standing directive).
 _TAIL_PARKED: list[str] = [
     "pack_sequences_bpe",  # r15: packing budgets in learned-BPE tokens
+    "video_motion_stats",  # r15: frame-differencing over the motion container
 ]
 
 
@@ -2039,6 +2041,40 @@ SELECT doc_id, CAST(f AS INT) AS frame_idx, CAST(nf AS INT) AS n_frames,
        CAST(sum((doc_id * 7 + f * 17 + y * 31 + x * 13) % 256) AS BIGINT)
          AS px_sum
 FROM xys GROUP BY doc_id, f, nf, w, h
+""",
+        # r15: frame differencing over the same container — per step
+        # f -> f+1 each pixel moves by exactly (base + 17) % 256 - base,
+        # i.e. |delta| = 17 unless the +17 wraps (base >= 239 -> 239);
+        # the oracle replays that closed form per (x, y, f), rolls steps
+        # up per doc, and takes the FIRST max step (min f at the max).
+        "video_motion_stats": """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + strlen(text) % 7 AS h,
+         6 + doc_id % 5 AS nf
+  FROM documents),
+st AS (SELECT doc_id, w, h, nf,
+              unnest(generate_series(0, nf - 2)) AS f FROM d),
+ys AS (SELECT doc_id, w, h, nf, f,
+              unnest(generate_series(0, h - 1)) AS y FROM st),
+xys AS (SELECT doc_id, w, nf, f, y,
+               unnest(generate_series(0, w - 1)) AS x FROM ys),
+sm AS (
+  SELECT doc_id, nf, f,
+         sum(CASE WHEN (doc_id * 7 + f * 17 + y * 31 + x * 13) % 256 < 239
+                  THEN 17 ELSE 239 END) AS m
+  FROM xys GROUP BY doc_id, nf, f),
+agg AS (
+  SELECT doc_id, nf, sum(m) AS total_motion, max(m) AS peak_motion
+  FROM sm GROUP BY doc_id, nf),
+ps AS (
+  SELECT sm.doc_id, min(sm.f) AS peak_step
+  FROM sm JOIN agg ON sm.doc_id = agg.doc_id AND sm.m = agg.peak_motion
+  GROUP BY sm.doc_id)
+SELECT agg.doc_id, CAST(nf AS INT) AS n_frames,
+       CAST(total_motion AS BIGINT) AS total_motion,
+       CAST(peak_step AS INT) AS peak_step,
+       CAST(peak_motion AS BIGINT) AS peak_motion
+FROM agg JOIN ps ON agg.doc_id = ps.doc_id
 """,
         # Nearest-neighbor byte resample: output index i reads input char
         # (i*n)//64 + 1 (docs are all-ASCII, so chars == bytes).

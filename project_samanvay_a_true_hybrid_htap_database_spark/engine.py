@@ -3013,7 +3013,6 @@ class SamanvayEngine:
         if state.delta is not None and state.delta_mirror is None:
             raise _FastPathUnsupported("delta mirror unavailable")
         mirror = state.delta_mirror or {}
-        mem = state.memtable
         match = None if pred is None else self._compile_pred(state, pred)
         needs_key = tuple(sorted((a, tuple(sorted(k))) for a, k in needs.items()))
         # In-range hot keys shadow base rows the driver-side fold cannot

@@ -237,6 +237,78 @@ def _motion_frame_sample(
         yield pd.DataFrame(out)
 
 
+_MOTION_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("total_motion", T.LongType()),
+        T.StructField("peak_step", T.IntegerType()),
+        T.StructField("peak_motion", T.LongType()),
+    ]
+)
+
+
+def _motion_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame-differencing motion analysis (r15): decode EVERY frame of
+    the container (same header-driven demux as the sampler) and compute
+    per-step motion energy sum |p_{f+1} - p_f| over the pixel grid — the
+    shot-boundary-detection primitive of a video pipeline. Emits per doc
+    the container's total motion, the peak step's energy, and the peak
+    step index (first max). Decoded on the REAL pixel grids, so a demux
+    or flip shortcut changes the diffs and fails the hash gate."""
+    import struct
+
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            f.name: [] for f in _MOTION_STATS_SCHEMA.fields
+        }
+        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+            b = bytes(content)
+            imgs = []
+            pos = 0
+            while pos < len(b):
+                if b[pos : pos + 2] != b"BM":
+                    raise ValueError(
+                        f"doc {doc_id}: bad frame magic at offset {pos}"
+                    )
+                fsize = struct.unpack("<I", b[pos + 2 : pos + 6])[0]
+                data_off = struct.unpack("<I", b[pos + 10 : pos + 14])[0]
+                _hsz, w, h, _planes, bpp = struct.unpack(
+                    "<IiiHH", b[pos + 14 : pos + 30]
+                )
+                if bpp != 24 or h <= 0:
+                    raise ValueError(
+                        f"doc {doc_id}: expected bottom-up 24-bit frame"
+                    )
+                stride = (3 * w + 3) & ~3
+                arr = np.frombuffer(
+                    b, dtype=np.uint8, count=stride * h, offset=pos + data_off
+                ).reshape(h, stride)
+                imgs.append(arr[::-1, : 3 * w : 3].astype(np.int64))
+                pos += fsize
+            stack = np.stack(imgs)
+            steps = np.abs(stack[1:] - stack[:-1]).sum(axis=(1, 2))
+            out["doc_id"].append(int(doc_id))
+            out["n_frames"].append(len(imgs))
+            out["total_motion"].append(int(steps.sum()))
+            out["peak_step"].append(int(steps.argmax()))
+            out["peak_motion"].append(int(steps.max()))
+        yield pd.DataFrame(out)
+
+
+def video_motion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motion-energy profile over the REAL motion container (r15): the
+    frame-differencing pass a video curation pipeline runs to find
+    static/duplicate clips and shot boundaries. Full-container decode
+    (unlike the stride sampler — differencing needs consecutive pairs),
+    still scan → mapInPandas → mapInPandas with ZERO exchanges; per-doc
+    memory is bounded by one container's frames."""
+    blobs = attach_motion_blob(spark, sf_dir)
+    return blobs.mapInPandas(_motion_stats, schema=_MOTION_STATS_SCHEMA)
+
+
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stride-k frame sampling over a REAL concatenated-BMP motion
     container (r15) — the video twin of the real WAV/BMP paths, retiring

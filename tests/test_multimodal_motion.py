@@ -88,6 +88,36 @@ def test_sampler_rejects_bad_frame_magic():
         list(_motion_frame_sample(iter([pdf])))
 
 
+def test_motion_stats_match_brute_force_diff():
+    """video_motion_stats against a brute-force frame diff on a
+    hand-built container — peak step must be the FIRST max."""
+    import numpy as np
+
+    from project_samanvay_a_true_hybrid_htap_database_spark.operators.multimodal import (  # noqa: E501
+        _motion_stats,
+    )
+
+    did, w, h, nf = 7, 4, 3, 5
+    container = b"".join(_bmp_frame_bytes(did, f, w, h) for f in range(nf))
+    pdf = pd.DataFrame({"doc_id": [did], "content": [container]})
+    out = pd.concat(list(_motion_stats(iter([pdf]))))
+    grids = np.array(
+        [
+            [
+                [(did * 7 + f * 17 + y * 31 + x * 13) % 256 for x in range(w)]
+                for y in range(h)
+            ]
+            for f in range(nf)
+        ],
+        dtype=np.int64,
+    )
+    steps = np.abs(grids[1:] - grids[:-1]).sum(axis=(1, 2))
+    assert list(out["n_frames"]) == [nf]
+    assert list(out["total_motion"]) == [int(steps.sum())]
+    assert list(out["peak_motion"]) == [int(steps.max())]
+    assert list(out["peak_step"]) == [int(steps.argmax())]
+
+
 def test_frames_vary_and_match_closed_form(spark):
     """The registered entry against the fixture's closed form computed
     independently in Python — and consecutive sampled frames genuinely

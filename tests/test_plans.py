@@ -298,6 +298,7 @@ class TestMultimodalShuffleFree:
             "multimodal_summary",
             "multimodal_audio_chunks",
             "multimodal_bmp_resize",
+            "video_motion_stats",
             # learned merges applied inside array HOFs: the returned plan
             # is scan -> project (the learning's own bounded jobs run at
             # build time, not in this plan)
