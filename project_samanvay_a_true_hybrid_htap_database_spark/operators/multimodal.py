@@ -33,8 +33,18 @@ def attach_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     opaque media payload, with a typed metadata struct alongside
     (mime/n_bytes/source). At 100 TB the blob column lives in its own
     parquet column chunk and is only read by stages that need it —
-    metadata-only queries never touch the bytes (column pruning)."""
-    docs = load_table(spark, sf_dir, "documents")
+    metadata-only queries never touch the bytes (column pruning).
+
+    r15 (guide §2.5 input parallelism): the scan goes through
+    _docs_parallel — at test SF the documents table is ONE parquet file
+    with ONE row group, so the whole encode → decode chain ran on a single
+    task (1/32 of the box); the guard repartitions the narrow TEXT scan
+    across cores BEFORE any blob exists and is a provable no-op at scale
+    (bytes/maxPartitionBytes estimate). Blob payloads still never cross an
+    exchange."""
+    from .dedup import _docs_parallel
+
+    docs = _docs_parallel(spark, sf_dir, "doc_id", "text", "source")
     return docs.select(
         "doc_id",
         F.encode(F.col("text"), "UTF-8").alias("content"),
@@ -177,7 +187,9 @@ def attach_motion_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, content: binary) where content is a REAL
     concatenated-BMP motion container. Same scan → mapInPandas shape as
     attach_wav_blob/attach_bmp_blob."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from .dedup import _docs_parallel
+
+    docs = _docs_parallel(spark, sf_dir, "doc_id", "text")
     return docs.mapInPandas(
         _motion_encode, schema="doc_id long, content binary"
     )
@@ -431,7 +443,9 @@ def attach_wav_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     file (header + PCM). Same 100 TB shape as attach_blob: the binary
     column rides its own parquet column chunk; scan → mapInPandas, no
     shuffle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from .dedup import _docs_parallel
+
+    docs = _docs_parallel(spark, sf_dir, "doc_id", "text")
     return docs.mapInPandas(_wav_encode, schema="doc_id long, content binary")
 
 
@@ -451,7 +465,7 @@ def _wav_chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     for pdf in batches:
-        out: dict[str, list] = {f.name: [] for f in _CHUNK_SCHEMA.fields}
+        cols: dict[str, list] = {f.name: [] for f in _CHUNK_SCHEMA.fields}
         for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
             with wave.open(io.BytesIO(bytes(content)), "rb") as w:
                 if w.getnchannels() != 1 or w.getsampwidth() != 2:
@@ -464,16 +478,26 @@ def _wav_chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             samples = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
             window = sr * _WAV_WINDOW_MS // 1000
             hop = sr * _WAV_HOP_MS // 1000
-            for idx, start in enumerate(range(0, len(samples), hop)):
-                ch = samples[start : start + window]
-                out["doc_id"].append(int(doc_id))
-                out["chunk_idx"].append(idx)
-                out["start_sample"].append(start)
-                out["n_samples"].append(len(ch))
-                out["sr"].append(sr)
-                out["sum_amp"].append(int(ch.sum()))
-                out["sum_sq"].append(int((ch * ch).sum()))
-        yield pd.DataFrame(out)
+            # Vectorized windowing (r15, guide §4.2): every chunk's sum /
+            # sum-of-squares via two prefix sums instead of a Python loop
+            # with per-chunk appends — exact int64 arithmetic, identical
+            # rows (prefix-sum differences ARE the window sums).
+            n = len(samples)
+            starts = np.arange(0, n, hop, dtype=np.int64)
+            ends = np.minimum(starts + window, n)
+            cs = np.concatenate(([0], np.cumsum(samples)))
+            cs2 = np.concatenate(([0], np.cumsum(samples * samples)))
+            cols["doc_id"].append(np.full(len(starts), int(doc_id)))
+            cols["chunk_idx"].append(np.arange(len(starts)))
+            cols["start_sample"].append(starts)
+            cols["n_samples"].append(ends - starts)
+            cols["sr"].append(np.full(len(starts), sr))
+            cols["sum_amp"].append(cs[ends] - cs[starts])
+            cols["sum_sq"].append(cs2[ends] - cs2[starts])
+        yield pd.DataFrame(
+            {k: np.concatenate(v) if v else np.array([], dtype=np.int64)
+             for k, v in cols.items()}
+        )
 
 
 def audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -643,7 +667,9 @@ def _bmp_encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def attach_bmp_blob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, content: binary) where content is a REAL
     24-bit BMP file. Same scan → mapInPandas shape as attach_wav_blob."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from .dedup import _docs_parallel
+
+    docs = _docs_parallel(spark, sf_dir, "doc_id", "text")
     return docs.mapInPandas(_bmp_encode, schema="doc_id long, content binary")
 
 

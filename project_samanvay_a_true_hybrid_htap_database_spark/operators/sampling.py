@@ -137,8 +137,15 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import LANG_MARKERS
     from ..functions.textfns import tokens
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tokens("text")
+    # tokens staged as a column (r15): the 4 marker filters + the three
+    # quality sub-expressions below would each re-run the split() subtree
+    # otherwise (the _doc_shingles trap, ~7 tokenizations per row)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("T", tokens("text"))
+    )
+    toks = F.col("T")
 
     def _is_marker(markers: list[str]):
         arr = F.array(*[F.lit(x) for x in markers])

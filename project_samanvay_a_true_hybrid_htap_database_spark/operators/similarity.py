@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine
+from ..functions.vectors import cosine, lit_doubles
 from ..sources import load_table
 
 TOP_K = 10
@@ -59,7 +59,7 @@ def ann_bruteforce_topk(
     vec_id so the result set is stable across engines."""
     qvec, _ = _query_vector(spark, sf_dir, vec_id)
     emb = load_table(spark, sf_dir, "embeddings")
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    q = lit_doubles(qvec)
     scored = (
         emb.filter(F.col("vec_id") != vec_id)
         .select("vec_id", cosine(F.col("embedding"), q).alias("cos"))
@@ -86,7 +86,7 @@ def ann_ivf_topk(
     cents = learned_centroids(spark, sf_dir)
     qcluster = _query_cluster(spark, sf_dir, vec_id, cents)
     emb = load_table(spark, sf_dir, "embeddings")
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    q = lit_doubles(qvec)
     scored = (
         _with_nearest_centroid(
             emb.filter(F.col("vec_id") != vec_id), cents, "embedding", "_b"
@@ -184,7 +184,7 @@ def _sign_bucket(vec_col, planes: list[list[float]]):
 
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(x) for x in plane])
+        p = lit_doubles(plane)
         bucket = bucket + F.when(
             vdot(vec_col, p) >= 0, F.lit(1 << i)
         ).otherwise(F.lit(0))
@@ -209,7 +209,7 @@ def ann_lsh_topk(
         if sum(float(a) * b for a, b in zip(qvec, plane)) >= 0:
             qbucket |= 1 << i
     emb = load_table(spark, sf_dir, "embeddings")
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    q = lit_doubles(qvec)
     scored = (
         emb.filter(F.col("vec_id") != vec_id)
         .filter(_sign_bucket(F.col("embedding"), planes) == qbucket)
@@ -274,7 +274,7 @@ def ann_lsh_indexed_topk(
         if sum(float(a) * b for a, b in zip(qvec, plane)) >= 0:
             qbucket |= 1 << i
     emb = spark.read.parquet(index_dir)
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    q = lit_doubles(qvec)
     scored = (
         emb.filter(F.col("bucket") == qbucket)  # partition-pruned
         .filter(F.col("vec_id") != vec_id)
@@ -331,7 +331,7 @@ def ann_ivf_indexed_topk(
     cents = learned_centroids(spark, sf_dir)
     qcluster = _query_cluster(spark, sf_dir, vec_id, cents)
     emb = spark.read.parquet(index_dir)
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    q = lit_doubles(qvec)
     scored = (
         emb.filter(F.col("cluster") == qcluster)  # partition-pruned
         .filter(F.col("vec_id") != vec_id)
@@ -396,7 +396,7 @@ def ann_ivf_multiprobe_topk(
     cents = learned_centroids(spark, sf_dir)
     probes = _query_probe_clusters(spark, sf_dir, vec_id, cents, nprobe)
     emb = spark.read.parquet(index_dir)
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    q = lit_doubles(qvec)
     scored = (
         emb.filter(F.col("cluster").isin(probes))  # nprobe-partition pruned
         .filter(F.col("vec_id") != vec_id)
@@ -434,7 +434,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     x = F.col("embedding").cast("array<double>")
     coords = [
-        F.format_number(vdot(x, F.array(*[F.lit(v) for v in plane])), 4)
+        F.format_number(vdot(x, lit_doubles(plane)), 4)
         for plane in _proj_planes()
     ]
     return emb.select("vec_id", F.concat_ws(",", *coords).alias("proj_csv"))
@@ -460,7 +460,7 @@ def build_projection_index(
     emb = load_table(spark, sf_dir, "embeddings")
     x = F.col("embedding").cast("array<double>")
     proj = F.array(*[
-        vdot(x, F.array(*[F.lit(v) for v in plane])) for plane in _proj_planes()
+        vdot(x, lit_doubles(plane)) for plane in _proj_planes()
     ])
     (
         emb.select("vec_id", "embedding", proj.alias("proj"))
@@ -490,7 +490,7 @@ def projected_candidates(
     qproj = [
         sum(float(a) * b for a, b in zip(qvec, plane)) for plane in _proj_planes()
     ]
-    qp = F.array(*[F.lit(v) for v in qproj])
+    qp = lit_doubles(qproj)
     idx = spark.read.parquet(index_dir)
     return (
         idx.filter(F.col("vec_id") != vec_id)
@@ -521,7 +521,7 @@ def ann_projected_rerank_topk(
         spark, sf_dir, vec_id, n_candidates
     ).collect()]
     qvec, _ = _query_vector(spark, sf_dir, vec_id)
-    q = F.array(*[F.lit(float(v)) for v in qvec])
+    q = lit_doubles(qvec)
     idx = spark.read.parquet(build_projection_index(spark, sf_dir))
     return (
         idx.filter(F.col("vec_id").isin(cand_ids))
@@ -555,21 +555,26 @@ def knn_join_vectorized(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFra
     def per_block(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
         M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        # Sort the block by id ONCE so a single stable argsort per matrix
+        # (not a Python-loop lexsort per row — r15, guide §4.2) breaks cos
+        # ties toward the lower nbr id, identical to the old per-row
+        # np.lexsort((ids, -C[i])).
+        order = np.argsort(ids, kind="stable")
+        ids, M = ids[order], M[order]
         nrm = np.sqrt((M * M).sum(axis=1))
         C = (M @ M.T) / np.outer(nrm, nrm)
         np.fill_diagonal(C, -np.inf)  # exclude self-pairs
         n = len(ids)
         kk = min(k, n - 1)
-        src, nbr, rk, cos = [], [], [], []
-        for i in range(n):
-            # tie-break: primary cos desc, secondary nbr asc (stable lexsort)
-            idx = np.lexsort((ids, -C[i]))[:kk]
-            src.extend([ids[i]] * kk)
-            nbr.extend(ids[idx])
-            rk.extend(range(1, kk + 1))
-            cos.extend(C[i][idx])
+        idx = np.argsort(-C, axis=1, kind="stable")[:, :kk]
+        rows = np.arange(n)[:, None]
         return pd.DataFrame(
-            {"src": src, "nbr": nbr, "rk": rk, "cos": cos}
+            {
+                "src": np.repeat(ids, kk),
+                "nbr": ids[idx].ravel(),
+                "rk": np.tile(np.arange(1, kk + 1), n),
+                "cos": C[rows, idx].ravel(),
+            }
         )
 
     out = emb.groupBy("label").applyInPandas(
@@ -596,7 +601,7 @@ def ann_lsh_multiprobe_topk(
             qbucket |= 1 << i
     probes = [qbucket] + [qbucket ^ (1 << i) for i in range(LSH_PLANES)]
     emb = load_table(spark, sf_dir, "embeddings")
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    q = lit_doubles(qvec)
     scored = (
         emb.filter(F.col("vec_id") != vec_id)
         .filter(_sign_bucket(F.col("embedding"), planes).isin(probes))
@@ -808,7 +813,7 @@ def _centroid_dist_structs(vec, cents: list):
         *[
             F.struct(
                 F.round(
-                    _sq_dist(vec, F.array(*[F.lit(v) for v in c])), 6
+                    _sq_dist(vec, lit_doubles(c)), 6
                 ).alias("d"),
                 F.lit(cid).cast("int").alias("l"),
             )
@@ -1025,6 +1030,12 @@ def knn_join_ivf_vectorized(
             )
         hid = home_pdf["vec_id"].to_numpy()
         H = np.stack(home_pdf["embedding"].to_numpy()).astype(np.float64)
+        # Sort homes by id ONCE so a single stable argsort per matrix (not
+        # a Python-loop lexsort per probe row — r15, guide §4.2) breaks cos
+        # ties toward the lower nbr id, identical to the old per-row
+        # np.lexsort((hid, -C[i])).
+        order = np.argsort(hid, kind="stable")
+        hid, H = hid[order], H[order]
         sid = probe_pdf["src"].to_numpy()
         S = np.stack(probe_pdf["semb"].to_numpy()).astype(np.float64)
         hn = np.sqrt((H * H).sum(axis=1))
@@ -1033,14 +1044,16 @@ def knn_join_ivf_vectorized(
         # self-pairs: a src probing its own home list must not match itself
         C[sid[:, None] == hid[None, :]] = -np.inf
         kk = min(k, H.shape[0])
-        src, nbr, cos = [], [], []
-        for i in range(len(sid)):
-            idx = np.lexsort((hid, -C[i]))[:kk]
-            idx = idx[np.isfinite(C[i][idx])]
-            src.extend([sid[i]] * len(idx))
-            nbr.extend(hid[idx])
-            cos.extend(C[i][idx])
-        return pd.DataFrame({"src": src, "nbr": nbr, "cos": cos})
+        idx = np.argsort(-C, axis=1, kind="stable")[:, :kk]
+        top = C[np.arange(len(sid))[:, None], idx]
+        keep = np.isfinite(top).ravel()  # drops the self-pair -inf slots
+        return pd.DataFrame(
+            {
+                "src": np.repeat(sid, kk)[keep],
+                "nbr": hid[idx].ravel()[keep],
+                "cos": top.ravel()[keep],
+            }
+        )
 
     local = (
         home.groupBy("cluster")
@@ -1212,7 +1225,7 @@ def ann_mips_indexed_topk(
     from ..functions.vectors import dot as vdot
 
     emb = spark.read.parquet(index_dir)
-    q = F.array(*[F.lit(float(v)) for v in qvec])
+    q = lit_doubles(qvec)
     scored = (
         emb.filter(F.col("bucket") == qbucket)  # partition-pruned
         .filter(F.col("vec_id") != vec_id)
@@ -1242,7 +1255,7 @@ def ann_mips_topk(
 
     qvec, _ = _query_vector(spark, sf_dir, vec_id)
     emb = load_table(spark, sf_dir, "embeddings")
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    q = lit_doubles(qvec)
     scored = emb.filter(F.col("vec_id") != vec_id).select(
         "vec_id", dot(F.col("embedding"), q).alias("ip")
     )
@@ -1907,7 +1920,7 @@ def _adc_expr(lut: dict, m: int, ksub: int):
     pure whole-stage-codegen arithmetic with zero joins."""
     lut_arr = F.array(
         *[
-            F.array(*[F.lit(lut.get((s, c), float("inf"))) for c in range(ksub)])
+            lit_doubles(lut.get((s, c), float("inf")) for c in range(ksub))
             for s in range(m)
         ]
     )
@@ -2489,7 +2502,7 @@ def ann_ivfpq_rerank_topk(
         .select("vec_id")
     )
     qvec, _ = _query_vector(spark, sf_dir, vec_id)
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    q = lit_doubles(qvec)
     reranked = emb.join(F.broadcast(shortlist), "vec_id").select(
         "vec_id", cosine(F.col("embedding"), q).alias("cos")
     )

@@ -30,7 +30,10 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-voting language ID: count marker-token hits per language,
     argmax with fixed precedence en > de > es > fr, else 'und'."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tokens("text")
+    # Tokens staged as a column FIRST (r15): each marker filter otherwise
+    # re-evaluates the split() subtree — 4 tokenizations per row (the same
+    # trap _doc_shingles documents; measured ~20% of this scan).
+    toks = F.col("T")
     # Count marker hits including repeats: size(filter(tokens, t in markers)).
     # `Column.isin` is not usable on a HOF lambda variable, so express
     # membership as array_contains(literal marker array, t) — stays JVM-side.
@@ -44,7 +47,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang: F.size(F.filter(toks, _is_marker(markers)))
         for lang, markers in LANG_MARKERS.items()
     }
-    df = docs.select(
+    df = docs.withColumn("T", tokens("text")).select(
         "doc_id", *[scores[lang].alias(f"s_{lang}") for lang in LANG_MARKERS]
     )
     best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_MARKERS])
@@ -63,7 +66,9 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tokens, distinct-token ratio, mean token length, alpha-char ratio.
     score = 0.4·min(n_tokens/100,1) + 0.3·distinct_ratio + 0.3·alpha_ratio."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tokens("text")
+    # tokens staged as a column (r15): three token-array consumers below
+    # would each re-run the split() subtree otherwise
+    toks = F.col("T")
     n_tokens = F.size(toks)
     distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
     alpha_chars = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
@@ -73,7 +78,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         + distinct_ratio * 0.3
         + alpha_ratio * 0.3
     )
-    return docs.select(
+    return docs.withColumn("T", tokens("text")).select(
         "doc_id",
         n_tokens.alias("n_tokens"),
         F.round(distinct_ratio, 4).alias("distinct_ratio"),
@@ -102,7 +107,9 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     - rollfp: polynomial rolling hash over the token sequence,
       acc = (acc*37 + h32(token)) mod p (order-sensitive)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tokens("text")
+    # tokens staged as a column (r15): both fingerprints re-ran split() otherwise
+    docs = docs.withColumn("T", tokens("text"))
+    toks = F.col("T")
     setfp = F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
     tok_hashes = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
@@ -253,8 +260,16 @@ def bm25_search(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     TakeOrderedAndProject. At 100 TB: stats aggregate is map-side
     combinable; scoring is embarrassingly parallel; no shuffle except the
     stats rollup and final top-k."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = tokens("text")
+    # tokens staged as a column (r15): the k per-term tf filters plus the
+    # length norm would each re-run the split() subtree otherwise — in BOTH
+    # the stats scan and the scoring scan (the _doc_shingles trap, measured
+    # ~20% of marker-battery scans at 8 consumers)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("T", tokens("text"))
+    )
+    toks = F.col("T")
     dl = F.size(toks)
 
     # NB: the filter lambda must be unary (PySpark passes the element index
@@ -326,8 +341,32 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     nothing is ever global. Scores floor-truncated (round is not
     cross-engine-portable)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # Per-doc (term, tf) pairs as a PER-ROW run-length fold over the sorted
+    # token array (r15, guide §2.3/§2.4): the old explode → groupBy
+    # (doc_id, term) shuffled the entire token stream just to count within
+    # rows — a per-document quantity. Run starts of the sorted array give
+    # each distinct term once with its multiplicity (identical pairs), so
+    # the corpus-wide (doc_id, token) exchange disappears; df and the rank
+    # window keep their (term) / (doc_id) shuffles, now over the already-
+    # reduced per-doc distinct pairs.
+    s = F.array_sort(tokens("text"))
+    n = F.size(s)
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: (i == 0) | ~F.get(s, i).eqNullSafe(F.get(s, i - 1)),
+    )
+    entries = F.transform(
+        starts,
+        lambda p, j: F.struct(
+            F.get(s, p).alias("term"),
+            (F.coalesce(F.get(starts, j + 1), n) - p).cast("bigint").alias(
+                "tf"
+            ),
+        ),
+    )
+    tf = docs.filter(n >= 1).select(
+        "doc_id", F.explode(entries).alias("e")
+    ).select("doc_id", F.col("e.term").alias("term"), F.col("e.tf").alias("tf"))
     df = (
         tf.groupBy("term")
         .agg(F.count("*").alias("df"))
@@ -359,21 +398,58 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     )
 
 
+def _top_token_count(tokens_col) -> F.Column:
+    """Max token multiplicity as a PER-ROW expression: sort the array, then
+    one fold tracking (prev, current run, best run) — the longest run of a
+    sorted array IS the top token's count. O(n log n) per row, all JVM,
+    zero shuffle. r15 (guide §2.4): the old explode → (doc_id, token)
+    groupBy → (doc_id) groupBy → join-back shape paid the plan's ONLY
+    exchanges just to compute this per-doc scalar; per-row it removes every
+    Exchange from repetition_ratio and quality_filter_flags at any corpus
+    size (the signal is intrinsically per-document)."""
+    s = F.array_sort(tokens_col)
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+        .otherwise(F.lit(1))
+        .alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                F.lit(1)
+            ),
+        ).alias("best"),
+    )
+    return F.aggregate(
+        s,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        step,
+        lambda acc: acc["best"],
+    )
+
+
 def _token_share_stats(t: DataFrame) -> DataFrame:
     """(doc_id, T) → per-doc token totals + top-token share (raw, unrounded;
-    callers round where their oracle does). One explode + two partial-agg
-    groupBys keyed on doc_id — the single (doc_id, token) shuffle every
-    token operator shares. Used by repetition_ratio and
-    quality_filter_flags so the two report the identical signal."""
+    callers round where their oracle does). Since r15 a pure per-row
+    projection (_top_token_count): max multiplicity = longest run of the
+    sorted token array, so the old (doc_id, token) partial-count shuffle
+    and the join-back in both consumers disappear — value-identical
+    (max(c)/sum(c) == max_run/size), and docs with empty token arrays are
+    still dropped exactly as explode() dropped them. Used by
+    repetition_ratio and quality_filter_flags so the two report the
+    identical signal."""
     return (
-        t.select("doc_id", F.explode("T").alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_tokens"),
-            (F.max("c") / F.sum("c")).alias("top_share"),
+        t.filter(F.size("T") > 0)
+        .select(
+            "*",
+            F.size("T").cast("bigint").alias("n_tokens"),
+            (_top_token_count(F.col("T")) / F.size("T")).alias("top_share"),
         )
+        .drop("T")
     )
 
 
@@ -393,22 +469,20 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     t = docs.select("doc_id", tokens("text").alias("T"))
     # Non-distinct trigrams (word_shingles dedups, which would hide
-    # exactly the repetition being measured) — shared helper so the gate
-    # operator (quality_filter_flags) computes the identical signal.
-    tri = t.select("doc_id", dup_ngram_ratio(F.col("T")).alias("dup3"))
-    shares = _token_share_stats(t)
-    return (
-        shares.join(tri, "doc_id")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.round("dup3", 4).alias("dup3_ratio"),
-            F.round("top_share", 4).alias("top_token_share"),
-            (
-                (F.round("dup3", 4) >= 0.1)
-                | (F.round("top_share", 4) >= 0.15)
-            ).alias("is_repetitive"),
-        )
+    # exactly the repetition being measured) — shared helpers so the gate
+    # operator (quality_filter_flags) computes the identical signal. Both
+    # signals are per-row expressions since r15 (_token_share_stats), so
+    # the whole operator is ONE scan projection: no explode, no shuffle,
+    # no join-back (was 3 Exchanges + a double scan of documents).
+    return _token_share_stats(t.withColumn("_d3", dup_ngram_ratio(F.col("T")))).select(
+        "doc_id",
+        "n_tokens",
+        F.round("_d3", 4).alias("dup3_ratio"),
+        F.round("top_share", 4).alias("top_token_share"),
+        (
+            (F.round("_d3", 4) >= 0.1)
+            | (F.round("top_share", 4) >= 0.15)
+        ).alias("is_repetitive"),
     )
 
 
@@ -420,8 +494,14 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composes the lang_id expression over the same single scan and
     aggregates to (|langs| × |predictions|) rows — tiny output, one
     map-side-combinable shuffle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    toks = tokens("text")
+    # tokens staged as a column (r15): the 4 marker filters would each
+    # re-run the split() subtree otherwise (the _doc_shingles trap)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .withColumn("T", tokens("text"))
+    )
+    toks = F.col("T")
 
     def _is_marker(markers: list[str]):
         arr = F.array(*[F.lit(x) for x in markers])
@@ -480,27 +560,30 @@ def quality_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup3 = F.round(dup_ngram_ratio(F.col("T")), 4)
     stop_arr = F.array(*[F.lit(x) for x in LANG_MARKERS["en"]])
     stop_hits = F.size(F.filter(F.col("T"), lambda x: F.array_contains(stop_arr, x)))
-    per_row = t.select(
-        "doc_id",
-        n.cast("bigint").alias("n_tokens"),
-        mean_len.alias("mean_tok_len"),
-        dup3.alias("dup3_ratio"),
-        stop_hits.cast("bigint").alias("stop_hits"),
-    )
-    shares = _token_share_stats(t).select(
-        "doc_id", F.round("top_share", 4).alias("top_share")
-    )
-    flagged = per_row.join(shares, "doc_id").select(
+    # Every rule signal is a per-row expression since r15 (top_share via
+    # _token_share_stats' sorted-run fold), so the gate is ONE scan
+    # projection — the old (doc_id, token) partial-count shuffle and the
+    # doc_id join-back are gone (was the plan's only Exchanges).
+    ts_r = F.round("top_share", 4)
+    flagged = _token_share_stats(
+        t.select(
+            "doc_id",
+            "T",
+            mean_len.alias("mean_tok_len"),
+            dup3.alias("dup3_ratio"),
+            stop_hits.cast("bigint").alias("stop_hits"),
+        )
+    ).select(
         "doc_id",
         "n_tokens",
         "mean_tok_len",
         "dup3_ratio",
-        "top_share",
+        ts_r.alias("top_share"),
         "stop_hits",
         F.col("n_tokens").between(30, 100000).alias("ok_length"),
         F.col("mean_tok_len").between(3.0, 10.0).alias("ok_tok_len"),
         (F.col("dup3_ratio") < 0.1).alias("ok_repetition"),
-        (F.col("top_share") < 0.15).alias("ok_top_share"),
+        (ts_r < 0.15).alias("ok_top_share"),
         (F.col("stop_hits") >= 2).alias("ok_stopwords"),
     )
     return flagged.withColumn(

@@ -34,8 +34,44 @@ DIM_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Analyzed-DataFrame memo (r15, guide §1/§6): every `spark.read.parquet`
+# call re-lists the path and re-reads the footer schema — measured 80-110 ms
+# per call warm, and the headline queries call load_table 1-7 times each, so
+# a 53-query bench pass re-paid several seconds of pure METADATA reads.
+# A long-running engine resolves a table once and plans many queries against
+# the same relation (exactly what SamanvayEngine.register_base does); this
+# memo gives the operator surface the same property. It caches the
+# DataFrame DEFINITION only — no rows, no results; every query still scans
+# the parquet — and the key carries the file's (size, mtime_ns) so a
+# regenerated or rewritten testdata path misses the cache instead of
+# serving a stale file listing. The memoized value holds the session
+# reference, so a stopped/replaced session cannot alias an old id().
+_DF_MEMO: dict[tuple, tuple] = {}
+_DF_MEMO_MAX = 64
+
+
+def _path_stat(path: str) -> tuple | None:
+    try:
+        st = os.stat(path)
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return None
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (id(spark), os.path.abspath(path), _path_stat(path))
+    hit = _DF_MEMO.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    df = _load_table_uncached(spark, sf_dir, name)
+    if len(_DF_MEMO) >= _DF_MEMO_MAX:
+        _DF_MEMO.clear()
+    _DF_MEMO[key] = (spark, df)
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has shipped as both parquet TIMESTAMP(NANOS) (read as a
         # raw long under spark.sql.legacy.parquet.nanosAsLong) and plain

@@ -288,8 +288,37 @@ class TestMultimodalShuffleFree:
     ~1.3x SLOWER than the r12 run — the flag was load noise, not plan
     drift. This pin makes any REAL regression structural: the mapInPandas
     multimodal rows are scan → project → Arrow-batched Python with output
-    partitioning following input, so their plans must contain zero
-    Exchange (any shuffle appearing here is the regression)."""
+    partitioning following input, so no shuffle may appear at or above the
+    blob encoder. r15 amendment (guide §2.5): the document scan now rides
+    _docs_parallel, whose guard round-robin-repartitions the narrow TEXT
+    scan when the file's split estimate is below core count (at test SF
+    the table is ONE single-row-group file, so the whole encode → decode
+    chain ran on one task); that guard is a no-op at scale and shuffles
+    only (doc_id, text) — so the pin now allows RoundRobinPartitioning
+    exchanges and still forbids any HASH/RANGE exchange (a shuffle of
+    blob payloads or of decoded rows remains the structural regression)."""
+
+    @staticmethod
+    def _non_roundrobin_exchanges(p: str) -> list:
+        """Exchange nodes whose partitioning is NOT the guard's RoundRobin.
+        The formatted tree prints bare ``Exchange (n)`` — the partitioning
+        only appears in the details section (``(n) Exchange`` followed by
+        an ``Arguments:`` line) — so each tree node id is resolved to its
+        Arguments before classifying."""
+        import re
+
+        bad = []
+        for node_id in re.findall(r"Exchange \((\d+)\)", p):
+            m = re.search(
+                rf"^\({node_id}\) Exchange\n(?:[^\n]+\n)*?"
+                rf"Arguments: ([^\n]+)",
+                p,
+                re.M,
+            )
+            args = m.group(1) if m else "<no Arguments found>"
+            if "RoundRobinPartitioning" not in args:
+                bad.append(f"Exchange ({node_id}): {args}")
+        return bad
 
     @pytest.mark.parametrize(
         "name",
@@ -308,21 +337,24 @@ class TestMultimodalShuffleFree:
     def test_mapinpandas_rows_have_no_exchange(self, spark, name):
         qs = entrymod.queries()
         p = plan(qs[name](spark, SF_DIR))
-        assert "Exchange" not in p, (
-            f"{name} acquired a shuffle — scan→mapInPandas must stay "
-            f"exchange-free"
+        bad = self._non_roundrobin_exchanges(p)
+        assert not bad, (
+            f"{name} acquired a non-guard shuffle — scan→mapInPandas must "
+            f"stay exchange-free above the encoder: {bad}"
         )
 
     def test_vad_segments_single_exchange(self, spark):
         """audio_vad_segments: ONE hash shuffle on doc_id feeds both the
-        island window and the segment rollup — a second Exchange means
-        the window and the groupBy stopped sharing their partitioning."""
-        import re
-
-        qs = entrymod.queries()
-        p = plan(qs["audio_vad_segments"](spark, SF_DIR))
-        n = len(re.findall(r"\(\d+\) Exchange", p))
-        assert n == 1, f"audio_vad_segments has {n} exchanges, expected 1"
+        island window and the segment rollup — a second hash Exchange means
+        the window and the groupBy stopped sharing their partitioning.
+        (The _docs_parallel guard's RoundRobin exchange below the encoder
+        is allowed, as in the mapInPandas pin above.)"""
+        p = plan(qs_vad := entrymod.queries()["audio_vad_segments"](spark, SF_DIR))
+        bad = self._non_roundrobin_exchanges(p)
+        assert len(bad) == 1, (
+            f"audio_vad_segments has {len(bad)} non-guard exchanges, "
+            f"expected 1: {bad}"
+        )
 
 
 class TestNoUnboundedGlobalWindow:
