@@ -1291,10 +1291,18 @@ def tpch_q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 50)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
-    # Semi/anti-filter BEFORE the distinct: both predicates are on the
+    # Semi/anti-filter BEFORE any shuffle: both predicates are on the
     # distinct keys, so the surviving pair set is identical — but the
-    # distinct's shuffle now carries only qualifying-part rows (~1/6 of
+    # expensive shuffle now carries only qualifying-part rows (~1/6 of
     # lineitem here, far less with real TPC-H selectivities at 100 TB).
+    # No intermediate pair-level `.distinct()` (r15, guide §2.4): the
+    # countDistinct below dedups l_suppkey per (brand, type, size) anyway,
+    # so the pair dedup's whole (l_partkey, l_suppkey) exchange was
+    # redundant — its only effect was shrinking the probe side of a
+    # broadcast join. Dropping it removes one corpus-sized exchange
+    # (3 → 2) and shuffles the FINAL distinct key (brand, type, size,
+    # suppkey) directly, map-side-deduped — strictly fewer bytes, since
+    # part attributes are functions of l_partkey.
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     pairs = (
         li.join(
@@ -1303,7 +1311,6 @@ def tpch_q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame
             "left_semi",
         )
         .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .distinct()
     )
     return (
         pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
@@ -1384,28 +1391,35 @@ def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFra
         "late",
         F.col("l_shipdate") >= F.expr("timestampadd(DAY, 90, o_orderdate)"),
     )
-    # Pre-aggregate to one row per (order, supplier) FIRST: the raw lines
-    # never feed a countDistinct expand. n_supp is then a plain count and
-    # n_late_supp a conditional sum — all map-side-combinable. The
-    # qualifying orders have EXACTLY ONE late supplier, so that supplier's
-    # identity and late-line count ride through the per-order aggregate as
-    # conditional max/sum — no join back onto per_os at all. (The previous
-    # join-back shape evaluated the fact-fact join twice: its two per_os
-    # consumers pruned different columns, so ReuseExchange never fired —
-    # 5 scans in the plan; this form scans lineitem and orders once each.)
-    per_os = lines.groupBy("l_orderkey", "l_suppkey").agg(
-        F.sum(F.when(F.col("late"), 1).otherwise(0)).alias("late_lines")
-    )
-    is_late = F.col("late_lines") > 0
+    # ONE aggregate on l_orderkey (r15, guide §2.4): the old two-level
+    # shape — groupBy(l_orderkey, l_suppkey) then groupBy(l_orderkey) —
+    # paid TWO corpus-sized exchanges locally, because HashPartitioning
+    # (l_orderkey, l_suppkey) does not satisfy the second aggregate's
+    # l_orderkey clustering, and per-(order, supplier) partials barely
+    # reduce (≈1 line per pair in TPC-H data). Collecting the order's
+    # (supplier, late) lines once and deriving the per-supplier stats
+    # with array ops (orders are bounded at a handful of lines, so the
+    # arrays are O(1)) computes the identical per-order row with ONE
+    # exchange. At 100 TB, where the orders join runs as SMJ on
+    # l_orderkey, the join's partitioning satisfies this aggregate
+    # directly — zero extra exchanges, exactly as before.
+    ls = F.col("ls")
+    late_sks = F.transform(F.filter(ls, lambda x: x.late), lambda x: x.sk)
     per_order = (
-        per_os.groupBy("l_orderkey")
+        lines.groupBy("l_orderkey")
         .agg(
-            F.count("*").alias("n_supp"),
-            F.sum(F.when(is_late, 1).otherwise(0)).alias("n_late_supp"),
-            F.max(F.when(is_late, F.col("l_suppkey"))).alias("late_supp"),
-            F.sum(F.when(is_late, F.col("late_lines")).otherwise(0)).alias(
-                "late_lines_sum"
+            F.collect_list(
+                F.struct(F.col("l_suppkey").alias("sk"), F.col("late"))
+            ).alias("ls")
+        )
+        .select(
+            "l_orderkey",
+            F.size(F.array_distinct(F.transform(ls, lambda x: x.sk))).alias(
+                "n_supp"
             ),
+            F.size(F.array_distinct(late_sks)).alias("n_late_supp"),
+            F.array_max(late_sks).alias("late_supp"),
+            F.size(late_sks).cast("long").alias("late_lines_sum"),
         )
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )

@@ -495,6 +495,14 @@ def simhash_neardup_pairs(
         .select("chunk", "ckey")
     )
     entries = entries.join(bucket_ok, on=["chunk", "ckey"])
+    # Verify BEFORE the dedup (r15, guide §2.3): bit_count(xor) is a
+    # per-row integer op, so it runs inside the bucket-join stage and the
+    # distinct's exchange carries only VERIFIED near-dup pairs (tiny) —
+    # not the full candidate volume, and not the two 8-byte fingerprints
+    # (each doc has exactly one simhash, so (d1, d2) determines hamming
+    # and filter-then-distinct ≡ distinct-then-filter). Previously every
+    # candidate pair crossed the exchange as 4 longs just to be dropped
+    # by the hamming filter on the far side.
     cands = (
         entries.alias("a")
         .join(entries.alias("b"), on=["chunk", "ckey"])
@@ -502,18 +510,14 @@ def simhash_neardup_pairs(
         .select(
             F.col("a.doc_id").alias("d1"),
             F.col("b.doc_id").alias("d2"),
-            F.col("a.simhash").alias("h1"),
-            F.col("b.simhash").alias("h2"),
-        )
-        .distinct()
-    )
-    return (
-        cands.withColumn(
-            "hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("d1", "d2", "hamming")
+        .distinct()
     )
+    return cands.select("d1", "d2", "hamming")
 
 
 def simhash_neardup_pairs_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1559,13 +1563,18 @@ def cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus and no s² join fan-out), and the per-source distinct
     shingle counts fall out of the SAME aggregate by exploding the sets —
     the downstream aggregates run over pair/source keys, KBs."""
+    # ONE corpus scan (r15, guide §2.4): `source` rides the same scan that
+    # tokenizes — previously the shingle frame was joined back to a SECOND
+    # documents scan just to pick up `source` (doc_id is unique, so the
+    # 1:1 join added a scan + a join for a column the first scan already
+    # had). Same rows, same multiset of (source, shingle).
     inv = (
-        _doc_shingles(spark, sf_dir)
-        .join(
-            load_table(spark, sf_dir, "documents").select("doc_id", "source"),
-            "doc_id",
+        _docs_parallel(spark, sf_dir, "doc_id", "source", "text")
+        .withColumn("_t", tokens("text"))
+        .select(
+            "source",
+            F.explode(word_shingles(F.col("_t"), SHINGLE_N)).alias("s"),
         )
-        .select("source", F.explode("shingles").alias("s"))
     )
     # Persist: both the sizes branch and the pairs branch read this.
     from ..functions.caching import bounded_persist
@@ -1916,11 +1925,16 @@ def duplicate_span_report(
         toks.filter(F.col("n_win") > 0)
         .select(
             "source",
+            # unhex(md5), not the md5 hex string (r15, guide §2.3): the
+            # span key only ever feeds groupBy/window equality, so the
+            # 16-byte binary digest is a bijective stand-in for the
+            # 32-char hex form — both corpus-sized exchanges carry half
+            # the key bytes, and the report is identical.
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.col("n_win") - 1),
-                    lambda i: F.md5(
-                        F.concat_ws(" ", F.slice("t", i * w + 1, w))
+                    lambda i: F.unhex(
+                        F.md5(F.concat_ws(" ", F.slice("t", i * w + 1, w)))
                     ),
                 )
             ).alias("h"),

@@ -26,6 +26,38 @@ LANG_MARKERS = {
 TOKEN_REGEX = "[a-z0-9]+|[^a-z0-9 ]"  # BPE-ish: word pieces or single symbols
 
 
+def _lang_scores(toks):
+    """Per-language marker-hit counts over a STAGED token column — the one
+    definition lang_id and lang_distribution share.
+    Count marker hits including repeats: size(filter(tokens, t in markers)).
+    `Column.isin` is not usable on a HOF lambda variable, so express
+    membership as array_contains(literal marker array, t) — stays JVM-side.
+    NB: the lambda must be unary (PySpark passes the element index to a
+    second parameter), so markers are bound via a closure factory."""
+
+    def _is_marker(markers: list[str]):
+        arr = F.array(*[F.lit(x) for x in markers])
+        return lambda t: F.array_contains(arr, t)
+
+    return {
+        lang: F.size(F.filter(toks, _is_marker(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def _lang_pred_over_score_cols():
+    """argmax over staged s_<lang> columns, fixed precedence en > de > es
+    > fr, else 'und'."""
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_MARKERS])
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(F.col("s_en") == best, F.lit("en"))
+        .when(F.col("s_de") == best, F.lit("de"))
+        .when(F.col("s_es") == best, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-voting language ID: count marker-token hits per language,
     argmax with fixed precedence en > de > es > fr, else 'und'."""
@@ -33,32 +65,13 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tokens staged as a column FIRST (r15): each marker filter otherwise
     # re-evaluates the split() subtree — 4 tokenizations per row (the same
     # trap _doc_shingles documents; measured ~20% of this scan).
-    toks = F.col("T")
-    # Count marker hits including repeats: size(filter(tokens, t in markers)).
-    # `Column.isin` is not usable on a HOF lambda variable, so express
-    # membership as array_contains(literal marker array, t) — stays JVM-side.
-    # NB: the lambda must be unary (PySpark passes the element index to a
-    # second parameter), so markers are bound via a closure factory.
-    def _is_marker(markers: list[str]):
-        arr = F.array(*[F.lit(x) for x in markers])
-        return lambda t: F.array_contains(arr, t)
-
-    scores = {
-        lang: F.size(F.filter(toks, _is_marker(markers)))
-        for lang, markers in LANG_MARKERS.items()
-    }
+    scores = _lang_scores(F.col("T"))
     df = docs.withColumn("T", tokens("text")).select(
         "doc_id", *[scores[lang].alias(f"s_{lang}") for lang in LANG_MARKERS]
     )
-    best = F.greatest(*[F.col(f"s_{lang}") for lang in LANG_MARKERS])
-    pred = (
-        F.when(best == 0, F.lit("und"))
-        .when(F.col("s_en") == best, F.lit("en"))
-        .when(F.col("s_de") == best, F.lit("de"))
-        .when(F.col("s_es") == best, F.lit("es"))
-        .otherwise(F.lit("fr"))
+    return df.select(
+        "doc_id", _lang_pred_over_score_cols().alias("pred_lang")
     )
-    return df.select("doc_id", pred.alias("pred_lang"))
 
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,19 +136,26 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus language histogram: lang_id rolled up to per-language doc
-    counts + average whitespace-token length. One extra shuffle over the
-    per-doc pass (tiny key space — at most 5 languages)."""
-    per_doc = lang_id(spark, sf_dir)
+    """Corpus language histogram: the lang-ID expressions rolled up to
+    per-language doc counts + average whitespace-token length. ONE corpus
+    scan (r15, guide §2.4): previously this joined lang_id's output back
+    to a SECOND documents scan just to count tokens — a 1:1 join on
+    doc_id for a column the first scan's staged token array already had.
+    Same expressions, same per-doc rows feeding the same rollup; the only
+    shuffle left is the tiny per-language aggregate (≤ 5 keys)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    n_tok = docs.select("doc_id", F.size(tokens("text")).alias("n_tokens"))
-    return (
-        per_doc.join(n_tok, "doc_id")
-        .groupBy("pred_lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    scores = _lang_scores(F.col("T"))
+    per_doc = (
+        docs.withColumn("T", tokens("text"))
+        .select(
+            F.size("T").alias("n_tokens"),
+            *[scores[lang].alias(f"s_{lang}") for lang in LANG_MARKERS],
         )
+        .select("n_tokens", _lang_pred_over_score_cols().alias("pred_lang"))
+    )
+    return per_doc.groupBy("pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
     )
 
 
