@@ -309,18 +309,22 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("2000-01-01")
     )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-01-01")
+    # r15 (guide §2.3): the lineitem side of the orderkey shuffle carries a
+    # precomputed per-row revenue term (8 bytes) instead of
+    # (l_extendedprice, l_discount); per-row arithmetic relocation only.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+        .select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
     )
     return (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
         .select(
@@ -344,16 +348,28 @@ def tpch_q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+    # r15 (guide §2.3): the supplier→nation→region broadcast chain resolves
+    # on the lineitem side BELOW the orderkey shuffle, so the ASIA region
+    # filter drops non-matching lineitem rows (~4/5 of the corpus) before
+    # they cross the exchange, and the surviving rows ship
+    # (l_orderkey, n_name, vol) with vol precomputed instead of two doubles
+    # + l_suppkey. Inner-join reordering + per-row arithmetic only — the
+    # aggregate's input multiset is unchanged.
+    li_n = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "l_orderkey",
+            "n_name",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vol"),
+        )
+    )
+    return (
+        li_n.join(orders.select("o_orderkey"), li_n.l_orderkey == F.col("o_orderkey"))
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.round(F.sum("vol"), 2).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -864,19 +880,39 @@ def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("nation")
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    # r15 (guide §2.3, project before the exchange): every broadcast dim is
+    # resolved BELOW the one real shuffle (the lineitem⇄orders orderkey
+    # join), and each fact side is projected to exactly what the aggregate
+    # needs before its exchange. The lineitem side shuffles
+    # (l_orderkey, vol, is_n3) — 17 bytes — instead of
+    # (l_orderkey, l_partkey, l_suppkey, l_extendedprice, l_discount) =
+    # 40 bytes; the orders side shuffles (o_orderkey, o_custkey, o_year)
+    # with the date already reduced to a year int. Inner-join reordering
+    # and per-row arithmetic relocation leave the aggregate's input rows
+    # identical. Exchange count is unchanged — bytes per row drop ~2.4×.
+    li_n = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("nc_key"))
-        .join(F.broadcast(region), F.col("nc_region") == F.col("r_regionkey"))
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("ns_key"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .select(
+            "l_orderkey",
+            vol.alias("vol"),
+            (F.col("nation") == "NATION_3").alias("is_n3"),
+        )
+    )
+    ord_n = orders.select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    return (
+        li_n.join(ord_n, li_n.l_orderkey == ord_n.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nat_c), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(region), F.col("nc_region") == F.col("r_regionkey"))
+        .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
-                / F.sum(vol),
+                F.sum(F.when(F.col("is_n3"), F.col("vol")).otherwise(0.0))
+                / F.sum("vol"),
                 4,
             ).alias("mkt_share")
         )
@@ -900,13 +936,23 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
         "l_quantity"
     ) * F.col("p_retailprice") * F.lit(0.6)
-    return (
+    # r15 (guide §2.3): both broadcast dims resolve below the orderkey
+    # shuffle and the per-row amount is computed pre-exchange, so the
+    # lineitem side ships (l_orderkey, nation, amount) instead of five
+    # doubles + two join keys; the orders side ships the year int instead
+    # of the date. Per-row arithmetic and inner-join order moves only —
+    # the aggregate's input multiset is unchanged.
+    li_n = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .select("l_orderkey", "nation", amount.alias("amount"))
+    )
+    ord_n = orders.select("o_orderkey", F.year("o_orderdate").alias("o_year"))
+    return (
+        li_n.join(ord_n, li_n.l_orderkey == ord_n.o_orderkey)
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 

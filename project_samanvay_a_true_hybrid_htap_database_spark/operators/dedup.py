@@ -203,15 +203,19 @@ def minhash_signatures(spark: SparkSession, sf_dir: str, k: int = MINHASH_K) -> 
 
 
 def _signatures_from_shingles(sh: DataFrame, k: int) -> DataFrame:
-    """Signature aggregation over an existing (doc_id, shingles) frame —
+    """Signature computation over an existing (doc_id, shingles) frame —
     split out so minhash_lsh_pairs can feed its PERSISTED shingle table
     into the signature pass instead of re-deriving shingles from the raw
-    corpus (which cost a second full tokenize scan, VERDICT r6 #6)."""
-    sh = sh.filter(F.size("shingles") > 0)
-    hashed = sh.select(
-        "doc_id", F.explode("shingles").alias("sh")
-    ).withColumn("h", md5_long32("sh"))
-    return _signatures_from_hashed(hashed, k)
+    corpus (which cost a second full tokenize scan, VERDICT r6 #6).
+    Per-row fold (r15): shingles are hashed inside the array and the k
+    mins fold row-locally — see _signatures_from_hs."""
+    return _signatures_from_hs(
+        sh.filter(F.size("shingles") > 0).select(
+            "doc_id",
+            F.transform("shingles", lambda s: md5_long32(s)).alias("hs"),
+        ),
+        k,
+    )
 
 
 def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,7 +242,10 @@ def _shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _signatures_from_hashed(hashed: DataFrame, k: int) -> DataFrame:
-    """Minhash signatures from an exploded (doc_id, h) hash table."""
+    """Minhash signatures from an exploded (doc_id, h) hash table — the
+    groupBy form, kept for callers whose input is already a row stream.
+    Array-typed inputs should use _signatures_from_hs (r15): both compute
+    the identical integer mins, but the fold form needs no exchange."""
     params = permutation_params(k)
     mins = [
         F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)).alias(f"mh{i}")
@@ -248,6 +255,31 @@ def _signatures_from_hashed(hashed: DataFrame, k: int) -> DataFrame:
     return sig.select(
         "doc_id", F.array(*[f"mh{i}" for i in range(k)]).alias("sig")
     )
+
+
+def _signatures_from_hs(sh: DataFrame, k: int) -> DataFrame:
+    """Minhash signatures as a PER-ROW fold over an array-typed
+    (doc_id, hs array<long>) frame (r15, guide §2.4: remove shuffles
+    outright). A document's hashes all live in its own row, so the k
+    permutation minima are k ``array_min(transform(hs, …))`` expressions —
+    the identical (h·a + b) mod p integer arithmetic the groupBy form
+    aggregates, with no explode, no map-side hash table, and no per-doc
+    exchange (at 100 TB the groupBy form shuffles one 17-long row per
+    document; this form shuffles nothing). Callers must pre-filter empty
+    arrays exactly as the explode form dropped them."""
+    params = permutation_params(k)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    "hs",
+                    lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31),
+                )
+            )
+            for (a, b) in params
+        ]
+    )
+    return sh.select("doc_id", sig.alias("sig"))
 
 
 def minhash_signatures_str(spark: SparkSession, sf_dir: str, k: int = MINHASH_K) -> DataFrame:
@@ -333,15 +365,12 @@ def lsh_pairs_from_hashed_shingles(
 
     # Persist the signature table too: it is tiny (one row of k longs per
     # doc) and referenced from both sides of the bucket self-join — without
-    # this, the shingle-explode + 16-way min aggregate runs once per plan
-    # copy.
+    # this, the 16-way min fold runs once per plan copy. The signatures
+    # themselves are a per-row fold over the persisted hs arrays (r15,
+    # _signatures_from_hs): the old explode → groupBy(doc_id) form paid a
+    # per-document exchange for minima that never leave the row.
     sig = bounded_persist(
-        _signatures_from_hashed(
-            sh.filter(F.size("hs") > 0).select(
-                "doc_id", F.explode("hs").alias("h")
-            ),
-            bands * rows,
-        ),
+        _signatures_from_hs(sh.filter(F.size("hs") > 0), bands * rows),
         "minhash_sigs",
         scope=scope,
     )
@@ -351,12 +380,23 @@ def lsh_pairs_from_hashed_shingles(
         "doc_id", F.posexplode(lsh_band_keys(bands, rows)).alias("band", "bkey")
     )
 
+    # Candidate dedup rides the d1 verify partitioning (r15, guide §2.4):
+    # a bare .distinct() exchanged on (d1, d2) and the d1-side verify SMJ
+    # then re-exchanged the deduped pairs on d1 — two corpus-candidate
+    # shuffles of the same 16-byte rows. Repartitioning on d1 FIRST makes
+    # one exchange serve both: HashPartitioning(d1) satisfies the
+    # dropDuplicates clustering (d1 ⊆ {d1,d2} — all copies of a pair land
+    # in one partition) AND the SMJ's requirement, so the aggregate and
+    # join run shuffle-free on top. Cost: pre-dedup copies (≤ bands per
+    # pair) cross the exchange instead of deduped ones; they are 16-byte
+    # key rows, and the saved exchange was the same rows plus a sort.
     cands = (
         buckets.alias("a")
         .join(buckets.alias("b"), on=["band", "bkey"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
+        .repartition("d1")
+        .dropDuplicates(["d1", "d2"])
     )
     # Verify ONLY the candidate pairs: join each side to its shingle set and
     # compute exact Jaccard via array_intersect/array_union. Work is

@@ -360,33 +360,79 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     hash-partitioned; the per-doc rank window partitions on doc_id, so
     nothing is ever global. Scores floor-truncated (round is not
     cross-engine-portable)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # _docs_parallel (guide §2.5): the per-row sort+fold below is the
+    # operator's entire cost, and the test-SF corpus is one parquet file =
+    # one input split — without the guard the whole fold serializes onto a
+    # single task (1/32 of the box). At 100 TB the scan has thousands of
+    # splits and the guard is a no-op.
+    from .dedup import _docs_parallel
+
+    docs = _docs_parallel(spark, sf_dir)
     # Per-doc (term, tf) pairs as a PER-ROW run-length fold over the sorted
     # token array (r15, guide §2.3/§2.4): the old explode → groupBy
     # (doc_id, term) shuffled the entire token stream just to count within
-    # rows — a per-document quantity. Run starts of the sorted array give
+    # rows — a per-document quantity. Run lengths of the sorted array give
     # each distinct term once with its multiplicity (identical pairs), so
     # the corpus-wide (doc_id, token) exchange disappears; df and the rank
     # window keep their (term) / (doc_id) shuffles, now over the already-
     # reduced per-doc distinct pairs.
+    #
+    # The fold is ONE ``aggregate`` whose lambdas touch only the
+    # accumulator and the element. An earlier indexed form
+    # (filter(sequence(…), i -> get(s, i) ≠ get(s, i-1)) + a transform
+    # that re-read ``starts``) re-evaluated the whole sort+split subtree
+    # per ELEMENT — higher-order functions are interpreted and bind only
+    # their lambda variables, so any other array reference inside the
+    # lambda recomputes its entire subtree per call: O(d·n) re-sorts per
+    # row, measured as a single scan task pinned for minutes at sf0.1.
     s = F.array_sort(tokens("text"))
     n = F.size(s)
-    starts = F.filter(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: (i == 0) | ~F.get(s, i).eqNullSafe(F.get(s, i - 1)),
-    )
-    entries = F.transform(
-        starts,
-        lambda p, j: F.struct(
-            F.get(s, p).alias("term"),
-            (F.coalesce(F.get(starts, j + 1), n) - p).cast("bigint").alias(
-                "tf"
-            ),
+    _ENT = "array<struct<term:string,tf:bigint>>"
+
+    def _flush(acc):
+        # append the finished (prev, run) pair — no-op before any element
+        return F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        acc["prev"].alias("term"), acc["run"].alias("tf")
+                    )
+                ),
+            )
+        )
+
+    entries = F.aggregate(
+        s,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.expr(f"CAST(array() AS {_ENT})").alias("out"),
         ),
+        lambda acc, x: F.when(
+            x.eqNullSafe(acc["prev"]),
+            F.struct(
+                x.alias("prev"),
+                (acc["run"] + F.lit(1).cast("bigint")).alias("run"),
+                acc["out"].alias("out"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("bigint").alias("run"),
+                _flush(acc).alias("out"),
+            )
+        ),
+        _flush,
     )
     tf = docs.filter(n >= 1).select(
         "doc_id", F.explode(entries).alias("e")
     ).select("doc_id", F.col("e.term").alias("term"), F.col("e.tf").alias("tf"))
+    # df stays a groupBy + join-back (measured r15): the window-count
+    # alternative (one tf pass, unigram_lm_score's trick) exchanges AND
+    # SORTS the corpus pair table by term, which measured 1.7× slower than
+    # running the fold twice and broadcast-joining the vocabulary-sized df
+    # table (1.30 s → 2.24 s exec at sf0.1).
     df = (
         tf.groupBy("term")
         .agg(F.count("*").alias("df"))
@@ -486,7 +532,12 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffle carries (doc_id, token) partial counts. The flag
     thresholds compare ROUNDED values so the boolean is bit-stable across
     engines."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # _docs_parallel (guide §2.5): both signals are per-row folds — the
+    # operator is pure scan-stage CPU, which a one-file test-SF scan would
+    # otherwise serialize onto a single task; no-op at scale.
+    from .dedup import _docs_parallel
+
+    docs = _docs_parallel(spark, sf_dir)
     t = docs.select("doc_id", tokens("text").alias("T"))
     # Non-distinct trigrams (word_shingles dedups, which would hide
     # exactly the repetition being measured) — shared helpers so the gate
@@ -565,7 +616,12 @@ def quality_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, token) partial-count shuffle from repetition_ratio — the one
     shuffle in the plan, map-side combinable. All thresholds compare
     ROUNDED values so each boolean is bit-stable across engines."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # _docs_parallel (guide §2.5): every rule signal is a per-row fold —
+    # pure scan-stage CPU that a one-file test-SF scan would serialize
+    # onto a single task; no-op at scale.
+    from .dedup import _docs_parallel
+
+    docs = _docs_parallel(spark, sf_dir)
     t = docs.select("doc_id", tokens("text").alias("T"))
     n = F.size("T")
     mean_len = F.round(

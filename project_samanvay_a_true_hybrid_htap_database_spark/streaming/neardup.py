@@ -5,7 +5,7 @@ pipeline pins honestly ("fuzzy dedup stays a periodic batch pass").
 Semantics (the standard streaming form): an arriving document is ADMITTED
 iff no PREVIOUSLY SEEN arrival (within the horizon) is a near-duplicate —
 MinHash-LSH candidates (the batch machinery's exact banding:
-dedup.lsh_band_keys over dedup._signatures_from_hashed signatures) verified
+dedup.lsh_band_keys over dedup._signatures_from_hs signatures) verified
 by exact Jaccard >= threshold on the hashed 3-shingle sets. "Seen", not
 "admitted": a doc that was itself dropped still blocks later near-copies of
 it (Jaccard is not transitive, so blocking only on admitted docs would
@@ -56,7 +56,7 @@ from ..operators.dedup import (
     LSH_BANDS,
     LSH_ROWS,
     SHINGLE_N,
-    _signatures_from_hashed,
+    _signatures_from_hs,
     lsh_band_keys,
 )
 
@@ -174,10 +174,10 @@ def neardup_admit_foreach_batch(
         ).localCheckpoint(eager=True)
         shingled = arrivals.filter(F.size("hs") > 0)
         hs_batch = shingled.select("doc_id", "hs")
-        sig = _signatures_from_hashed(
-            shingled.select("doc_id", F.explode("hs").alias("h")),
-            bands * rows,
-        )
+        # Per-row signature fold (r15, dedup._signatures_from_hs): the
+        # batch's signature stage no longer pays an explode + per-doc
+        # exchange — identical integer mins, computed inside each row.
+        sig = _signatures_from_hs(shingled, bands * rows)
         # bucket keys: used by the cross probe, both sides of the intra
         # self-join, and the state write — one materialization, narrow rows
         bks = sig.select(

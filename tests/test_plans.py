@@ -194,9 +194,12 @@ class TestMinhashVerifyFloor:
             "a corpus-sized side is being broadcast — the measured 10× "
             "OOM hazard"
         )
-        assert tree.count("Exchange") <= 12, (
-            f"exchange count grew to {tree.count('Exchange')} (was 12) — "
-            "a stage round-trip crept back into the verify path"
+        assert tree.count("Exchange") <= 9, (
+            f"exchange count grew to {tree.count('Exchange')} (was 12 "
+            "pre-r15; the r15 pass dropped the signature groupBy — now a "
+            "per-row fold — and merged the candidate distinct into the "
+            "d1 verify partitioning) — a stage round-trip crept back "
+            "into the verify path"
         )
         assert "InMemoryRelation" in tree, (
             "the shared shingle persist was dropped (second corpus scan)"
