@@ -958,16 +958,24 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q13 (customer order-count distribution): left join customers to
-    orders, orders-per-customer, then histogram of those counts. Two
-    aggregations, each with map-side partials; the left join keeps
-    zero-order customers (the c_count = 0 bucket)."""
+    """TPC-H Q13 (customer order-count distribution): orders-per-customer,
+    left-joined to customers to keep the zero-order bucket, then a
+    histogram of the counts. Orders aggregate BEFORE the join (r15, guide
+    §2.3 "aggregate before you shuffle"): the exchange feeding the join
+    carries one partially-aggregated (custkey, count) row per customer
+    instead of every raw order row — ~10x fewer bytes at any scale, and
+    the join's custkey partitioning is established on the reduced side.
+    o_orderkey never being NULL makes count(*) per custkey identical to
+    the old count(o_orderkey) over the joined rows, with COALESCE(cnt, 0)
+    reproducing the zero-order customers the left join used to count."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    per_cust = (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    ocnt = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    per_cust = cust.join(
+        ocnt, cust.c_custkey == ocnt.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("c_count"),
     )
     return (
         per_cust.groupBy("c_count")

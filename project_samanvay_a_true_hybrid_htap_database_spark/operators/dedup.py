@@ -1280,10 +1280,21 @@ def connected_components(
         .select("e.src", "e.dst")
         .persist()
     )
+    # Init FUSED with the first propagation (r15 pass 4, guide §1.2): the
+    # distinct-nodes init was already one groupBy over the edge table;
+    # aggregating min(dst) in that same pass yields the step-1 labels for
+    # the same job (every node appears as src because edges carry both
+    # directions), so the loop starts one propagation ahead — for
+    # even-diameter components that is one fewer blocking convergence
+    # job (measured: each count job costs ~0.5 s of stage scheduling at
+    # test SF regardless of data volume).
     labels = (
-        edges.select(F.col("src").alias("n"))
-        .distinct()
-        .withColumn("lbl", F.col("n"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mind"))
+        .select(
+            F.col("src").alias("n"),
+            F.least(F.col("src"), F.col("_mind")).alias("lbl"),
+        )
         .localCheckpoint(eager=True)
     )
     def _propagate(lbls: DataFrame) -> DataFrame:
@@ -1310,8 +1321,8 @@ def connected_components(
     # fixpoint). Worst case this runs one extra propagation past
     # convergence — one shuffle of the label table, far cheaper than a
     # driver barrier per step at any scale.
-    iters = 0
-    for _ in range(0, max_iters, 2):
+    iters = 1  # the fused init above is propagation 1
+    for _ in range(1, max_iters, 2):
         iters += 2
         new_labels = (
             _propagate(_propagate(labels).drop("moved"))

@@ -120,11 +120,12 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end data-cleaning funnel: total → language-identified →
     quality-passing → exact-dedup canonical → NEAR-dedup survivors.
     The flag stages compose the text operators' expressions over ONE scan
-    of documents (per-doc flags are plain column expressions plus one
-    window for the canonical-duplicate flag; stage counts are conditional
-    aggregates). Emitted as one row per stage via explode of a literal
-    struct array — NOT an N-way union, which would clone the aggregate
-    per branch.
+    of documents (per-doc flags are plain column expressions; the
+    canonical-duplicate flag and every stage count fold through one
+    groupBy on the content hash with map-side partials — no window, no
+    per-group sort). Emitted as one row per stage via explode of a
+    literal struct array — NOT an N-way union, which would clone the
+    aggregate per branch.
 
     The near-dup stage (r9 — VERDICT r8 #6) runs in the STAGED order
     staged_dedup_report established as the production composition: the
@@ -168,15 +169,35 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     quality_ok = quality > 0.45
 
-    canonical = F.col("doc_id") == F.min("doc_id").over(
-        Window.partitionBy(F.md5("text"))
-    )
-
-    flagged = docs.select(
-        "doc_id",
-        lang_ok.alias("lang_ok"),
-        quality_ok.alias("q_ok"),
-        canonical.alias("canon"),
+    # Canonical-duplicate accounting WITHOUT a window (r15 pass 4, guide
+    # §2.3/§2.4): the canonical flag is "doc_id == min(doc_id) within the
+    # md5(text) group", and every stage count is a sum over those groups —
+    # so ONE groupBy(md5) with map-side partial aggregation replaces the
+    # window form, whose exchange shipped full per-doc flag rows and then
+    # SORTED every group just to mark the min. "The group-min doc passes
+    # lang+quality" is read off two LONG minima — min(doc_id) and
+    # min(doc_id among lq_ok docs) agree exactly when the canonical doc
+    # passes (the overall min, when it passes, is also the passing-subset
+    # min; NULL when no doc passes, and NULL == m_all is never true) —
+    # exact even under an md5 collision, where group members could
+    # disagree on lang/quality. All-primitive aggregates keep this a
+    # HashAggregate; a struct-min argmin would force SortAggregate (a
+    # map-side sort of every corpus row — measured and rejected).
+    grp = (
+        docs.select(
+            "doc_id",
+            lang_ok.alias("lang_ok"),
+            (lang_ok & quality_ok).alias("lq_ok"),
+            F.md5("text").alias("fp"),
+        )
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("lang_ok"), 1).otherwise(0)).alias("nl"),
+            F.sum(F.when(F.col("lq_ok"), 1).otherwise(0)).alias("nq"),
+            F.min("doc_id").alias("m_all"),
+            F.min(F.when(F.col("lq_ok"), F.col("doc_id"))).alias("m_lq"),
+        )
     )
 
     # Stage 4 (staged near-dedup): the pair graph sees ONLY stage-3
@@ -184,9 +205,9 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quadratic inverted-index self-join (exact-first staging).
     from ..operators.dedup import connected_components, ngram_jaccard_pairs
 
-    survivors = flagged.filter(
-        F.col("lang_ok") & F.col("q_ok") & F.col("canon")
-    ).select("doc_id")
+    survivors = grp.filter(F.col("m_lq") == F.col("m_all")).select(
+        F.col("m_all").alias("doc_id")
+    )
     pairs = ngram_jaccard_pairs(spark, sf_dir, keep=survivors).select("d1", "d2")
     near_removed = connected_components(pairs).agg(
         F.coalesce(
@@ -197,16 +218,14 @@ def pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_near_removed")
     )
 
-    agg = flagged.agg(
-        F.count("*").alias("c0"),
-        F.sum(F.when(F.col("lang_ok"), 1).otherwise(0)).alias("c1"),
+    # c0 was count(*) (0 on an empty corpus, never NULL) — coalesce keeps
+    # that exact; c1–c3 were sums (NULL on empty), so plain sums match.
+    agg = grp.agg(
+        F.coalesce(F.sum("n"), F.lit(0).cast("long")).alias("c0"),
+        F.sum("nl").alias("c1"),
+        F.sum("nq").alias("c2"),
         F.sum(
-            F.when(F.col("lang_ok") & F.col("q_ok"), 1).otherwise(0)
-        ).alias("c2"),
-        F.sum(
-            F.when(
-                F.col("lang_ok") & F.col("q_ok") & F.col("canon"), 1
-            ).otherwise(0)
+            F.when(F.col("m_lq") == F.col("m_all"), 1).otherwise(0)
         ).alias("c3"),
     )
     stages = F.array(

@@ -359,80 +359,26 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     tf·ln(N/df), rank per doc. The df table is vocabulary-sized and
     hash-partitioned; the per-doc rank window partitions on doc_id, so
     nothing is ever global. Scores floor-truncated (round is not
-    cross-engine-portable)."""
-    # _docs_parallel (guide §2.5): the per-row sort+fold below is the
-    # operator's entire cost, and the test-SF corpus is one parquet file =
-    # one input split — without the guard the whole fold serializes onto a
-    # single task (1/32 of the box). At 100 TB the scan has thousands of
-    # splits and the guard is a no-op.
-    from .dedup import _docs_parallel
+    cross-engine-portable).
 
-    docs = _docs_parallel(spark, sf_dir)
-    # Per-doc (term, tf) pairs as a PER-ROW run-length fold over the sorted
-    # token array (r15, guide §2.3/§2.4): the old explode → groupBy
-    # (doc_id, term) shuffled the entire token stream just to count within
-    # rows — a per-document quantity. Run lengths of the sorted array give
-    # each distinct term once with its multiplicity (identical pairs), so
-    # the corpus-wide (doc_id, token) exchange disappears; df and the rank
-    # window keep their (term) / (doc_id) shuffles, now over the already-
-    # reduced per-doc distinct pairs.
-    #
-    # The fold is ONE ``aggregate`` whose lambdas touch only the
-    # accumulator and the element. An earlier indexed form
-    # (filter(sequence(…), i -> get(s, i) ≠ get(s, i-1)) + a transform
-    # that re-read ``starts``) re-evaluated the whole sort+split subtree
-    # per ELEMENT — higher-order functions are interpreted and bind only
-    # their lambda variables, so any other array reference inside the
-    # lambda recomputes its entire subtree per call: O(d·n) re-sorts per
-    # row, measured as a single scan task pinned for minutes at sf0.1.
-    s = F.array_sort(tokens("text"))
-    n = F.size(s)
-    _ENT = "array<struct<term:string,tf:bigint>>"
-
-    def _flush(acc):
-        # append the finished (prev, run) pair — no-op before any element
-        return F.when(acc["prev"].isNull(), acc["out"]).otherwise(
-            F.concat(
-                acc["out"],
-                F.array(
-                    F.struct(
-                        acc["prev"].alias("term"), acc["run"].alias("tf")
-                    )
-                ),
-            )
-        )
-
-    entries = F.aggregate(
-        s,
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("bigint").alias("run"),
-            F.expr(f"CAST(array() AS {_ENT})").alias("out"),
-        ),
-        lambda acc, x: F.when(
-            x.eqNullSafe(acc["prev"]),
-            F.struct(
-                x.alias("prev"),
-                (acc["run"] + F.lit(1).cast("bigint")).alias("run"),
-                acc["out"].alias("out"),
-            ),
-        ).otherwise(
-            F.struct(
-                x.alias("prev"),
-                F.lit(1).cast("bigint").alias("run"),
-                _flush(acc).alias("out"),
-            )
-        ),
-        _flush,
-    )
-    tf = docs.filter(n >= 1).select(
-        "doc_id", F.explode(entries).alias("e")
-    ).select("doc_id", F.col("e.term").alias("term"), F.col("e.tf").alias("tf"))
+    Measured and REVERTED (r15 pass 4): a per-row run-length fold for the
+    (doc, term, tf) pairs (the pass-1/3 form). Its accumulator appends to
+    an ARRAY via concat — an immutable copy per run change, quadratic in
+    distinct terms per doc — and same-box min-of-7 isolation read exec
+    0.574 s (explode + groupBy) vs 0.863 s (fold): the exchange the fold
+    removes carries map-side-combined pairs, far cheaper than the
+    interpreted per-row copies. The explode+hash-agg form below is the
+    round-start shape. (_token_share_stats keeps ITS fold: a scalar
+    (prev, run, best) accumulator — linear, and it removes three
+    exchanges, not one.)"""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     # df stays a groupBy + join-back (measured r15): the window-count
     # alternative (one tf pass, unigram_lm_score's trick) exchanges AND
-    # SORTS the corpus pair table by term, which measured 1.7× slower than
-    # running the fold twice and broadcast-joining the vocabulary-sized df
-    # table (1.30 s → 2.24 s exec at sf0.1).
+    # SORTS the corpus pair table by term — measured slower than the
+    # second aggregation plus a broadcast join of the vocabulary-sized df
+    # table.
     df = (
         tf.groupBy("term")
         .agg(F.count("*").alias("df"))
@@ -693,7 +639,15 @@ def unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries 3 parquet scans vs the naive form's 6 (plan-test asserted).
     The oracle mirrors the exact same float sequence. Scores
     floor-truncated at 1e-6 like tfidf (log output; round() is not
-    cross-engine-portable)."""
+    cross-engine-portable).
+
+    Measured and REJECTED (r15 pass 4): replacing the explode →
+    groupBy(doc_id, tok) stage with a per-row run-length fold over the
+    sorted token array. The exchange it removes carries map-side-combined
+    pairs (cheap), while the fold's array-append accumulator pays an
+    immutable copy per run change — isolated exec 0.56 s → 1.02 s
+    min-of-3. Codegen'd explode+hash-agg wins; the same measurement
+    reverted tfidf_keywords' pass-1 fold."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
