@@ -1295,7 +1295,13 @@ def connected_components(
             F.col("src").alias("n"),
             F.least(F.col("src"), F.col("_mind")).alias("lbl"),
         )
-        .localCheckpoint(eager=True)
+        # LAZY checkpoint (r16, guide §1.2): the first loop round's
+        # convergence count materializes the init, the edge persist AND
+        # propagations 2-3 in ONE job — the eager form spent a whole
+        # blocking driver job just to materialize the init (measured
+        # ~0.5 s of stage scheduling at test SF, and one fewer barrier at
+        # any scale; the propagation/shuffle count is unchanged).
+        .localCheckpoint(eager=False)
     )
     def _propagate(lbls: DataFrame) -> DataFrame:
         nbr_min = (
@@ -1321,18 +1327,27 @@ def connected_components(
     # fixpoint). Worst case this runs one extra propagation past
     # convergence — one shuffle of the label table, far cheaper than a
     # driver barrier per step at any scale.
+    # iters counts TOTAL propagations including the fused init (so the
+    # reported value is odd-or-even depending on where convergence lands;
+    # r15's +1 rebaseline vs pre-fusion probe records is documented in
+    # SCALE.md). step = min(2, remaining) clamps total propagations to
+    # EXACTLY max_iters (ADVICE r15: the old range(1, max_iters, 2) ran
+    # max_iters+1 for even caps), and the last round always ends with a
+    # convergence count, so exhaustion without an observed changed == 0
+    # can only happen when max_iters == 1 (no check possible — documented
+    # cap semantics, same silent-return contract as before).
     iters = 1  # the fused init above is propagation 1
-    for _ in range(1, max_iters, 2):
-        iters += 2
-        new_labels = (
-            _propagate(_propagate(labels).drop("moved"))
-            # lazy checkpoint: the convergence count below materializes it,
-            # so each doubled round costs ONE job, not checkpoint + count
-            .localCheckpoint(eager=False)
-        )
-        changed = new_labels.filter(F.col("moved")).count()
-        new_labels = new_labels.drop("moved")
-        labels = new_labels
+    while iters < max_iters:
+        step = min(2, max_iters - iters)
+        nxt = labels
+        for _ in range(step - 1):
+            nxt = _propagate(nxt).drop("moved")
+        # lazy checkpoint: the convergence count below materializes it,
+        # so each round costs ONE job, not checkpoint + count
+        nxt = _propagate(nxt).localCheckpoint(eager=False)
+        iters += step
+        changed = nxt.filter(F.col("moved")).count()
+        labels = nxt.drop("moved")
         if changed == 0:
             break
     if stats is not None:

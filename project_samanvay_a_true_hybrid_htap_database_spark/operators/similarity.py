@@ -989,8 +989,9 @@ def knn_join_ivf_vectorized(
     Arrow batch + matmul per block instead of an element-at-a-time HOF
     fold per pair).
 
-    Shape: cogroup the home-cluster members with the probe list on the
-    cluster id — one (home_block × probe_block) BLAS matmul per learned
+    Shape: group the exploded probe list on the cluster id (a vector's
+    home list is its first-ranked probe, so one frame carries both
+    roles) — one (home_block × probe_block) BLAS matmul per learned
     list, so executor memory is bounded by the widest list, never the
     corpus. Each block emits its LOCAL top-k per probing src; a src
     probes nprobe lists, so a final (cos DESC, nbr ASC) window over the
@@ -1009,35 +1010,45 @@ def knn_join_ivf_vectorized(
 
     cents = learned_centroids(spark, sf_dir, k=n_clusters)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    home = _with_nearest_centroid(emb, cents, "embedding", "_b").select(
-        "*", F.col("_b")["l"].alias("cluster")
-    ).drop("_b")
-    probes = _dist_structs_col(emb, cents, "embedding", "_cdl").select(
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("semb"),
-        F.explode(
+    # ONE scan + ONE centroid-distance pass (r16, guide §2.3/§2.4): the
+    # home relation IS the probe list's first entry — argmin over the
+    # (d, l) structs equals array_sort(...)[0] — so exploding the sorted
+    # nprobe slice with posexplode and flagging position 0 yields both
+    # sides of the old cogroup from a single frame. The old shape scanned
+    # the embeddings twice (once per cogroup side), evaluated the k-centroid
+    # distance fold twice per vector, and shuffled BOTH sides (home:
+    # N·(id+embedding); probes: nprobe·N·(id+embedding)); this groupBy
+    # ships only the probe-side rows (is_home rides along as one byte) —
+    # one exchange, one Arrow transpose per list instead of two.
+    assigned = _dist_structs_col(emb, cents, "embedding", "_cdl").select(
+        "vec_id",
+        "embedding",
+        F.posexplode(
             F.transform(
                 F.slice(F.array_sort(F.col("_cdl")), 1, nprobe),
                 lambda s: s["l"],
             )
-        ).alias("probe"),
+        ).alias("_pi", "cluster"),
+    ).select(
+        "vec_id", "embedding", "cluster", (F.col("_pi") == 0).alias("is_home")
     )
 
-    def per_list(home_pdf: pd.DataFrame, probe_pdf: pd.DataFrame) -> pd.DataFrame:
-        if home_pdf.empty or probe_pdf.empty:
+    def per_list(pdf: pd.DataFrame) -> pd.DataFrame:
+        hmask = pdf["is_home"].to_numpy()
+        if not hmask.any():
             return pd.DataFrame({"src": [], "nbr": [], "cos": []}).astype(
                 {"src": "int64", "nbr": "int64", "cos": "float64"}
             )
-        hid = home_pdf["vec_id"].to_numpy()
-        H = np.stack(home_pdf["embedding"].to_numpy()).astype(np.float64)
+        sid = pdf["vec_id"].to_numpy()
+        S = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        hid = sid[hmask]
+        H = S[hmask]
         # Sort homes by id ONCE so a single stable argsort per matrix (not
         # a Python-loop lexsort per probe row — r15, guide §4.2) breaks cos
         # ties toward the lower nbr id, identical to the old per-row
         # np.lexsort((hid, -C[i])).
         order = np.argsort(hid, kind="stable")
         hid, H = hid[order], H[order]
-        sid = probe_pdf["src"].to_numpy()
-        S = np.stack(probe_pdf["semb"].to_numpy()).astype(np.float64)
         hn = np.sqrt((H * H).sum(axis=1))
         sn = np.sqrt((S * S).sum(axis=1))
         C = (S @ H.T) / np.outer(sn, hn)
@@ -1055,10 +1066,8 @@ def knn_join_ivf_vectorized(
             }
         )
 
-    local = (
-        home.groupBy("cluster")
-        .cogroup(probes.groupBy("probe"))
-        .applyInPandas(per_list, schema="src long, nbr long, cos double")
+    local = assigned.groupBy("cluster").applyInPandas(
+        per_list, schema="src long, nbr long, cos double"
     )
     rk = F.row_number().over(
         Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("nbr").asc())

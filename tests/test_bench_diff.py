@@ -73,7 +73,9 @@ class TestEmittedSchema:
         Margin: <= 1900 leaves 100 chars for value-width jitter and the
         trailing newline (every representative timing is already worst-case
         5-char width, so jitter is bounded by ~1 char per query)."""
-        timings = {name: 12.34 for name in bench.HEADLINE}
+        # r16: the sp_cpu/sp_shuffle scaling probes ride in `queries` too;
+        # their chars are paid for by base_rows/writes moving to stderr
+        timings = {name: 12.34 for name in bench.HEADLINE + bench.SCALE_PROBES}
         htap = {
             "q_idle_ms": 114.98,
             "q_mix_ms": 224.19,
@@ -84,14 +86,12 @@ class TestEmittedSchema:
             "wp": [9999, 9999, 9999, 9999, 9999, 9999],
             "scan_ms": 114.98,
             "q_pct_vs_scan": 162.4,
-            "writes": 16879,
             "pl_cold_ms": 15.24,
             "pl_warm_ms": 0.047,
         }
         # max_overlay/err dropped from the line r15 (stderr note /
         # omitted-when-None) — their chars pay for calp
         sustained = {
-            "base_rows": 20000000,
             "ingested": 68000,
             "rows_per_s": 14723,
             "flushes": 12,
